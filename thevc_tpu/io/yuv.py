@@ -1,0 +1,103 @@
+"""Planar YUV 4:2:0 file I/O with bit-depth scaling.
+
+Behavioral reference: HM TLibVideoIO/TVideoIOYuv.cpp — readPlane/writePlane
+(8-bit bytes or 16-bit little-endian words), scalePlane/invScalePlane
+(shift up on read when internal depth > file depth; round+clip on write),
+and skipFrames.
+
+Frames are held as numpy int16 arrays (the HM `Pel` type); the encoder /
+decoder move whole frames to device once per frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class YuvFrame:
+    """One 4:2:0 frame: y is (H, W), cb/cr are (H/2, W/2), int16."""
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+
+    @property
+    def width(self) -> int:
+        return self.y.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.y.shape[0]
+
+    def planes(self):
+        return (self.y, self.cb, self.cr)
+
+
+class YuvReader:
+    def __init__(self, path: str, width: int, height: int,
+                 file_bit_depth: int = 8, internal_bit_depth: int = 8) -> None:
+        self.width = width
+        self.height = height
+        self.file_bit_depth = file_bit_depth
+        self.internal_bit_depth = internal_bit_depth
+        self._shift = internal_bit_depth - file_bit_depth
+        self._fd = open(path, "rb")
+        self._wordsize = 2 if file_bit_depth > 8 else 1
+        self._frame_bytes = self._wordsize * width * height * 3 // 2
+
+    def skip_frames(self, n: int) -> None:
+        if n:
+            self._fd.seek(self._frame_bytes * n, 1)
+
+    def read_frame(self) -> Optional[YuvFrame]:
+        data = self._fd.read(self._frame_bytes)
+        if len(data) < self._frame_bytes:
+            return None
+        dtype = "<u2" if self._wordsize == 2 else np.uint8
+        raw = np.frombuffer(data, dtype=dtype)
+        w, h = self.width, self.height
+        y = raw[: w * h].reshape(h, w).astype(np.int16)
+        cb = raw[w * h: w * h + w * h // 4].reshape(h // 2, w // 2).astype(np.int16)
+        cr = raw[w * h + w * h // 4:].reshape(h // 2, w // 2).astype(np.int16)
+        if self._shift > 0:
+            y, cb, cr = (p << self._shift for p in (y, cb, cr))
+        elif self._shift < 0:
+            s = -self._shift
+            off = 1 << (s - 1)
+            maxv = (1 << self.internal_bit_depth) - 1
+            y, cb, cr = (np.clip((p + off) >> s, 0, maxv).astype(np.int16)
+                         for p in (y, cb, cr))
+        return YuvFrame(y, cb, cr)
+
+    def close(self) -> None:
+        self._fd.close()
+
+
+class YuvWriter:
+    def __init__(self, path: str, file_bit_depth: int = 8,
+                 internal_bit_depth: int = 8) -> None:
+        self.file_bit_depth = file_bit_depth
+        self.internal_bit_depth = internal_bit_depth
+        self._shift = internal_bit_depth - file_bit_depth
+        self._fd = open(path, "wb")
+
+    def write_frame(self, frame: YuvFrame) -> None:
+        is16 = self.file_bit_depth > 8
+        for plane in frame.planes():
+            p = plane.astype(np.int32)
+            if self._shift > 0:
+                off = 1 << (self._shift - 1)
+                maxv = (1 << self.file_bit_depth) - 1
+                p = np.clip((p + off) >> self._shift, 0, maxv)
+            elif self._shift < 0:
+                p = p << (-self._shift)
+            if is16:
+                self._fd.write(p.astype("<u2").tobytes())
+            else:
+                self._fd.write(p.astype(np.uint8).tobytes())
+
+    def close(self) -> None:
+        self._fd.close()

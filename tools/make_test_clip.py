@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Generate deterministic synthetic YUV 4:2:0 test clips.
+
+No JCT-VC test sequences ship with the reference, so bit-exactness testing
+uses synthetic content: smooth gradients (exercise planar/DC/angular intra),
+textured noise regions (exercise RDOQ/coefficient coding), moving structures
+(exercise motion search for inter configs), and sharp edges (deblocking).
+"""
+
+import argparse
+import numpy as np
+
+
+def make_frame(w, h, t, bit_depth=8, seed=1234):
+    maxv = (1 << bit_depth) - 1
+    rng = np.random.RandomState(seed + t)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+
+    # diagonal gradient, drifting over time (global motion ~ (2,1) px/frame)
+    y = 0.35 * maxv + 0.3 * maxv * ((xx - 2 * t) / w + (yy - t) / h)
+
+    # moving sinusoidal texture
+    y += 0.08 * maxv * np.sin((xx - 2 * t) * 0.35) * np.sin((yy - t) * 0.21)
+
+    # sharp-edged moving square
+    sx, sy = (w // 4 + 3 * t) % (w - 64), (h // 3 + 2 * t) % (h - 64)
+    y[sy:sy + 48, sx:sx + 48] = 0.8 * maxv
+
+    # static textured band (film-grain-ish, same seed each frame => static)
+    grain = np.random.RandomState(seed).randn(h // 4, w) * 0.03 * maxv
+    y[3 * h // 4:3 * h // 4 + h // 4, :] += grain[: h - 3 * h // 4, :]
+
+    # small amount of temporal noise
+    y += rng.randn(h, w) * 0.004 * maxv
+
+    y = np.clip(np.rint(y), 0, maxv)
+
+    cb = 0.5 * maxv + 0.2 * maxv * np.sin((xx[::2, ::2] - 2 * t) * 0.02)
+    cr = 0.5 * maxv + 0.2 * maxv * np.cos((yy[::2, ::2] - t) * 0.03)
+    cb = np.clip(np.rint(cb), 0, maxv)
+    cr = np.clip(np.rint(cr), 0, maxv)
+    return y, cb, cr
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("output")
+    ap.add_argument("--width", type=int, default=416)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--bit-depth", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=1234)
+    args = ap.parse_args()
+
+    dtype = "<u2" if args.bit_depth > 8 else np.uint8
+    with open(args.output, "wb") as f:
+        for t in range(args.frames):
+            y, cb, cr = make_frame(args.width, args.height, t,
+                                   args.bit_depth, args.seed)
+            for plane in (y, cb, cr):
+                f.write(plane.astype(dtype).tobytes())
+    print(f"wrote {args.frames} frames {args.width}x{args.height} "
+          f"{args.bit_depth}-bit to {args.output}")
+
+
+if __name__ == "__main__":
+    main()
