@@ -1,0 +1,76 @@
+"""Decoder conformance: bit-exact reconstruction of reference-encoder streams,
+verified via the digest SEI (the reference's own conformance mechanism,
+SURVEY.md section 4)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from thevc_tpu.decoder.top import Decoder
+from thevc_tpu.io.yuv import YuvReader
+
+from conftest import ORACLE_BIN, TESTDATA
+
+
+def _encode(clip, out_bin, w=416, h=240, frames=1, extra=()):
+    if not out_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", "/root/reference/cfg/encoder_intra_main.cfg",
+             "-i", str(clip), "-wdt", str(w), "-hgt", str(h),
+             "-f", str(frames), "-fr", "30", "-b", str(out_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1", *extra],
+            check=True, capture_output=True)
+    return out_bin
+
+
+def _decode_ok(path):
+    pics = Decoder().decode_stream(path.read_bytes())
+    assert pics, "no pictures decoded"
+    for p in pics:
+        assert p.digest_ok is True, f"digest mismatch at POC {p.poc}"
+    return pics
+
+
+def test_decode_golden_intra_stream(golden_intra_stream):
+    pics = _decode_ok(golden_intra_stream["bin"])
+    assert len(pics) == golden_intra_stream["frames"]
+    # recon must match the encoder's recon output byte for byte
+    r = YuvReader(str(golden_intra_stream["rec"]), 416, 240)
+    for p in pics:
+        ref = r.read_frame()
+        for a, b in zip(p.frame.planes(), ref.planes()):
+            np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("qp", [22, 32, 45, 51])
+def test_decode_qp_sweep(oracle, test_clip, qp):
+    out = _encode(test_clip, TESTDATA / f"conf_q{qp}.bin", extra=["-q", str(qp)])
+    _decode_ok(out)
+
+
+def test_decode_lossless(oracle, test_clip):
+    out = _encode(test_clip, TESTDATA / "conf_lossless.bin",
+                  extra=["--LosslessCuEnabled=1", "--TransquantBypassEnableFlag=1",
+                         "--CUTransquantBypassFlagValue=1"])
+    _decode_ok(out)
+
+
+def test_decode_pcm(oracle, test_clip):
+    out = _encode(test_clip, TESTDATA / "conf_pcm.bin",
+                  extra=["--PCMEnabledFlag=1"])
+    _decode_ok(out)
+
+
+def test_decode_cu_dqp(oracle, test_clip):
+    out = _encode(test_clip, TESTDATA / "conf_dqp.bin",
+                  extra=["--MaxCuDQPDepth=1", "--MaxDeltaQP=1"])
+    _decode_ok(out)
+
+
+def test_decode_no_filters(oracle, test_clip):
+    out = _encode(test_clip, TESTDATA / "conf_nofilt.bin",
+                  extra=["--DeblockingFilterControlPresent=1",
+                         "--LoopFilterDisable=1", "--SAO=0"])
+    _decode_ok(out)

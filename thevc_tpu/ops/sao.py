@@ -1,0 +1,94 @@
+"""Sample Adaptive Offset — functional, frame-level, vectorized.
+
+Behavioral reference: TComSampleAdaptiveOffset.cpp — processSaoCuOrg (:781,
+per-CTU EO/BO kernels with picture-boundary exclusions), processSaoUnitAll
+(:1072, offset table construction: EO mapping m_auiEoTable [1,2,0,3,4],
+BO band table 1+(v>>(bd-5)), offsets << saoBitIncrease), SAOProcess (:1005).
+
+HM's line-buffer dance (m_pTmpL1/U1) exists to guarantee every neighbor
+comparison uses PRE-SAO samples; expressed functionally that is simply
+out = sao(src) with all reads from an immutable src — which is exactly the
+batched, data-parallel form the TPU wants (one gather + compare + table
+lookup over the whole plane).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SAO_EO_0 = 0
+SAO_EO_1 = 1
+SAO_EO_2 = 2
+SAO_EO_3 = 3
+SAO_BO = 4
+
+# neighbor offsets (dy, dx) per EO class: (n1, n2)
+_EO_NEIGHBORS = {
+    SAO_EO_0: ((0, -1), (0, 1)),
+    SAO_EO_1: ((-1, 0), (1, 0)),
+    SAO_EO_2: ((-1, -1), (1, 1)),
+    SAO_EO_3: ((1, -1), (-1, 1)),
+}
+
+
+def _sign(x: np.ndarray) -> np.ndarray:
+    return np.sign(x).astype(np.int32)
+
+
+def apply_sao_plane(src: np.ndarray, ctu_size: int, sao_type: np.ndarray,
+                    sao_sub_type: np.ndarray, sao_offsets: np.ndarray,
+                    ctus_w: int, ctus_h: int, bit_depth: int) -> np.ndarray:
+    """Apply SAO to one plane.
+
+    src: deblocked plane (H, W) — never modified; sao_type[ctu] in -1..4
+    (after EO subtype folding the parser stores 0..3 EO class directly in
+    sao_type for EO, 4 for BO); sao_offsets[ctu, 4]; sao_sub_type[ctu] =
+    band position for BO.
+    """
+    h, w = src.shape
+    out = src.copy()
+    max_val = (1 << bit_depth) - 1
+    sao_shift = bit_depth - min(bit_depth, 10)  # 0 for <=10 bit
+
+    s = src.astype(np.int32)
+    for ctu in range(ctus_w * ctus_h):
+        t = int(sao_type[ctu])
+        if t < 0:
+            continue
+        cx = (ctu % ctus_w) * ctu_size
+        cy = (ctu // ctus_w) * ctu_size
+        x1 = min(cx + ctu_size, w)
+        y1 = min(cy + ctu_size, h)
+        offs = (sao_offsets[ctu].astype(np.int32)) << sao_shift
+        if t == SAO_BO:
+            band_pos = int(sao_sub_type[ctu])
+            table = np.zeros(33, np.int32)
+            for i in range(4):
+                table[(band_pos + i) % 32 + 1] = offs[i]
+            blk = s[cy:y1, cx:x1]
+            band = 1 + (blk >> (bit_depth - 5))
+            out[cy:y1, cx:x1] = np.clip(blk + table[band], 0, max_val)
+        else:
+            (d1y, d1x), (d2y, d2x) = _EO_NEIGHBORS[t]
+            # picture-boundary exclusions (processSaoCuOrg)
+            sx, ex, sy, ey = cx, x1, cy, y1
+            if t in (SAO_EO_0, SAO_EO_2, SAO_EO_3):
+                if cx == 0:
+                    sx = cx + 1
+                if x1 == w:
+                    ex = x1 - 1
+            if t in (SAO_EO_1, SAO_EO_2, SAO_EO_3):
+                if cy == 0:
+                    sy = cy + 1
+                if y1 == h:
+                    ey = y1 - 1
+            if sx >= ex or sy >= ey:
+                continue
+            blk = s[sy:ey, sx:ex]
+            n1 = s[sy + d1y:ey + d1y, sx + d1x:ex + d1x]
+            n2 = s[sy + d2y:ey + d2y, sx + d2x:ex + d2x]
+            edge_type = _sign(blk - n1) + _sign(blk - n2) + 2
+            # m_iOffsetEo: et0->off[0], et1->off[1], et2->0, et3->off[2], et4->off[3]
+            eo = np.array([offs[0], offs[1], 0, offs[2], offs[3]], np.int32)
+            out[sy:ey, sx:ex] = np.clip(blk + eo[edge_type], 0, max_val)
+    return out

@@ -57,6 +57,42 @@ for src in $REF/Lib/TLibDecoder/*.cpp $REF/App/TAppDecoder/*.cpp; do
 done
 DEC_OBJS="$OBJS"
 
+# --- traced decoder (CABAC symbol trace to /tmp/hm_trace.txt) -------------
+# ENC_DEC_TRACE build: patch TComRom.h to enable the macro and TComRom.cpp
+# to open the trace file (the reference never initializes g_hTrace).
+if [ "${BUILD_TRACED:-1}" = 1 ]; then
+  # mirror the sources so the patched TComRom.h wins same-dir quoted includes
+  TSRC=$OUT/traced-src
+  if [ ! -d $TSRC ]; then
+    mkdir -p $TSRC
+    cp -r $REF/Lib $TSRC/Lib
+    cp -r $REF/App/TAppDecoder $TSRC/TAppDecoder
+  fi
+  sed -e 's/#define ENC_DEC_TRACE 0/#define ENC_DEC_TRACE 1/' \
+      -e 's/#define COUNTER_END      0 /#define COUNTER_END      (UInt64(1)<<63) /' \
+      /root/reference/source/Lib/TLibCommon/TComRom.h > $TSRC/Lib/TLibCommon/TComRom.h
+  sed -e 's|FILE\*  g_hTrace = NULL;|FILE*  g_hTrace = fopen("/tmp/hm_trace.txt", "w");|' \
+      /root/reference/source/Lib/TLibCommon/TComRom.cpp > $TSRC/Lib/TLibCommon/TComRom.cpp
+  cp $OUT/patched/TComTrQuant.cpp $TSRC/Lib/TLibCommon/TComTrQuant.cpp
+  mkdir -p $OUT/obj-trace
+  TFLAGS="-O1 -std=gnu++03 -w -fpermissive -DMSYS_LINUX -D_LARGEFILE64_SOURCE -D_FILE_OFFSET_BITS=64 -DMSYS_UNIX_LARGEFILE -I$TSRC/Lib -I$TSRC/Lib/TLibCommon -I$TSRC/Lib/TLibDecoder"
+  TOBJS=""
+  for src in $TSRC/Lib/TLibCommon/*.cpp $TSRC/Lib/TLibVideoIO/*.cpp \
+             $TSRC/Lib/TAppCommon/*.cpp $TSRC/Lib/TLibDecoder/*.cpp \
+             $TSRC/TAppDecoder/*.cpp; do
+    obj=$OUT/obj-trace/$(echo "${src}" | tr / _).o
+    if [ ! -f "$obj" ] || [ "$src" -nt "$obj" ]; then
+      echo "CXX(traced) $(basename $src)"
+      $CXX $TFLAGS -c "$src" -o "$obj"
+    fi
+    TOBJS="$TOBJS $obj"
+  done
+  MD5OBJ=$OUT/obj-trace/libmd5.o
+  [ -f $MD5OBJ ] || gcc -O2 -w -c $REF/Lib/libmd5/libmd5.c -o $MD5OBJ -I$REF/Lib
+  echo "LINK TAppDecoderTrace"
+  $CXX $TOBJS $MD5OBJ -o $OUT/bin/TAppDecoderTrace -ldl -lpthread
+fi
+
 echo "LINK TAppEncoder"
 $CXX $ENC_OBJS $COMMON_OBJS -o $OUT/bin/TAppEncoder -ldl -lpthread
 echo "LINK TAppDecoder"

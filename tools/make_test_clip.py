@@ -23,8 +23,9 @@ def make_frame(w, h, t, bit_depth=8, seed=1234):
     y += 0.08 * maxv * np.sin((xx - 2 * t) * 0.35) * np.sin((yy - t) * 0.21)
 
     # sharp-edged moving square
-    sx, sy = (w // 4 + 3 * t) % (w - 64), (h // 3 + 2 * t) % (h - 64)
-    y[sy:sy + 48, sx:sx + 48] = 0.8 * maxv
+    sq = min(48, w // 4, h // 4)
+    sx, sy = (w // 4 + 3 * t) % max(w - sq - 1, 1), (h // 3 + 2 * t) % max(h - sq - 1, 1)
+    y[sy:sy + sq, sx:sx + sq] = 0.8 * maxv
 
     # static textured band (film-grain-ish, same seed each frame => static)
     grain = np.random.RandomState(seed).randn(h // 4, w) * 0.03 * maxv
