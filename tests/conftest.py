@@ -19,6 +19,15 @@ import subprocess
 
 import pytest
 
+# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; pin the
+# default device to CPU so unit tests don't compile over the TPU tunnel.
+if not os.environ.get("THEVC_TEST_TPU"):
+    try:
+        import jax
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except Exception:
+        pass
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 ORACLE_BIN = REPO / ".oracle" / "bin"
 TESTDATA = REPO / "testdata"

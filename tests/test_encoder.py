@@ -1,0 +1,95 @@
+"""Encoder conformance: byte-exact bitstreams vs the HM oracle encoder.
+
+The all-intra encoder must make the reference's exact RD decisions
+(SURVEY.md section 4: decision-equality, not just conformance) — the
+output stream is compared byte-for-byte against TAppEncoder's.
+"""
+
+import subprocess
+
+import pytest
+
+from tests.conftest import ORACLE_BIN, TESTDATA, REPO
+
+from thevc_tpu.apps.encoder import main as encoder_main
+
+
+def _oracle_encode(clip, out_bin, w, h, frames, extra):
+    cmd = [str(ORACLE_BIN / "TAppEncoder"),
+           "-c", "/root/reference/cfg/encoder_intra_main.cfg",
+           "-i", str(clip), "-wdt", str(w), "-hgt", str(h),
+           "-f", str(frames), "-fr", "30",
+           "-b", str(out_bin), "-o", "/dev/null",
+           "--SEIpictureDigest=1", *extra]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+@pytest.fixture(scope="session")
+def small_clip():
+    TESTDATA.mkdir(exist_ok=True)
+    clip = TESTDATA / "clip_96x80.yuv"
+    if not clip.exists():
+        subprocess.run(
+            ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
+             "--width", "96", "--height", "80", "--frames", "2"],
+            check=True)
+    return clip
+
+
+@pytest.mark.parametrize("qp", [22, 32, 51])
+def test_intra_encode_byte_exact(oracle, small_clip, tmp_path, qp):
+    """All-intra Main, SAO off, TS+RDOQ+SBH on: byte-exact vs HM."""
+    hm_bin = TESTDATA / f"enc_intra_q{qp}_96x80.bin"
+    if not hm_bin.exists():
+        _oracle_encode(small_clip, hm_bin, 96, 80, 2,
+                       ["-q", str(qp), "--SAO=0"])
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(small_clip), "-b", str(my_bin),
+                  "-wdt", "96", "-hgt", "80", "-f", "2", "-fr", "30",
+                  "-q", str(qp), "--SAO=0", "--SEIpictureDigest=1"])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+
+def test_intra_encode_no_ts_byte_exact(oracle, small_clip, tmp_path):
+    """Transform-skip disabled variant (exercises plain RDOQ path)."""
+    hm_bin = TESTDATA / "enc_intra_q32_nots_96x80.bin"
+    if not hm_bin.exists():
+        _oracle_encode(small_clip, hm_bin, 96, 80, 2,
+                       ["-q", "32", "--SAO=0", "--TS=0", "--TSFast=0"])
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(small_clip), "-b", str(my_bin),
+                  "-wdt", "96", "-hgt", "80", "-f", "2", "-fr", "30",
+                  "-q", "32", "--SAO=0", "--TS=0", "--TSFast=0",
+                  "--SEIpictureDigest=1"])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+
+def test_encode_decode_roundtrip(oracle, small_clip, tmp_path):
+    """Our stream decodes in the HM oracle decoder with matching digests."""
+    my_bin = tmp_path / "rt.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(small_clip), "-b", str(my_bin),
+                  "-wdt", "96", "-hgt", "80", "-f", "2", "-fr", "30",
+                  "-q", "37", "--SAO=0", "--SEIpictureDigest=1"])
+    out = subprocess.run(
+        [str(ORACLE_BIN / "TAppDecoder"), "-b", str(my_bin),
+         "-o", str(tmp_path / "rt_dec.yuv")],
+        check=True, capture_output=True, text=True)
+    assert "(OK)" in out.stdout and "(***ERROR***)" not in out.stdout
+
+
+def test_intra_encode_10bit_byte_exact(oracle, small_clip, tmp_path):
+    """IBDI (InternalBitDepth=10) path: byte-exact vs HM."""
+    hm_bin = TESTDATA / "enc_intra_q27_10b_96x80.bin"
+    if not hm_bin.exists():
+        _oracle_encode(small_clip, hm_bin, 96, 80, 1,
+                       ["-q", "27", "--SAO=0", "--InternalBitDepth=10"])
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(small_clip), "-b", str(my_bin),
+                  "-wdt", "96", "-hgt", "80", "-f", "1", "-fr", "30",
+                  "-q", "27", "--SAO=0", "--InternalBitDepth=10",
+                  "--SEIpictureDigest=1"])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()

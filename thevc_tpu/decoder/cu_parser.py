@@ -832,6 +832,9 @@ class SliceDataParser:
         if width != 4:
             return
         bit = self.dec.decode_bin(cc.O_TS_FLAG + (0 if comp == 0 else 1))
+        etype = 0 if comp == 0 else comp + 1
+        _trace(f"parseTransformSkip()\tsymbol={bit}\tAddr={depth}"
+               f"\tetype={etype}\tuiAbsPartIdx={abs_part}")
         store_depth = depth
         if comp != 0:
             log2_tr = self._log2_ctu() - depth
@@ -883,11 +886,10 @@ class SliceDataParser:
         dec = self.dec
         if width > self.sps.max_tr_size:
             width = self.sps.max_tr_size
-        if self.pps.use_transform_skip:
-            self._parse_transform_skip_flag(abs_part, width, depth, comp)
-
         etype = 0 if comp == 0 else comp + 1
         _trace(f"parseCoeffNxN()\teType={etype}\twidth={width}\theight={width}\tdepth={depth}\tabspartidx={abs_part}")
+        if self.pps.use_transform_skip:
+            self._parse_transform_skip_flag(abs_part, width, depth, comp)
         is_luma = comp == 0
         log2 = width.bit_length() - 1
         max_coeff = width * width

@@ -1,0 +1,1484 @@
+"""CU-level RD search and final syntax encoding (all-intra path).
+
+Behavioral reference: TEncCu.cpp (xCompressCU :386, xCheckRDCostIntra :1409,
+xCheckBestMode :1547, xEncodeCU :1144, finishCU :995, encodeCU :249),
+TEncSearch.cpp (estIntraPredQT :2471, xRecurIntraCodingQT :1394,
+xIntraCodingLumaBlk :1006, xIntraCodingChromaBlk :1166,
+xRecurIntraChromaCodingQT :2160, estIntraPredChromaQT :2806,
+xGetIntraBitsQT :960, xGetIntraBitsQTChroma :985, xEncSubdivCbfQT :763,
+xEncCoeffQT :836, xEncIntraHeader :890, xModeBitsIntra :5889,
+xUpdateCandList :5905, xStoreIntraResultQT :1815, xLoadIntraResultQT :1879),
+TEncEntropy.cpp (xEncodeTransform), TComDataCU.cpp
+(getIntraDirLumaPredictor :1928 piMode semantics).
+
+Decision-equality with the reference requires the exact candidate order,
+double-precision cost arithmetic, the CABAC context snapshot discipline
+([depth][CI_*] grid), and fractional-bit counting where resetBits only
+masks (frac &= 32767) rather than zeroing.
+
+Instead of the reference's per-depth best/temp CU objects + YUV buffers,
+all candidate state lives in the frame-wide arrays (FrameModel) and is
+check-pointed with region snapshots; the net dataflow is equivalent (the
+frame at the end of each _compress_cu holds best data, which is what
+copyToPic/xCopyYuv2Pic establish in the reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..cabac import contexts as cc
+from ..cabac.bitcount import CounterEncoder
+from ..common import rom
+from ..decoder.frame import (DM_CHROMA_IDX, MODE_INTRA, SIZE_2Nx2N, SIZE_NxN,
+                             FrameModel)
+from ..decoder.recon import _tu_availability_flags
+from ..ops import intra as intra_ops
+from ..ops import transforms as tops
+from ..params import I_SLICE
+from . import rdoq as rdoq_mod
+from .rdcost import RdCost, calc_had_batched
+from .sbac_writer import SbacWriter, build_est_bits
+
+MAX_DOUBLE = 1.7e308
+
+# CI snapshot indices (TEncTop.h: CI_CURR_BEST .. CI_QT_TRAFO_ROOT)
+CI_CURR_BEST = 0
+CI_NEXT_BEST = 1
+CI_TEMP_BEST = 2
+CI_QT_TRAFO_TEST = 3
+CI_QT_TRAFO_ROOT = 4
+
+DC_IDX = 1
+
+TSDBG = None  # set to a file object to trace transform-skip RD decisions
+
+
+class CuEncoder:
+    """Per-slice encoder state driving the recursive CU RD search."""
+
+    def __init__(self, frame: FrameModel, sh, sps, pps, org_planes,
+                 rec_planes, rdcost: RdCost, lambda_luma: float,
+                 lambda_chroma: float, cfg=None):
+        self.f = frame
+        self.sh = sh
+        self.sps = sps
+        self.pps = pps
+        self.org_y, self.org_cb, self.org_cr = org_planes
+        self.rec_y, self.rec_cb, self.rec_cr = rec_planes
+        self.rd = rdcost
+        self.lambda_luma = lambda_luma      # RDOQ lambda (luma)
+        self.lambda_chroma = lambda_chroma  # RDOQ lambda (chroma) = l/weight
+        self.cfg = cfg or {}
+        self.bit_depth = sps.internal_bit_depth
+        self.bit_inc = sps.bit_increment
+        self.max_val = (1 << self.bit_depth) - 1
+
+        init = cc.make_context_states(sh.slice_type, sh.slice_qp,
+                                      sh.cabac_init_flag)
+        depths = sps.max_cu_depth + 2
+        # RD coder grid [depth][ci] -> (ctx copy, frac_bits)
+        self.snap = [[(init.copy(), 0) for _ in range(5)] for _ in range(depths)]
+        self.go_on = CounterEncoder(init.copy())
+        self.w = SbacWriter(frame, sh, sps, pps, self.go_on)
+        self.ctu_addr = 0
+
+        ctu = frame.ctu_size
+        nlayers = (sps.quadtree_tu_log2_max_size
+                   - sps.quadtree_tu_log2_min_size + 1)
+        # QT-layer temp buffers (m_pcQTTempTComYuv / m_ppcQTTempCoeff*)
+        self.qt_rec = [dict(y=np.zeros((ctu, ctu), np.int16),
+                            cb=np.zeros((ctu // 2, ctu // 2), np.int16),
+                            cr=np.zeros((ctu // 2, ctu // 2), np.int16))
+                       for _ in range(nlayers)]
+        self.qt_coeff = [dict(y=np.zeros((ctu, ctu), np.int32),
+                              cb=np.zeros((ctu // 2, ctu // 2), np.int32),
+                              cr=np.zeros((ctu // 2, ctu // 2), np.int32))
+                         for _ in range(nlayers)]
+        # shared prediction for transform-skip candidate loops
+        self.shared_pred = [np.zeros((ctu, ctu), np.int32),
+                            np.zeros((ctu // 2, ctu // 2), np.int32),
+                            np.zeros((ctu // 2, ctu // 2), np.int32)]
+
+        self.total_bits = 0
+        self.total_dist = 0
+        self.total_cost = 0.0
+
+    # -- coder snapshot plumbing -------------------------------------------
+    def _store(self, depth: int, ci: int) -> None:
+        self.snap[depth][ci] = (self.go_on.ctx.copy(), self.go_on.frac_bits)
+
+    def _load(self, depth: int, ci: int) -> None:
+        ctx, frac = self.snap[depth][ci]
+        np.copyto(self.go_on.ctx, ctx)
+        self.go_on.frac_bits = frac
+
+    def _copy_snap(self, sd, sci, dd, dci) -> None:
+        ctx, frac = self.snap[sd][sci]
+        self.snap[dd][dci] = (ctx.copy(), frac)
+
+    # -- addressing ---------------------------------------------------------
+    def _unit_xy(self, abs_part: int):
+        r = int(self.f.z2r[abs_part])
+        upr = self.f.units_per_row
+        cx = self.ctu_addr % self.f.ctus_w
+        cy = self.ctu_addr // self.f.ctus_w
+        return cx * upr + (r % upr), cy * upr + (r // upr)
+
+    def _pel_xy(self, abs_part: int):
+        ux, uy = self._unit_xy(abs_part)
+        return ux * 4, uy * 4
+
+    def _ctu_local(self, abs_part: int):
+        r = int(self.f.z2r[abs_part])
+        upr = self.f.units_per_row
+        return (r % upr) * 4, (r // upr) * 4
+
+    def _log2_ctu(self) -> int:
+        return rom.convert_to_bit(self.f.ctu_size) + 2
+
+    def _cbf(self, abs_part, comp, tr_depth) -> int:
+        ux, uy = self._unit_xy(abs_part)
+        return (int(self.f.cbf[comp, uy, ux]) >> tr_depth) & 1
+
+    @property
+    def _min_cu_dqp_size(self) -> int:
+        return self.f.ctu_size >> self.pps.max_cu_dqp_depth
+
+    # -- frame region snapshots (stand-in for best/temp CU + YUV buffers) ---
+    _ATTRS = ("depth", "pred_mode", "part_size_arr", "luma_dir", "chroma_dir",
+              "tr_idx", "qp", "tq_bypass", "ipcm", "skip")
+
+    def _save_region(self, abs_part: int, depth: int) -> dict:
+        f = self.f
+        ux, uy = self._unit_xy(abs_part)
+        units = f.units_per_row >> depth
+        px, py = ux * 4, uy * 4
+        size = f.ctu_size >> depth
+        return {"attrs": {a: getattr(f, a)[uy:uy + units, ux:ux + units].copy()
+                          for a in self._ATTRS},
+                "cbf": f.cbf[:, uy:uy + units, ux:ux + units].copy(),
+                "ts": f.ts_flag[:, uy:uy + units, ux:ux + units].copy(),
+                "coeff_y": f.coeff_y[py:py + size, px:px + size].copy(),
+                "coeff_cb": f.coeff_cb[py // 2:(py + size) // 2,
+                                       px // 2:(px + size) // 2].copy(),
+                "coeff_cr": f.coeff_cr[py // 2:(py + size) // 2,
+                                       px // 2:(px + size) // 2].copy(),
+                "rec_y": self.rec_y[py:py + size, px:px + size].copy(),
+                "rec_cb": self.rec_cb[py // 2:(py + size) // 2,
+                                      px // 2:(px + size) // 2].copy(),
+                "rec_cr": self.rec_cr[py // 2:(py + size) // 2,
+                                      px // 2:(px + size) // 2].copy(),
+                "bits": self.total_bits, "dist": self.total_dist,
+                "cost": self.total_cost}
+
+    def _restore_region(self, abs_part: int, depth: int, snap: dict) -> None:
+        f = self.f
+        ux, uy = self._unit_xy(abs_part)
+        units = f.units_per_row >> depth
+        px, py = ux * 4, uy * 4
+        size = f.ctu_size >> depth
+        for a in self._ATTRS:
+            getattr(f, a)[uy:uy + units, ux:ux + units] = snap["attrs"][a]
+        f.cbf[:, uy:uy + units, ux:ux + units] = snap["cbf"]
+        f.ts_flag[:, uy:uy + units, ux:ux + units] = snap["ts"]
+        f.coeff_y[py:py + size, px:px + size] = snap["coeff_y"]
+        f.coeff_cb[py // 2:(py + size) // 2,
+                   px // 2:(px + size) // 2] = snap["coeff_cb"]
+        f.coeff_cr[py // 2:(py + size) // 2,
+                   px // 2:(px + size) // 2] = snap["coeff_cr"]
+        self.rec_y[py:py + size, px:px + size] = snap["rec_y"]
+        self.rec_cb[py // 2:(py + size) // 2,
+                    px // 2:(px + size) // 2] = snap["rec_cb"]
+        self.rec_cr[py // 2:(py + size) // 2,
+                    px // 2:(px + size) // 2] = snap["rec_cr"]
+        self.total_bits = snap["bits"]
+        self.total_dist = snap["dist"]
+        self.total_cost = snap["cost"]
+
+    # ==================================================================
+    # compressCU entry (per CTU)
+    # ==================================================================
+    def compress_ctu(self, ctu_addr: int) -> None:
+        self.ctu_addr = ctu_addr
+        self.w.ctu_addr = ctu_addr
+        self.total_bits = 0
+        self.total_dist = 0
+        self.total_cost = 0.0
+        # initCU: reset the CTU region
+        f = self.f
+        upr = f.units_per_row
+        cx, cy = ctu_addr % f.ctus_w, ctu_addr // f.ctus_w
+        sl = (slice(cy * upr, (cy + 1) * upr), slice(cx * upr, (cx + 1) * upr))
+        f.depth[sl] = 0
+        f.tr_idx[sl] = 0
+        f.qp[sl] = self.sh.slice_qp
+        f.pred_mode[sl] = 15
+        f.part_size_arr[sl] = 15
+        f.skip[sl] = False
+        f.cbf[:, sl[0], sl[1]] = 0
+        f.ts_flag[:, sl[0], sl[1]] = False
+        f.ipcm[sl] = False
+        f.tq_bypass[sl] = False
+        self._compress_cu(0, 0)
+
+    def _compress_cu(self, abs_part: int, depth: int) -> dict:
+        """xCompressCU (TEncCu.cpp:386); frame ends holding this CU's best.
+
+        Returns the best snapshot dict (bits/dist/cost feed the parent's
+        split accounting).
+        """
+        f = self.f
+        sps = self.sps
+        px, py = self._pel_xy(abs_part)
+        size = f.ctu_size >> depth
+        inside = (px + size <= f.width) and (py + size <= f.height)
+        max_sig_depth = f.max_depth - sps.add_cu_depth
+        boundary = not inside
+
+        best = None
+
+        if inside:
+            qp = self.sh.slice_qp
+            best = self._check_intra(abs_part, depth, SIZE_2Nx2N, qp, best)
+            if depth == max_sig_depth and \
+                    size > (1 << sps.quadtree_tu_log2_min_size):
+                best = self._check_intra(abs_part, depth, SIZE_NxN, qp, best)
+            if sps.use_pcm and (1 << sps.pcm_log2_min_size) <= size \
+                    <= (1 << sps.pcm_log2_max_size):
+                raw_bits = self.bit_depth * size * size * 3 // 2
+                if (best["bits"] > raw_bits
+                        or best["cost"] > self.rd.calc_rd_cost(raw_bits, 0)):
+                    best = self._check_intra_pcm(abs_part, depth, best)
+
+            # add split-flag bits to best (TEncCu.cpp:741; GoOn ctx as-is;
+            # frame region holds best data so the writer derives split=0)
+            self.go_on.reset_bits()
+            self.w.code_split_flag(abs_part, depth)
+            best["bits"] += self.go_on.num_written_bits
+            best["cost"] = self.rd.calc_rd_cost(best["bits"], best["dist"])
+            self.total_bits, self.total_dist, self.total_cost = \
+                best["bits"], best["dist"], best["cost"]
+
+        # ---- split ----
+        if depth < max_sig_depth:
+            q_parts = (f.parts_per_ctu >> (depth << 1)) >> 2
+            split_bits = 0
+            split_dist = 0
+            part = abs_part
+            for i in range(4):
+                spx, spy = self._pel_xy(part)
+                if spx < f.width and spy < f.height:
+                    if i == 0:
+                        self._copy_snap(depth, CI_CURR_BEST,
+                                        depth + 1, CI_CURR_BEST)
+                    else:
+                        self._copy_snap(depth + 1, CI_NEXT_BEST,
+                                        depth + 1, CI_CURR_BEST)
+                    sub_best = self._compress_cu(part, depth + 1)
+                    split_bits += sub_best["bits"]
+                    split_dist += sub_best["dist"]
+                else:
+                    # initSubCU + copyToPic for the out-of-picture child
+                    sux, suy = self._unit_xy(part)
+                    su = f.units_per_row >> (depth + 1)
+                    f.depth[suy:suy + su, sux:sux + su] = depth + 1
+                    f.pred_mode[suy:suy + su, sux:sux + su] = 15
+                part += q_parts
+
+            if not boundary:
+                # split flag (=1) counted with the GoOn post-children state
+                self.go_on.reset_bits()
+                self.w.code_split_flag(abs_part, depth)
+                split_bits += self.go_on.num_written_bits
+            split_cost = self.rd.calc_rd_cost(split_bits, split_dist)
+
+            self._copy_snap(depth + 1, CI_NEXT_BEST, depth, CI_TEMP_BEST)
+
+            if best is None or split_cost < best["cost"]:
+                self.total_bits, self.total_dist = split_bits, split_dist
+                self.total_cost = split_cost
+                best = self._save_region(abs_part, depth)
+                self._copy_snap(depth, CI_TEMP_BEST, depth, CI_NEXT_BEST)
+            else:
+                # non-split wins: restore best into frame (net effect of
+                # xCheckBestMode keeping best + final copyToPic/xCopyYuv2Pic)
+                self._restore_region(abs_part, depth, best)
+        return best
+
+    # ------------------------------------------------------------------
+    def _check_intra(self, abs_part: int, depth: int, part_size: int, qp: int,
+                     best):
+        """xCheckRDCostIntra (TEncCu.cpp:1409) + xCheckBestMode."""
+        f = self.f
+        ux, uy = self._unit_xy(abs_part)
+        units = f.units_per_row >> depth
+        reg = (slice(uy, uy + units), slice(ux, ux + units))
+        f.skip[reg] = False
+        f.part_size_arr[reg] = part_size
+        f.pred_mode[reg] = MODE_INTRA
+        f.depth[reg] = depth
+        f.qp[reg] = qp
+        f.ipcm[reg] = False
+        f.tr_idx[reg] = 0
+        f.cbf[:, reg[0], reg[1]] = 0
+        f.ts_flag[:, reg[0], reg[1]] = False
+        tqb = (bool(self.cfg.get("CUTransquantBypassFlagValue", 0))
+               if self.pps.transquant_bypass_enable_flag else False)
+        f.tq_bypass[reg] = tqb
+
+        dist_y = self._est_intra_pred_qt(abs_part, depth)
+        # copyToPicLuma is implicit: frame luma already holds the winner
+        dist_c = self._est_intra_chroma(abs_part, depth)
+
+        # ---- bit count for the full CU syntax (GoOn = CI_CURR_BEST) ----
+        self.go_on.reset_bits()
+        w = self.w
+        if self.pps.transquant_bypass_enable_flag:
+            w.code_tq_bypass(abs_part)
+        if self.sh.slice_type != I_SLICE:
+            w.code_skip_flag(abs_part)
+            w.code_pred_mode(abs_part)
+        w.code_part_size(abs_part, depth)
+        # encodePredInfo: intra dirs
+        w.code_intra_dir_luma(abs_part, multiple=True)
+        w.code_intra_dir_chroma(abs_part)
+        # encodeIPCMInfo (RD variant: no part-size gate, TEncCu.cpp:1442)
+        if self.sps.use_pcm and (1 << self.sps.pcm_log2_min_size) <= \
+                (f.ctu_size >> depth) <= (1 << self.sps.pcm_log2_max_size):
+            w.code_terminating_bit(0)
+        w.dqp_flag = False
+        self._transform_tree(w, abs_part, depth, 0)
+        bits = self.go_on.num_written_bits
+        self._store(depth, CI_TEMP_BEST)
+
+        dist = dist_y + dist_c
+        cost = self.rd.calc_rd_cost(bits, dist)
+        self.total_bits, self.total_dist, self.total_cost = bits, dist, cost
+
+        # xCheckBestMode
+        if best is None or cost < best["cost"]:
+            new_best = self._save_region(abs_part, depth)
+            self._copy_snap(depth, CI_TEMP_BEST, depth, CI_NEXT_BEST)
+            return new_best
+        self._restore_region(abs_part, depth, best)
+        return best
+
+    def _check_intra_pcm(self, abs_part, depth, best):
+        raise NotImplementedError("PCM mode decision (later round)")
+
+    # ==================================================================
+    # Luma intra search (estIntraPredQT, bLumaOnly=true)
+    # ==================================================================
+    def _est_intra_pred_qt(self, abs_part: int, depth: int) -> int:
+        f = self.f
+        ux0, uy0 = self._unit_xy(abs_part)
+        part_size = int(f.part_size_arr[uy0, ux0])
+        num_pu = 4 if part_size == SIZE_NxN else 1
+        init_tr_depth = 0 if part_size == SIZE_2Nx2N else 1
+        q_parts = f.parts_per_ctu >> (depth << 1) >> 2
+        # getIntraSizeIdx
+        w_ = (f.ctu_size >> depth) >> (1 if part_size == SIZE_NxN else 0)
+        size_idx = min(max(w_.bit_length() - 2, 0), 6)
+
+        overall_dist_y = 0
+        for pu in range(num_pu):
+            part = abs_part + pu * (q_parts if part_size == SIZE_NxN else 0)
+            overall_dist_y += self._search_luma_pu(part, depth, init_tr_depth,
+                                                   size_idx)
+
+        if num_pu > 1:
+            self._merge_nxn_cbf(abs_part, q_parts)
+
+        self._load(depth, CI_CURR_BEST)
+        return overall_dist_y
+
+    def _merge_nxn_cbf(self, abs_part: int, q_parts: int) -> None:
+        """estIntraPredQT NxN combined-cbf OR (TEncSearch.cpp:2772)."""
+        f = self.f
+        comb = [0, 0, 0]
+        for p in range(4):
+            part = abs_part + p * q_parts
+            ux, uy = self._unit_xy(part)
+            for c in range(3):
+                comb[c] |= (int(f.cbf[c, uy, ux]) >> 1) & 1
+        ux, uy = self._unit_xy(abs_part)
+        depth = int(f.depth[uy, ux])
+        units = f.units_per_row >> depth
+        for c in range(3):
+            if comb[c]:
+                f.cbf[c, uy:uy + units, ux:ux + units] |= comb[c]
+
+    def _left_above_luma_dirs(self, ux: int, uy: int):
+        """Left/above intra dirs exactly as getIntraDirLumaPredictor."""
+        f = self.f
+        n = f.left_unit(ux, uy)
+        left = int(f.luma_dir[n[1], n[0]]) if (
+            n is not None and f.pred_mode[n[1], n[0]] == MODE_INTRA) else DC_IDX
+        n = f.above_unit(ux, uy, planar_at_ctu_boundary=True)
+        above = int(f.luma_dir[n[1], n[0]]) if (
+            n is not None and f.pred_mode[n[1], n[0]] == MODE_INTRA) else DC_IDX
+        return left, above
+
+    def _search_luma_pu(self, part: int, depth: int, init_tr_depth: int,
+                        size_idx: int) -> int:
+        """One PU of estIntraPredQT (luma only)."""
+        f = self.f
+        px, py = self._pel_xy(part)
+        ux, uy = self._unit_xy(part)
+        size = f.ctu_size >> (depth + init_tr_depth)
+        log2 = size.bit_length() - 1
+        units = f.units_per_row >> (depth + init_tr_depth)
+
+        # ---- SATD-based candidate preselection ----
+        line_raw, line_filt = self._adi_lines_luma(px, py, size)
+        org = self.org_y[py:py + size, px:px + size]
+        num_full = int(rom.INTRA_MODE_NUM_FAST[size_idx])
+        cand_modes = [0] * num_full
+        cand_costs = [MAX_DOUBLE] * num_full
+
+        preds_all = np.empty((35, size, size), np.int32)
+        for mode in range(35):
+            line = (line_filt if intra_ops.use_filtered(mode, log2, True)
+                    else line_raw)
+            preds_all[mode] = intra_ops.predict(line, size, 4, mode, True,
+                                                self.max_val)
+        sads = calc_had_batched(org, preds_all, self.bit_inc)
+        for mode in range(35):
+            mode_bits = self._mode_bits_intra(part, mode, depth, init_tr_depth)
+            cost = float(sads[mode]) + float(mode_bits) * self.rd.sqrt_lambda
+            self._update_cand_list(mode, cost, cand_modes, cand_costs)
+
+        # MPM augmentation (FAST_UDI_USE_MPM): only the first numCand preds,
+        # numCand = 1 if left==above else 2 (getIntraDirLumaPredictor piMode)
+        left, above = self._left_above_luma_dirs(ux, uy)
+        preds = f.intra_mpm(ux, uy)
+        num_cand = 1 if left == above else 2
+        rd_list = list(cand_modes)
+        for j in range(num_cand):
+            if preds[j] not in rd_list:
+                rd_list.append(preds[j])
+
+        # ---- full RD over candidates (HHI_RQT_INTRA_SPEEDUP two-phase) ----
+        best_mode = 0
+        best_dist = 0
+        best_cost = MAX_DOUBLE
+        best_store = None
+        for mode in rd_list:
+            f.luma_dir[uy:uy + units, ux:ux + units] = mode
+            self._load(depth, CI_CURR_BEST)
+            dist, cost = self._recur_intra_luma(part, depth, init_tr_depth,
+                                                check_first=True)
+            if TSDBG:
+                TSDBG.write(f"LUMDBG cu={self.ctu_addr} part={part} "
+                            f"mode={mode} dist={dist} cost={cost:.4f}\n")
+            if cost < best_cost:
+                best_mode = mode
+                best_cost = cost
+                best_dist = dist
+                best_store = self._save_luma_result(part, depth, init_tr_depth)
+
+        # second pass: best mode with full RQT depth
+        f.luma_dir[uy:uy + units, ux:ux + units] = best_mode
+        self._load(depth, CI_CURR_BEST)
+        dist, cost = self._recur_intra_luma(part, depth, init_tr_depth,
+                                            check_first=False)
+        if cost < best_cost:
+            best_cost = cost
+            best_dist = dist
+            best_store = self._save_luma_result(part, depth, init_tr_depth)
+
+        self._restore_luma_result(part, depth, init_tr_depth, best_store)
+        f.luma_dir[uy:uy + units, ux:ux + units] = best_mode
+        return best_dist
+
+    def _save_luma_result(self, part, depth, init_tr_depth) -> dict:
+        f = self.f
+        px, py = self._pel_xy(part)
+        ux, uy = self._unit_xy(part)
+        units = f.units_per_row >> (depth + init_tr_depth)
+        size = f.ctu_size >> (depth + init_tr_depth)
+        return dict(
+            tr_idx=f.tr_idx[uy:uy + units, ux:ux + units].copy(),
+            cbf=f.cbf[0, uy:uy + units, ux:ux + units].copy(),
+            ts=f.ts_flag[0, uy:uy + units, ux:ux + units].copy(),
+            coeff=f.coeff_y[py:py + size, px:px + size].copy(),
+            rec=self.rec_y[py:py + size, px:px + size].copy())
+
+    def _restore_luma_result(self, part, depth, init_tr_depth, store) -> None:
+        f = self.f
+        px, py = self._pel_xy(part)
+        ux, uy = self._unit_xy(part)
+        units = f.units_per_row >> (depth + init_tr_depth)
+        size = f.ctu_size >> (depth + init_tr_depth)
+        f.tr_idx[uy:uy + units, ux:ux + units] = store["tr_idx"]
+        f.cbf[0, uy:uy + units, ux:ux + units] = store["cbf"]
+        f.ts_flag[0, uy:uy + units, ux:ux + units] = store["ts"]
+        f.coeff_y[py:py + size, px:px + size] = store["coeff"]
+        self.rec_y[py:py + size, px:px + size] = store["rec"]
+
+    def _mode_bits_intra(self, part, mode, depth, init_tr_depth) -> int:
+        """xModeBitsIntra: intra-dir bits after loadIntraDirModeLuma
+        (copies binIf state incl. frac bits + the intra-dir ctx only)."""
+        f = self.f
+        ux, uy = self._unit_xy(part)
+        units = f.units_per_row >> (depth + init_tr_depth)
+        saved = f.luma_dir[uy:uy + units, ux:ux + units].copy()
+        f.luma_dir[uy:uy + units, ux:ux + units] = mode
+        curr_ctx, curr_frac = self.snap[depth][CI_CURR_BEST]
+        self.go_on.ctx[cc.O_INTRA_PRED] = curr_ctx[cc.O_INTRA_PRED]
+        self.go_on.frac_bits = curr_frac
+        self.go_on.reset_bits()
+        self.w.code_intra_dir_luma(part, multiple=False)
+        bits = self.go_on.num_written_bits
+        f.luma_dir[uy:uy + units, ux:ux + units] = saved
+        return bits
+
+    @staticmethod
+    def _update_cand_list(mode, cost, cand_modes, cand_costs) -> int:
+        n = len(cand_costs)
+        shift = 0
+        while shift < n and cost < cand_costs[n - 1 - shift]:
+            shift += 1
+        if shift:
+            for i in range(1, shift):
+                cand_modes[n - i] = cand_modes[n - 1 - i]
+                cand_costs[n - i] = cand_costs[n - 1 - i]
+            cand_modes[n - shift] = mode
+            cand_costs[n - shift] = cost
+            return 1
+        return 0
+
+    # -- reference sample helpers ------------------------------------------
+    def _adi_lines_luma(self, px, py, size):
+        dc = 1 << (self.bit_depth - 1)
+        flags = _tu_availability_flags(self.f, px // 4, py // 4, size // 4)
+        line = intra_ops.fill_reference_line(self.rec_y, px, py, size, 4,
+                                             flags, dc)
+        return line, intra_ops.smooth_reference_line(line, size, 4)
+
+    def _adi_line_chroma(self, cx, cy, size, comp):
+        dc = 1 << (self.bit_depth - 1)
+        flags = _tu_availability_flags(self.f, cx // 2, cy // 2, size // 2)
+        plane = self.rec_cb if comp == 1 else self.rec_cr
+        return intra_ops.fill_reference_line(plane, cx, cy, size, 2, flags, dc)
+
+    # ------------------------------------------------------------------
+    # xRecurIntraCodingQT (bLumaOnly=true)
+    # ------------------------------------------------------------------
+    def _recur_intra_luma(self, part: int, cu_depth: int, tr_depth: int,
+                          check_first: bool):
+        f = self.f
+        sps = self.sps
+        full_depth = cu_depth + tr_depth
+        log2_tr = self._log2_ctu() - full_depth
+        check_full = log2_tr <= sps.quadtree_tu_log2_max_size
+        check_split = log2_tr > self._min_tu_log2_in_cu(part)
+        if check_first and check_full:
+            check_split = False
+
+        single_cost = MAX_DOUBLE
+        single_dist = 0
+        single_cbf = 0
+        best_mode_id = 0
+
+        ux, uy = self._unit_xy(part)
+        units = f.units_per_row >> full_depth
+        check_ts = (self.pps.use_transform_skip
+                    and (f.ctu_size >> full_depth) == 4
+                    and not f.tq_bypass[uy, ux])
+        if self.cfg.get("TransformSkipFast", 1):
+            check_ts = check_ts and \
+                int(f.part_size_arr[uy, ux]) == SIZE_NxN
+
+        if check_full:
+            if check_ts:
+                self._store(full_depth, CI_QT_TRAFO_ROOT)
+                best_tmp = None
+                for mode_id in (0, 1):
+                    f.ts_flag[0, uy:uy + units, ux:ux + units] = bool(mode_id)
+                    d0s1l2 = 1 if mode_id == 0 else 2
+                    dist_tmp = self._intra_coding_luma_blk(
+                        part, cu_depth, tr_depth, d0s1l2)
+                    cbf_tmp = self._cbf(part, 0, tr_depth)
+                    if mode_id == 1 and cbf_tmp == 0:
+                        cost_tmp = MAX_DOUBLE
+                    else:
+                        bits_tmp = self._intra_bits_qt(part, cu_depth,
+                                                       tr_depth)
+                        cost_tmp = self.rd.calc_rd_cost(bits_tmp, dist_tmp)
+                        if TSDBG:
+                            TSDBG.write(
+                                f"TSDBG cu={self.ctu_addr} part={part} "
+                                f"mode={mode_id} dist={dist_tmp} "
+                                f"bits={bits_tmp} cost={cost_tmp:.4f}\n")
+                    if cost_tmp < single_cost:
+                        single_cost = cost_tmp
+                        single_dist = dist_tmp
+                        single_cbf = cbf_tmp
+                        best_mode_id = mode_id
+                        if mode_id == 0:
+                            best_tmp = self._store_tu_result(part, full_depth,
+                                                             "y")
+                            self._store(full_depth, CI_TEMP_BEST)
+                    if mode_id == 0:
+                        self._load(full_depth, CI_QT_TRAFO_ROOT)
+                f.ts_flag[0, uy:uy + units, ux:ux + units] = bool(best_mode_id)
+                if best_mode_id == 0:
+                    self._load_tu_result(part, full_depth, "y", best_tmp)
+                    f.cbf[0, uy:uy + units, ux:ux + units] = \
+                        single_cbf << tr_depth
+                    self._load(full_depth, CI_TEMP_BEST)
+            else:
+                f.ts_flag[0, uy:uy + units, ux:ux + units] = False
+                if check_split:
+                    self._store(full_depth, CI_QT_TRAFO_ROOT)
+                single_dist = self._intra_coding_luma_blk(part, cu_depth,
+                                                          tr_depth, 0)
+                if check_split:
+                    single_cbf = self._cbf(part, 0, tr_depth)
+                bits = self._intra_bits_qt(part, cu_depth, tr_depth)
+                single_cost = self.rd.calc_rd_cost(bits, single_dist)
+
+        if check_split:
+            if check_full:
+                self._store(full_depth, CI_QT_TRAFO_TEST)
+                self._load(full_depth, CI_QT_TRAFO_ROOT)
+            else:
+                self._store(full_depth, CI_QT_TRAFO_ROOT)
+            split_dist = 0
+            q_parts = f.parts_per_ctu >> ((full_depth + 1) << 1)
+            split_cbf = 0
+            sub = part
+            for i in range(4):
+                d_, _ = self._recur_intra_luma(sub, cu_depth, tr_depth + 1,
+                                               check_first)
+                split_dist += d_
+                split_cbf |= self._cbf(sub, 0, tr_depth + 1)
+                sub += q_parts
+            if split_cbf:
+                f.cbf[0, uy:uy + units, ux:ux + units] |= split_cbf << tr_depth
+            self._load(full_depth, CI_QT_TRAFO_ROOT)
+            split_bits = self._intra_bits_qt(part, cu_depth, tr_depth)
+            split_cost = self.rd.calc_rd_cost(split_bits, split_dist)
+            if split_cost < single_cost:
+                return split_dist, split_cost
+            # single wins: restore coder, TU structure, and frame recon
+            self._load(full_depth, CI_QT_TRAFO_TEST)
+            f.tr_idx[uy:uy + units, ux:ux + units] = tr_depth
+            f.cbf[0, uy:uy + units, ux:ux + units] = single_cbf << tr_depth
+            f.ts_flag[0, uy:uy + units, ux:ux + units] = bool(best_mode_id)
+            self._qt_to_frame(part, full_depth, "y")
+        return single_dist, single_cost
+
+    def _min_tu_log2_in_cu(self, part: int) -> int:
+        """getQuadtreeTULog2MinSizeInCU (TComDataCU.cpp)."""
+        f = self.f
+        sps = self.sps
+        ux, uy = self._unit_xy(part)
+        depth = int(f.depth[uy, ux])
+        log2_cb = self._log2_ctu() - depth
+        intra_split = 1 if int(f.part_size_arr[uy, ux]) == SIZE_NxN else 0
+        max_tu_depth = sps.quadtree_tu_max_depth_intra
+        if log2_cb < (sps.quadtree_tu_log2_min_size + max_tu_depth - 1
+                      + intra_split):
+            return sps.quadtree_tu_log2_min_size
+        v = log2_cb - (max_tu_depth - 1 + intra_split)
+        return min(v, sps.quadtree_tu_log2_max_size)
+
+    def _qt_layer(self, full_depth: int) -> int:
+        return self.sps.quadtree_tu_log2_max_size - \
+            (self._log2_ctu() - full_depth)
+
+    # QT-buffer <-> TU-store helpers (xStoreIntraResultQT/xLoadIntraResultQT)
+    def _chroma_tu_size(self, full_depth: int) -> int:
+        """Chroma block size for a TU: bChromaSame keeps 4x4 when the luma
+        TU is 4x4 (xStoreIntraResultQT:1828-1834)."""
+        lsize = self.f.ctu_size >> full_depth
+        return lsize if lsize == 4 else lsize // 2
+
+    def _store_tu_result(self, part: int, full_depth: int, plane: str) -> dict:
+        size = self.f.ctu_size >> full_depth
+        layer = self._qt_layer(full_depth)
+        lx, ly = self._ctu_local(part)
+        if plane != "y":
+            size = self._chroma_tu_size(full_depth)
+            lx, ly = lx // 2, ly // 2
+        return dict(
+            rec=self.qt_rec[layer][plane][ly:ly + size, lx:lx + size].copy(),
+            coeff=self.qt_coeff[layer][plane][ly:ly + size,
+                                              lx:lx + size].copy())
+
+    def _load_tu_result(self, part: int, full_depth: int, plane: str,
+                        store: dict) -> None:
+        f = self.f
+        size = f.ctu_size >> full_depth
+        px, py = self._pel_xy(part)
+        layer = self._qt_layer(full_depth)
+        lx, ly = self._ctu_local(part)
+        if plane != "y":
+            size = self._chroma_tu_size(full_depth)
+            px, py = px // 2, py // 2
+            lx, ly = lx // 2, ly // 2
+        self.qt_rec[layer][plane][ly:ly + size, lx:lx + size] = store["rec"]
+        self.qt_coeff[layer][plane][ly:ly + size, lx:lx + size] = store["coeff"]
+        rec_plane = {"y": self.rec_y, "cb": self.rec_cb,
+                     "cr": self.rec_cr}[plane]
+        coeff_plane = {"y": f.coeff_y, "cb": f.coeff_cb,
+                       "cr": f.coeff_cr}[plane]
+        rec_plane[py:py + size, px:px + size] = store["rec"]
+        coeff_plane[py:py + size, px:px + size] = store["coeff"]
+
+    def _qt_to_frame(self, part: int, full_depth: int, plane: str) -> None:
+        f = self.f
+        size = f.ctu_size >> full_depth
+        px, py = self._pel_xy(part)
+        layer = self._qt_layer(full_depth)
+        lx, ly = self._ctu_local(part)
+        if plane != "y":
+            size = self._chroma_tu_size(full_depth)
+            px, py = px // 2, py // 2
+            lx, ly = lx // 2, ly // 2
+        rec_plane = {"y": self.rec_y, "cb": self.rec_cb,
+                     "cr": self.rec_cr}[plane]
+        coeff_plane = {"y": f.coeff_y, "cb": f.coeff_cb,
+                       "cr": f.coeff_cr}[plane]
+        rec_plane[py:py + size, px:px + size] = \
+            self.qt_rec[layer][plane][ly:ly + size, lx:lx + size]
+        coeff_plane[py:py + size, px:px + size] = \
+            self.qt_coeff[layer][plane][ly:ly + size, lx:lx + size]
+
+    # ------------------------------------------------------------------
+    def _intra_coding_luma_blk(self, part: int, cu_depth: int, tr_depth: int,
+                               d0s1l2: int = 0) -> int:
+        """xIntraCodingLumaBlk (TEncSearch.cpp:1006)."""
+        f = self.f
+        full_depth = cu_depth + tr_depth
+        size = f.ctu_size >> full_depth
+        px, py = self._pel_xy(part)
+        ux, uy = self._unit_xy(part)
+        units = f.units_per_row >> full_depth
+        mode = int(f.luma_dir[uy, ux])
+        use_ts = bool(f.ts_flag[0, uy, ux])
+        log2 = size.bit_length() - 1
+
+        if d0s1l2 != 2:
+            line_raw, line_filt = self._adi_lines_luma(px, py, size)
+            line = (line_filt if intra_ops.use_filtered(mode, log2, True)
+                    else line_raw)
+            pred = intra_ops.predict(line, size, 4, mode, True, self.max_val)
+            if d0s1l2 == 1:
+                self.shared_pred[0][:size, :size] = pred
+        else:
+            pred = self.shared_pred[0][:size, :size]
+
+        org = self.org_y[py:py + size, px:px + size].astype(np.int32)
+        resi = org - pred
+
+        f.tr_idx[uy:uy + units, ux:ux + units] = tr_depth
+
+        qps = tops.qp_scaled(int(f.qp[uy, ux]), True, self.sps.qp_bd_offset_y)
+        levels, abs_sum = self._xform_quant(part, resi, size, qps, True, 0,
+                                            use_ts, tr_depth)
+
+        cbf = 1 if abs_sum else 0
+        f.cbf[0, uy:uy + units, ux:ux + units] = cbf << tr_depth
+
+        if abs_sum:
+            deq = tops.dequant(levels[None], qps, self.bit_inc)[0]
+            if use_ts:
+                resi_rec = tops.transform_skip_inv(deq[None], self.bit_inc)[0]
+            else:
+                resi_rec = tops.inverse_transform(
+                    deq[None], use_dst=(size == 4),
+                    bit_increment=self.bit_inc)[0]
+        else:
+            levels = np.zeros((size, size), np.int32)
+            resi_rec = 0
+
+        rec = np.clip(pred + resi_rec, 0, self.max_val).astype(np.int16)
+        layer = self._qt_layer(full_depth)
+        lx, ly = self._ctu_local(part)
+        self.qt_rec[layer]["y"][ly:ly + size, lx:lx + size] = rec
+        self.qt_coeff[layer]["y"][ly:ly + size, lx:lx + size] = levels
+        self.rec_y[py:py + size, px:px + size] = rec
+        f.coeff_y[py:py + size, px:px + size] = levels
+
+        return self.rd.dist_part(rec, self.org_y[py:py + size, px:px + size])
+
+    def _xform_quant(self, part, resi, size, qps, is_luma, comp, use_ts,
+                     cbf_tr_depth):
+        """transformNxN: forward transform + RDOQ/quant (+ SBH)."""
+        per, rem = qps // 6, qps % 6
+        scan_idx = self.w._scan_idx(part, size, is_luma)
+        if scan_idx == rom.SCAN_ZIGZAG:
+            scan_idx = rom.SCAN_DIAG
+        if use_ts:
+            coeff_t = tops.transform_skip_fwd(resi[None], self.bit_inc)[0]
+        else:
+            coeff_t = tops.forward_transform(
+                resi[None], use_dst=(is_luma and size == 4),
+                bit_increment=self.bit_inc)[0]
+        # xQuant: RDOQ unless (TransformSkipFast && transformSkip)
+        use_rdoq = self.cfg.get("RDOQ", 1) and not (
+            self.cfg.get("TransformSkipFast", 1) and use_ts)
+        if use_rdoq:
+            eb = build_est_bits(self.go_on.ctx, size, is_luma)
+            lam = self.lambda_luma if is_luma else self.lambda_chroma
+            levels, abs_sum = rdoq_mod.rdoq(
+                coeff_t, size, per, rem, lam, is_luma, True, scan_idx, eb,
+                cbf_tr_depth, self.pps.sign_hide_flag, self.bit_inc)
+            return levels.reshape(size, size), abs_sum
+        lv, du = tops.quant(coeff_t[None], qps,
+                            self.sh.slice_type == I_SLICE, self.bit_inc)
+        levels = lv[0]
+        abs_sum = int(np.abs(levels).sum())
+        if self.pps.sign_hide_flag and abs_sum >= 2:
+            levels = self._sign_bit_hiding(levels, coeff_t, du[0], scan_idx,
+                                           size)
+            abs_sum = int(np.abs(levels).sum())
+        return levels, abs_sum
+
+    def _sign_bit_hiding(self, levels, src_coeff, delta_u, scan_idx, size):
+        """signBitHidingHDQ (TComTrQuant.cpp) for the non-RDOQ path."""
+        q = levels.reshape(-1).copy()
+        src = src_coeff.reshape(-1)
+        du = delta_u.reshape(-1)
+        scan = rom.sig_last_scan(scan_idx, size)
+        last_cg = -1
+        for subset in range((size * size - 1) >> 4, -1, -1):
+            sub_pos = subset << 4
+            first_nz, last_nz = 16, -1
+            for n in range(15, -1, -1):
+                if q[int(scan[n + sub_pos])]:
+                    last_nz = n
+                    break
+            for n in range(16):
+                if q[int(scan[n + sub_pos])]:
+                    first_nz = n
+                    break
+            s = 0
+            for n in range(first_nz, last_nz + 1):
+                s += int(q[int(scan[n + sub_pos])])
+            if last_nz >= 0 and last_cg == -1:
+                last_cg = 1
+            if last_nz - first_nz >= 4:
+                signbit = 0 if q[int(scan[sub_pos + first_nz])] > 0 else 1
+                if signbit != (s & 1):
+                    min_cost = 1 << 62
+                    min_pos = -1
+                    final_change = 0
+                    start_n = last_nz if last_cg == 1 else 15
+                    for n in range(start_n, -1, -1):
+                        blk = int(scan[n + sub_pos])
+                        if q[blk] != 0:
+                            if du[blk] > 0:
+                                cur_cost, cur_change = -int(du[blk]), 1
+                            elif n == first_nz and abs(int(q[blk])) == 1:
+                                cur_cost, cur_change = 1 << 62, 0
+                            else:
+                                cur_cost, cur_change = int(du[blk]), -1
+                        else:
+                            if n < first_nz:
+                                this_sign = 0 if src[blk] >= 0 else 1
+                                if this_sign != signbit:
+                                    cur_cost, cur_change = 1 << 62, 0
+                                else:
+                                    cur_cost, cur_change = -int(du[blk]), 1
+                            else:
+                                cur_cost, cur_change = -int(du[blk]), 1
+                        if cur_cost < min_cost:
+                            min_cost = cur_cost
+                            final_change = cur_change
+                            min_pos = blk
+                    if q[min_pos] == 32767 or q[min_pos] == -32768:
+                        final_change = -1
+                    if src[min_pos] >= 0:
+                        q[min_pos] += final_change
+                    else:
+                        q[min_pos] -= final_change
+            if last_cg == 1:
+                last_cg = 0
+        return q.reshape(size, size)
+
+    # ------------------------------------------------------------------
+    # bit counting (xGetIntraBitsQT / xGetIntraBitsQTChroma)
+    # ------------------------------------------------------------------
+    def _intra_bits_qt(self, part: int, cu_depth: int, tr_depth: int,
+                       chroma: bool = False) -> int:
+        self.go_on.reset_bits()
+        if not chroma:
+            self._enc_intra_header(part, cu_depth, tr_depth, luma=True)
+            self._enc_subdiv_cbf_qt(part, cu_depth, tr_depth, luma=True,
+                                    chroma=False)
+            self._enc_coeff_qt(part, cu_depth, tr_depth, comp=0)
+        else:
+            self._enc_intra_header(part, cu_depth, tr_depth, luma=False)
+            self._enc_subdiv_cbf_qt(part, cu_depth, tr_depth, luma=False,
+                                    chroma=True)
+            self._enc_coeff_qt(part, cu_depth, tr_depth, comp=1)
+            self._enc_coeff_qt(part, cu_depth, tr_depth, comp=2)
+        return self.go_on.num_written_bits
+
+    def _intra_bits_qt_chroma(self, part, cu_depth, tr_depth, comp) -> int:
+        self.go_on.reset_bits()
+        self._enc_coeff_qt(part, cu_depth, tr_depth, comp=comp)
+        return self.go_on.num_written_bits
+
+    def _enc_intra_header(self, part, cu_depth, tr_depth, luma: bool) -> None:
+        """xEncIntraHeader (TEncSearch.cpp:890); part is CTU-absolute while
+        the reference's uiAbsPartIdx is CU-relative — converted here."""
+        f = self.f
+        w = self.w
+        cu_parts = f.parts_per_ctu >> (cu_depth << 1)
+        cu_start = (part // cu_parts) * cu_parts
+        in_cu = part - cu_start
+        cux, cuy = self._unit_xy(cu_start)
+        part_sz = int(f.part_size_arr[cuy, cux])
+        if luma:
+            if in_cu == 0:
+                if self.sh.slice_type != I_SLICE:
+                    if self.pps.transquant_bypass_enable_flag:
+                        w.code_tq_bypass(cu_start)
+                    w.code_skip_flag(cu_start)
+                    w.code_pred_mode(cu_start)
+                w.code_part_size(cu_start, cu_depth)
+                if part_sz == SIZE_2Nx2N and self.sps.use_pcm and \
+                        (1 << self.sps.pcm_log2_min_size) <= \
+                        (f.ctu_size >> cu_depth) <= \
+                        (1 << self.sps.pcm_log2_max_size):
+                    w.code_terminating_bit(0)  # pcm_flag (always 0 here)
+            if part_sz == SIZE_2Nx2N:
+                if in_cu == 0:
+                    w.code_intra_dir_luma(cu_start, multiple=False)
+            else:
+                q_parts = cu_parts >> 2
+                if tr_depth == 0:
+                    for p in range(4):
+                        w.code_intra_dir_luma(cu_start + p * q_parts,
+                                              multiple=False)
+                elif in_cu % q_parts == 0:
+                    w.code_intra_dir_luma(part, multiple=False)
+        else:
+            if in_cu == 0:
+                w.code_intra_dir_chroma(cu_start)
+
+    def _enc_subdiv_cbf_qt(self, part, cu_depth, tr_depth, luma, chroma):
+        """xEncSubdivCbfQT (TEncSearch.cpp:763)."""
+        f = self.f
+        w = self.w
+        ux, uy = self._unit_xy(part)
+        full_depth = cu_depth + tr_depth
+        tr_mode = int(f.tr_idx[uy, ux])
+        subdiv = 1 if tr_mode > tr_depth else 0
+        log2_tr = self._log2_ctu() - full_depth
+        part_sz = int(f.part_size_arr[uy, ux])
+        if f.pred_mode[uy, ux] == MODE_INTRA and part_sz == SIZE_NxN \
+                and tr_depth == 0:
+            pass
+        elif log2_tr > self.sps.quadtree_tu_log2_max_size:
+            pass
+        elif log2_tr == self.sps.quadtree_tu_log2_min_size:
+            pass
+        elif log2_tr == self._min_tu_log2_in_cu(part):
+            pass
+        elif luma:
+            w.code_transform_subdiv(subdiv, log2_tr)
+        if chroma and log2_tr > 2:
+            if tr_depth == 0 or self._cbf(part, 1, tr_depth - 1):
+                w.code_qt_cbf(part, 1, tr_depth)
+            if tr_depth == 0 or self._cbf(part, 2, tr_depth - 1):
+                w.code_qt_cbf(part, 2, tr_depth)
+        if subdiv:
+            q_parts = f.parts_per_ctu >> ((full_depth + 1) << 1)
+            for p in range(4):
+                self._enc_subdiv_cbf_qt(part + p * q_parts, cu_depth,
+                                        tr_depth + 1, luma, chroma)
+            return
+        if luma:
+            w.code_qt_cbf(part, 0, tr_mode)
+
+    def _enc_coeff_qt(self, part, cu_depth, tr_depth, comp) -> None:
+        """xEncCoeffQT (TEncSearch.cpp:836)."""
+        f = self.f
+        ux, uy = self._unit_xy(part)
+        full_depth = cu_depth + tr_depth
+        tr_mode = int(f.tr_idx[uy, ux])
+        if tr_mode > tr_depth:
+            q_parts = f.parts_per_ctu >> ((full_depth + 1) << 1)
+            for p in range(4):
+                self._enc_coeff_qt(part + p * q_parts, cu_depth, tr_depth + 1,
+                                   comp)
+            return
+        log2_tr = self._log2_ctu() - full_depth
+        td = tr_depth
+        if comp != 0 and log2_tr == 2:
+            td -= 1
+            q_div = f.parts_per_ctu >> ((cu_depth + td) << 1)
+            if part % q_div != 0:
+                return
+        if not self._cbf(part, comp, tr_mode):
+            return
+        px, py = self._pel_xy(part)
+        size = f.ctu_size >> (cu_depth + td)
+        if comp == 0:
+            coeff = f.coeff_y[py:py + size, px:px + size]
+        else:
+            size //= 2
+            plane = f.coeff_cb if comp == 1 else f.coeff_cr
+            coeff = plane[py // 2:py // 2 + size, px // 2:px // 2 + size]
+        self.w.code_coeff_nxn(part, coeff, size, comp)
+
+    # ==================================================================
+    # Chroma search (estIntraPredChromaQT :2806)
+    # ==================================================================
+    def _est_intra_chroma(self, abs_part: int, depth: int) -> int:
+        f = self.f
+        ux, uy = self._unit_xy(abs_part)
+        units = f.units_per_row >> depth
+        mode_list = f.allowed_chroma_dirs(ux, uy)
+        best_mode = 0
+        best_dist = 0
+        best_cost = MAX_DOUBLE
+        best_store = None
+        for mode in mode_list:
+            self._load(depth, CI_CURR_BEST)
+            f.chroma_dir[uy:uy + units, ux:ux + units] = mode
+            dist = self._recur_intra_chroma(abs_part, depth, 0)
+            if self.pps.use_transform_skip:
+                self._load(depth, CI_CURR_BEST)
+            bits = self._intra_bits_qt(abs_part, depth, 0, chroma=True)
+            cost = self.rd.calc_rd_cost(bits, dist)
+            if TSDBG:
+                px_, py_ = self._pel_xy(abs_part)
+                TSDBG.write(f"CHRDBG cu={self.ctu_addr} xy={px_},{py_} "
+                            f"w={self.f.ctu_size >> depth} "
+                            f"luma0={int(self.f.luma_dir[uy, ux])} "
+                            f"mode={mode} "
+                            f"dist={dist} bits={bits} cost={cost:.4f}\n")
+            if cost < best_cost:
+                best_cost = cost
+                best_dist = dist
+                best_mode = mode
+                best_store = self._save_chroma_result(abs_part, depth)
+        self._restore_chroma_result(abs_part, depth, best_store)
+        f.chroma_dir[uy:uy + units, ux:ux + units] = best_mode
+        self._load(depth, CI_CURR_BEST)
+        return best_dist
+
+    def _save_chroma_result(self, abs_part, depth) -> dict:
+        f = self.f
+        px, py = self._pel_xy(abs_part)
+        ux, uy = self._unit_xy(abs_part)
+        units = f.units_per_row >> depth
+        cs = (f.ctu_size >> depth) // 2
+        return dict(
+            cbf=f.cbf[1:3, uy:uy + units, ux:ux + units].copy(),
+            ts=f.ts_flag[1:3, uy:uy + units, ux:ux + units].copy(),
+            coeff_cb=f.coeff_cb[py // 2:py // 2 + cs,
+                                px // 2:px // 2 + cs].copy(),
+            coeff_cr=f.coeff_cr[py // 2:py // 2 + cs,
+                                px // 2:px // 2 + cs].copy(),
+            rec_cb=self.rec_cb[py // 2:py // 2 + cs,
+                               px // 2:px // 2 + cs].copy(),
+            rec_cr=self.rec_cr[py // 2:py // 2 + cs,
+                               px // 2:px // 2 + cs].copy())
+
+    def _restore_chroma_result(self, abs_part, depth, store) -> None:
+        f = self.f
+        px, py = self._pel_xy(abs_part)
+        ux, uy = self._unit_xy(abs_part)
+        units = f.units_per_row >> depth
+        cs = (f.ctu_size >> depth) // 2
+        f.cbf[1:3, uy:uy + units, ux:ux + units] = store["cbf"]
+        f.ts_flag[1:3, uy:uy + units, ux:ux + units] = store["ts"]
+        f.coeff_cb[py // 2:py // 2 + cs, px // 2:px // 2 + cs] = \
+            store["coeff_cb"]
+        f.coeff_cr[py // 2:py // 2 + cs, px // 2:px // 2 + cs] = \
+            store["coeff_cr"]
+        self.rec_cb[py // 2:py // 2 + cs, px // 2:px // 2 + cs] = \
+            store["rec_cb"]
+        self.rec_cr[py // 2:py // 2 + cs, px // 2:px // 2 + cs] = \
+            store["rec_cr"]
+
+    def _recur_intra_chroma(self, part: int, cu_depth: int,
+                            tr_depth: int) -> int:
+        """xRecurIntraChromaCodingQT (TEncSearch.cpp:2160)."""
+        f = self.f
+        ux, uy = self._unit_xy(part)
+        full_depth = cu_depth + tr_depth
+        tr_mode = int(f.tr_idx[uy, ux])
+        dist = 0
+        if tr_mode == tr_depth:
+            log2_tr = self._log2_ctu() - full_depth
+            actual_td = tr_depth
+            if log2_tr == 2:
+                actual_td -= 1
+                q_div = f.parts_per_ctu >> ((cu_depth + actual_td) << 1)
+                if part % q_div != 0:
+                    return 0
+            # checkTransformSkip is computed before the bFirstQ gate in the
+            # reference (reading past the CU for non-first parts, value
+            # discarded); evaluated here only where it is used
+            check_ts = self.pps.use_transform_skip and log2_tr <= 3
+            if self.cfg.get("TransformSkipFast", 1):
+                # INTRA_TRANSFORMSKIP_FAST: 4x4 only + >=1 luma TS block
+                check_ts = check_ts and log2_tr < 3
+                if check_ts:
+                    n_skip = 0
+                    for sub in range(part, part + 4):
+                        sux, suy = self._unit_xy(sub)
+                        n_skip += int(f.ts_flag[0, suy, sux])
+                    check_ts = check_ts and n_skip > 0
+            if TSDBG:
+                px_, py_ = self._pel_xy(part)
+                TSDBG.write(f"CTSDBG cu={self.ctu_addr} part={part} "
+                            f"trd={tr_depth} ckts={int(check_ts)}\n")
+            units_a = f.units_per_row >> (cu_depth + actual_td)
+            if check_ts:
+                self._store(full_depth, CI_QT_TRAFO_ROOT)
+                for comp in (1, 2):
+                    single_cost = MAX_DOUBLE
+                    best_mode_id = 0
+                    single_dist_c = 0
+                    single_cbf_c = 0
+                    best_tmp = None
+                    for mode_id in (0, 1):
+                        f.ts_flag[comp, uy:uy + units_a, ux:ux + units_a] = \
+                            bool(mode_id)
+                        d0s1l2 = 1 if mode_id == 0 else 2
+                        dist_tmp = self._intra_coding_chroma_blk(
+                            part, cu_depth, tr_depth, comp, d0s1l2)
+                        cbf_tmp = self._cbf(part, comp, tr_depth)
+                        if mode_id == 1 and cbf_tmp == 0:
+                            cost_tmp = MAX_DOUBLE
+                        else:
+                            bits_tmp = self._intra_bits_qt_chroma(
+                                part, cu_depth, tr_depth, comp)
+                            cost_tmp = self.rd.calc_rd_cost(bits_tmp, dist_tmp)
+                        if cost_tmp < single_cost:
+                            single_cost = cost_tmp
+                            single_dist_c = dist_tmp
+                            best_mode_id = mode_id
+                            single_cbf_c = cbf_tmp
+                            if mode_id == 0:
+                                best_tmp = self._store_tu_result(
+                                    part, full_depth,
+                                    "cb" if comp == 1 else "cr")
+                                self._store(full_depth, CI_TEMP_BEST)
+                        if mode_id == 0:
+                            self._load(full_depth, CI_QT_TRAFO_ROOT)
+                    if best_mode_id == 0:
+                        self._load_tu_result(part, full_depth,
+                                             "cb" if comp == 1 else "cr",
+                                             best_tmp)
+                        f.cbf[comp, uy:uy + units_a, ux:ux + units_a] = \
+                            single_cbf_c << tr_depth
+                        self._load(full_depth, CI_TEMP_BEST)
+                    f.ts_flag[comp, uy:uy + units_a, ux:ux + units_a] = \
+                        bool(best_mode_id)
+                    dist += single_dist_c
+                    if comp == 1:
+                        self._store(full_depth, CI_QT_TRAFO_ROOT)
+            else:
+                f.ts_flag[1, uy:uy + units_a, ux:ux + units_a] = False
+                f.ts_flag[2, uy:uy + units_a, ux:ux + units_a] = False
+                dist += self._intra_coding_chroma_blk(part, cu_depth,
+                                                      tr_depth, 1)
+                dist += self._intra_coding_chroma_blk(part, cu_depth,
+                                                      tr_depth, 2)
+        else:
+            q_parts = f.parts_per_ctu >> ((full_depth + 1) << 1)
+            split_cbf_u = 0
+            split_cbf_v = 0
+            sub = part
+            for p in range(4):
+                dist += self._recur_intra_chroma(sub, cu_depth, tr_depth + 1)
+                split_cbf_u |= self._cbf(sub, 1, tr_depth + 1)
+                split_cbf_v |= self._cbf(sub, 2, tr_depth + 1)
+                sub += q_parts
+            units = f.units_per_row >> full_depth
+            if split_cbf_u:
+                f.cbf[1, uy:uy + units, ux:ux + units] |= \
+                    split_cbf_u << tr_depth
+            if split_cbf_v:
+                f.cbf[2, uy:uy + units, ux:ux + units] |= \
+                    split_cbf_v << tr_depth
+        return dist
+
+    def _intra_coding_chroma_blk(self, part, cu_depth, tr_depth, comp,
+                                 d0s1l2: int = 0) -> int:
+        """xIntraCodingChromaBlk (TEncSearch.cpp:1166)."""
+        f = self.f
+        org_tr_depth = tr_depth
+        full_depth = cu_depth + tr_depth
+        log2_tr = self._log2_ctu() - full_depth
+        td = tr_depth
+        if log2_tr == 2:
+            td -= 1
+            q_div = f.parts_per_ctu >> ((cu_depth + td) << 1)
+            if part % q_div != 0:
+                return 0
+        ux, uy = self._unit_xy(part)
+        size = (f.ctu_size >> cu_depth) >> (td + 1)
+        px, py = self._pel_xy(part)
+        cx, cy = px // 2, py // 2
+        use_ts = bool(f.ts_flag[comp, uy, ux])
+
+        cu_parts = f.parts_per_ctu >> (cu_depth << 1)
+        cu_start = (part // cu_parts) * cu_parts
+        cux, cuy = self._unit_xy(cu_start)
+        mode = int(f.chroma_dir[uy, ux])
+        if mode == DM_CHROMA_IDX:
+            mode = int(f.luma_dir[cuy, cux])
+
+        if d0s1l2 != 2:
+            line = self._adi_line_chroma(cx, cy, size, comp)
+            pred = intra_ops.predict(line, size, 2, mode, False, self.max_val)
+            if d0s1l2 == 1:
+                self.shared_pred[comp][:size, :size] = pred
+        else:
+            pred = self.shared_pred[comp][:size, :size]
+
+        org_plane = self.org_cb if comp == 1 else self.org_cr
+        rec_plane = self.rec_cb if comp == 1 else self.rec_cr
+        coeff_plane = f.coeff_cb if comp == 1 else f.coeff_cr
+
+        org = org_plane[cy:cy + size, cx:cx + size].astype(np.int32)
+        resi = org - pred
+
+        qp_off = (self.pps.chroma_cb_qp_offset + self.sh.slice_qp_delta_cb
+                  if comp == 1 else
+                  self.pps.chroma_cr_qp_offset + self.sh.slice_qp_delta_cr)
+        qps = tops.qp_scaled(int(f.qp[uy, ux]), False,
+                             self.sps.qp_bd_offset_c, qp_off)
+
+        # RDOQ's uncoded-cost cbf ctx uses getTransformIdx (undecremented)
+        levels, abs_sum = self._xform_quant(part, resi, size, qps, False,
+                                            comp, use_ts, org_tr_depth)
+
+        units_td = f.units_per_row >> (cu_depth + td)
+        cbf = 1 if abs_sum else 0
+        # setCbfSubParts: bit at *original* trDepth, region at decremented
+        f.cbf[comp, uy:uy + units_td, ux:ux + units_td] = cbf << org_tr_depth
+
+        if abs_sum:
+            deq = tops.dequant(levels[None], qps, self.bit_inc)[0]
+            if use_ts:
+                resi_rec = tops.transform_skip_inv(deq[None], self.bit_inc)[0]
+            else:
+                resi_rec = tops.inverse_transform(
+                    deq[None], use_dst=False, bit_increment=self.bit_inc)[0]
+        else:
+            levels = np.zeros((size, size), np.int32)
+            resi_rec = 0
+
+        rec = np.clip(pred + resi_rec, 0, self.max_val).astype(np.int16)
+        if TSDBG:
+            wts = np.arange(1, size * size + 1).reshape(size, size)
+            TSDBG.write(
+                f"CBDBG comp={comp - 1} part={part} w={size} mode={mode} "
+                f"predsum={int((pred * wts).sum())} "
+                f"coefsum={int((levels * wts).sum())} "
+                f"dist={self.rd.dist_part(rec, org_plane[cy:cy + size, cx:cx + size], weighted=True)}\n")
+        layer = self._qt_layer(full_depth)
+        lx, ly = self._ctu_local(part)
+        pl = "cb" if comp == 1 else "cr"
+        self.qt_rec[layer][pl][ly // 2:ly // 2 + size,
+                               lx // 2:lx // 2 + size] = rec
+        self.qt_coeff[layer][pl][ly // 2:ly // 2 + size,
+                                 lx // 2:lx // 2 + size] = levels
+        rec_plane[cy:cy + size, cx:cx + size] = rec
+        coeff_plane[cy:cy + size, cx:cx + size] = levels
+        return self.rd.dist_part(rec, org_plane[cy:cy + size, cx:cx + size],
+                                 weighted=True)
+
+    # ==================================================================
+    # Final syntax pass (encodeCU :249 / xEncodeCU :1144 / finishCU :995)
+    # ==================================================================
+    def encode_ctu(self, ctu_addr: int, writer: SbacWriter) -> None:
+        """One CTU of the final pass; writer carries the engine (real
+        arithmetic coder in encodeSlice, counter in compressSlice)."""
+        self.ctu_addr = ctu_addr
+        writer.ctu_addr = ctu_addr
+        if self.pps.use_dqp:
+            writer.dqp_flag = True
+        self._final_writer = writer
+        self._encode_cu_final(0, 0)
+
+    def _encode_cu_final(self, abs_part: int, depth: int) -> None:
+        f = self.f
+        w = self._final_writer
+        px, py = self._pel_xy(abs_part)
+        size = f.ctu_size >> depth
+        inside = (px + size <= f.width) and (py + size <= f.height)
+        max_sig_depth = f.max_depth - self.sps.add_cu_depth
+        ux, uy = self._unit_xy(abs_part)
+        if inside:
+            w.code_split_flag(abs_part, depth)
+        if (depth < int(f.depth[uy, ux]) and depth < max_sig_depth) \
+                or not inside:
+            if size == self._min_cu_dqp_size and self.pps.use_dqp:
+                w.dqp_flag = True
+            q_parts = (f.parts_per_ctu >> (depth << 1)) >> 2
+            part = abs_part
+            for i in range(4):
+                spx, spy = self._pel_xy(part)
+                if spx < f.width and spy < f.height:
+                    self._encode_cu_final(part, depth + 1)
+                part += q_parts
+            return
+        if size >= self._min_cu_dqp_size and self.pps.use_dqp:
+            w.dqp_flag = True
+        if self.pps.transquant_bypass_enable_flag:
+            w.code_tq_bypass(abs_part)
+        if self.sh.slice_type != I_SLICE:
+            w.code_skip_flag(abs_part)
+            w.code_pred_mode(abs_part)
+        w.code_part_size(abs_part, depth)
+        part_sz = int(f.part_size_arr[uy, ux])
+        if part_sz == SIZE_2Nx2N and self.sps.use_pcm and \
+                (1 << self.sps.pcm_log2_min_size) <= size <= \
+                (1 << self.sps.pcm_log2_max_size):
+            w.code_terminating_bit(1 if f.ipcm[uy, ux] else 0)
+            if f.ipcm[uy, ux]:
+                raise NotImplementedError("PCM write (later round)")
+        w.code_intra_dir_luma(abs_part, multiple=True)
+        w.code_intra_dir_chroma(abs_part)
+        self._final_transform_tree(abs_part, depth, 0)
+        self._finish_cu_final(abs_part, depth)
+
+    def _finish_cu_final(self, abs_part: int, depth: int) -> None:
+        f = self.f
+        w = self._final_writer
+        px, py = self._pel_xy(abs_part)
+        size = f.ctu_size >> depth
+        gran = f.ctu_size  # REMOVE_FGS: slice granularity = CTU
+        if (((px + size) % gran == 0 or (px + size) == f.width) and
+                ((py + size) % gran == 0 or (py + size) == f.height)):
+            cur_parts = f.parts_per_ctu >> (depth << 1)
+            scu = self.ctu_addr * f.parts_per_ctu + abs_part
+            terminate = (scu + cur_parts == self._slice_end_scu())
+            if not terminate:
+                w.code_terminating_bit(0)
+
+    def _slice_end_scu(self) -> int:
+        """finishCU's real-end-address computation (TEncCu.cpp:1000)."""
+        f = self.f
+        end = self.sh.slice_cur_end_cu_addr
+        internal = (end - 1) % f.parts_per_ctu
+        external = (end - 1) // f.parts_per_ctu
+        upr = f.units_per_row
+        while True:
+            r = int(f.z2r[internal])
+            pos_x = (external % f.ctus_w) * f.ctu_size + (r % upr) * 4
+            pos_y = (external // f.ctus_w) * f.ctu_size + (r // upr) * 4
+            if pos_x < f.width and pos_y < f.height:
+                break
+            internal -= 1
+        internal += 1
+        if internal == f.parts_per_ctu:
+            internal = 0
+            external += 1
+        return external * f.parts_per_ctu + internal
+
+    def _final_transform_tree(self, abs_part: int, depth: int,
+                              tr_idx: int) -> None:
+        """TEncEntropy::xEncodeTransform mirror over frame state."""
+        f = self.f
+        w = self._final_writer
+        ux, uy = self._unit_xy(abs_part)
+        log2_tr = self._log2_ctu() - depth
+        if tr_idx == 0:
+            self._bak_cu_part = abs_part
+        if log2_tr == 2:
+            pn = f.parts_per_ctu >> ((depth - 1) << 1)
+            if abs_part % pn == 0:
+                self._bak_chroma = abs_part
+        cu_d = int(f.depth[uy, ux])
+        tr_depth = depth - cu_d
+        part_sz = int(f.part_size_arr[uy, ux])
+        tr_mode = int(f.tr_idx[uy, ux])
+        subdiv = 1 if tr_mode > tr_depth else 0
+
+        if f.pred_mode[uy, ux] == MODE_INTRA and part_sz == SIZE_NxN \
+                and depth == cu_d:
+            pass
+        elif log2_tr > self.sps.quadtree_tu_log2_max_size:
+            pass
+        elif log2_tr == self.sps.quadtree_tu_log2_min_size:
+            pass
+        elif log2_tr == self._min_tu_log2_in_cu(abs_part):
+            pass
+        else:
+            w.code_transform_subdiv(subdiv, log2_tr)
+
+        first_cbf = tr_depth == 0
+        if first_cbf or log2_tr > 2:
+            if first_cbf or self._cbf(abs_part, 1, tr_depth - 1):
+                w.code_qt_cbf(abs_part, 1, tr_depth)
+            if first_cbf or self._cbf(abs_part, 2, tr_depth - 1):
+                w.code_qt_cbf(abs_part, 2, tr_depth)
+
+        if subdiv:
+            q_parts = f.parts_per_ctu >> ((depth + 1) << 1)
+            part = abs_part
+            for i in range(4):
+                self._final_transform_tree(part, depth + 1, tr_idx + 1)
+                part += q_parts
+            return
+
+        w.code_qt_cbf(abs_part, 0, tr_mode)
+        cbf_y = self._cbf(abs_part, 0, tr_idx)
+        cbf_u = self._cbf(abs_part, 1, tr_idx)
+        cbf_v = self._cbf(abs_part, 2, tr_idx)
+        if log2_tr == 2:
+            # last part re-reads from the bak part; others keep their own
+            # read (uniform over the region anyway) — TEncEntropy.cpp:315-327
+            pn = f.parts_per_ctu >> ((depth - 1) << 1)
+            if abs_part % pn == pn - 1:
+                bux, buy = self._unit_xy(self._bak_chroma)
+                cbf_u = (int(f.cbf[1, buy, bux]) >> tr_idx) & 1
+                cbf_v = (int(f.cbf[2, buy, bux]) >> tr_idx) & 1
+        if (cbf_y or cbf_u or cbf_v) and self.pps.use_dqp and w.dqp_flag:
+            w.code_delta_qp(self._bak_cu_part)
+            w.dqp_flag = False
+        size = 1 << log2_tr
+        px, py = self._pel_xy(abs_part)
+        if cbf_y:
+            w.code_coeff_nxn(abs_part, f.coeff_y[py:py + size, px:px + size],
+                             size, 0)
+        if log2_tr > 2:
+            cs = size // 2
+            if cbf_u:
+                w.code_coeff_nxn(abs_part,
+                                 f.coeff_cb[py // 2:py // 2 + cs,
+                                            px // 2:px // 2 + cs], cs, 1)
+            if cbf_v:
+                w.code_coeff_nxn(abs_part,
+                                 f.coeff_cr[py // 2:py // 2 + cs,
+                                            px // 2:px // 2 + cs], cs, 2)
+        else:
+            pn = f.parts_per_ctu >> ((depth - 1) << 1)
+            if abs_part % pn == pn - 1:
+                bpx, bpy = self._pel_xy(self._bak_chroma)
+                if cbf_u:
+                    w.code_coeff_nxn(self._bak_chroma,
+                                     f.coeff_cb[bpy // 2:bpy // 2 + size,
+                                                bpx // 2:bpx // 2 + size],
+                                     size, 1)
+                if cbf_v:
+                    w.code_coeff_nxn(self._bak_chroma,
+                                     f.coeff_cr[bpy // 2:bpy // 2 + size,
+                                                bpx // 2:bpx // 2 + size],
+                                     size, 2)
+
+    # ------------------------------------------------------------------
+    def _transform_tree(self, w, abs_part, depth, tr_idx) -> None:
+        """encodeCoeff for the RD bit count (same walker, RD writer)."""
+        saved = getattr(self, "_final_writer", None)
+        self._final_writer = w
+        try:
+            self._final_transform_tree(abs_part, depth, tr_idx)
+        finally:
+            self._final_writer = saved

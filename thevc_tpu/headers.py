@@ -756,3 +756,141 @@ def write_sei_picture_digest(method: int, digest: list) -> OutputBitstream:
             bs.write(byte, 8)
     bs.write_rbsp_trailing_bits()
     return bs
+
+
+# ---------------------------------------------------------------------------
+# Slice header writer
+# ---------------------------------------------------------------------------
+
+def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps,
+                       last_idr_poc: int = 0) -> OutputBitstream:
+    """Mirror of TEncCavlc::codeSliceHeader (TEncCavlc.cpp:534).
+
+    Does NOT include the byte alignment or substream data; the caller
+    appends write_align_one + the CABAC substream (TEncGOP.cpp:1809).
+    """
+    bs = OutputBitstream()
+    num_cus = sps.num_ctus
+    req_bits_outer = 0
+    while num_cus > (1 << req_bits_outer):
+        req_bits_outer += 1
+    address = sh.slice_cur_start_cu_addr // sps.num_partitions \
+        if not sh.dependent_slice else \
+        sh.dependent_slice_start_cu_addr // sps.num_partitions
+    bs.write_flag(address == 0)
+    if sh.nal_unit_type in (nal_mod.NAL_UNIT_CODED_SLICE_IDR,
+                            nal_mod.NAL_UNIT_CODED_SLICE_BLANT,
+                            nal_mod.NAL_UNIT_CODED_SLICE_BLA,
+                            nal_mod.NAL_UNIT_CODED_SLICE_CRANT,
+                            nal_mod.NAL_UNIT_CODED_SLICE_CRA):
+        bs.write_flag(False)  # no_output_of_prior_pics_flag
+    bs.write_ue(sh.pps_id)
+    if address > 0:
+        bs.write(address, req_bits_outer)  # reqBitsInner == 0 (REMOVE_FGS)
+
+    bs.write_ue(sh.slice_type)
+    bs.write_flag(sh.dependent_slice)
+    if pps.dependent_slices_enabled_flag and sh.dependent_slice:
+        return bs
+
+    if pps.output_flag_present_flag:
+        bs.write_flag(sh.pic_output_flag)
+    if sh.nal_unit_type != nal_mod.NAL_UNIT_CODED_SLICE_IDR:
+        max_poc_lsb = 1 << sps.bits_for_poc
+        poc_lsb = (sh.poc - last_idr_poc + max_poc_lsb) % max_poc_lsb
+        bs.write(poc_lsb, sps.bits_for_poc)
+        if sh.rps_idx < 0:
+            bs.write_flag(False)
+            write_short_term_rps(bs, sh.rps, len(sps.rps_list),
+                                 len(sps.rps_list))
+        else:
+            bs.write_flag(True)
+            bs.write_ue(sh.rps_idx)
+        if sps.long_term_refs_present:
+            raise NotImplementedError("long-term ref write (later round)")
+
+    if sps.use_sao:
+        bs.write_flag(sh.sao_enabled)
+        if sh.sao_enabled:
+            bs.write_flag(sh.sao_enabled_chroma)
+
+    if sh.slice_type != I_SLICE:
+        if sps.tmvp_flags_present:
+            bs.write_flag(sh.tmvp_enabled)
+        override = (sh.num_ref_idx[0] != pps.num_ref_idx_l0_default_active
+                    or (sh.slice_type == B_SLICE and
+                        sh.num_ref_idx[1] != pps.num_ref_idx_l1_default_active))
+        bs.write_flag(override)
+        if override:
+            bs.write_ue(sh.num_ref_idx[0] - 1)
+            if sh.slice_type == B_SLICE:
+                bs.write_ue(sh.num_ref_idx[1] - 1)
+        if sps.lists_modification_present_flag:
+            num_rps_curr = _num_rps_curr_temp_list(sh)
+            for lx in range(2):
+                if lx == 1 and sh.slice_type != B_SLICE:
+                    break
+                bs.write_flag(sh.ref_pic_list_modification_flag[lx])
+                if sh.ref_pic_list_modification_flag[lx] and num_rps_curr > 1:
+                    length = 1
+                    tmp = num_rps_curr - 1
+                    while tmp >> 1:
+                        tmp >>= 1
+                        length += 1
+                    for idx in sh.ref_pic_set_idx[lx]:
+                        bs.write(idx, length)
+
+    if sh.slice_type == B_SLICE:
+        bs.write_flag(sh.mvd_l1_zero_flag)
+
+    if sh.slice_type != I_SLICE and pps.cabac_init_present_flag:
+        bs.write_flag(sh.cabac_init_flag)
+
+    bs.write_se(sh.slice_qp - (pps.pic_init_qp_minus26 + 26))
+    if pps.slice_chroma_qp_flag:
+        bs.write_se(sh.slice_qp_delta_cb)
+        bs.write_se(sh.slice_qp_delta_cr)
+
+    if pps.deblocking_filter_control_present:
+        if pps.loop_filter_offset_in_pps:
+            bs.write_flag(sh.inherit_dbl_param_from_pps)
+        if not sh.inherit_dbl_param_from_pps:
+            bs.write_flag(sh.loop_filter_disable)
+            if not sh.loop_filter_disable:
+                bs.write_se(sh.loop_filter_beta_offset)
+                bs.write_se(sh.loop_filter_tc_offset)
+
+    if sh.tmvp_enabled:
+        if sh.slice_type == B_SLICE:
+            bs.write_flag(bool(sh.col_dir))
+        if sh.slice_type != I_SLICE and (
+                (sh.col_dir == 0 and sh.num_ref_idx[0] > 1) or
+                (sh.col_dir == 1 and sh.num_ref_idx[1] > 1)):
+            bs.write_ue(sh.col_ref_idx)
+
+    if (pps.use_wp and sh.slice_type == P_SLICE) or \
+            (pps.wp_bipred and sh.slice_type == B_SLICE):
+        raise NotImplementedError("pred weight table write (later round)")
+
+    bs.write_ue(MRG_MAX_NUM_CANDS - sh.max_num_merge_cand)
+
+    is_sao = sps.use_sao and sh.sao_enabled
+    is_dbf = not sh.loop_filter_disable
+    if pps.lf_cross_slice_boundary_flag and (is_sao or is_dbf):
+        bs.write_flag(sh.lf_cross_slice_boundary_flag)
+
+    if not pps.dependent_slices_enabled_flag and \
+            pps.tiles_or_entropy_coding_sync_idc > 0:
+        bs.write_ue(sh.num_entry_point_offsets)
+        if sh.num_entry_point_offsets:
+            max_off = max(sh.entry_point_offsets)
+            offset_len_minus1 = 0
+            while max_off >= (1 << (offset_len_minus1 + 1)):
+                offset_len_minus1 += 1
+            bs.write_ue(offset_len_minus1)
+            for off in sh.entry_point_offsets:
+                bs.write(off, offset_len_minus1 + 1)
+
+    if pps.slice_header_extension_present_flag:
+        bs.write_ue(0)
+    return bs

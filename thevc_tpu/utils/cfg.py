@@ -1,0 +1,382 @@
+"""HM-compatible encoder configuration: cfg-file parsing + defaults.
+
+Behavioral reference: TAppEncCfg.cpp (parseCfg option table :154, GOPEntry
+istream operator, xCheckParameter derivations :700+) and
+program_options_lite.cpp (cfg-file syntax: `Name : value # comment`).
+
+Only the option surface exercised by the shipped cfg files is materialized;
+unknown keys are kept in `extras` rather than rejected (the reference prints
+"Unhandled argument ignored" for unknown command-line options but accepts
+every cfg key that matches an option).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class GopEntry:
+    """One FrameN line (TAppEncCfg.h GOPEntry)."""
+    slice_type: str = "P"
+    poc: int = 0
+    qp_offset: int = 0
+    qp_factor: float = 0.0
+    temporal_id: int = 0
+    num_ref_pics_active: int = 0
+    ref_pic: bool = False
+    num_ref_pics: int = 0
+    reference_pics: List[int] = field(default_factory=list)
+    used_by_curr_pic: List[bool] = field(default_factory=list)
+    inter_rps_prediction: int = 0
+    delta_rps: int = 0
+    num_ref_idc: int = 0
+    ref_idc: List[int] = field(default_factory=list)
+
+
+def _parse_gop_entry(text: str) -> GopEntry:
+    """GOPEntry operator>> (TAppEncCfg.cpp:84)."""
+    toks = text.split()
+    ge = GopEntry()
+    it = iter(toks)
+
+    def nxt(cast, default=None):
+        try:
+            return cast(next(it))
+        except StopIteration:
+            if default is None:
+                raise
+            return default
+
+    ge.slice_type = nxt(str)
+    ge.poc = nxt(int)
+    ge.qp_offset = nxt(int)
+    ge.qp_factor = nxt(float)
+    ge.temporal_id = nxt(int)
+    ge.num_ref_pics_active = nxt(int)
+    ge.ref_pic = bool(nxt(int))
+    ge.num_ref_pics = nxt(int, 0)
+    for _ in range(ge.num_ref_pics):
+        ref = nxt(int)
+        ge.reference_pics.append(ref)
+        ge.used_by_curr_pic.append(True)
+    ge.inter_rps_prediction = nxt(int, 0)
+    if ge.inter_rps_prediction == 1:
+        ge.delta_rps = nxt(int, 0)
+        ge.num_ref_idc = nxt(int, 0)
+        ge.ref_idc = [nxt(int, 0) for _ in range(ge.num_ref_idc)]
+    elif ge.inter_rps_prediction == 2:
+        ge.delta_rps = nxt(int, 0)
+    return ge
+
+
+# Option-name -> (attribute, type).  Types: int, float, bool-as-int, str.
+_OPTIONS = {
+    "InputFile": ("input_file", str), "i": ("input_file", str),
+    "BitstreamFile": ("bitstream_file", str), "b": ("bitstream_file", str),
+    "ReconFile": ("recon_file", str), "o": ("recon_file", str),
+    "SourceWidth": ("source_width", int), "wdt": ("source_width", int),
+    "SourceHeight": ("source_height", int), "hgt": ("source_height", int),
+    "InputBitDepth": ("input_bit_depth", int),
+    "BitDepth": ("input_bit_depth", int),
+    "OutputBitDepth": ("output_bit_depth", int),
+    "InternalBitDepth": ("internal_bit_depth", int),
+    "FrameRate": ("frame_rate", int), "fr": ("frame_rate", int),
+    "FrameSkip": ("frame_skip", int), "fs": ("frame_skip", int),
+    "FramesToBeEncoded": ("frames_to_be_encoded", int),
+    "f": ("frames_to_be_encoded", int),
+    "MaxCUWidth": ("max_cu_width", int),
+    "MaxCUHeight": ("max_cu_height", int),
+    "MaxCUSize": ("max_cu_size", int), "s": ("max_cu_size", int),
+    "MaxPartitionDepth": ("max_partition_depth", int),
+    "h": ("max_partition_depth", int),
+    "QuadtreeTULog2MaxSize": ("qt_tu_log2_max", int),
+    "QuadtreeTULog2MinSize": ("qt_tu_log2_min", int),
+    "QuadtreeTUMaxDepthIntra": ("qt_tu_max_depth_intra", int),
+    "QuadtreeTUMaxDepthInter": ("qt_tu_max_depth_inter", int),
+    "IntraPeriod": ("intra_period", int), "ip": ("intra_period", int),
+    "DecodingRefreshType": ("decoding_refresh_type", int),
+    "GOPSize": ("gop_size", int), "g": ("gop_size", int),
+    "ListCombination": ("use_lcomb", int),
+    "FastSearch": ("fast_search", int),
+    "SearchRange": ("search_range", int), "sr": ("search_range", int),
+    "BipredSearchRange": ("bipred_search_range", int),
+    "HadamardME": ("use_had_me", int),
+    "ASR": ("use_asr", int),
+    "QP": ("qp", float), "q": ("qp", float),
+    "DeltaQpRD": ("delta_qp_rd", int),
+    "MaxDeltaQP": ("max_delta_qp", int), "d": ("max_delta_qp", int),
+    "MaxCuDQPDepth": ("max_cu_dqp_depth", int),
+    "CbQpOffset": ("cb_qp_offset", int),
+    "CrQpOffset": ("cr_qp_offset", int),
+    "AdaptiveQpSelection": ("use_adapt_qp_select", int),
+    "AdaptiveQP": ("use_adaptive_qp", int),
+    "MaxQPAdaptationRange": ("qp_adaptation_range", int),
+    "dQPFile": ("dqp_file", str), "m": ("dqp_file", str),
+    "RDOQ": ("use_rdoq", int),
+    "SBACRD": ("use_sbac_rd", int),
+    "LoopFilterDisable": ("loop_filter_disable", int),
+    "LoopFilterOffsetInPPS": ("loop_filter_offset_in_pps", int),
+    "LoopFilterBetaOffset_div2": ("loop_filter_beta_offset_div2", int),
+    "LoopFilterTcOffset_div2": ("loop_filter_tc_offset_div2", int),
+    "DeblockingFilterControlPresent": ("dbf_control_present", int),
+    "NSQT": ("enable_nsqt", int),
+    "AMP": ("enable_amp", int),
+    "LMChroma": ("use_lm_chroma", int),
+    "TS": ("use_transform_skip", int),
+    "TSFast": ("use_transform_skip_fast", int),
+    "ALF": ("use_alf", int),
+    "SAO": ("use_sao", int),
+    "MaxNumOffsetsPerPic": ("max_num_offsets_per_pic", int),
+    "SAOLcuBasedOptimization": ("sao_lcu_based_optimization", int),
+    "SliceMode": ("slice_mode", int),
+    "SliceArgument": ("slice_argument", int),
+    "DependentSliceMode": ("dependent_slice_mode", int),
+    "DependentSliceArgument": ("dependent_slice_argument", int),
+    "CabacIndependentFlag": ("cabac_independent_flag", int),
+    "SliceGranularity": ("slice_granularity", int),
+    "LFCrossSliceBoundaryFlag": ("lf_cross_slice_boundary_flag", int),
+    "ConstrainedIntraPred": ("constrained_intra_pred", int),
+    "PCMEnabledFlag": ("use_pcm", int),
+    "PCMLog2MaxSize": ("pcm_log2_max_size", int),
+    "PCMLog2MinSize": ("pcm_log2_min_size", int),
+    "PCMInputBitDepthFlag": ("pcm_input_bit_depth_flag", int),
+    "PCMFilterDisableFlag": ("pcm_filter_disable_flag", int),
+    "LosslessCuEnabled": ("use_lossless", int),
+    "weighted_pred_flag": ("use_weighted_pred", int),
+    "wpP": ("use_weighted_pred", int),
+    "weighted_bipred_flag": ("use_weighted_bipred", int),
+    "wpB": ("use_weighted_bipred", int),
+    "Log2ParallelMergeLevel": ("log2_parallel_merge_level", int),
+    "UniformSpacingIdc": ("uniform_spacing_idc", int),
+    "NumTileColumnsMinus1": ("num_tile_columns_minus1", int),
+    "ColumnWidthArray": ("column_width_array", str),
+    "NumTileRowsMinus1": ("num_tile_rows_minus1", int),
+    "RowHeightArray": ("row_height_array", str),
+    "LFCrossTileBoundaryFlag": ("lf_cross_tile_boundary_flag", int),
+    "WaveFrontSynchro": ("wavefront_synchro", int),
+    "ScalingList": ("scaling_list", int),
+    "ScalingListFile": ("scaling_list_file", str),
+    "SignHideFlag": ("sign_hide_flag", int), "SBH": ("sign_hide_flag", int),
+    "SEIpictureDigest": ("picture_digest", int),
+    "TMVPMode": ("tmvp_mode", int),
+    "FEN": ("use_fast_enc", int),
+    "ECU": ("use_early_cu", int),
+    "FDM": ("use_fast_decision_for_merge", int),
+    "CFM": ("use_cbf_fast_mode", int),
+    "ESD": ("use_early_skip_detection", int),
+    "RateCtrl": ("use_rate_ctrl", int),
+    "TargetBitrate": ("target_bitrate", int),
+    "NumLCUInUnit": ("num_lcu_in_unit", int),
+    "TransquantBypassEnableFlag": ("transquant_bypass_enable_flag", int),
+    "CUTransquantBypassFlagValue": ("cu_transquant_bypass_flag_value", int),
+    "CroppingMode": ("cropping_mode", int),
+    "HorizontalPadding": ("pad_x", int), "pdx": ("pad_x", int),
+    "VerticalPadding": ("pad_y", int), "pdy": ("pad_y", int),
+}
+
+
+@dataclass
+class EncoderCfg:
+    """TAppEncCfg state with the reference defaults (TAppEncCfg.cpp:167+)."""
+    input_file: str = ""
+    bitstream_file: str = ""
+    recon_file: str = ""
+    source_width: int = 0
+    source_height: int = 0
+    input_bit_depth: int = 8
+    output_bit_depth: int = 0
+    internal_bit_depth: int = 0
+    frame_rate: int = 0
+    frame_skip: int = 0
+    frames_to_be_encoded: int = 0
+    max_cu_width: int = 64
+    max_cu_height: int = 64
+    max_partition_depth: int = 4
+    qt_tu_log2_max: int = 6
+    qt_tu_log2_min: int = 2
+    qt_tu_max_depth_intra: int = 1
+    qt_tu_max_depth_inter: int = 2
+    intra_period: int = -1
+    decoding_refresh_type: int = 0
+    gop_size: int = 1
+    use_lcomb: int = 1
+    fast_search: int = 1
+    search_range: int = 96
+    bipred_search_range: int = 4
+    use_had_me: int = 1
+    use_asr: int = 0
+    qp: float = 30.0
+    delta_qp_rd: int = 0
+    max_delta_qp: int = 0
+    max_cu_dqp_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    use_adapt_qp_select: int = 0
+    use_adaptive_qp: int = 0
+    qp_adaptation_range: int = 6
+    dqp_file: str = ""
+    use_rdoq: int = 1
+    use_sbac_rd: int = 1
+    loop_filter_disable: int = 0
+    loop_filter_offset_in_pps: int = 0
+    loop_filter_beta_offset_div2: int = 0
+    loop_filter_tc_offset_div2: int = 0
+    dbf_control_present: int = 0
+    enable_nsqt: int = 0       # REMOVE_NSQT build: tool absent
+    enable_amp: int = 1
+    use_lm_chroma: int = 0     # REMOVE_LMCHROMA build: tool absent
+    use_transform_skip: int = 0
+    use_transform_skip_fast: int = 0
+    use_alf: int = 0           # REMOVE_ALF build: tool absent
+    use_sao: int = 1
+    max_num_offsets_per_pic: int = 2048
+    sao_lcu_based_optimization: int = 1
+    slice_mode: int = 0
+    slice_argument: int = 0
+    dependent_slice_mode: int = 0
+    dependent_slice_argument: int = 0
+    cabac_independent_flag: int = 0
+    slice_granularity: int = 0
+    lf_cross_slice_boundary_flag: int = 1
+    constrained_intra_pred: int = 0
+    use_pcm: int = 0
+    pcm_log2_max_size: int = 5
+    pcm_log2_min_size: int = 3
+    pcm_input_bit_depth_flag: int = 1
+    pcm_filter_disable_flag: int = 0
+    use_lossless: int = 0
+    use_weighted_pred: int = 0
+    use_weighted_bipred: int = 0
+    log2_parallel_merge_level: int = 2
+    uniform_spacing_idc: int = 0
+    num_tile_columns_minus1: int = 0
+    column_width_array: str = ""
+    num_tile_rows_minus1: int = 0
+    row_height_array: str = ""
+    lf_cross_tile_boundary_flag: int = 1
+    wavefront_synchro: int = 0
+    scaling_list: int = 0
+    scaling_list_file: str = ""
+    sign_hide_flag: int = 1
+    picture_digest: int = 0
+    tmvp_mode: int = 1
+    use_fast_enc: int = 0
+    use_early_cu: int = 0
+    use_fast_decision_for_merge: int = 1
+    use_cbf_fast_mode: int = 0
+    use_early_skip_detection: int = 0
+    use_rate_ctrl: int = 0
+    target_bitrate: int = 0
+    num_lcu_in_unit: int = 0
+    transquant_bypass_enable_flag: int = 0
+    cu_transquant_bypass_flag_value: int = 0
+    cropping_mode: int = 0
+    pad_x: int = 0
+    pad_y: int = 0
+    gop_list: List[GopEntry] = field(default_factory=list)
+    extras: Dict[str, str] = field(default_factory=dict)
+
+    # ---- derived (xCheckParameter) ----
+    @property
+    def bit_increment(self) -> int:
+        internal = self.internal_bit_depth or self.input_bit_depth
+        return internal - 8
+
+    @property
+    def max_temp_layer(self) -> int:
+        m = 1
+        for ge in self.gop_list[:self.gop_size]:
+            m = max(m, ge.temporal_id + 1)
+        return m
+
+    def dpb_params(self):
+        """numReorderPics / maxDecPicBuffering (TAppEncCfg.cpp:832-887)."""
+        max_tl = 8
+        num_reorder = [0] * max_tl
+        max_dpb = [0] * max_tl
+        gops = self.gop_list[:self.gop_size]
+        for i, ge in enumerate(gops):
+            max_dpb[ge.temporal_id] = max(max_dpb[ge.temporal_id],
+                                          ge.num_ref_pics)
+            highest = 0
+            for j, gj in enumerate(gops):
+                if gj.poc <= ge.poc:
+                    highest = j
+            reorder = sum(1 for j in range(highest)
+                          if gops[j].temporal_id <= ge.temporal_id
+                          and gops[j].poc > ge.poc)
+            num_reorder[ge.temporal_id] = max(num_reorder[ge.temporal_id],
+                                              reorder)
+        for i in range(max_tl - 1):
+            num_reorder[i + 1] = max(num_reorder[i + 1], num_reorder[i])
+            max_dpb[i] = max(max_dpb[i], num_reorder[i])
+            max_dpb[i + 1] = max(max_dpb[i + 1], max_dpb[i])
+        max_dpb[-1] = max(max_dpb[-1], num_reorder[-1])
+        return num_reorder, max_dpb
+
+    def apply(self, key: str, value: str) -> None:
+        if key == "MaxCUSize" or key == "s":
+            self.max_cu_width = self.max_cu_height = int(value)
+            return
+        if key.startswith("Frame") and key[5:].isdigit():
+            idx = int(key[5:]) - 1
+            while len(self.gop_list) <= idx:
+                self.gop_list.append(GopEntry())
+            self.gop_list[idx] = _parse_gop_entry(value)
+            return
+        opt = _OPTIONS.get(key)
+        if opt is None:
+            self.extras[key] = value
+            return
+        attr, cast = opt
+        if cast is int:
+            setattr(self, attr, int(value))
+        elif cast is float:
+            setattr(self, attr, float(value))
+        else:
+            setattr(self, attr, value)
+
+
+def parse_cfg_file(path: str, cfg: Optional[EncoderCfg] = None) -> EncoderCfg:
+    """program_options_lite::parseConfigFile syntax."""
+    cfg = cfg or EncoderCfg()
+    with open(path, "r") as fh:
+        for line in fh:
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, value = line.split(":", 1)
+            cfg.apply(key.strip(), value.strip())
+    return cfg
+
+
+def parse_args(argv: List[str]) -> EncoderCfg:
+    """Command line compatible with TAppEncoder: -c cfg, --Key=value,
+    and the short aliases (-i, -b, -o, -wdt, -hgt, -f, -fr, -q, ...)."""
+    cfg = EncoderCfg()
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if arg == "-c":
+            parse_cfg_file(argv[i + 1], cfg)
+            i += 2
+            continue
+        if arg.startswith("--"):
+            body = arg[2:]
+            if "=" in body:
+                key, value = body.split("=", 1)
+            else:
+                key, value = body, argv[i + 1]
+                i += 1
+            cfg.apply(key, value)
+            i += 1
+            continue
+        if arg.startswith("-"):
+            key = arg[1:]
+            cfg.apply(key, argv[i + 1])
+            i += 2
+            continue
+        raise ValueError(f"unhandled argument: {arg}")
+    return cfg
