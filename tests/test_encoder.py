@@ -93,3 +93,17 @@ def test_intra_encode_10bit_byte_exact(oracle, small_clip, tmp_path):
                   "-q", "27", "--SAO=0", "--InternalBitDepth=10",
                   "--SEIpictureDigest=1"])
     assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+
+@pytest.mark.parametrize("qp", [27, 37])
+def test_intra_encode_sao_byte_exact(oracle, small_clip, tmp_path, qp):
+    """Full default toolset incl. the SAO encoder: byte-exact vs HM."""
+    hm_bin = TESTDATA / f"enc_intra_sao_q{qp}_96x80.bin"
+    if not hm_bin.exists():
+        _oracle_encode(small_clip, hm_bin, 96, 80, 2, ["-q", str(qp)])
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(small_clip), "-b", str(my_bin),
+                  "-wdt", "96", "-hgt", "80", "-f", "2", "-fr", "30",
+                  "-q", str(qp), "--SEIpictureDigest=1"])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()

@@ -84,6 +84,7 @@ def init_enc_slice(cfg, sps, pps, poc: int, gop_id: int, nal_type: int):
 
     sh = SliceHeader(nal_unit_type=nal_type, temporal_id=0,
                      slice_type=slice_type, poc=poc, slice_qp=iqp)
+    sh.gop_depth = depth
     sh.cabac_init_flag = False
     sh.max_num_merge_cand = 5
     sh.slice_cur_start_cu_addr = 0

@@ -162,6 +162,8 @@ class Encoder:
         self.frames_encoded = 0
         self.total_bits = 0
         self.psnr_sums = [0.0, 0.0, 0.0]
+        # SAO_ENCODING_CHOICE early-termination state (persists per encoder)
+        self._sao_rate_state = [[0.0] * 10, [0.0] * 10]
 
     # ------------------------------------------------------------------
     def encode_frame(self, org: YuvFrame, poc: int, first: bool):
@@ -196,7 +198,11 @@ class Encoder:
         sao_write = None
         if sps.use_sao:
             from .sao_encoder import SaoEncoder
-            sao = SaoEncoder(f, sh, sps, cfg, lam, lam / weight)
+            sao = SaoEncoder(f, sh, sps, pps, cfg, lam, lam / weight,
+                             (org.y, org.cb, org.cr),
+                             depth_sao_rate=self._sao_rate_state,
+                             gop_depth=getattr(sh, "gop_depth", 0),
+                             init_frac=cu.go_on.frac_bits)
             rec_y, rec_cb, rec_cr = sao.process(rec_y, rec_cb, rec_cr)
             sao_write = sao.make_writer()
 
