@@ -78,3 +78,26 @@ def golden_intra_stream(oracle, test_clip):
         oracle_encode("encoder_intra_main.cfg", test_clip, out_bin, out_rec)
     return {"bin": out_bin, "rec": out_rec, "width": 416, "height": 240,
             "frames": 2}
+
+
+@pytest.fixture(scope="session")
+def test_clip_small(oracle):
+    """Deterministic synthetic 176x144 clip, 9 frames (inter configs)."""
+    TESTDATA.mkdir(exist_ok=True)
+    clip = TESTDATA / "clip_176x144_9f.yuv"
+    if not clip.exists():
+        subprocess.run(
+            ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
+             "--width", "176", "--height", "144", "--frames", "9"],
+            check=True)
+    return clip
+
+
+def oracle_encode_small(cfg: str, clip, out_bin, frames=9, extra=()):
+    cmd = [str(ORACLE_BIN / "TAppEncoder"),
+           "-c", f"/root/reference/cfg/{cfg}",
+           "-i", str(clip), "-wdt", "176", "-hgt", "144",
+           "-f", str(frames), "-fr", "30",
+           "-b", str(out_bin), "-o", "/dev/null",
+           "--SEIpictureDigest=1", *extra]
+    subprocess.run(cmd, check=True, capture_output=True)

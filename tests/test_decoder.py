@@ -74,3 +74,26 @@ def test_decode_no_filters(oracle, test_clip):
                   extra=["--DeblockingFilterControlPresent=1",
                          "--LoopFilterDisable=1", "--SAO=0"])
     _decode_ok(out)
+
+
+# ---------------------------------------------------------------------------
+# Inter configurations (P/B slices, merge/AMVP/TMVP, MC, inter deblock BS)
+# ---------------------------------------------------------------------------
+
+from conftest import TESTDATA, oracle_encode_small
+
+
+@pytest.mark.parametrize("cfg,name", [
+    ("encoder_lowdelay_P_main.cfg", "ldp"),
+    ("encoder_lowdelay_main.cfg", "ldb"),
+    ("encoder_randomaccess_main.cfg", "ra"),
+    ("encoder_randomaccess_he10.cfg", "ra10"),
+])
+def test_decode_inter_configs(oracle, test_clip_small, cfg, name):
+    """Digest-exact decode of the reference encoder's inter configurations
+    (reference test strategy: TDecGop digest check, SURVEY.md section 4)."""
+    out = TESTDATA / f"inter_{name}.bin"
+    if not out.exists():
+        oracle_encode_small(cfg, test_clip_small, out)
+    pics = _decode_ok(out)
+    assert len(pics) == 9

@@ -29,7 +29,10 @@ def main(argv=None) -> int:
     dt = time.time() - t0
 
     writer = None
+    # TAppDecTop.cpp:182: output bit depth defaults to the internal depth
     internal_bd = 8
+    for sps in dec.sps_map.values():
+        internal_bd = sps.internal_bit_depth
     for pic in pics:
         digest_msg = ""
         if pic.digest_ok is not None:
@@ -39,7 +42,7 @@ def main(argv=None) -> int:
             print("ERROR: digest mismatch", file=sys.stderr)
         if args.recon:
             if writer is None:
-                out_bd = args.OutputBitDepth or 8
+                out_bd = args.OutputBitDepth or internal_bd
                 writer = YuvWriter(args.recon, out_bd, internal_bd)
             writer.write_frame(pic.frame)
     if writer:

@@ -97,8 +97,9 @@ class SbacParser:
 
 class SliceDataParser:
     def __init__(self, frame: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
-                 bs: InputBitstream):
+                 bs: InputBitstream, mvctx=None):
         self.f = frame
+        self.mvctx = mvctx           # decoder.mv.MvCtx for P/B slices
         self.sh = sh
         self.sps = sps
         self.pps = pps
@@ -318,6 +319,7 @@ class SliceDataParser:
             return
 
         # leaf CU
+        lt0, ct0 = len(f.luma_tus), len(f.chroma_tus)
         if self.pps.use_dqp and size >= self._min_cu_dqp_size():
             self.dqp_flag = True
 
@@ -329,7 +331,10 @@ class SliceDataParser:
             self._parse_skip_flag(abs_part, depth)
 
         if f.skip[uy, ux]:
-            raise NotImplementedError("inter skip CU (round 2)")
+            self._decode_skip_cu(abs_part, depth)
+            f.cu_list.append((px, py, size, MODE_INTER, lt0, lt0, ct0, ct0))
+            self._finish_cu(abs_part, depth)
+            return
 
         if self.num_suc_ipcm == 0:
             # pred mode
@@ -351,6 +356,9 @@ class SliceDataParser:
             if self._pcm_allowed(size):
                 self._parse_ipcm(abs_part, depth)
                 if f.ipcm[uy, ux]:
+                    f.cu_list.append((px, py, size, MODE_INTRA, lt0,
+                                      len(f.luma_tus), ct0,
+                                      len(f.chroma_tus)))
                     self._finish_cu(abs_part, depth)
                     return
 
@@ -359,12 +367,15 @@ class SliceDataParser:
             self._parse_intra_dir_luma(abs_part, depth)
             self._parse_intra_dir_chroma(abs_part, depth)
         else:
-            raise NotImplementedError("inter PU parsing (round 2)")
+            self._parse_pu_wise(abs_part, depth)
 
         # coefficients
         code_dqp = self.dqp_flag
         code_dqp = self._decode_coeff(abs_part, depth, code_dqp)
         self.dqp_flag = code_dqp
+        f.cu_list.append((px, py, size,
+                          MODE_INTRA if is_intra else MODE_INTER,
+                          lt0, len(f.luma_tus), ct0, len(f.chroma_tus)))
         self._finish_cu(abs_part, depth)
 
     def _min_cu_dqp_size(self) -> int:
@@ -431,7 +442,26 @@ class SliceDataParser:
             f.set_region(f.tr_idx, ux, uy, units,
                          (1 + tr_level) if mode == SIZE_NxN else tr_level)
         else:
-            raise NotImplementedError("inter part size (round 2)")
+            # inter branch (parsePartSize :609): truncated unary over up to
+            # three ctx bins, then AMP refinement (ctx bin + EP) when AMP is
+            # accumulated at this depth (xActivateParameterSets: AMPAcc[d] =
+            # useAMP for d < maxSigDepth, else 0).
+            size = f.ctu_size >> depth
+            max_bits = 3 if (depth == max_sig_depth and size != 8) else 2
+            mode = 0
+            for ui in range(max_bits):
+                if self.dec.decode_bin(cc.O_PART_SIZE + ui):
+                    break
+                mode += 1
+            if self.sps.use_amp and depth < max_sig_depth:
+                if mode in (SIZE_2NxN, SIZE_Nx2N):
+                    if self.dec.decode_bin(cc.O_AMP) == 0:
+                        sym = self.dec.decode_bin_ep()
+                        if mode == SIZE_2NxN:
+                            mode = SIZE_2NxnU if sym == 0 else SIZE_2NxnD
+                        else:
+                            mode = SIZE_nLx2N if sym == 0 else SIZE_nRx2N
+            f.set_region(f.part_size_arr, ux, uy, units, mode)
 
     def _parse_intra_dir_luma(self, abs_part: int, depth: int) -> None:
         f = self.f
@@ -579,9 +609,18 @@ class SliceDataParser:
     # transform tree (xDecodeTransform)
     # ------------------------------------------------------------------
     def _decode_coeff(self, abs_part: int, depth: int, code_dqp: bool) -> bool:
+        f = self.f
         ux, uy = self._unit_xy(abs_part)
-        if self.f.pred_mode[uy, ux] != MODE_INTRA:
-            raise NotImplementedError("inter root cbf (round 2)")
+        units = self._units_at_depth(depth)
+        if f.pred_mode[uy, ux] != MODE_INTRA:
+            root_cbf = 1
+            if not (int(f.part_size_arr[uy, ux]) == SIZE_2Nx2N
+                    and f.merge_flag[uy, ux]):
+                root_cbf = self.dec.decode_bin(cc.O_QT_ROOT_CBF)
+            if not root_cbf:
+                f.cbf[:, uy:uy + units, ux:ux + units] = 0
+                f.tr_idx[uy:uy + units, ux:ux + units] = 0
+                return code_dqp
         self._code_dqp = code_dqp
         self._decode_transform(abs_part, depth, tr_idx=0)
         return self._code_dqp
@@ -1083,3 +1122,209 @@ class SliceDataParser:
             cnt = 2
         luma_extra = 3 if (comp == 0 and ((pos_x >> 2) + (pos_y >> 2)) > 0) else 0
         return luma_extra + offset + cnt
+
+
+# ---------------------------------------------------------------------------
+# Inter PU syntax (TDecEntropy::decodePUWise :153, TDecSbac parseMergeFlag/
+# parseMergeIndex/parseInterDir/parseRefFrmIdx/parseMvd/parseMVPIdx) grafted
+# onto SliceDataParser.  Motion derivation runs inline via self.mvctx
+# (decoder.mv.MvCtx), mirroring the reference's decode-time MV
+# reconstruction.
+# ---------------------------------------------------------------------------
+
+def _pu_region(self, cu_x, cu_y, size, part_sz, pu_idx):
+    from .mv import pu_geometry
+    xp, yp, pw, ph = pu_geometry(part_sz, cu_x, cu_y, size, pu_idx)
+    return xp // 4, yp // 4, pw // 4, ph // 4
+
+
+def _set_pu(self, arr, ux, uy, uw, uh, value):
+    arr[uy:uy + uh, ux:ux + uw] = value
+
+
+def _decode_skip_cu(self, abs_part, depth):
+    """Skip CU: implicit 2Nx2N merge (TDecCu::xDecodeCU skip branch)."""
+    f = self.f
+    ux, uy = self._unit_xy(abs_part)
+    units = self._units_at_depth(depth)
+    px, py = self._pel_xy(abs_part)
+    size = f.ctu_size >> depth
+    merge_idx = self._parse_merge_index()
+    f.set_region(f.merge_idx, ux, uy, units, merge_idx)
+    cand_dir, cand_mv, _n = self.mvctx.merge_candidates(
+        px, py, size, SIZE_2Nx2N, 0, mrg_cand_idx=merge_idx)
+    f.set_region(f.inter_dir, ux, uy, units, cand_dir[merge_idx])
+    for lst in range(2):
+        if self.sh.num_ref_idx[lst] > 0:
+            ref, mv = cand_mv[merge_idx][lst]
+            f.ref_idx[lst, uy:uy + units, ux:ux + units] = ref
+            f.mv[lst, uy:uy + units, ux:ux + units] = mv
+            f.mvd[lst, uy:uy + units, ux:ux + units] = 0
+            f.mvp_idx[lst, uy:uy + units, ux:ux + units] = 0
+        else:
+            f.ref_idx[lst, uy:uy + units, ux:ux + units] = -1
+            f.mv[lst, uy:uy + units, ux:ux + units] = 0
+    f.cbf[:, uy:uy + units, ux:ux + units] = 0
+    f.tr_idx[uy:uy + units, ux:ux + units] = 0
+
+
+def _parse_merge_index(self):
+    """parseMergeIndex (TDecSbac.cpp)."""
+    num_cand = self.sh.max_num_merge_cand
+    idx = 0
+    if num_cand > 1:
+        while idx < num_cand - 1:
+            if idx == 0:
+                sym = self.dec.decode_bin(cc.O_MERGE_IDX)
+            else:
+                sym = self.dec.decode_bin_ep()
+            if sym == 0:
+                break
+            idx += 1
+    _trace(f"parseMergeIndex()\tuiMRGIdx= {idx}")
+    return idx
+
+
+def _parse_pu_wise(self, abs_part, depth):
+    """decodePUWise for a non-skip inter CU."""
+    from .mv import num_pus
+    f = self.f
+    ux, uy = self._unit_xy(abs_part)
+    px, py = self._pel_xy(abs_part)
+    size = f.ctu_size >> depth
+    part_sz = int(f.part_size_arr[uy, ux])
+    n_pu = num_pus(part_sz)
+    is_b = self.sh.slice_type == 0
+
+    for pu in range(n_pu):
+        rux, ruy, ruw, ruh = self._pu_region(px, py, size, part_sz, pu)
+        # merge flag
+        merge = self.dec.decode_bin(cc.O_MERGE_FLAG)
+        _trace(f"MergeFlag: {merge}\tuiAbsPartIdx: x")
+        self._set_pu(f.merge_flag, rux, ruy, ruw, ruh, bool(merge))
+        if merge:
+            merge_idx = self._parse_merge_index()
+            self._set_pu(f.merge_idx, rux, ruy, ruw, ruh, merge_idx)
+            cand_dir, cand_mv, _n = self.mvctx.merge_candidates(
+                px, py, size, part_sz, pu, mrg_cand_idx=merge_idx)
+            self._set_pu(f.inter_dir, rux, ruy, ruw, ruh,
+                         cand_dir[merge_idx])
+            for lst in range(2):
+                if self.sh.num_ref_idx[lst] > 0:
+                    ref, mv = cand_mv[merge_idx][lst]
+                    f.ref_idx[lst, ruy:ruy + ruh, rux:rux + ruw] = ref
+                    f.mv[lst, ruy:ruy + ruh, rux:rux + ruw] = mv
+                    f.mvd[lst, ruy:ruy + ruh, rux:rux + ruw] = 0
+                    f.mvp_idx[lst, ruy:ruy + ruh, rux:rux + ruw] = 0
+                else:
+                    f.ref_idx[lst, ruy:ruy + ruh, rux:rux + ruw] = -1
+                    f.mv[lst, ruy:ruy + ruh, rux:rux + ruw] = 0
+        else:
+            # inter dir
+            if not is_b:
+                inter_dir = 1
+            else:
+                ctx = depth  # getCtxInterDir = depth
+                restrict = not (part_sz == SIZE_2Nx2N or size != 8)
+                if restrict:
+                    sym = 0
+                else:
+                    sym = self.dec.decode_bin(cc.O_INTER_DIR + ctx)
+                if sym:
+                    inter_dir = 3
+                else:
+                    inter_dir = 1 + int(self.dec.decode_bin(cc.O_INTER_DIR + 4))
+            self._set_pu(f.inter_dir, rux, ruy, ruw, ruh, inter_dir)
+            for lst in range(2):
+                if self.sh.num_ref_idx[lst] <= 0:
+                    f.ref_idx[lst, ruy:ruy + ruh, rux:rux + ruw] = -1
+                    f.mv[lst, ruy:ruy + ruh, rux:rux + ruw] = 0
+                    continue
+                has_list = inter_dir & (1 << lst)
+                # ref idx
+                if self.sh.num_ref_idx[lst] > 1 and has_list:
+                    ref_idx = self._parse_ref_idx(lst)
+                elif has_list:
+                    ref_idx = 0
+                else:
+                    ref_idx = -1
+                f.ref_idx[lst, ruy:ruy + ruh, rux:rux + ruw] = ref_idx
+                # mvd
+                if has_list:
+                    mvd = self._parse_mvd(lst, inter_dir)
+                    f.mvd[lst, ruy:ruy + ruh, rux:rux + ruw] = mvd
+                else:
+                    mvd = (0, 0)
+                    f.mvd[lst, ruy:ruy + ruh, rux:rux + ruw] = 0
+                # mvp idx + AMVP
+                if has_list:
+                    mvp_idx = self.p.unary_max(
+                        (cc.O_MVP_IDX, cc.O_MVP_IDX + 1), 1)
+                else:
+                    mvp_idx = -1
+                f.mvp_idx[lst, ruy:ruy + ruh, rux:rux + ruw] = mvp_idx
+                cands = self.mvctx.amvp_candidates(
+                    px, py, size, part_sz, pu, lst, ref_idx)
+                if ref_idx >= 0:
+                    pred = cands[mvp_idx if mvp_idx >= 0 else 0]
+                    mv = (int(pred[0]) + mvd[0], int(pred[1]) + mvd[1])
+                else:
+                    mv = (0, 0)
+                f.mv[lst, ruy:ruy + ruh, rux:rux + ruw] = mv
+        # bipred restriction (8x8 CU with sub-8x8 PUs)
+        if int(f.inter_dir[ruy, rux]) == 3 and size == 8 and \
+                part_sz != SIZE_2Nx2N:
+            f.mv[1, ruy:ruy + ruh, rux:rux + ruw] = 0
+            f.ref_idx[1, ruy:ruy + ruh, rux:rux + ruw] = -1
+            self._set_pu(f.inter_dir, rux, ruy, ruw, ruh, 1)
+
+
+def _parse_ref_idx(self, lst):
+    """parseRefFrmIdx with REF_IDX_BYPASS."""
+    sym = self.dec.decode_bin(cc.O_REF_PIC)
+    if not sym:
+        return 0
+    ref_num = self.sh.num_ref_idx[lst] - 2
+    ui = 0
+    while ui < ref_num:
+        if ui == 0:
+            sym = self.dec.decode_bin(cc.O_REF_PIC + 1)
+        else:
+            sym = self.dec.decode_bin_ep()
+        if sym == 0:
+            break
+        ui += 1
+    return ui + 1
+
+
+def _parse_mvd(self, lst, inter_dir):
+    """parseMvd."""
+    if self.sh.mvd_l1_zero_flag and lst == 1 and inter_dir == 3:
+        return (0, 0)
+    dec = self.dec
+    hor = int(dec.decode_bin(cc.O_MVD))
+    ver = int(dec.decode_bin(cc.O_MVD))
+    hor_gr0, ver_gr0 = hor != 0, ver != 0
+    if hor_gr0:
+        hor += int(dec.decode_bin(cc.O_MVD + 1))
+    if ver_gr0:
+        ver += int(dec.decode_bin(cc.O_MVD + 1))
+    hor_sign = ver_sign = 0
+    if hor_gr0:
+        if hor == 2:
+            hor += int(self.p.ep_exgolomb(1))
+        hor_sign = dec.decode_bin_ep()
+    if ver_gr0:
+        if ver == 2:
+            ver += int(self.p.ep_exgolomb(1))
+        ver_sign = dec.decode_bin_ep()
+    return (-hor if hor_sign else hor, -ver if ver_sign else ver)
+
+
+SliceDataParser._pu_region = _pu_region
+SliceDataParser._set_pu = _set_pu
+SliceDataParser._decode_skip_cu = _decode_skip_cu
+SliceDataParser._parse_merge_index = _parse_merge_index
+SliceDataParser._parse_pu_wise = _parse_pu_wise
+SliceDataParser._parse_ref_idx = _parse_ref_idx
+SliceDataParser._parse_mvd = _parse_mvd

@@ -13,10 +13,12 @@ import numpy as np
 from ..ops import deblock as dbk
 from ..ops import sao as sao_ops
 from ..params import Pps, SliceHeader, Sps
-from .frame import MODE_INTRA, SIZE_NxN, FrameModel
+from .frame import (MODE_INTRA, SIZE_2NxN, SIZE_2NxnD, SIZE_2NxnU, SIZE_NxN,
+                    SIZE_Nx2N, SIZE_nLx2N, SIZE_nRx2N, FrameModel)
 
 
-def _edge_maps(f: FrameModel, sh: SliceHeader, direction: int):
+def _edge_maps(f: FrameModel, sh: SliceHeader, direction: int,
+               ref_pocs=None):
     """Edge flags / BS / per-side QP and no-filter maps for one direction.
 
     direction 0 = VER (edge left of unit), 1 = HOR (edge above unit).
@@ -36,7 +38,19 @@ def _edge_maps(f: FrameModel, sh: SliceHeader, direction: int):
 
     tu_edge = (coord % tu_units) == 0
     cu_edge = (coord % cu_units) == 0
-    pu_edge = (f.part_size_arr == SIZE_NxN) & ((coord % np.maximum(cu_units >> 1, 1)) == 0)
+    # PU internal edges (xSetEdgefilterPU): offsets per partition type
+    ps = f.part_size_arr
+    lc = coord % cu_units
+    half, quarter = cu_units >> 1, cu_units >> 2
+    threeq = half + quarter
+    if direction == 0:
+        pu_edge = ((((ps == SIZE_Nx2N) | (ps == SIZE_NxN)) & (lc == half)) |
+                   ((ps == SIZE_nLx2N) & (lc == quarter)) |
+                   ((ps == SIZE_nRx2N) & (lc == threeq)))
+    else:
+        pu_edge = ((((ps == SIZE_2NxN) | (ps == SIZE_NxN)) & (lc == half)) |
+                   ((ps == SIZE_2NxnU) & (lc == quarter)) |
+                   ((ps == SIZE_2NxnD) & (lc == threeq)))
 
     flags = tu_edge | cu_edge | pu_edge
     # picture boundary
@@ -56,10 +70,68 @@ def _edge_maps(f: FrameModel, sh: SliceHeader, direction: int):
     diff_tile = f.tile_idx[p_uy, p_ux] != f.tile_idx[uy, ux]
     flags &= ~(cu_edge & diff_tile)
 
-    # boundary strength: intra on either side => 2 (BS for inter in round 2)
+    # boundary strength (xGetBoundaryStrengthSingle)
     p_intra = f.pred_mode[p_uy, p_ux] == MODE_INTRA
     q_intra = f.pred_mode == MODE_INTRA
     bs = np.where(flags & (p_intra | q_intra), 2, 0).astype(np.uint8)
+
+    inter_edge = flags & ~p_intra & ~q_intra
+    if inter_edge.any() and ref_pocs is not None:
+        # BS=1 from luma cbf applies only on TU/CU boundaries: m_aapucBS is
+        # pre-seeded in xSetEdgefilterMultiple only at edge offset 0 — PU
+        # internal edges (e.g. the Nx2N half edge) get the motion compare
+        # only.
+        cbf_q = ((f.cbf[0].astype(np.int32) >> tr) & 1).astype(bool)
+        cbf_p = cbf_q[p_uy, p_ux]
+        bs_cbf = inter_edge & tu_edge & (cbf_p | cbf_q)
+        bs[bs_cbf] = 1
+
+        # motion compare on the rest.  For HOR edges crossing the CTU top
+        # boundary the P-side motion is read through the motion-compression
+        # map (getPUAbove with MotionDataCompresssion=true: g_motionRefer
+        # keeps the above CTU's last part row decimated 2:1 in x — x1 reads
+        # x0, x2 reads x3).
+        mv_p_ux, mv_p_uy = p_ux, p_uy
+        if direction == 1 and (f.ctu_size >> (f.max_depth - 1)) == 8:
+            upr = f.units_per_row
+            cross = (uy % upr) == 0
+            xm = p_ux & 3
+            mv_p_ux = np.where(cross & (xm == 1), p_ux - 1,
+                               np.where(cross & (xm == 2), p_ux + 1, p_ux))
+
+        NULLP = -(2 ** 30)
+        poc_lut = [None, None]
+        for lst in range(2):
+            lut = np.array(ref_pocs[lst] + [NULLP], np.int64)
+            poc_lut[lst] = lut
+        rq = [poc_lut[l][np.where(f.ref_idx[l] < 0, len(ref_pocs[l]),
+                                  f.ref_idx[l].astype(np.int64))]
+              for l in range(2)]
+        rp = [r[mv_p_uy, mv_p_ux] for r in rq]
+        mq = [f.mv[l].astype(np.int64) for l in range(2)]
+        mp = [m[mv_p_uy, mv_p_ux] for m in mq]
+
+        def mvdiff_ge4(a, b):
+            d = np.abs(a - b)
+            return (d[..., 0] >= 4) | (d[..., 1] >= 4)
+
+        rest = inter_edge & ~bs_cbf
+        if sh.slice_type == 0:  # B slice
+            same = (rp[0] == rq[0]) & (rp[1] == rq[1])
+            cross_r = (rp[0] == rq[1]) & (rp[1] == rq[0])
+            bs_mv = np.ones_like(bs, bool)       # "all different" => 1
+            p_two = rp[0] != rp[1]
+            straight = mvdiff_ge4(mp[0], mq[0]) | mvdiff_ge4(mp[1], mq[1])
+            crossed = mvdiff_ge4(mp[0], mq[1]) | mvdiff_ge4(mp[1], mq[0])
+            # different L0/L1 refs: pick ordering matching the refs
+            diff_two = np.where(rp[0] == rq[0], straight, crossed)
+            same_two = crossed & straight       # same L0 & L1 ref picture
+            matched = same | cross_r
+            bs_mv = np.where(matched,
+                             np.where(p_two, diff_two, same_two), True)
+        else:  # P slice
+            bs_mv = (rp[0] != rq[0]) | mvdiff_ge4(mp[0], mq[0])
+        bs[rest & bs_mv] = 1
 
     qp_q = f.qp.astype(np.int32)
     qp_p = f.qp[p_uy, p_ux].astype(np.int32)
@@ -74,13 +146,15 @@ def _edge_maps(f: FrameModel, sh: SliceHeader, direction: int):
 
 
 def deblock_frame(f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
-                  rec_y: np.ndarray, rec_cb: np.ndarray, rec_cr: np.ndarray) -> None:
+                  rec_y: np.ndarray, rec_cb: np.ndarray, rec_cr: np.ndarray,
+                  ref_pocs=None) -> None:
     if sh.loop_filter_disable:
         return
     f.sps_pcm_nofilter = sps.use_pcm and sps.pcm_filter_disable_flag
     bd = sps.internal_bit_depth
     for direction in (0, 1):
-        flags, bs, qp_p, qp_q, no_p, no_q = _edge_maps(f, sh, direction)
+        flags, bs, qp_p, qp_q, no_p, no_q = _edge_maps(f, sh, direction,
+                                                       ref_pocs)
         dbk.filter_luma_edges(rec_y, flags, bs, qp_p, qp_q, no_p, no_q,
                               direction, sh.loop_filter_beta_offset,
                               sh.loop_filter_tc_offset, bd)

@@ -114,6 +114,9 @@ class FrameModel:
         # entries: (x, y, size, abs_part, ctu_addr, tr_depth)
         self.luma_tus = []
         self.chroma_tus = []   # x, y, size in chroma samples
+        # CU decode order: (px, py, size, pred_mode, luma TU range [l0,l1),
+        # chroma TU range [c0,c1)) — drives mixed intra/inter reconstruction
+        self.cu_list = []
 
         # z-order maps for one CTU
         self.z2r = rom.zscan_to_raster(self.max_depth + 1)

@@ -1,0 +1,105 @@
+"""Inter prediction driver: per-PU motion compensation over the DPB.
+
+Behavioral reference: TComPrediction.cpp (motionCompensation :551,
+xPredInterUni :445, xPredInterBi :485, xCheckIdenticalMotion :411,
+xWeightedAverage :900), TComDataCU::clipMv (TComDataCU.cpp:2684).
+
+Host-side this runs per PU via ops.interp's vectorized separable filters;
+the TPU path batches equal-size PU gathers + two tap-matmuls per plane
+(ops.jx mirror) since every PU of a frame is independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.interp import bi_avg, mc_chroma, mc_luma
+from .mv import clip_mv, num_pus, pu_geometry
+
+
+class InterPredictor:
+    """Motion compensation for one slice: holds ref lists + geometry."""
+
+    def __init__(self, frame, sh, sps, pps, list0, list1):
+        self.f = frame
+        self.sh = sh
+        self.sps = sps
+        self.pps = pps
+        self.lists = [list0, list1]
+        self.bd = sps.internal_bit_depth
+        self.pic_w = sps.pic_width_in_luma_samples
+        self.pic_h = sps.pic_height_in_luma_samples
+        self.ctu = sps.max_cu_width
+        wp_active = (pps.use_wp and sh.slice_type == 1) or \
+                    (pps.wp_bipred and sh.slice_type == 0)
+        if wp_active:
+            raise NotImplementedError("weighted prediction")
+
+    def predict_cu(self, px: int, py: int, size: int):
+        """motionCompensation over all PUs of the CU at (px, py).
+
+        Returns (pred_y, pred_cb, pred_cr) int16 blocks in pixel domain.
+        """
+        f = self.f
+        pred_y = np.zeros((size, size), np.int16)
+        cs = size // 2
+        pred_cb = np.zeros((cs, cs), np.int16)
+        pred_cr = np.zeros((cs, cs), np.int16)
+        part_sz = int(f.part_size_arr[py // 4, px // 4])
+        for pu in range(num_pus(part_sz)):
+            xp, yp, pw, ph = pu_geometry(part_sz, px, py, size, pu)
+            self._predict_pu(px, py, xp, yp, pw, ph,
+                             pred_y, pred_cb, pred_cr, px, py)
+        return pred_y, pred_cb, pred_cr
+
+    # ------------------------------------------------------------------
+    def _pu_motion(self, xp, yp, lst):
+        f = self.f
+        ux, uy = xp // 4, yp // 4
+        ref = int(f.ref_idx[lst, uy, ux])
+        mv = (int(f.mv[lst, uy, ux, 0]), int(f.mv[lst, uy, ux, 1]))
+        return ref, mv
+
+    def _predict_pu(self, cu_x, cu_y, xp, yp, pw, ph,
+                    pred_y, pred_cb, pred_cr, px0, py0):
+        ref0, mv0 = self._pu_motion(xp, yp, 0)
+        ref1, mv1 = self._pu_motion(xp, yp, 1)
+        lx, ly = xp - px0, yp - py0
+
+        # xCheckIdenticalMotion: B slice, no weighted bipred, both lists on
+        # the same picture with the same MV -> uni L0
+        if (self.sh.slice_type == 0 and not self.pps.wp_bipred and
+                ref0 >= 0 and ref1 >= 0 and
+                self.lists[0][ref0].poc == self.lists[1][ref1].poc and
+                mv0 == mv1):
+            ref1 = -1
+
+        if ref0 >= 0 and ref1 >= 0:
+            y0, cb0, cr0 = self._mc_one(0, ref0, mv0, cu_x, cu_y,
+                                        xp, yp, pw, ph, bi=True)
+            y1, cb1, cr1 = self._mc_one(1, ref1, mv1, cu_x, cu_y,
+                                        xp, yp, pw, ph, bi=True)
+            blk_y = bi_avg(y0, y1, self.bd)
+            blk_cb = bi_avg(cb0, cb1, self.bd)
+            blk_cr = bi_avg(cr0, cr1, self.bd)
+        else:
+            lst = 0 if ref0 >= 0 else 1
+            ref = ref0 if ref0 >= 0 else ref1
+            mv = mv0 if ref0 >= 0 else mv1
+            blk_y, blk_cb, blk_cr = self._mc_one(
+                lst, ref, mv, cu_x, cu_y, xp, yp, pw, ph, bi=False)
+        pred_y[ly:ly + ph, lx:lx + pw] = blk_y
+        pred_cb[ly // 2:(ly + ph) // 2, lx // 2:(lx + pw) // 2] = blk_cb
+        pred_cr[ly // 2:(ly + ph) // 2, lx // 2:(lx + pw) // 2] = blk_cr
+
+    def _mc_one(self, lst, ref_idx, mv, cu_x, cu_y, xp, yp, pw, ph, bi):
+        pic = self.lists[lst][ref_idx]
+        mv = clip_mv(mv, cu_x, cu_y, self.pic_w, self.pic_h, self.ctu)
+        pad_y, pad_cb, pad_cr = pic.padded()
+        m = pic.margin
+        y = mc_luma(pad_y, m, xp, yp, mv[0], mv[1], pw, ph, self.bd, bi)
+        cb = mc_chroma(pad_cb, m // 2, xp // 2, yp // 2, mv[0], mv[1],
+                       pw // 2, ph // 2, self.bd, bi)
+        cr = mc_chroma(pad_cr, m // 2, xp // 2, yp // 2, mv[0], mv[1],
+                       pw // 2, ph // 2, self.bd, bi)
+        return y, cb, cr

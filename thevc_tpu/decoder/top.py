@@ -22,7 +22,10 @@ from ..params import Pps, SliceHeader, Sps, Vps
 from .cu_parser import SliceDataParser
 from .frame import FrameModel
 from .filters import deblock_frame, sao_frame
-from .recon import reconstruct_intra_frame
+from .inter import InterPredictor
+from .mv import MvCtx
+from .recon import reconstruct_frame
+from .refpic import Dpb, Picture, build_ref_lists, check_ldc
 
 
 @dataclass
@@ -43,6 +46,7 @@ class Decoder:
         self.prev_poc = 0
         self.pending_sei: List[dict] = []
         self.pictures: List[DecodedPicture] = []
+        self.dpb = Dpb()
 
     def decode_stream(self, data: bytes):
         """Decode a whole Annex-B stream, yielding pictures in POC order.
@@ -79,20 +83,45 @@ class Decoder:
             self.prev_poc)
         self.prev_poc = sh.poc
 
-        if not sh.is_intra:
-            raise NotImplementedError("inter slices (round 2)")
+        # DPB bookkeeping (TDecTop::xDecodeSlice)
+        if unit.nal_type == nal_mod.NAL_UNIT_CODED_SLICE_IDR:
+            self.dpb.idr_flush()
+        else:
+            self.dpb.apply_rps(sh.rps, sh.poc)
 
         f = FrameModel(sps, pps)
-        parser = SliceDataParser(f, sh, sps, pps, bs)
+        list0: list = []
+        list1: list = []
+        inter_pred = None
+        mvctx = None
+        if not sh.is_intra:
+            list0, list1 = build_ref_lists(sh, self.dpb)
+            col_pic = None
+            if sh.tmvp_enabled:
+                col_list = list1 if (sh.slice_type == 0 and sh.col_dir) \
+                    else list0
+                col_pic = col_list[sh.col_ref_idx]
+            ldc = check_ldc(sh, list0, list1)
+            mvctx = MvCtx(f, sh, sps, pps, list0, list1, col_pic, ldc)
+            inter_pred = InterPredictor(f, sh, sps, pps, list0, list1)
+        parser = SliceDataParser(f, sh, sps, pps, bs, mvctx)
         parser.parse_slice()
 
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
         rec_y = np.zeros((h, w), np.int16)
         rec_cb = np.zeros((h // 2, w // 2), np.int16)
         rec_cr = np.zeros((h // 2, w // 2), np.int16)
-        reconstruct_intra_frame(f, sh, sps, pps, rec_y, rec_cb, rec_cr)
-        deblock_frame(f, sh, sps, pps, rec_y, rec_cb, rec_cr)
+        ref_pocs = [[p.poc for p in list0], [p.poc for p in list1]]
+        reconstruct_frame(f, sh, sps, pps, rec_y, rec_cb, rec_cr, inter_pred)
+        deblock_frame(f, sh, sps, pps, rec_y, rec_cb, rec_cr,
+                      ref_pocs if not sh.is_intra else None)
         rec_y, rec_cb, rec_cr = sao_frame(f, sh, sps, rec_y, rec_cb, rec_cr)
+
+        # store in DPB with colocated-motion snapshot (TComPic::compressMotion)
+        dpb_pic = Picture(sh.poc, (rec_y, rec_cb, rec_cr), f, sh, ref_pocs,
+                          margin=sps.max_cu_width + 16)
+        dpb_pic.compress_motion()
+        self.dpb.add(dpb_pic)
 
         frame = YuvFrame(rec_y, rec_cb, rec_cr)
         pic = DecodedPicture(sh.poc, frame)

@@ -25,12 +25,17 @@ MRG_MAX_NUM_CANDS = 5
 # ---------------------------------------------------------------------------
 
 def parse_short_term_rps(bs: InputBitstream, sps: Sps,
-                         idx: int) -> ReferencePictureSet:
-    """TDecCavlc::parseShortTermRefPicSet (TDecCAVLC.cpp:153)."""
+                         idx: int, num_sps_rps: int) -> ReferencePictureSet:
+    """TDecCavlc::parseShortTermRefPicSet (TDecCAVLC.cpp:153).
+
+    delta_idx_minus1 is only present for the slice-header-coded RPS
+    (idx == num_short_term_ref_pic_sets); SPS-list entries predict from
+    the immediately preceding set (J0234_INTER_RPS_SIMPL).
+    """
     rps = ReferencePictureSet()
     rps.inter_rps_prediction = bool(bs.read_flag())
     if rps.inter_rps_prediction:
-        if idx == len(sps.rps_list):
+        if idx == num_sps_rps:
             delta_idx_minus1 = bs.read_ue()
         else:
             delta_idx_minus1 = 0
@@ -226,7 +231,7 @@ def parse_sps(bs: InputBitstream) -> Sps:
     num_rps = bs.read_ue()
     sps.rps_list = []
     for i in range(num_rps):
-        sps.rps_list.append(parse_short_term_rps(bs, sps, i))
+        sps.rps_list.append(parse_short_term_rps(bs, sps, i, num_rps))
     sps.long_term_refs_present = bool(bs.read_flag())
     sps.tmvp_flags_present = bool(bs.read_flag())
     sps.amvp_modes = [bs.read_flag() for _ in range(sps.max_cu_depth)]
@@ -484,7 +489,8 @@ def parse_slice_header(bs: InputBitstream, nal_type: int, temporal_id: int,
         sh.poc = poc_msb + poc_lsb
 
         if not bs.read_flag():  # short_term_ref_pic_set_sps_flag == 0
-            sh.rps = parse_short_term_rps(bs, sps, len(sps.rps_list))
+            sh.rps = parse_short_term_rps(bs, sps, len(sps.rps_list),
+                                          len(sps.rps_list))
             sh.rps_idx = -1
         else:
             sh.rps_idx = bs.read_ue()
