@@ -107,3 +107,23 @@ def test_intra_encode_sao_byte_exact(oracle, small_clip, tmp_path, qp):
                   "-wdt", "96", "-hgt", "80", "-f", "2", "-fr", "30",
                   "-q", str(qp), "--SEIpictureDigest=1"])
     assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+
+def test_encoder_lowdelay_p_byte_exact(oracle, test_clip_small, tmp_path):
+    """P-slice inter encoder: byte-exact bitstream vs the reference with
+    the unmodified lowdelay_P configuration (ME/merge/AMP/RQT/GOP)."""
+    ref_bin = TESTDATA / "enc_ldp5_ref.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+             "-i", str(test_clip_small), "-wdt", "176", "-hgt", "144",
+             "-f", "5", "-fr", "30", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1"],
+            check=True, capture_output=True)
+    out = tmp_path / "ldp5.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+              "-i", str(test_clip_small), "-wdt", "176", "-hgt", "144",
+              "-f", "5", "-fr", "30", "-b", str(out),
+              "-o", "/dev/null", "--SEIpictureDigest=1"])
+    assert out.read_bytes() == ref_bin.read_bytes()

@@ -371,13 +371,13 @@ class MvCtx:
             (left is not None and not self._is_intra(left))
 
         # left predictor
-        added = self._add_mvp_cand(cands, bl, ref_list, ref_idx)
+        added = self._add_mvp_cand(cands, bl, ref_list, ref_idx, 3)
         if not added:
-            added = self._add_mvp_cand(cands, left, ref_list, ref_idx)
+            added = self._add_mvp_cand(cands, left, ref_list, ref_idx, 0)
         if not added:
-            added = self._add_mvp_cand_order(cands, bl, ref_list, ref_idx)
+            added = self._add_mvp_cand_order(cands, bl, ref_list, ref_idx, 3)
             if not added:
-                self._add_mvp_cand_order(cands, left, ref_list, ref_idx)
+                self._add_mvp_cand_order(cands, left, ref_list, ref_idx, 0)
 
         # above predictor
         ar = self._remap_above(
@@ -388,21 +388,30 @@ class MvCtx:
         al = self._remap_above(
             self._neighbor(u_lt[0] - 1, u_lt[1] - 1, u_lt[0], u_lt[1]),
             u_lt[1])
-        added = self._add_mvp_cand(cands, ar, ref_list, ref_idx)
+        added = self._add_mvp_cand(cands, ar, ref_list, ref_idx, 2)
         if not added:
-            added = self._add_mvp_cand(cands, above, ref_list, ref_idx)
+            added = self._add_mvp_cand(cands, above, ref_list, ref_idx, 1)
         if not added:
-            added = self._add_mvp_cand(cands, al, ref_list, ref_idx)
+            added = self._add_mvp_cand(cands, al, ref_list, ref_idx, 4)
+        if TMVPDBG:
+            c0 = cands[0] if len(cands) > 0 else (0, 0)
+            c1 = cands[1] if len(cands) > 1 else (0, 0)
+            TMVPDBG.write("SP1 n=%d smvp=%d x=%d y=%d c0=%d,%d c1=%d,%d\n"
+                          % (len(cands), int(added_smvp), xp, yp,
+                             c0[0], c0[1], c1[0], c1[1]))
         added = added_smvp
         if len(cands) == 2:
             added = True
         if not added:
-            added = self._add_mvp_cand_order(cands, ar, ref_list, ref_idx)
+            added = self._add_mvp_cand_order(cands, ar, ref_list, ref_idx,
+                                             2)
             if not added:
                 added = self._add_mvp_cand_order(cands, above, ref_list,
-                                                 ref_idx)
+                                                 ref_idx, 1)
             if not added:
-                self._add_mvp_cand_order(cands, al, ref_list, ref_idx)
+                self._add_mvp_cand_order(cands, al, ref_list, ref_idx, 4)
+        if TMVPDBG:
+            TMVPDBG.write("SP2 n=%d\n" % len(cands))
 
         if len(cands) == 2 and cands[0] == cands[1]:
             cands.pop()
@@ -410,10 +419,18 @@ class MvCtx:
         if self.sh.tmvp_enabled and self.col_pic is not None:
             rb, center = self._col_units(xp, yp, pw, ph)
             got = None
+            used_rb = False
             if rb is not None:
                 got = self._get_col_mvp(ref_list, rb, ref_idx)
+                used_rb = got is not None
             if got is None:
                 got = self._get_col_mvp(ref_list, center, ref_idx)
+            if TMVPDBG:
+                TMVPDBG.write("ATMVP lcu=%d addr=%d rb=%d c=%d mv=%d,%d\n" %
+                              (-1 if rb is None else 0, 0,
+                               1 if used_rb else 0,
+                               1 if (got is not None and not used_rb) else 0,
+                               got[0] if got else 0, got[1] if got else 0))
             if got is not None:
                 cands.append(got)
 
@@ -422,8 +439,12 @@ class MvCtx:
             cands.append((0, 0))
         return cands
 
-    def _add_mvp_cand(self, cands, n, ref_list, ref_idx) -> bool:
+    def _add_mvp_cand(self, cands, n, ref_list, ref_idx, dbgdir=-1) -> bool:
         """xAddMVPCand: same ref (this list), else same POC in other list."""
+        if TMVPDBG:
+            TMVPDBG.write("SCAN c dir=%d null=%d ref=%d\n" % (
+                dbgdir, 1 if n is None else 0,
+                -9 if n is None else self._motion(n, ref_list)[0]))
         if n is None:
             return False
         nref, nmv = self._motion(n, ref_list)
@@ -439,10 +460,14 @@ class MvCtx:
             return True
         return False
 
-    def _add_mvp_cand_order(self, cands, n, ref_list, ref_idx) -> bool:
+    def _add_mvp_cand_order(self, cands, n, ref_list, ref_idx,
+                            dbgdir=-1) -> bool:
         """xAddMVPCandOrder: same-list then cross-list with POC scaling."""
         if n is None:
             return False
+        if TMVPDBG:
+            TMVPDBG.write("SCAN o dir=%d ref=%d\n" % (
+                dbgdir, self._motion(n, ref_list)[0]))
         cur_poc = self.sh.poc
         cur_ref_poc = self.ref_pocs[ref_list][ref_idx]
         for lst in (ref_list, 1 - ref_list):
@@ -457,6 +482,7 @@ class MvCtx:
 
 
 NOT_VALID_MV = (-1, (0, 0))
+TMVPDBG = None
 
 
 def clip_mv(mv, cu_x, cu_y, pic_w, pic_h, ctu_size):

@@ -30,7 +30,9 @@ import numpy as np
 from ..cabac import contexts as cc
 from ..cabac.bitcount import CounterEncoder
 from ..common import rom
-from ..decoder.frame import (DM_CHROMA_IDX, MODE_INTRA, SIZE_2Nx2N, SIZE_NxN,
+from ..decoder.frame import (DM_CHROMA_IDX, MODE_INTER, MODE_INTRA,
+                             SIZE_2Nx2N, SIZE_2NxN, SIZE_2NxnD, SIZE_2NxnU,
+                             SIZE_NxN, SIZE_Nx2N, SIZE_nLx2N, SIZE_nRx2N,
                              FrameModel)
 from ..decoder.recon import _tu_availability_flags
 from ..ops import intra as intra_ops
@@ -147,7 +149,9 @@ class CuEncoder:
 
     # -- frame region snapshots (stand-in for best/temp CU + YUV buffers) ---
     _ATTRS = ("depth", "pred_mode", "part_size_arr", "luma_dir", "chroma_dir",
-              "tr_idx", "qp", "tq_bypass", "ipcm", "skip")
+              "tr_idx", "qp", "tq_bypass", "ipcm", "skip", "merge_flag",
+              "merge_idx", "inter_dir")
+    _MV_ATTRS = ("mv", "mvd", "ref_idx", "mvp_idx")
 
     def _save_region(self, abs_part: int, depth: int) -> dict:
         f = self.f
@@ -159,6 +163,9 @@ class CuEncoder:
                           for a in self._ATTRS},
                 "cbf": f.cbf[:, uy:uy + units, ux:ux + units].copy(),
                 "ts": f.ts_flag[:, uy:uy + units, ux:ux + units].copy(),
+                "motion": {a: getattr(f, a)[:, uy:uy + units,
+                                            ux:ux + units].copy()
+                           for a in self._MV_ATTRS},
                 "coeff_y": f.coeff_y[py:py + size, px:px + size].copy(),
                 "coeff_cb": f.coeff_cb[py // 2:(py + size) // 2,
                                        px // 2:(px + size) // 2].copy(),
@@ -182,6 +189,9 @@ class CuEncoder:
             getattr(f, a)[uy:uy + units, ux:ux + units] = snap["attrs"][a]
         f.cbf[:, uy:uy + units, ux:ux + units] = snap["cbf"]
         f.ts_flag[:, uy:uy + units, ux:ux + units] = snap["ts"]
+        for a in self._MV_ATTRS:
+            getattr(f, a)[:, uy:uy + units, ux:ux + units] = \
+                snap["motion"][a]
         f.coeff_y[py:py + size, px:px + size] = snap["coeff_y"]
         f.coeff_cb[py // 2:(py + size) // 2,
                    px // 2:(px + size) // 2] = snap["coeff_cb"]
@@ -220,13 +230,22 @@ class CuEncoder:
         f.ts_flag[:, sl[0], sl[1]] = False
         f.ipcm[sl] = False
         f.tq_bypass[sl] = False
+        f.merge_flag[sl] = False
+        f.merge_idx[sl] = 0
+        f.inter_dir[sl] = 0
+        f.mv[:, sl[0], sl[1]] = 0
+        f.mvd[:, sl[0], sl[1]] = 0
+        f.ref_idx[:, sl[0], sl[1]] = -1
+        f.mvp_idx[:, sl[0], sl[1]] = 0
         self._compress_cu(0, 0)
 
-    def _compress_cu(self, abs_part: int, depth: int) -> dict:
+    def _compress_cu(self, abs_part: int, depth: int,
+                     parent_part: int = -1) -> dict:
         """xCompressCU (TEncCu.cpp:386); frame ends holding this CU's best.
 
         Returns the best snapshot dict (bits/dist/cost feed the parent's
-        split accounting).
+        split accounting).  parent_part: best partition size of the parent
+        CU (AMP_ENC_SPEEDUP), -1 = SIZE_NONE (parent intra / top).
         """
         f = self.f
         sps = self.sps
@@ -237,13 +256,37 @@ class CuEncoder:
         boundary = not inside
 
         best = None
+        ux, uy = self._unit_xy(abs_part)
 
         if inside:
             qp = self.sh.slice_qp
-            best = self._check_intra(abs_part, depth, SIZE_2Nx2N, qp, best)
-            if depth == max_sig_depth and \
-                    size > (1 << sps.quadtree_tu_log2_min_size):
-                best = self._check_intra(abs_part, depth, SIZE_NxN, qp, best)
+            is_inter_slice = self.sh.slice_type != I_SLICE
+            if is_inter_slice:
+                best = self._check_rd_merge_2nx2n(abs_part, depth, best)
+                best = self._check_rd_inter(abs_part, depth, SIZE_2Nx2N,
+                                            best)
+                if not (size == 8):
+                    if depth == max_sig_depth:
+                        best = self._check_rd_inter(abs_part, depth,
+                                                    SIZE_NxN, best)
+                best = self._check_rd_inter(abs_part, depth, SIZE_Nx2N,
+                                            best)
+                best = self._check_rd_inter(abs_part, depth, SIZE_2NxN,
+                                            best)
+                if sps.use_amp and depth < max_sig_depth:
+                    best = self._check_amp(abs_part, depth, best,
+                                           parent_part, size)
+            do_intra = (not is_inter_slice or
+                        int(f.cbf[0, uy, ux]) != 0 or
+                        int(f.cbf[1, uy, ux]) != 0 or
+                        int(f.cbf[2, uy, ux]) != 0)
+            if do_intra:
+                best = self._check_intra(abs_part, depth, SIZE_2Nx2N, qp,
+                                         best)
+                if depth == max_sig_depth and \
+                        size > (1 << sps.quadtree_tu_log2_min_size):
+                    best = self._check_intra(abs_part, depth, SIZE_NxN, qp,
+                                             best)
             if sps.use_pcm and (1 << sps.pcm_log2_min_size) <= size \
                     <= (1 << sps.pcm_log2_max_size):
                 raw_bits = self.bit_depth * size * size * 3 // 2
@@ -261,6 +304,12 @@ class CuEncoder:
                 best["bits"], best["dist"], best["cost"]
 
         # ---- split ----
+        # parent partition size for AMP_ENC_SPEEDUP: captured once from the
+        # best-so-far BEFORE children overwrite the frame region
+        if best is None or f.pred_mode[uy, ux] == MODE_INTRA:
+            sub_parent = -1
+        else:
+            sub_parent = int(f.part_size_arr[uy, ux])
         if depth < max_sig_depth:
             q_parts = (f.parts_per_ctu >> (depth << 1)) >> 2
             split_bits = 0
@@ -275,7 +324,8 @@ class CuEncoder:
                     else:
                         self._copy_snap(depth + 1, CI_NEXT_BEST,
                                         depth + 1, CI_CURR_BEST)
-                    sub_best = self._compress_cu(part, depth + 1)
+                    sub_best = self._compress_cu(part, depth + 1,
+                                                 sub_parent)
                     split_bits += sub_best["bits"]
                     split_dist += sub_best["dist"]
                 else:
@@ -323,6 +373,15 @@ class CuEncoder:
         f.tr_idx[reg] = 0
         f.cbf[:, reg[0], reg[1]] = 0
         f.ts_flag[:, reg[0], reg[1]] = False
+        # initEstData also clears the motion fields (stale inter data from a
+        # previously tested mode must not leak into later AMVP/merge scans)
+        f.merge_flag[reg] = False
+        f.merge_idx[reg] = 0
+        f.inter_dir[reg] = 0
+        f.mv[:, reg[0], reg[1]] = 0
+        f.mvd[:, reg[0], reg[1]] = 0
+        f.ref_idx[:, reg[0], reg[1]] = -1
+        f.mvp_idx[:, reg[0], reg[1]] = 0
         tqb = (bool(self.cfg.get("CUTransquantBypassFlagValue", 0))
                if self.pps.transquant_bypass_enable_flag else False)
         f.tq_bypass[reg] = tqb
@@ -366,6 +425,141 @@ class CuEncoder:
 
     def _check_intra_pcm(self, abs_part, depth, best):
         raise NotImplementedError("PCM mode decision (later round)")
+
+    # ==================================================================
+    # Inter mode checks (xCheckRDCostMerge2Nx2N / xCheckRDCostInter /
+    # AMP derivation, TEncCu.cpp:1248/1371/307)
+    # ==================================================================
+    def _reset_inter_region(self, abs_part, depth, part_size):
+        f = self.f
+        ux, uy = self._unit_xy(abs_part)
+        units = f.units_per_row >> depth
+        reg = (slice(uy, uy + units), slice(ux, ux + units))
+        f.skip[reg] = False
+        f.part_size_arr[reg] = part_size
+        f.pred_mode[reg] = MODE_INTER
+        f.depth[reg] = depth
+        f.qp[reg] = self.sh.slice_qp
+        f.ipcm[reg] = False
+        f.tr_idx[reg] = 0
+        f.cbf[:, reg[0], reg[1]] = 0
+        f.ts_flag[:, reg[0], reg[1]] = False
+        f.merge_flag[reg] = False
+        f.merge_idx[reg] = 0
+        f.inter_dir[reg] = 0
+        f.mv[:, reg[0], reg[1]] = 0
+        f.mvd[:, reg[0], reg[1]] = 0
+        f.ref_idx[:, reg[0], reg[1]] = -1
+        f.mvp_idx[:, reg[0], reg[1]] = 0
+        tqb = (bool(self.cfg.get("CUTransquantBypassFlagValue", 0))
+               if self.pps.transquant_bypass_enable_flag else False)
+        f.tq_bypass[reg] = tqb
+        return reg
+
+    def _best_update(self, abs_part, depth, bits, dist, cost, best):
+        """xCheckBestMode."""
+        self.total_bits, self.total_dist, self.total_cost = bits, dist, cost
+        if best is None or cost < best["cost"]:
+            new_best = self._save_region(abs_part, depth)
+            self._copy_snap(depth, CI_TEMP_BEST, depth, CI_NEXT_BEST)
+            return new_best
+        self._restore_region(abs_part, depth, best)
+        return best
+
+    def _check_rd_merge_2nx2n(self, abs_part, depth, best):
+        f = self.f
+        px, py = self._pel_xy(abs_part)
+        size = f.ctu_size >> depth
+        ux, uy = self._unit_xy(abs_part)
+        self._reset_inter_region(abs_part, depth, SIZE_2Nx2N)
+        cand_dir, cand_mv, n_valid = self.inter.mvctx.merge_candidates(
+            px, py, size, SIZE_2Nx2N, 0)
+        cand_buffer = [0] * n_valid
+        best_is_skip = False
+        for no_resi in (0, 1):
+            for cand in range(n_valid):
+                if no_resi == 1 and cand_buffer[cand] == 1:
+                    continue
+                if best_is_skip and no_resi == 0:
+                    continue
+                reg = self._reset_inter_region(abs_part, depth, SIZE_2Nx2N)
+                f.merge_flag[reg] = True
+                f.merge_idx[reg] = cand
+                f.inter_dir[reg] = cand_dir[cand]
+                for lst in range(2):
+                    ref, mv = cand_mv[cand][lst]
+                    f.ref_idx[lst, reg[0], reg[1]] = ref
+                    f.mv[lst, reg[0], reg[1]] = mv
+                self.inter.motion_compensation(px, py, size)
+                bits, dist, cost = self.inter.encode_res_and_calc_rd(
+                    abs_part, depth, bool(no_resi))
+                root_cbf = ((int(f.cbf[0, uy, ux]) | int(f.cbf[1, uy, ux]) |
+                             int(f.cbf[2, uy, ux])) & 1) != 0
+                if no_resi == 0 and not root_cbf:
+                    cand_buffer[cand] = 1
+                f.skip[reg] = not root_cbf
+                best = self._best_update(abs_part, depth, bits, dist, cost,
+                                         best)
+                if self.inter.fdm and not best_is_skip:
+                    bcbf = ((int(f.cbf[0, uy, ux]) | int(f.cbf[1, uy, ux]) |
+                             int(f.cbf[2, uy, ux])) & 1) != 0
+                    best_is_skip = not bcbf
+        return best
+
+    def _check_rd_inter(self, abs_part, depth, part_size, best,
+                        use_mrg=False):
+        f = self.f
+        px, py = self._pel_xy(abs_part)
+        size = f.ctu_size >> depth
+        self._reset_inter_region(abs_part, depth, part_size)
+        self.inter.pred_inter_search(px, py, size, part_size, use_mrg)
+        bits, dist, cost = self.inter.encode_res_and_calc_rd(
+            abs_part, depth, False)
+        return self._best_update(abs_part, depth, bits, dist, cost, best)
+
+    def _check_amp(self, abs_part, depth, best, parent_part, size):
+        """deriveTestModeAMP + the AMP check sequence (AMP_ENC_SPEEDUP,
+        AMP_MRG)."""
+        f = self.f
+        ux, uy = self._unit_xy(abs_part)
+        bpart = int(f.part_size_arr[uy, ux])
+        bmerge = bool(f.merge_flag[uy, ux])
+        bskip = bool(f.skip[uy, ux])
+        hor = ver = mrg_hor = mrg_ver = False
+        if bpart == SIZE_2NxN:
+            hor = True
+        elif bpart == SIZE_Nx2N:
+            ver = True
+        elif bpart == SIZE_2Nx2N and not bmerge and not bskip:
+            hor = ver = True
+        if SIZE_2NxnU <= parent_part <= SIZE_nRx2N:
+            mrg_hor = mrg_ver = True
+        if parent_part == -1:
+            if bpart == SIZE_2NxN:
+                mrg_hor = True
+            elif bpart == SIZE_Nx2N:
+                mrg_ver = True
+        if bpart == SIZE_2Nx2N and not bskip:
+            mrg_hor = mrg_ver = True
+        if size == 64:
+            hor = ver = False
+        if hor:
+            best = self._check_rd_inter(abs_part, depth, SIZE_2NxnU, best)
+            best = self._check_rd_inter(abs_part, depth, SIZE_2NxnD, best)
+        elif mrg_hor:
+            best = self._check_rd_inter(abs_part, depth, SIZE_2NxnU, best,
+                                        use_mrg=True)
+            best = self._check_rd_inter(abs_part, depth, SIZE_2NxnD, best,
+                                        use_mrg=True)
+        if ver:
+            best = self._check_rd_inter(abs_part, depth, SIZE_nLx2N, best)
+            best = self._check_rd_inter(abs_part, depth, SIZE_nRx2N, best)
+        elif mrg_ver:
+            best = self._check_rd_inter(abs_part, depth, SIZE_nLx2N, best,
+                                        use_mrg=True)
+            best = self._check_rd_inter(abs_part, depth, SIZE_nRx2N, best,
+                                        use_mrg=True)
+        return best
 
     # ==================================================================
     # Luma intra search (estIntraPredQT, bLumaOnly=true)
@@ -678,12 +872,18 @@ class CuEncoder:
         ux, uy = self._unit_xy(part)
         depth = int(f.depth[uy, ux])
         log2_cb = self._log2_ctu() - depth
-        intra_split = 1 if int(f.part_size_arr[uy, ux]) == SIZE_NxN else 0
-        max_tu_depth = sps.quadtree_tu_max_depth_intra
+        part_sz = int(f.part_size_arr[uy, ux])
+        is_intra = f.pred_mode[uy, ux] == MODE_INTRA
+        intra_split = 1 if (is_intra and part_sz == SIZE_NxN) else 0
+        inter_split = 1 if (not is_intra
+                            and sps.quadtree_tu_max_depth_inter == 1
+                            and part_sz != SIZE_2Nx2N) else 0
+        max_tu_depth = (sps.quadtree_tu_max_depth_intra if is_intra
+                        else sps.quadtree_tu_max_depth_inter)
         if log2_cb < (sps.quadtree_tu_log2_min_size + max_tu_depth - 1
-                      + intra_split):
+                      + intra_split + inter_split):
             return sps.quadtree_tu_log2_min_size
-        v = log2_cb - (max_tu_depth - 1 + intra_split)
+        v = log2_cb - (max_tu_depth - 1 + intra_split + inter_split)
         return min(v, sps.quadtree_tu_log2_max_size)
 
     def _qt_layer(self, full_depth: int) -> int:
@@ -807,7 +1007,7 @@ class CuEncoder:
         return self.rd.dist_part(rec, self.org_y[py:py + size, px:px + size])
 
     def _xform_quant(self, part, resi, size, qps, is_luma, comp, use_ts,
-                     cbf_tr_depth):
+                     cbf_tr_depth, is_intra=True):
         """transformNxN: forward transform + RDOQ/quant (+ SBH)."""
         per, rem = qps // 6, qps % 6
         scan_idx = self.w._scan_idx(part, size, is_luma)
@@ -817,7 +1017,7 @@ class CuEncoder:
             coeff_t = tops.transform_skip_fwd(resi[None], self.bit_inc)[0]
         else:
             coeff_t = tops.forward_transform(
-                resi[None], use_dst=(is_luma and size == 4),
+                resi[None], use_dst=(is_luma and size == 4 and is_intra),
                 bit_increment=self.bit_inc)[0]
         # xQuant: RDOQ unless (TransformSkipFast && transformSkip)
         use_rdoq = self.cfg.get("RDOQ", 1) and not (
@@ -826,17 +1026,18 @@ class CuEncoder:
             eb = build_est_bits(self.go_on.ctx, size, is_luma)
             lam = self.lambda_luma if is_luma else self.lambda_chroma
             levels, abs_sum = rdoq_mod.rdoq(
-                coeff_t, size, per, rem, lam, is_luma, True, scan_idx, eb,
-                cbf_tr_depth, self.pps.sign_hide_flag, self.bit_inc)
+                coeff_t, size, per, rem, lam, is_luma, is_intra, scan_idx,
+                eb, cbf_tr_depth, self.pps.sign_hide_flag, self.bit_inc)
             return levels.reshape(size, size), abs_sum
         lv, du = tops.quant(coeff_t[None], qps,
                             self.sh.slice_type == I_SLICE, self.bit_inc)
         levels = lv[0]
+        # xQuant returns the PRE-sign-bit-hiding absolute sum (uiAcSum is
+        # accumulated before signBitHidingHDQ runs)
         abs_sum = int(np.abs(levels).sum())
         if self.pps.sign_hide_flag and abs_sum >= 2:
             levels = self._sign_bit_hiding(levels, coeff_t, du[0], scan_idx,
                                            size)
-            abs_sum = int(np.abs(levels).sum())
         return levels, abs_sum
 
     def _sign_bit_hiding(self, levels, src_coeff, delta_u, scan_idx, size):
@@ -1334,19 +1535,62 @@ class CuEncoder:
             w.code_tq_bypass(abs_part)
         if self.sh.slice_type != I_SLICE:
             w.code_skip_flag(abs_part)
+            if f.skip[uy, ux]:
+                w.code_merge_index(abs_part)
+                self._finish_cu_final(abs_part, depth)
+                return
             w.code_pred_mode(abs_part)
         w.code_part_size(abs_part, depth)
         part_sz = int(f.part_size_arr[uy, ux])
-        if part_sz == SIZE_2Nx2N and self.sps.use_pcm and \
+        is_intra = f.pred_mode[uy, ux] == MODE_INTRA
+        if is_intra and part_sz == SIZE_2Nx2N and self.sps.use_pcm and \
                 (1 << self.sps.pcm_log2_min_size) <= size <= \
                 (1 << self.sps.pcm_log2_max_size):
             w.code_terminating_bit(1 if f.ipcm[uy, ux] else 0)
             if f.ipcm[uy, ux]:
                 raise NotImplementedError("PCM write (later round)")
-        w.code_intra_dir_luma(abs_part, multiple=True)
-        w.code_intra_dir_chroma(abs_part)
+        if is_intra:
+            w.code_intra_dir_luma(abs_part, multiple=True)
+            w.code_intra_dir_chroma(abs_part)
+        else:
+            self._final_code_pu_wise(abs_part, depth)
+            merge_2nx2n = bool(f.merge_flag[uy, ux]) and \
+                part_sz == SIZE_2Nx2N
+            root_cbf = ((int(f.cbf[0, uy, ux]) | int(f.cbf[1, uy, ux]) |
+                         int(f.cbf[2, uy, ux])) & 1) != 0
+            if not merge_2nx2n:
+                w.code_qt_root_cbf(1 if root_cbf else 0)
+            if not root_cbf:
+                self._finish_cu_final(abs_part, depth)
+                return
         self._final_transform_tree(abs_part, depth, 0)
         self._finish_cu_final(abs_part, depth)
+
+    def _final_code_pu_wise(self, abs_part: int, depth: int) -> None:
+        """TEncEntropy::encodePUWise for the final pass."""
+        from ..decoder.mv import PU_OFFSET, num_pus
+        f = self.f
+        w = self._final_writer
+        ux, uy = self._unit_xy(abs_part)
+        part_sz = int(f.part_size_arr[uy, ux])
+        pu_off = (PU_OFFSET[part_sz] << ((f.max_depth - depth) << 1)) >> 4
+        part = abs_part
+        for pu in range(num_pus(part_sz)):
+            pux, puy = self._unit_xy(part)
+            w.code_merge_flag(part)
+            if f.merge_flag[puy, pux]:
+                w.code_merge_index(part)
+            else:
+                if self.sh.slice_type == 0:
+                    w.code_inter_dir(part, depth)
+                for lst in range(2):
+                    if self.sh.num_ref_idx[lst] > 0:
+                        if int(f.inter_dir[puy, pux]) & (1 << lst):
+                            if self.sh.num_ref_idx[lst] > 1:
+                                w.code_ref_idx(part, lst)
+                            w.code_mvd(part, lst)
+                            w.code_mvp_idx(part, lst)
+            part += pu_off
 
     def _finish_cu_final(self, abs_part: int, depth: int) -> None:
         f = self.f
@@ -1404,6 +1648,10 @@ class CuEncoder:
         if f.pred_mode[uy, ux] == MODE_INTRA and part_sz == SIZE_NxN \
                 and depth == cu_d:
             pass
+        elif f.pred_mode[uy, ux] != MODE_INTRA and part_sz != SIZE_2Nx2N \
+                and depth == cu_d \
+                and self.sps.quadtree_tu_max_depth_inter == 1:
+            pass  # implicit inter split (xEncodeTransform)
         elif log2_tr > self.sps.quadtree_tu_log2_max_size:
             pass
         elif log2_tr == self.sps.quadtree_tu_log2_min_size:
@@ -1428,7 +1676,12 @@ class CuEncoder:
                 part += q_parts
             return
 
-        w.code_qt_cbf(abs_part, 0, tr_mode)
+        # inter implicit luma cbf: at trDepth 0 with both chroma cbfs 0 the
+        # luma cbf is inferred = 1 (xEncodeTransform)
+        if not (f.pred_mode[uy, ux] != MODE_INTRA and depth == cu_d and
+                not self._cbf(abs_part, 1, 0) and
+                not self._cbf(abs_part, 2, 0)):
+            w.code_qt_cbf(abs_part, 0, tr_mode)
         cbf_y = self._cbf(abs_part, 0, tr_idx)
         cbf_u = self._cbf(abs_part, 1, tr_idx)
         cbf_v = self._cbf(abs_part, 2, tr_idx)

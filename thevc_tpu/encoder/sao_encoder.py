@@ -162,8 +162,11 @@ class SaoEncoder:
                 f.sao_merge_left[comp, ctu] = bool(u.merge_left)
                 f.sao_merge_up[comp, ctu] = bool(u.merge_up)
 
+        # TEncEntropy::setEntropyCoder:61-74 — the chroma slice flag is
+        # forced 0 when the luma flag is off (and then no SAO data is
+        # written at all, TEncSlice.cpp:1241)
         sh.sao_enabled = self.bsao[0]
-        sh.sao_enabled_chroma = self.bsao[1]
+        sh.sao_enabled_chroma = self.bsao[1] if self.bsao[0] else False
         from ..decoder.filters import sao_frame
         return sao_frame(f, sh, self.sps, rec_y, rec_cb, rec_cr)
 
@@ -615,8 +618,8 @@ class SaoEncoder:
             cu_up_in_slice = cu_in_slice - f.ctus_w
             allow_l = rx > 0 and cu_in_slice != 0
             allow_u = ry > 0 and cu_up_in_slice >= 0
-            if not (bsao[0] or bsao[1]):
-                return
+            if not bsao[0]:
+                return   # per-CTU SAO writes gated on the LUMA flag only
             merge_left = int(f.sao_merge_left[0, ctu]) if allow_l else 0
             if allow_l:
                 w.code_sao_merge(merge_left)

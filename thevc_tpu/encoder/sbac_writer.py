@@ -16,9 +16,12 @@ import numpy as np
 
 from ..cabac import contexts as cc
 from ..common import rom
-from ..decoder.frame import (DM_CHROMA_IDX, MODE_INTRA, SIZE_2Nx2N, SIZE_NxN,
-                             FrameModel)
+from ..decoder.frame import (DM_CHROMA_IDX, MODE_INTRA, SIZE_2Nx2N,
+                             SIZE_2NxN, SIZE_2NxnD, SIZE_2NxnU, SIZE_NxN,
+                             SIZE_Nx2N, SIZE_nLx2N, SIZE_nRx2N, FrameModel)
 from ..params import I_SLICE, Pps, SliceHeader, Sps
+
+TREEDBG = None
 
 SBH_THRESHOLD = 4
 C1FLAG_NUMBER = 8
@@ -119,15 +122,137 @@ class SbacWriter:
         self.e.encode_bin(split, cc.O_SPLIT_FLAG + ctx)
 
     def code_part_size(self, abs_part: int, depth: int) -> None:
+        """codePartSize (TEncSbac.cpp), intra + inter incl. AMP."""
         f = self.f
         ux, uy = self._unit_xy(abs_part)
         part_sz = int(f.part_size_arr[uy, ux])
+        max_sig = f.max_depth - self.sps.add_cu_depth
         if f.pred_mode[uy, ux] == MODE_INTRA:
-            if depth == f.max_depth - self.sps.add_cu_depth:
+            if depth == max_sig:
                 self.e.encode_bin(1 if part_sz == SIZE_2Nx2N else 0,
                                   cc.O_PART_SIZE)
             return
-        raise NotImplementedError("inter part size write (round 2)")
+        e = self.e
+        amp = self.sps.use_amp and depth < max_sig
+        if part_sz == SIZE_2Nx2N:
+            e.encode_bin(1, cc.O_PART_SIZE)
+        elif part_sz in (SIZE_2NxN, SIZE_2NxnU, SIZE_2NxnD):
+            e.encode_bin(0, cc.O_PART_SIZE)
+            e.encode_bin(1, cc.O_PART_SIZE + 1)
+            if amp:
+                if part_sz == SIZE_2NxN:
+                    e.encode_bin(1, cc.O_AMP)
+                else:
+                    e.encode_bin(0, cc.O_AMP)
+                    e.encode_bin_ep(0 if part_sz == SIZE_2NxnU else 1)
+        elif part_sz in (SIZE_Nx2N, SIZE_nLx2N, SIZE_nRx2N):
+            e.encode_bin(0, cc.O_PART_SIZE)
+            e.encode_bin(0, cc.O_PART_SIZE + 1)
+            size = f.ctu_size >> depth
+            if depth == max_sig and not size == 8:
+                e.encode_bin(1, cc.O_PART_SIZE + 2)
+            if amp:
+                if part_sz == SIZE_Nx2N:
+                    e.encode_bin(1, cc.O_AMP)
+                else:
+                    e.encode_bin(0, cc.O_AMP)
+                    e.encode_bin_ep(0 if part_sz == SIZE_nLx2N else 1)
+        else:  # SIZE_NxN inter (only at max depth, size > 8)
+            e.encode_bin(0, cc.O_PART_SIZE)
+            e.encode_bin(0, cc.O_PART_SIZE + 1)
+            e.encode_bin(0, cc.O_PART_SIZE + 2)
+
+    # -- inter PU syntax (codeMergeFlag/Index, codeInterDir, codeRefFrmIdx,
+    #    codeMvd, codeMVPIdx in TEncSbac.cpp) --------------------------------
+    def code_merge_flag(self, abs_part: int) -> None:
+        ux, uy = self._unit_xy(abs_part)
+        self.e.encode_bin(1 if self.f.merge_flag[uy, ux] else 0,
+                          cc.O_MERGE_FLAG)
+
+    def code_merge_index(self, abs_part: int) -> None:
+        ux, uy = self._unit_xy(abs_part)
+        idx = int(self.f.merge_idx[uy, ux])
+        num_cand = self.sh.max_num_merge_cand
+        if num_cand > 1:
+            for ui in range(num_cand - 1):
+                sym = 0 if ui == idx else 1
+                if ui == 0:
+                    self.e.encode_bin(sym, cc.O_MERGE_IDX)
+                else:
+                    self.e.encode_bin_ep(sym)
+                if sym == 0:
+                    break
+
+    def code_inter_dir(self, abs_part: int, depth: int) -> None:
+        f = self.f
+        ux, uy = self._unit_xy(abs_part)
+        inter_dir = int(f.inter_dir[uy, ux]) - 1
+        size = f.ctu_size >> depth   # CU height (getCtxInterDir = CU depth)
+        part_sz = int(f.part_size_arr[uy, ux])
+        if part_sz == SIZE_2Nx2N or size != 8:
+            self.e.encode_bin(1 if inter_dir == 2 else 0,
+                              cc.O_INTER_DIR + depth)
+        if inter_dir < 2:
+            self.e.encode_bin(inter_dir, cc.O_INTER_DIR + 4)
+
+    def code_ref_idx(self, abs_part: int, lst: int) -> None:
+        ux, uy = self._unit_xy(abs_part)
+        ref = int(self.f.ref_idx[lst, uy, ux])
+        self.e.encode_bin(0 if ref == 0 else 1, cc.O_REF_PIC)
+        if ref > 0:
+            ref_num = self.sh.num_ref_idx[lst] - 2
+            ref -= 1
+            for ui in range(ref_num):
+                sym = 0 if ui == ref else 1
+                if ui == 0:
+                    self.e.encode_bin(sym, cc.O_REF_PIC + 1)
+                else:
+                    self.e.encode_bin_ep(sym)
+                if sym == 0:
+                    break
+
+    def code_mvd(self, abs_part: int, lst: int) -> None:
+        f = self.f
+        ux, uy = self._unit_xy(abs_part)
+        if self.sh.mvd_l1_zero_flag and lst == 1 and \
+                int(f.inter_dir[uy, ux]) == 3:
+            return
+        hor = int(f.mvd[lst, uy, ux, 0])
+        ver = int(f.mvd[lst, uy, ux, 1])
+        e = self.e
+        e.encode_bin(1 if hor != 0 else 0, cc.O_MVD)
+        e.encode_bin(1 if ver != 0 else 0, cc.O_MVD)
+        ah, av = abs(hor), abs(ver)
+        if hor != 0:
+            e.encode_bin(1 if ah > 1 else 0, cc.O_MVD + 1)
+        if ver != 0:
+            e.encode_bin(1 if av > 1 else 0, cc.O_MVD + 1)
+        if hor != 0:
+            if ah > 1:
+                self._write_ep_exgolomb(ah - 2, 1)
+            e.encode_bin_ep(1 if hor < 0 else 0)
+        if ver != 0:
+            if av > 1:
+                self._write_ep_exgolomb(av - 2, 1)
+            e.encode_bin_ep(1 if ver < 0 else 0)
+
+    def code_mvp_idx(self, abs_part: int, lst: int) -> None:
+        ux, uy = self._unit_xy(abs_part)
+        idx = int(self.f.mvp_idx[lst, uy, ux])
+        self._write_unary_max(idx, cc.O_MVP_IDX, cc.O_MVP_IDX + 1, 1)
+
+    def code_qt_root_cbf(self, cbf: int) -> None:
+        self.e.encode_bin(1 if cbf else 0, cc.O_QT_ROOT_CBF)
+
+    def code_qt_root_cbf_zero(self) -> None:
+        self.e.encode_bin(0, cc.O_QT_ROOT_CBF)
+
+    def code_qt_cbf_zero(self, comp: int, ctx_tr_depth: int) -> None:
+        """codeQtCbfZero: hypothetical cbf=0 bit (ctx = getCtxQtCbf)."""
+        ctx = 1 if comp == 0 and ctx_tr_depth == 0 else \
+            (0 if comp == 0 else ctx_tr_depth)
+        off = cc.O_QT_CBF if comp == 0 else cc.O_QT_CBF + 5
+        self.e.encode_bin(0, off + ctx)
 
     def code_pred_mode(self, abs_part: int) -> None:
         if self.sh.slice_type == I_SLICE:
@@ -227,9 +352,16 @@ class SbacWriter:
         return (l + a + 1) >> 1
 
     def code_transform_subdiv(self, subdiv: int, log2_tr: int) -> None:
+        if TREEDBG:
+            TREEDBG.write("T subdiv v=%d c=%d\n" % (subdiv, 5 - log2_tr))
         self.e.encode_bin(subdiv, cc.O_TRANS_SUBDIV + (5 - log2_tr))
 
     def code_qt_cbf(self, abs_part: int, comp: int, tr_depth: int) -> None:
+        if TREEDBG:
+            _ux, _uy = self._unit_xy(abs_part)
+            _v = (int(self.f.cbf[comp, _uy, _ux]) >> tr_depth) & 1
+            TREEDBG.write("T cbf part=%d t=%d d=%d v=%d\n" % (
+                abs_part, comp if comp == 0 else comp + 1, tr_depth, _v))
         ux, uy = self._unit_xy(abs_part)
         cbf = (int(self.f.cbf[comp, uy, ux]) >> tr_depth) & 1
         if comp == 0:
@@ -318,6 +450,14 @@ class SbacWriter:
 
     def code_coeff_nxn(self, abs_part: int, coeff: np.ndarray, width: int,
                        comp: int) -> None:
+        if TREEDBG:
+            cs = 0
+            for v in coeff.reshape(-1):
+                cs = cs * 31 + int(v)
+            _ux, _uy = self._unit_xy(abs_part)
+            TREEDBG.write("T coef part=%d t=%d w=%d cs=%d ts=%d\n" % (
+                abs_part, comp if comp == 0 else comp + 1, width, cs,
+                int(self.f.ts_flag[comp, _uy, _ux])))
         """codeCoeffNxN; coeff is the (width, width) block (row-major)."""
         f = self.f
         e = self.e

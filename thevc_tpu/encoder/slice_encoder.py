@@ -47,10 +47,13 @@ def init_enc_slice(cfg, sps, pps, poc: int, gop_id: int, nal_type: int):
         i = step >> 1
         while i >= 1:
             found = any(j == ipoc for j in range(i, gop_size, step))
-            if found:
-                break
+            # NB the reference increments iDepth even on the found
+            # iteration (i=0 + break exits the inner loop only;
+            # iStep>>=1 and iDepth++ still execute, TEncSlice.cpp:192-204)
             step >>= 1
             depth += 1
+            if found:
+                break
             i >>= 1
 
     intra_period = cfg.intra_period

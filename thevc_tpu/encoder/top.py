@@ -19,8 +19,11 @@ from ..digest import calc_digest
 from ..decoder.frame import FrameModel
 from ..decoder.filters import deblock_frame, sao_frame
 from ..io.yuv import YuvFrame, YuvReader, YuvWriter
-from ..params import I_SLICE, Pps, ReferencePictureSet, Sps, Vps
+from ..params import I_SLICE, P_SLICE, Pps, ReferencePictureSet, Sps, Vps
+from ..decoder.mv import MvCtx
+from ..decoder.refpic import Dpb, Picture, build_ref_lists, check_ldc
 from . import slice_encoder as se
+from .inter_search import InterSearch
 from ..utils.cfg import EncoderCfg
 
 
@@ -83,17 +86,41 @@ def derive_params(cfg: EncoderCfg):
     sps.long_term_refs_present = False
     sps.amvp_modes = [1] * 8
 
-    # xInitRPS
+    # xInitRPS over the expanded GOP list (GOPSize + extra startup RPSs)
+    from ..utils.cfg import expand_gop
+    extra = expand_gop(cfg) if cfg.gop_size > 0 else 0
     sps.rps_list = []
-    for ge in cfg.gop_list[:cfg.gop_size]:
+    for i, ge in enumerate(cfg.gop_list[:cfg.gop_size + extra]):
         rps = ReferencePictureSet()
-        neg = sorted((p for p in ge.reference_pics if p < 0), reverse=True)
-        pos = sorted(p for p in ge.reference_pics if p > 0)
-        rps.num_negative_pics = len(neg)
-        rps.num_positive_pics = len(pos)
-        rps.delta_poc = neg + pos
-        rps.used = [True] * len(rps.delta_poc)
-        rps.inter_rps_prediction = False
+        rps.delta_poc = list(ge.reference_pics)
+        rps.used = [bool(u) for u in ge.used_by_curr_pic]
+        rps.num_negative_pics = sum(1 for p in rps.delta_poc if p <= 0)
+        rps.num_positive_pics = sum(1 for p in rps.delta_poc if p > 0)
+        rps.inter_rps_prediction = ge.inter_rps_prediction > 0
+        if ge.inter_rps_prediction == 1:
+            rps.delta_rps = ge.delta_rps
+            rps.num_ref_idc = ge.num_ref_idc
+            rps.ref_idc = list(ge.ref_idc)
+            # WRITE_BACK: re-derive deltaPOC/used from the refIdc
+            ref_rps = sps.rps_list[i - 1]
+            tmp = []
+            for j in range(ge.num_ref_idc):
+                if ge.ref_idc[j]:
+                    n_ref = (ref_rps.num_negative_pics +
+                             ref_rps.num_positive_pics)
+                    d = ge.delta_rps + (ref_rps.delta_poc[j]
+                                        if j < n_ref else 0)
+                    tmp.append((d, ge.ref_idc[j] == 1))
+            tmp.sort()
+            neg = [t for t in tmp if t[0] < 0]
+            pos = [t for t in tmp if t[0] >= 0]
+            ordered = neg[::-1] + pos
+            rps.delta_poc = [t[0] for t in ordered]
+            rps.used = [t[1] for t in ordered]
+            rps.num_negative_pics = len(neg)
+            rps.num_positive_pics = len(pos)
+        elif ge.inter_rps_prediction == 2:
+            raise NotImplementedError("AUTO inter RPS (mode 2)")
         sps.rps_list.append(rps)
 
     pps = Pps()
@@ -164,22 +191,112 @@ class Encoder:
         self.psnr_sums = [0.0, 0.0, 0.0]
         # SAO_ENCODING_CHOICE early-termination state (persists per encoder)
         self._sao_rate_state = [[0.0] * 10, [0.0] * 10]
+        self.dpb = Dpb()
+        self.last_idr = 0
+        self.poc_cra = 0
+        self.refresh_pending = False
 
     # ------------------------------------------------------------------
-    def encode_frame(self, org: YuvFrame, poc: int, first: bool):
+    def encode_frame(self, org: YuvFrame, poc: int, first: bool,
+                     gop_id: int = 0):
         """Compress one picture; returns (au_bytes_list, recon YuvFrame).
 
-        Mirrors one iteration of TEncGOP::compressGOP for GOPSize=1.
+        One iteration of TEncGOP::compressGOP.
         """
         cfg = self.cfg
         sps, pps = self.sps, self.pps
         nal_type = _nal_unit_type(cfg, poc)
+        if nal_type == nal_mod.NAL_UNIT_CODED_SLICE_IDR:
+            self.last_idr = poc
         sh, lam, weight, lam_chroma = se.init_enc_slice(
-            cfg, sps, pps, poc, 0, nal_type)
-        if nal_type != nal_mod.NAL_UNIT_CODED_SLICE_IDR and sh.is_intra:
-            # non-IDR I slice refers to the SPS RPS list entry 0
-            sh.rps_idx = 0
-            sh.rps = sps.rps_list[0] if sps.rps_list else ReferencePictureSet()
+            cfg, sps, pps, poc, gop_id, nal_type)
+        ge = cfg.gop_list[gop_id] if gop_id < len(cfg.gop_list) else None
+        sh.temporal_id = 0 if poc == 0 else (ge.temporal_id if ge else 0)
+        if sh.slice_type == 0 and ge is not None and ge.slice_type == "P":
+            sh.slice_type = P_SLICE
+
+        # col dir selection (compressGOP :157-202)
+        col_dir = 1
+        if ge is not None:
+            close_left, close_right = 1, -1
+            for r in ge.reference_pics:
+                if r > 0 and (r < close_right or close_right == -1):
+                    close_right = r
+                elif r < 0 and (r > close_left or close_left == 1):
+                    close_left = r
+            if close_right > -1:
+                close_right += ge.poc - 1
+            if close_left < 1:
+                close_left += ge.poc - 1
+                while close_left < 0:
+                    close_left += cfg.gop_size
+            left_qp = right_qp = 0
+            for g2 in cfg.gop_list[:cfg.gop_size]:
+                if g2.poc == (close_left % cfg.gop_size) + 1:
+                    left_qp = g2.qp_offset
+                if g2.poc == (close_right % cfg.gop_size) + 1:
+                    right_qp = g2.qp_offset
+            if close_right > -1 and right_qp < left_qp:
+                col_dir = 0
+
+        # decodingRefreshMarking + RPS selection
+        if nal_type == nal_mod.NAL_UNIT_CODED_SLICE_IDR:
+            self.dpb.idr_flush()
+            self.poc_cra = poc
+        elif nal_type == nal_mod.NAL_UNIT_CODED_SLICE_CRA:
+            self.refresh_pending = True
+            self.poc_cra = poc
+        elif self.refresh_pending and poc > self.poc_cra:
+            for p in self.dpb.pics:
+                if p.poc != self.poc_cra and p.poc < self.poc_cra:
+                    p.referenced = False
+            self.refresh_pending = False
+
+        if not sh.is_intra or nal_type != nal_mod.NAL_UNIT_CODED_SLICE_IDR:
+            sh.rps_idx = gop_id
+            n_extra = len(sps.rps_list) - cfg.gop_size
+            for extra in range(cfg.gop_size, cfg.gop_size + n_extra):
+                eg = cfg.gop_list[extra]
+                if cfg.intra_period > 0 and cfg.decoding_refresh_type > 0:
+                    poc_index = poc % cfg.intra_period
+                    if poc_index == 0:
+                        poc_index = cfg.intra_period
+                    if poc_index == eg.poc:
+                        sh.rps_idx = extra
+                else:
+                    if poc == eg.poc:
+                        sh.rps_idx = extra
+            sh.rps = sps.rps_list[sh.rps_idx]
+            # availability check (no explicit slice RPS expected for the
+            # standard configurations thanks to the startup extra RPSs)
+            for i in range(sh.rps.num_negative_pics
+                           + sh.rps.num_positive_pics):
+                want = poc + sh.rps.delta_poc[i]
+                if not any(p.poc == want and p.referenced
+                           for p in self.dpb.pics):
+                    raise NotImplementedError(
+                        "explicit slice-header RPS (missing ref %d)" % want)
+            self.dpb.apply_rps(sh.rps, poc)
+
+        list0: list = []
+        list1: list = []
+        if not sh.is_intra:
+            n_pics = sh.rps.num_negative_pics + sh.rps.num_positive_pics
+            active = min(ge.num_ref_pics_active, n_pics) if ge else n_pics
+            sh.num_ref_idx[0] = active
+            sh.num_ref_idx[1] = active if sh.slice_type == 0 else 0
+            list0, list1 = build_ref_lists(sh, self.dpb)
+            if sh.slice_type == 0 and sh.num_ref_idx[1] == 0:
+                sh.slice_type = P_SLICE
+            if sh.slice_type == 0:
+                sh.col_dir = col_dir
+                sh.check_ldc_flag = check_ldc(sh, list0, list1)
+                gpb = (sh.num_ref_idx[0] == sh.num_ref_idx[1] and
+                       all(a.poc == b.poc for a, b in zip(list0, list1)))
+                sh.mvd_l1_zero_flag = gpb
+            else:
+                sh.check_ldc_flag = False
+                sh.mvd_l1_zero_flag = False
 
         f = FrameModel(sps, pps)
         h, w = sps.pic_height_in_luma_samples, sps.pic_width_in_luma_samples
@@ -191,10 +308,27 @@ class Encoder:
                                 (org.y, org.cb, org.cr),
                                 (rec_y, rec_cb, rec_cr),
                                 lam, weight, lam_chroma)
+        if not sh.is_intra:
+            col_pic = None
+            if sh.tmvp_enabled:
+                col_list = list1 if (sh.slice_type == 0 and sh.col_dir) \
+                    else list0
+                col_pic = col_list[sh.col_ref_idx]
+            mvctx = MvCtx(f, sh, sps, pps, list0, list1, col_pic,
+                          sh.check_ldc_flag)
+            cu.inter = InterSearch(
+                cu, [list0, list1], mvctx,
+                fast_enc=bool(cfg.use_fast_enc),
+                use_had_me=bool(cfg.use_had_me),
+                search_range=cfg.search_range,
+                bipred_range=cfg.bipred_search_range,
+                fdm=bool(cfg.use_fast_decision_for_merge))
         se.compress_slice(cu)
 
         # in-loop filters run before the final entropy pass (TEncGOP:631+)
-        deblock_frame(f, sh, sps, pps, rec_y, rec_cb, rec_cr)
+        ref_pocs = [[p.poc for p in list0], [p.poc for p in list1]]
+        deblock_frame(f, sh, sps, pps, rec_y, rec_cb, rec_cr,
+                      ref_pocs if not sh.is_intra else None)
         sao_write = None
         if sps.use_sao:
             from .sao_encoder import SaoEncoder
@@ -217,7 +351,8 @@ class Encoder:
             au.append((nal_mod.NAL_UNIT_PPS, 0, bs.get_bytes()))
 
         substream = se.encode_slice(cu, sao_write)
-        hdr = headers.write_slice_header(sh, sps, pps, last_idr_poc=0)
+        hdr = headers.write_slice_header(sh, sps, pps,
+                                         last_idr_poc=self.last_idr)
         hdr.write_align_one()
         hdr.add_substream(substream)
         slice_nal = (nal_type, sh.temporal_id, hdr.get_bytes())
@@ -229,6 +364,13 @@ class Encoder:
             bs = headers.write_sei_picture_digest(method, digest)
             au.append((nal_mod.NAL_UNIT_SEI, sh.temporal_id, bs.get_bytes()))
         au.append(slice_nal)
+
+        # DPB bookkeeping for inter prediction of later pictures
+        dpb_pic = Picture(poc, (rec_y, rec_cb, rec_cr), f, sh, ref_pocs,
+                          margin=sps.max_cu_width + 16)
+        dpb_pic.temporal_id = sh.temporal_id
+        dpb_pic.compress_motion()
+        self.dpb.add(dpb_pic)
 
         data, _sizes = nal_mod.write_annexb(au)
         self._add_psnr(org, (rec_y, rec_cb, rec_cr), len(data) * 8)
@@ -260,17 +402,41 @@ class Encoder:
             out_bd = cfg.output_bit_depth or internal_bd
             writer = YuvWriter(cfg.recon_file, out_bd, internal_bd)
         chunks = []
-        poc = 0
         n = cfg.frames_to_be_encoded
-        while n <= 0 or poc < n:
+        gop_size = max(cfg.gop_size, 1)
+
+        # read all input frames up front (encoder buffers one GOP at a time)
+        frames = []
+        while n <= 0 or len(frames) < n:
             org = reader.read_frame()
             if org is None:
                 break
-            data, rec = self.encode_frame(org, poc, first=(poc == 0))
+            frames.append(org)
+        n = len(frames)
+
+        recons = {}
+        first = True
+        if n > 0:
+            data, rec = self.encode_frame(frames[0], 0, True, 0)
+            first = False
             chunks.append(data)
-            if writer is not None:
-                writer.write_frame(rec)
-            poc += 1
+            recons[0] = rec
+        nxt = 1
+        while nxt < n:
+            batch = min(gop_size, n - nxt)
+            poc_last = nxt + batch - 1
+            for gop_id in range(gop_size):
+                poc = poc_last - batch + cfg.gop_list[gop_id].poc
+                if poc >= n or poc in recons:
+                    continue
+                data, rec = self.encode_frame(frames[poc], poc, first,
+                                              gop_id)
+                chunks.append(data)
+                recons[poc] = rec
+            nxt += batch
+        if writer is not None:
+            for poc in sorted(recons):
+                writer.write_frame(recons[poc])
         reader.close()
         if writer is not None:
             writer.close()

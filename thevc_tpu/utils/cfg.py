@@ -380,3 +380,126 @@ def parse_args(argv: List[str]) -> EncoderCfg:
             continue
         raise ValueError(f"unhandled argument: {arg}")
     return cfg
+
+
+def expand_gop(cfg) -> int:
+    """GOP verification + startup extra-RPS construction (the coding-order
+    sweep in TAppEncCfg::xCheckParameter :633-821).  Appends the extra GOP
+    entries to cfg.gop_list and returns the extra count."""
+    import copy
+    gop_size = cfg.gop_size
+    gop = cfg.gop_list
+    if getattr(cfg, "_gop_expanded", False):
+        return cfg.extra_rpss
+    verified = False
+    error = False
+    check_gop = 1
+    ref_list = [0]
+    is_ok = [False] * 64
+    num_ok = 0
+    extra = 0
+    while not verified and not error:
+        cur_gop = (check_gop - 1) % gop_size
+        cur_poc = ((check_gop - 1) // gop_size) * gop_size + gop[cur_gop].poc
+        if gop[cur_gop].poc < 0:
+            error = True
+            break
+        before_i = False
+        for i in range(gop[cur_gop].num_ref_pics):
+            abs_poc = cur_poc + gop[cur_gop].reference_pics[i]
+            if abs_poc < 0:
+                before_i = True
+            else:
+                found = False
+                for rp in ref_list:
+                    if rp == abs_poc:
+                        found = True
+                        for k in range(gop_size):
+                            if abs_poc % gop_size == gop[k].poc % gop_size:
+                                gop[cur_gop].used_by_curr_pic[i] = \
+                                    gop[k].temporal_id <= \
+                                    gop[cur_gop].temporal_id
+                if not found:
+                    error = True
+        if not before_i and not error:
+            if not is_ok[cur_gop]:
+                num_ok += 1
+                is_ok[cur_gop] = True
+                if num_ok == gop_size:
+                    verified = True
+        else:
+            ge = copy.deepcopy(gop[cur_gop])
+            new_refs = 0
+            ge.reference_pics = []
+            ge.used_by_curr_pic = []
+            for i in range(gop[cur_gop].num_ref_pics):
+                abs_poc = cur_poc + gop[cur_gop].reference_pics[i]
+                if abs_poc >= 0:
+                    ge.reference_pics.append(gop[cur_gop].reference_pics[i])
+                    ge.used_by_curr_pic.append(
+                        gop[cur_gop].used_by_curr_pic[i])
+                    new_refs += 1
+            num_pref = gop[cur_gop].num_ref_pics_active
+            offset = -1
+            while offset > -check_gop:
+                off_gop = (check_gop - 1 + offset) % gop_size
+                off_poc = ((check_gop - 1 + offset) // gop_size) * gop_size \
+                    + gop[off_gop].poc
+                if off_poc >= 0 and gop[off_gop].ref_pic and \
+                        gop[off_gop].temporal_id <= \
+                        gop[cur_gop].temporal_id:
+                    new_ref = any(rp == off_poc for rp in ref_list)
+                    for i in range(new_refs):
+                        if ge.reference_pics[i] == off_poc - cur_poc:
+                            new_ref = False
+                    if new_ref:
+                        insert = new_refs
+                        for j in range(new_refs):
+                            if ge.reference_pics[j] < off_poc - cur_poc or \
+                                    ge.reference_pics[j] > 0:
+                                insert = j
+                                break
+                        ge.reference_pics.insert(insert, off_poc - cur_poc)
+                        ge.used_by_curr_pic.insert(
+                            insert, gop[off_gop].temporal_id <=
+                            gop[cur_gop].temporal_id)
+                        new_refs += 1
+                if new_refs >= num_pref:
+                    break
+                offset -= 1
+            ge.num_ref_pics = new_refs
+            ge.poc = cur_poc
+            if extra == 0:
+                ge.inter_rps_prediction = 0
+                ge.num_ref_idc = 0
+                ge.ref_idc = []
+            else:
+                ref_ge = gop[gop_size + extra - 1]
+                ref_poc = ref_ge.poc
+                ref_pics = ref_ge.num_ref_pics
+                ge.ref_idc = []
+                for i in range(ref_pics + 1):
+                    delta = ref_ge.reference_pics[i] if i != ref_pics else 0
+                    abs_ref = ref_poc + delta
+                    idc = 0
+                    for j in range(ge.num_ref_pics):
+                        if abs_ref - cur_poc == ge.reference_pics[j]:
+                            idc = 1 if ge.used_by_curr_pic[j] else 2
+                    ge.ref_idc.append(idc)
+                ge.inter_rps_prediction = 1
+                ge.num_ref_idc = ref_pics + 1
+                ge.delta_rps = ref_poc - cur_poc
+            gop.append(ge)
+            cur_gop = gop_size + extra
+            extra += 1
+        ref_list = []
+        for i in range(gop[cur_gop].num_ref_pics):
+            abs_poc = cur_poc + gop[cur_gop].reference_pics[i]
+            if abs_poc >= 0:
+                ref_list.append(abs_poc)
+        ref_list.append(cur_poc)
+        check_gop += 1
+    assert not error, "invalid GOP structure"
+    cfg.extra_rpss = extra
+    cfg._gop_expanded = True
+    return extra
