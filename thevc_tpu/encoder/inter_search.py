@@ -721,7 +721,18 @@ class InterSearch:
             me_bits = 0
 
             if test_normal:
+                sh = self.sh
                 n_dir = 2 if self.is_b else 1
+                lc = getattr(sh, "num_ref_lc", 0)
+                nbp = bool(getattr(sh, "no_back_pred", False))
+                mvdl1z = self.is_b and bool(sh.mvd_l1_zero_flag)
+                cost_l0 = [MAX_UINT] * 33
+                bits_l0 = [0] * 33
+                mv_temp = [[None] * 33, [None] * 33]
+                pred_store = [None, None]   # m_acYuvPred (luma, this PU)
+                best_bip_dist = MAX_INT
+                best_bip_ref = 0
+                best_bip_mvp = 0
                 for lst in range(n_dir):
                     nri = self.sh.num_ref_idx[lst]
                     for ref in range(nri):
@@ -730,22 +741,52 @@ class InterSearch:
                             bits_tmp += ref + 1
                             if ref == nri - 1:
                                 bits_tmp -= 1
-                        mv_pred, mvp_idx, cands, _dbp = \
+                        mv_pred, mvp_idx, cands, dbp = \
                             self._estimate_mvp_amvp(cu_x, cu_y, size,
                                                     part_sz, pu, lst, ref)
                         mvp_idx_arr[lst][ref] = mvp_idx
                         mv_pred_arr[lst][ref] = mv_pred
                         cands_arr[lst][ref] = cands
+                        if mvdl1z and lst == 1 and dbp < best_bip_dist:
+                            best_bip_dist = dbp
+                            best_bip_mvp = mvp_idx
+                            best_bip_ref = ref
                         bits_tmp += self.mvp_idx_cost[mvp_idx]
-                        mv, bits_tmp, cost_tmp = self._motion_estimation(
-                            cu_x, cu_y, xp, yp, pw, ph, lst, ref,
-                            mv_pred, bits_tmp)
+                        # GPB_SIMPLE_UNI shortcut (TEncSearch.cpp:3334-3380)
+                        if lc > 0 and lst == 1 and \
+                                (nbp or sh.ref_idx_of_l0_from_l1[ref] >= 0):
+                            src = ref if nbp \
+                                else sh.ref_idx_of_l0_from_l1[ref]
+                            mv = mv_temp[0][src]
+                            cost_tmp = cost_l0[src] - \
+                                self.mc.cost_bits(bits_l0[src])
+                            self.mc.set_predictor(mv_pred)
+                            self.mc.set_cost_scale(0)
+                            bits_tmp += self.mc.bits(mv[0], mv[1])
+                            cost_tmp += self.mc.cost_bits(bits_tmp)
+                        elif lc <= 0 and lst == 1 and nbp:
+                            cost_tmp = MAX_UINT
+                            mv = mv_temp[0][ref]
+                        else:
+                            mv, bits_tmp, cost_tmp = \
+                                self._motion_estimation(
+                                    cu_x, cu_y, xp, yp, pw, ph, lst, ref,
+                                    mv_pred, bits_tmp)
+                        mv_temp[lst][ref] = mv
                         mv_pred, mvp_idx, bits_tmp, cost_tmp = \
                             self._check_best_mvp(cands, mv, mv_pred,
                                                  mvp_idx, bits_tmp,
                                                  cost_tmp)
                         mvp_idx_arr[lst][ref] = mvp_idx
                         mv_pred_arr[lst][ref] = mv_pred
+                        if lc > 0 and not nbp:
+                            if lst == 0:
+                                cost_l0[ref] = cost_tmp
+                                bits_l0[ref] = bits_tmp
+                                if sh.ref_idx_of_lc[0][ref] < 0:
+                                    cost_tmp = MAX_UINT
+                            elif sh.ref_idx_of_lc[1][ref] < 0:
+                                cost_tmp = MAX_UINT
                         if RQTDBG:
                             RQTDBG.write(
                                 "MEC l=%d r=%d mvp=%d pred=%d,%d mv=%d,%d "
@@ -754,28 +795,175 @@ class InterSearch:
                                     mv_pred[1], mv[0], mv[1], bits_tmp,
                                     cost_tmp, cands[0][0], cands[0][1],
                                     cands[1][0], cands[1][1]))
-                        if cost_tmp < cost_uni[lst]:
+                        # best-uni update (TEncSearch.cpp:3407-3410)
+                        if ((lst == 0 and cost_tmp < cost_uni[0]) or
+                                (lst == 1 and nbp and
+                                 ref == ref_uni[0]) or
+                                (lst == 1 and lc > 0 and
+                                 (ref == 0 or ref == ref_uni[0]) and
+                                 not nbp and
+                                 ref == sh.ref_idx_of_l0_from_l1[ref]) or
+                                (lst == 1 and not nbp and
+                                 cost_tmp < cost_uni[1])):
                             cost_uni[lst] = cost_tmp
                             bits_uni[lst] = bits_tmp
                             mv_uni[lst] = mv
                             ref_uni[lst] = ref
-                if self.is_b:
-                    raise NotImplementedError("B-slice inter search")
+                            if self.is_b and not mvdl1z:
+                                # store uni pred for bi removeHighFreq
+                                if lst == 1:
+                                    pred_store[1] = self._pred_pu_luma(
+                                        xp, yp, pw, ph, 1, ref, mv,
+                                        cu_x, cu_y)
+                                if lst == 0 and (
+                                        nbp or (lc > 0 and
+                                        sh.ref_idx_of_l0_from_l1[0] == 0)):
+                                    pred_store[0] = self._pred_pu_luma(
+                                        xp, yp, pw, ph, 0, ref, mv,
+                                        cu_x, cu_y)
 
-                # set motion field (uni; P slice)
-                lst = 0
-                ref = ref_uni[lst]
-                mv = mv_uni[lst]
-                pred = mv_pred_arr[lst][ref]
-                mvd = (mv[0] - pred[0], mv[1] - pred[1])
-                self._set_pu(f.inter_dir, xp, yp, pw, ph, 1)
+                #  Bi-directional prediction (TEncSearch.cpp:3440-3577)
+                cost_bi = MAX_UINT
+                bits_bi = 0
+                mv_bi = [mv_uni[0], mv_uni[1]]
+                ref_bi = [ref_uni[0], ref_uni[1]]
+                mvp_pred_bi = [row[:] for row in mv_pred_arr]
+                mvp_idx_bi = [row[:] for row in mvp_idx_arr]
+                bipred_restricted = (size == 8 and (pw < 8 or ph < 8))
+                if self.is_b and not bipred_restricted:
+                    mot_bits = [0, 0]
+                    if mvdl1z:
+                        cands1 = cands_arr[1][best_bip_ref]
+                        mvp_idx_bi[1][best_bip_ref] = best_bip_mvp
+                        mvp_pred_bi[1][best_bip_ref] = cands1[best_bip_mvp]
+                        mv_bi[1] = cands1[best_bip_mvp]
+                        ref_bi[1] = best_bip_ref
+                        pred_store[1] = self._pred_pu_luma(
+                            xp, yp, pw, ph, 1, best_bip_ref, mv_bi[1],
+                            cu_x, cu_y)
+                        mot_bits[0] = bits_uni[0] - blk_bits[0]
+                        mot_bits[1] = blk_bits[1]
+                        nri1 = sh.num_ref_idx[1]
+                        if nri1 > 1:
+                            mot_bits[1] += best_bip_ref + 1
+                            if best_bip_ref == nri1 - 1:
+                                mot_bits[1] -= 1
+                        mot_bits[1] += self.mvp_idx_cost[best_bip_mvp]
+                        bits_bi = blk_bits[2] + mot_bits[0] + mot_bits[1]
+                        mv_temp[1][best_bip_ref] = mv_bi[1]
+                    else:
+                        mot_bits[0] = bits_uni[0] - blk_bits[0]
+                        mot_bits[1] = bits_uni[1] - blk_bits[1]
+                        bits_bi = blk_bits[2] + mot_bits[0] + mot_bits[1]
+                    n_iter = 1 if (self.fast_enc or mvdl1z) else 4
+                    for it in range(n_iter):
+                        ilist = it % 2
+                        if self.fast_enc and (
+                                nbp or (lc > 0 and
+                                        sh.ref_idx_of_l0_from_l1[0] == 0)):
+                            ilist = 1
+                        if mvdl1z:
+                            ilist = 0
+                        changed = False
+                        nri = sh.num_ref_idx[ilist]
+                        for ref in range(nri):
+                            bits_tmp = blk_bits[2] + mot_bits[1 - ilist]
+                            if nri > 1:
+                                bits_tmp += ref + 1
+                                if ref == nri - 1:
+                                    bits_tmp -= 1
+                            bits_tmp += \
+                                self.mvp_idx_cost[mvp_idx_bi[ilist][ref]]
+                            mv, bits_tmp, cost_tmp = \
+                                self._motion_estimation(
+                                    cu_x, cu_y, xp, yp, pw, ph, ilist, ref,
+                                    mvp_pred_bi[ilist][ref], bits_tmp,
+                                    bi_mv=mv_temp[ilist][ref],
+                                    bi_other=pred_store[1 - ilist])
+                            mv_temp[ilist][ref] = mv
+                            p2, i2, bits_tmp, cost_tmp = \
+                                self._check_best_mvp(
+                                    cands_arr[ilist][ref], mv,
+                                    mvp_pred_bi[ilist][ref],
+                                    mvp_idx_bi[ilist][ref],
+                                    bits_tmp, cost_tmp)
+                            mvp_pred_bi[ilist][ref] = p2
+                            mvp_idx_bi[ilist][ref] = i2
+                            if cost_tmp < cost_bi:
+                                changed = True
+                                mv_bi[ilist] = mv
+                                ref_bi[ilist] = ref
+                                cost_bi = cost_tmp
+                                mot_bits[ilist] = bits_tmp - blk_bits[2] \
+                                    - mot_bits[1 - ilist]
+                                bits_bi = bits_tmp
+                                if n_iter != 1:
+                                    pred_store[ilist] = self._pred_pu_luma(
+                                        xp, yp, pw, ph, ilist, ref, mv,
+                                        cu_x, cu_y)
+                        if not changed:
+                            if cost_bi <= cost_uni[0] and \
+                                    cost_bi <= cost_uni[1]:
+                                r0 = ref_bi[0]
+                                p2, i2, bits_bi, cost_bi = \
+                                    self._check_best_mvp(
+                                        cands_arr[0][r0], mv_bi[0],
+                                        mvp_pred_bi[0][r0],
+                                        mvp_idx_bi[0][r0],
+                                        bits_bi, cost_bi)
+                                mvp_pred_bi[0][r0] = p2
+                                mvp_idx_bi[0][r0] = i2
+                                if not mvdl1z:
+                                    r1 = ref_bi[1]
+                                    p2, i2, bits_bi, cost_bi = \
+                                        self._check_best_mvp(
+                                            cands_arr[1][r1], mv_bi[1],
+                                            mvp_pred_bi[1][r1],
+                                            mvp_idx_bi[1][r1],
+                                            bits_bi, cost_bi)
+                                    mvp_pred_bi[1][r1] = p2
+                                    mvp_idx_bi[1][r1] = i2
+                            break
+
+                # final mode selection (TEncSearch.cpp:3660-3760)
+                if nbp or (lc > 0 and sh.ref_idx_of_l0_from_l1[0] == 0):
+                    cost_uni[1] = MAX_UINT
                 self._set_pu(f.merge_flag, xp, yp, pw, ph, False)
-                self._set_pu_motion(xp, yp, pw, ph, 0, ref, mv, mvd,
-                                    mvp_idx_arr[0][ref])
-                self._set_pu_motion(xp, yp, pw, ph, 1, -1, (0, 0), (0, 0),
-                                    -1)
-                last_mode = 0
-                me_bits = bits_uni[0]
+                if cost_bi <= cost_uni[0] and cost_bi <= cost_uni[1]:
+                    self._set_pu(f.inter_dir, xp, yp, pw, ph, 3)
+                    for lst in range(2):
+                        ref = ref_bi[lst]
+                        mv = mv_bi[lst]
+                        pred = mvp_pred_bi[lst][ref]
+                        mvd = (mv[0] - pred[0], mv[1] - pred[1])
+                        self._set_pu_motion(xp, yp, pw, ph, lst, ref, mv,
+                                            mvd, mvp_idx_bi[lst][ref])
+                    last_mode = 2
+                    me_bits = bits_bi
+                elif cost_uni[0] <= cost_uni[1]:
+                    ref = ref_uni[0]
+                    mv = mv_uni[0]
+                    pred = mv_pred_arr[0][ref]
+                    mvd = (mv[0] - pred[0], mv[1] - pred[1])
+                    self._set_pu(f.inter_dir, xp, yp, pw, ph, 1)
+                    self._set_pu_motion(xp, yp, pw, ph, 0, ref, mv, mvd,
+                                        mvp_idx_arr[0][ref])
+                    self._set_pu_motion(xp, yp, pw, ph, 1, -1, (0, 0),
+                                        (0, 0), -1)
+                    last_mode = 0
+                    me_bits = bits_uni[0]
+                else:
+                    ref = ref_uni[1]
+                    mv = mv_uni[1]
+                    pred = mv_pred_arr[1][ref]
+                    mvd = (mv[0] - pred[0], mv[1] - pred[1])
+                    self._set_pu(f.inter_dir, xp, yp, pw, ph, 2)
+                    self._set_pu_motion(xp, yp, pw, ph, 1, ref, mv, mvd,
+                                        mvp_idx_arr[1][ref])
+                    self._set_pu_motion(xp, yp, pw, ph, 0, -1, (0, 0),
+                                        (0, 0), -1)
+                    last_mode = 1
+                    me_bits = bits_uni[1]
 
             if part_sz != SIZE_2Nx2N:
                 self.mc.motion_cost_sad()

@@ -180,6 +180,39 @@ def _nal_unit_type(cfg: EncoderCfg, poc: int) -> int:
     return nal_mod.NAL_UNIT_CODED_SLICE
 
 
+def _generate_combined_list(sh, list0, list1) -> None:
+    """TComSlice::generateCombinedList (TComSlice.cpp:339): interleave
+    L0/L1 by index, skipping POC duplicates, and record the idx maps used
+    by GPB_SIMPLE_UNI uni-prediction estimation."""
+    if sh.num_ref_lc <= 0:
+        return
+    sh.num_ref_lc = 0
+    lists = (list0, list1)
+    list_id_from_lc: list = []
+    ref_idx_from_lc: list = []
+    for i in range(16):
+        for l in range(2):
+            if i >= sh.num_ref_idx[l]:
+                continue
+            in_lc = True
+            for j in range(sh.num_ref_lc):
+                other = lists[list_id_from_lc[j]][ref_idx_from_lc[j]]
+                if lists[l][i].poc == other.poc:
+                    if l == 0:
+                        sh.ref_idx_of_l1_from_l0[i] = ref_idx_from_lc[j]
+                        sh.ref_idx_of_l0_from_l1[ref_idx_from_lc[j]] = i
+                    else:
+                        sh.ref_idx_of_l0_from_l1[i] = ref_idx_from_lc[j]
+                        sh.ref_idx_of_l1_from_l0[ref_idx_from_lc[j]] = i
+                    in_lc = False
+                    break
+            if in_lc:
+                list_id_from_lc.append(l)
+                ref_idx_from_lc.append(i)
+                sh.ref_idx_of_lc[l][i] = sh.num_ref_lc
+                sh.num_ref_lc += 1
+
+
 class Encoder:
     """Full encoder pipeline (all-intra path this round)."""
 
@@ -297,6 +330,25 @@ class Encoder:
             else:
                 sh.check_ldc_flag = False
                 sh.mvd_l1_zero_flag = False
+            # encoder-internal combined list / noBackPred
+            # (TEncGOP.cpp:325-389; draft-8 LC has no bitstream syntax)
+            sh.no_back_pred = False
+            sh.num_ref_lc = 0
+            sh.ref_idx_of_lc = [[-1] * 16, [-1] * 16]
+            sh.ref_idx_of_l0_from_l1 = [-1] * 16
+            sh.ref_idx_of_l1_from_l0 = [-1] * 16
+            if sh.slice_type == 0:
+                use_lcomb = bool(cfg.use_lcomb)
+                if use_lcomb:
+                    sh.num_ref_lc = sh.num_ref_idx[0]
+                else:
+                    if (sh.num_ref_idx[0] == sh.num_ref_idx[1] and
+                            all(a.poc == b.poc
+                                for a, b in zip(list0, list1))):
+                        sh.no_back_pred = True
+                if sh.no_back_pred:
+                    sh.num_ref_lc = 0
+                _generate_combined_list(sh, list0, list1)
 
         f = FrameModel(sps, pps)
         h, w = sps.pic_height_in_luma_samples, sps.pic_width_in_luma_samples
