@@ -5,8 +5,7 @@ terminate :315, writeOut carry propagation :351, finish/flush) and
 TDecBinCoderCABAC.cpp (decodeBin :106, EP :152/:171, terminate :218).
 
 Contexts are a flat numpy uint8 array of 7-bit states ((prob<<1)|mps); the
-syntax layer addresses them by offset.  A native C++ fast path mirrors this
-implementation for production throughput (thevc_tpu/native).
+syntax layer addresses them by offset.
 """
 
 from __future__ import annotations

@@ -39,7 +39,7 @@ class DecodedPicture:
 class Decoder:
     """Sequential host decoder driving batched reconstruction ops."""
 
-    def __init__(self) -> None:
+    def __init__(self, max_temporal_layer: int = -1) -> None:
         self.vps_map: Dict[int, Vps] = {}
         self.sps_map: Dict[int, Sps] = {}
         self.pps_map: Dict[int, Pps] = {}
@@ -47,6 +47,9 @@ class Decoder:
         self.pending_sei: List[dict] = []
         self.pictures: List[DecodedPicture] = []
         self.dpb = Dpb()
+        # TAppDecTop.cpp:144-155: NALs above this temporal layer are dropped
+        # before decode (-1 = decode all layers).
+        self.max_temporal_layer = max_temporal_layer
 
     def decode_stream(self, data: bytes):
         """Decode a whole Annex-B stream, yielding pictures in POC order.
@@ -74,6 +77,9 @@ class Decoder:
         elif t == nal_mod.NAL_UNIT_SEI:
             self.pending_sei.extend(headers.parse_sei_rbsp(unit.rbsp))
         elif nal_mod.is_slice_nal(t):
+            if (self.max_temporal_layer >= 0
+                    and unit.temporal_id > self.max_temporal_layer):
+                return
             self._decode_slice(unit, bs)
 
     # ------------------------------------------------------------------

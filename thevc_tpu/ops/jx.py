@@ -153,4 +153,4 @@ def batched_satd4(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     d = a.astype(jnp.int32) - b.astype(jnp.int32)
     m = jnp.einsum("ij,bjk,kl->bil", h, d, h, preferred_element_type=jnp.int32)
     sad = jnp.sum(jnp.abs(m), axis=(-2, -1))
-    return (sad + 1) >> 1  # placeholder normalization; exact rule in ops.distortion
+    return (sad + 1) >> 1  # HM normalization ((sad+1)>>1), TComRdCost.cpp:1773
