@@ -97,3 +97,52 @@ def test_decode_inter_configs(oracle, test_clip_small, cfg, name):
         oracle_encode_small(cfg, test_clip_small, out)
     pics = _decode_ok(out)
     assert len(pics) == 9
+
+
+# ---------------------------------------------------------------------------
+# Frame partitioning: slices / dependent slices / tiles / WPP
+# (reference section 2e; TDecSlice.cpp:93+ CTU order + CABAC state rules)
+# ---------------------------------------------------------------------------
+
+_PART_STREAMS = {
+    # 2 slices per picture (SliceMode=1)
+    "slices": (1, ["--SliceMode=1", "--SliceArgument=14"]),
+    # 2x2 uniform tiles
+    "tiles": (1, ["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
+                  "--NumTileRowsMinus1=1"]),
+    # WaveFrontSynchro=1 (one substream per CTU row)
+    "wpp": (1, ["--WaveFrontSynchro=1"]),
+    # dependent slices (CABAC ctx carry-over)
+    "dep": (1, ["--DependentSliceMode=1", "--DependentSliceArgument=14"]),
+    # WPP + lowdelay_P inter
+    "wppP": (0, ["--WaveFrontSynchro=1"]),
+    # explicit-width tile columns + inter
+    "tilesP": (0, ["--UniformSpacingIdc=0", "--NumTileColumnsMinus1=2",
+                   "--ColumnWidthArray=2 3"]),
+    # 3 slices + inter
+    "slicesP": (0, ["--SliceMode=1", "--SliceArgument=10"]),
+    # tiles + slices combined
+    "ts": (1, ["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
+               "--SliceMode=1", "--SliceArgument=10"]),
+    # dependent slices + entropy sync (WPP-style row ctx)
+    "depw": (1, ["--DependentSliceMode=1", "--DependentSliceArgument=7",
+                 "--WaveFrontSynchro=1"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PART_STREAMS))
+def test_decode_partitioned_streams(oracle, test_clip, name):
+    """Digest-exact decode of multi-slice/tile/WPP/dependent-slice streams
+    (reference section 2e; TDecSlice.cpp:93+ CTU order + CABAC state)."""
+    intra, extra = _PART_STREAMS[name]
+    out = TESTDATA / f"part_{name}.bin"
+    if not out.exists():
+        cfg = "encoder_intra_main.cfg" if intra else "encoder_lowdelay_P_main.cfg"
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", f"/root/reference/cfg/{cfg}",
+             "-i", str(test_clip), "-wdt", "416", "-hgt", "240",
+             "-f", "2" if intra else "4", "-fr", "30", "-b", str(out),
+             "-o", "/dev/null", "--SEIpictureDigest=1", *extra],
+            check=True, capture_output=True)
+    _decode_ok(out)

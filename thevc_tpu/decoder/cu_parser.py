@@ -97,16 +97,30 @@ class SbacParser:
 
 class SliceDataParser:
     def __init__(self, frame: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
-                 bs: InputBitstream, mvctx=None):
+                 bs: InputBitstream, mvctx=None, slice_idx: int = 0,
+                 substreams=None, dep_ctx_in=None):
         self.f = frame
         self.mvctx = mvctx           # decoder.mv.MvCtx for P/B slices
         self.sh = sh
         self.sps = sps
         self.pps = pps
-        self.ctx = cc.make_context_states(sh.slice_type, sh.slice_qp,
-                                          sh.cabac_init_flag)
-        self.dec = BinDecoder(bs, self.ctx)
+        self.slice_idx = slice_idx
+        self._base_ctx = cc.make_context_states(sh.slice_type, sh.slice_qp,
+                                                sh.cabac_init_flag)
+        # Substream decoders (TDecGop::decompressSlice): one BinDecoder +
+        # context array per substream (WPP rows); plain slices have one.
+        if substreams is None:
+            substreams = [bs]
+        self._sub_bs = substreams
+        self._decs = [None] * len(substreams)
+        self.dec = self._get_dec(0)
         self.p = SbacParser(self.dec)
+        # WPP/tile context buffers, one per tile column
+        # (m_pcBufferSbacDecoders "save init. state": starts at slice init)
+        n_tile_cols = frame.tiles.n_cols if frame.tiles is not None else 1
+        self._buffer_ctx = [self._base_ctx.copy() for _ in range(n_tile_cols)]
+        self.dep_ctx_in = dep_ctx_in    # (ctx after 2nd LCU, ctx at dep end)
+        self.dep_ctx_out = None
         self.is_last = False
         self.dqp_flag = False
         self.last_dqp_nonzero = 0
@@ -116,6 +130,16 @@ class SliceDataParser:
         self.num_suc_ipcm = 0
         # current CTU position
         self.ctu_addr = 0
+
+    def _get_dec(self, sub: int) -> BinDecoder:
+        if self._decs[sub] is None:
+            self._decs[sub] = BinDecoder(self._sub_bs[sub],
+                                         self._base_ctx.copy())
+        return self._decs[sub]
+
+    def _switch_dec(self, sub: int) -> None:
+        self.dec = self._get_dec(sub)
+        self.p = SbacParser(self.dec)
 
     # ------------------------------------------------------------------
     # helpers mapping z-part index within current CTU to unit coords
@@ -138,18 +162,122 @@ class SliceDataParser:
     # slice loop
     # ------------------------------------------------------------------
     def parse_slice(self) -> None:
-        f = self.f
-        start_ctu = self.sh.slice_cur_start_cu_addr // f.parts_per_ctu
-        # mark slice bookkeeping for all units from start
-        for ctu in range(start_ctu, f.num_ctus):
-            self._mark_ctu_slice(ctu)
-        for ctu in range(start_ctu, f.num_ctus):
+        """CTU loop in tile-scan order with WPP/tile/dependent-slice CABAC
+        state handling (TDecSlice::decompressSlice, TDecSlice.cpp:93+).
+
+        Slice start addresses in ``self.sh`` must already be converted to
+        encode (tile-scan) order by the caller (TDecTop.cpp "convert the
+        start and end CU addresses ... into encoding order").
+        """
+        f, sh, pps = self.f, self.sh, self.pps
+        parts = f.parts_per_ctu
+        ctus_w = f.ctus_w
+        tiles = f.tiles
+        wpp = pps.tiles_or_entropy_coding_sync_idc == 2
+        allow_dep = (pps.dependent_slices_enabled_flag
+                     and not getattr(pps, "cabac_independent_flag", False))
+        nsub = len(self._sub_bs)
+        n_tiles = (tiles.n_cols * tiles.n_rows) if tiles is not None else 1
+        per_tile = max(1, nsub // n_tiles)
+
+        start_enc = max(sh.slice_cur_start_cu_addr,
+                        sh.dependent_slice_start_cu_addr) // parts
+        slice_start_raster = int(
+            f.ctu_order[sh.slice_cur_start_cu_addr // parts])
+        dep_start_raster = int(
+            f.ctu_order[sh.dependent_slice_start_cu_addr // parts])
+
+        # dependent slice: restore contexts from the previous segment
+        # (TDecSlice.cpp:186-196)
+        if allow_dep and sh.dependent_slice and self.dep_ctx_in is not None:
+            ctx2, ctx_end = self.dep_ctx_in
+            if wpp and ctx2 is not None:
+                self._buffer_ctx[0][:] = ctx2
+            self._get_dec(0).ctx[:] = ctx_end
+
+        tile_col = 0
+        for enc in range(start_enc, f.num_ctus):
+            ctu = int(f.ctu_order[enc])
             self.ctu_addr = ctu
+            self._mark_ctu_slice(ctu)
+            col, lin = ctu % ctus_w, ctu // ctus_w
+            if tiles is not None:
+                tile = int(tiles.tile_idx_map[ctu])
+                tile_col = tile % tiles.n_cols
+                tile_first = int(tiles.first_cu[tile])
+            else:
+                tile = 0
+                tile_col = 0
+                tile_first = 0
+            tile_lcux = tile_first % ctus_w
+
+            # substream selection + WPP top-right context inherit
+            if nsub > 1 or (allow_dep and col == tile_lcux and wpp):
+                sub = (tile * per_tile + lin % per_tile) if nsub > 1 else 0
+                self._switch_dec(sub)
+                if col == tile_lcux and wpp:
+                    self._wpp_row_sync(ctu, tile, tile_col, allow_dep)
+            elif nsub == 1 and tiles is not None and n_tiles > 1:
+                # crossing into another tile (single substream): CABAC
+                # terminate + byte align + context re-init (TDecSlice:269+)
+                if (ctu == tile_first and ctu != 0
+                        and ctu != slice_start_raster
+                        and ctu != dep_start_raster):
+                    self._tile_ctx_reset()
+
             if self.sps.use_sao and self.sh.sao_enabled:
-                self._parse_sao_ctu(ctu, start_ctu)
+                allow_left = allow_up = True
+                if tiles is not None:
+                    if col > 0 and tiles.tile_idx_map[ctu - 1] != tile:
+                        allow_left = False
+                    if lin > 0 and tiles.tile_idx_map[ctu - ctus_w] != tile:
+                        allow_up = False
+                self._parse_sao_ctu(ctu, slice_start_raster,
+                                    allow_left, allow_up)
             self._decode_ctu()
+
+            # store contexts after 2nd LCU of a row (WPP)
+            if (wpp and col == tile_lcux + 1
+                    and (nsub > 1 or allow_dep)):
+                self._buffer_ctx[tile_col][:] = self.dec.ctx
             if self.is_last:
                 break
+
+        if allow_dep:
+            self.dep_ctx_out = (
+                self._buffer_ctx[tile_col].copy() if wpp else None,
+                self.dec.ctx.copy())
+
+    def _wpp_row_sync(self, ctu: int, tile: int, tile_col: int,
+                      allow_dep: bool) -> None:
+        """Inherit CABAC contexts from the top-right CTU's saved state when
+        starting a CTU row (TDecSlice.cpp:228-262)."""
+        f, sh = self.f, self.sh
+        ctus_w = f.ctus_w
+        parts = f.parts_per_ctu
+        tr_exists = ctu >= ctus_w and (ctu % ctus_w) + 1 < ctus_w
+        if not tr_exists:
+            return
+        tr = ctu - ctus_w + 1
+        tr_end = int(f.ctu_inv_order[tr]) * parts + parts - 1
+        same_tile = (f.tiles is None
+                     or f.tiles.tile_idx_map[tr] == f.tiles.tile_idx_map[ctu])
+        if (same_tile and tr_end >= sh.slice_cur_start_cu_addr
+                and tr_end >= sh.dependent_slice_start_cu_addr):
+            self.dec.ctx[:] = self._buffer_ctx[tile_col]
+        elif (allow_dep and ctu != 0 and same_tile
+              and tr_end >= sh.slice_cur_start_cu_addr):
+            self.dec.ctx[:] = self._buffer_ctx[tile_col]
+
+    def _tile_ctx_reset(self) -> None:
+        """TDecSbac::updateContextTables: terminate, align, re-init, restart."""
+        self.dec.decode_bin_trm()
+        bs = self.dec.bs
+        while bs.num_bits_left > 0 and bs.bits_until_byte_aligned != 0:
+            bs.read(1)
+        self.dec.ctx[:] = cc.make_context_states(
+            self.sh.slice_type, self.sh.slice_qp, self.sh.cabac_init_flag)
+        self.dec.start()
 
     def _mark_ctu_slice(self, ctu: int) -> None:
         f = self.f
@@ -158,17 +286,18 @@ class SliceDataParser:
         sl = slice(cy * upr, (cy + 1) * upr), slice(cx * upr, (cx + 1) * upr)
         f.slice_start[sl] = self.sh.slice_cur_start_cu_addr
         f.dep_slice_start[sl] = self.sh.dependent_slice_start_cu_addr
+        f.slice_idx[sl] = self.slice_idx
 
     # ------------------------------------------------------------------
     # SAO per-CTU parameters (parseSaoOneLcuInterleaving)
     # ------------------------------------------------------------------
-    def _parse_sao_ctu(self, ctu: int, start_ctu: int) -> None:
+    def _parse_sao_ctu(self, ctu: int, start_ctu: int,
+                       allow_left: bool = True, allow_up: bool = True) -> None:
         f = self.f
         rx = ctu % f.ctus_w
         ry = ctu // f.ctus_w
         cu_addr_in_slice = ctu - start_ctu
         cu_addr_up_in_slice = cu_addr_in_slice - f.ctus_w
-        allow_left = allow_up = True  # tiles: adjust when tiles added
         sao_flag = [self.sh.sao_enabled, self.sh.sao_enabled_chroma]
 
         for comp in range(3):

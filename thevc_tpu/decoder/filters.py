@@ -18,7 +18,7 @@ from .frame import (MODE_INTRA, SIZE_2NxN, SIZE_2NxnD, SIZE_2NxnU, SIZE_NxN,
 
 
 def _edge_maps(f: FrameModel, sh: SliceHeader, direction: int,
-               ref_pocs=None):
+               ref_poc=None):
     """Edge flags / BS / per-side QP and no-filter maps for one direction.
 
     direction 0 = VER (edge left of unit), 1 = HOR (edge above unit).
@@ -67,8 +67,9 @@ def _edge_maps(f: FrameModel, sh: SliceHeader, direction: int,
     if not sh.lf_cross_slice_boundary_flag:
         diff_slice = f.slice_idx[p_uy, p_ux] != f.slice_idx[uy, ux]
         flags &= ~(cu_edge & diff_slice)
-    diff_tile = f.tile_idx[p_uy, p_ux] != f.tile_idx[uy, ux]
-    flags &= ~(cu_edge & diff_tile)
+    if not f.pps.lf_cross_tile_boundary_flag:
+        diff_tile = f.tile_idx[p_uy, p_ux] != f.tile_idx[uy, ux]
+        flags &= ~(cu_edge & diff_tile)
 
     # boundary strength (xGetBoundaryStrengthSingle)
     p_intra = f.pred_mode[p_uy, p_ux] == MODE_INTRA
@@ -76,7 +77,7 @@ def _edge_maps(f: FrameModel, sh: SliceHeader, direction: int,
     bs = np.where(flags & (p_intra | q_intra), 2, 0).astype(np.uint8)
 
     inter_edge = flags & ~p_intra & ~q_intra
-    if inter_edge.any() and ref_pocs is not None:
+    if inter_edge.any() and ref_poc is not None:
         # BS=1 from luma cbf applies only on TU/CU boundaries: m_aapucBS is
         # pre-seeded in xSetEdgefilterMultiple only at edge offset 0 — PU
         # internal edges (e.g. the Nx2N half edge) get the motion compare
@@ -99,14 +100,9 @@ def _edge_maps(f: FrameModel, sh: SliceHeader, direction: int,
             mv_p_ux = np.where(cross & (xm == 1), p_ux - 1,
                                np.where(cross & (xm == 2), p_ux + 1, p_ux))
 
-        NULLP = -(2 ** 30)
-        poc_lut = [None, None]
-        for lst in range(2):
-            lut = np.array(ref_pocs[lst] + [NULLP], np.int64)
-            poc_lut[lst] = lut
-        rq = [poc_lut[l][np.where(f.ref_idx[l] < 0, len(ref_pocs[l]),
-                                  f.ref_idx[l].astype(np.int64))]
-              for l in range(2)]
+        # per-unit reference POCs (resolved per slice by the caller, since
+        # reference lists are per-slice in the reference)
+        rq = [ref_poc[l] for l in range(2)]
         rp = [r[mv_p_uy, mv_p_ux] for r in rq]
         mq = [f.mv[l].astype(np.int64) for l in range(2)]
         mp = [m[mv_p_uy, mv_p_ux] for m in mq]
@@ -145,16 +141,26 @@ def _edge_maps(f: FrameModel, sh: SliceHeader, direction: int,
     return flags, bs, qp_p, qp_q, no_p, no_q
 
 
+def ref_poc_from_lists(f: FrameModel, ref_pocs) -> np.ndarray:
+    """Per-unit [2, uh, uw] reference-POC map from single-slice ref lists."""
+    NULLP = -(2 ** 30)
+    ref_poc = np.full(f.ref_idx.shape, NULLP, np.int64)
+    for lst in range(2):
+        for idx, poc in enumerate(ref_pocs[lst]):
+            ref_poc[lst][f.ref_idx[lst] == idx] = poc
+    return ref_poc
+
+
 def deblock_frame(f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
                   rec_y: np.ndarray, rec_cb: np.ndarray, rec_cr: np.ndarray,
-                  ref_pocs=None) -> None:
+                  ref_poc=None) -> None:
     if sh.loop_filter_disable:
         return
     f.sps_pcm_nofilter = sps.use_pcm and sps.pcm_filter_disable_flag
     bd = sps.internal_bit_depth
     for direction in (0, 1):
         flags, bs, qp_p, qp_q, no_p, no_q = _edge_maps(f, sh, direction,
-                                                       ref_pocs)
+                                                       ref_poc)
         dbk.filter_luma_edges(rec_y, flags, bs, qp_p, qp_q, no_p, no_q,
                               direction, sh.loop_filter_beta_offset,
                               sh.loop_filter_tc_offset, bd)

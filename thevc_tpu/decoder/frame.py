@@ -122,9 +122,21 @@ class FrameModel:
         self.z2r = rom.zscan_to_raster(self.max_depth + 1)
         self.r2z = rom.raster_to_zscan(self.max_depth + 1)
 
-        # CTU decode order: raster without tiles (tiles later)
+        # CTU decode order: raster without tiles; init_tiles installs the
+        # tile-scan order (TComPicSym CUOrderMap / InverseCUOrderMap)
         self.ctu_order = np.arange(self.num_ctus, dtype=np.int64)
         self.ctu_inv_order = self.ctu_order.copy()
+        self.tiles = None
+
+    def init_tiles(self, tiles) -> None:
+        """Install tile geometry (common.tiles.TileInfo) for this picture."""
+        self.tiles = tiles
+        self.ctu_order = tiles.ctu_order
+        self.ctu_inv_order = tiles.inv_order
+        upr = self.units_per_row
+        tile_per_ctu = tiles.tile_idx_map.reshape(self.ctus_h, self.ctus_w)
+        self.tile_idx[:, :] = np.repeat(np.repeat(tile_per_ctu, upr, axis=0),
+                                        upr, axis=1)
 
     # -- coordinate helpers -------------------------------------------------
     def unit_order(self, ux: int, uy: int) -> int:

@@ -187,10 +187,15 @@ class _FrameRecon:
 
 def reconstruct_frame(f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
                       rec_y: np.ndarray, rec_cb: np.ndarray,
-                      rec_cr: np.ndarray, inter_pred=None) -> None:
-    """Walk CUs in decode order, reconstructing each (TDecCu::decodeCU)."""
+                      rec_cr: np.ndarray, inter_pred=None,
+                      cu_range=None) -> None:
+    """Walk CUs in decode order, reconstructing each (TDecCu::decodeCU).
+
+    cu_range=(start, end) restricts to one slice's CUs so each slice is
+    reconstructed with its own reference lists (multi-slice pictures)."""
     r = _FrameRecon(f, sh, sps, pps, rec_y, rec_cb, rec_cr, inter_pred)
-    for (px, py, size, mode, l0, l1, c0, c1) in f.cu_list:
+    lo, hi = cu_range if cu_range is not None else (0, len(f.cu_list))
+    for (px, py, size, mode, l0, l1, c0, c1) in f.cu_list[lo:hi]:
         if mode == MODE_INTRA:
             for tu in f.luma_tus[l0:l1]:
                 r.intra_luma_tu(tu)

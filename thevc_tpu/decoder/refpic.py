@@ -18,7 +18,8 @@ NOT_VALID = -1
 class Picture:
     """A decoded picture in the DPB with its colocated-motion snapshot."""
 
-    def __init__(self, poc: int, planes, frame, sh, ref_pocs, margin: int):
+    def __init__(self, poc: int, planes, frame, sh, ref_pocs, margin: int,
+                 ref_poc: np.ndarray | None = None):
         self.poc = poc
         self.rec_y, self.rec_cb, self.rec_cr = planes
         self.referenced = True
@@ -36,11 +37,14 @@ class Picture:
         self.ref_idx = frame.ref_idx.copy()       # [list, uy, ux]
         # resolved reference POC per unit/list (slice ref lists die with the
         # slice; TMVP needs getRefPOC of the *colocated* slice)
-        shape = frame.ref_idx.shape
-        self.ref_poc = np.full(shape, -(10 ** 9), np.int64)
-        for lst in range(2):
-            for idx, poc_ref in enumerate(ref_pocs[lst]):
-                self.ref_poc[lst][frame.ref_idx[lst] == idx] = poc_ref
+        if ref_poc is not None:
+            self.ref_poc = ref_poc.copy()
+        else:
+            shape = frame.ref_idx.shape
+            self.ref_poc = np.full(shape, -(10 ** 9), np.int64)
+            for lst in range(2):
+                for idx, poc_ref in enumerate(ref_pocs[lst]):
+                    self.ref_poc[lst][frame.ref_idx[lst] == idx] = poc_ref
 
     def compress_motion(self) -> None:
         """TComCUMvField::compress with scale 4: each 16-part group (4x4

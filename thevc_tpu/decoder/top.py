@@ -1,14 +1,21 @@
-"""Decoder top: NAL dispatch, parameter-set activation, per-picture decode
-pipeline, DPB output ordering, digest verification.
+"""Decoder top: NAL dispatch, parameter-set activation, picture/slice
+separation, per-picture decode pipeline, DPB output ordering, digest
+verification.
 
-Behavioral reference: TDecTop.cpp (decode :663, xDecodeSlice :318,
-xActivateParameterSets :271), TDecGop.cpp (decompressSlice :112,
+Behavioral reference: TDecTop.cpp (decode :663, xDecodeSlice :318 incl.
+new-picture detection and the slice/picture split, xActivateParameterSets
+:271), TDecGop.cpp (decompressSlice :112 substream extraction,
 filterPicture :201), TAppDecTop.cpp output rules (:195-205, :244+).
+
+A picture accumulates all of its slice segments (including dependent
+slices) into one FrameModel; reconstruction, deblocking, SAO and digest
+verification run once per picture when its last slice has been parsed.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import copy
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -16,6 +23,7 @@ import numpy as np
 from .. import nal as nal_mod
 from .. import headers
 from ..bitstream import InputBitstream
+from ..common.tiles import TileInfo
 from ..digest import calc_digest
 from ..io.yuv import YuvFrame
 from ..params import Pps, SliceHeader, Sps, Vps
@@ -36,6 +44,31 @@ class DecodedPicture:
     digest_ok: Optional[bool] = None
 
 
+class _SliceRun:
+    """One parsed slice segment and its reconstruction context."""
+
+    def __init__(self, sh, list0, list1, inter_pred, cu_start: int):
+        self.sh = sh
+        self.list0 = list0
+        self.list1 = list1
+        self.inter_pred = inter_pred
+        self.cu_start = cu_start
+        self.cu_end = cu_start
+
+
+class _PicCtx:
+    """A picture being accumulated slice by slice."""
+
+    def __init__(self, f: FrameModel, sps: Sps, pps: Pps, sei: List[dict]):
+        self.f = f
+        self.sps = sps
+        self.pps = pps
+        self.sei = sei
+        self.slices: List[_SliceRun] = []
+        self.n_regular = 0          # count of non-dependent slices
+        self.dep_ctx = None         # CABAC ctx chain for dependent slices
+
+
 class Decoder:
     """Sequential host decoder driving batched reconstruction ops."""
 
@@ -47,20 +80,23 @@ class Decoder:
         self.pending_sei: List[dict] = []
         self.pictures: List[DecodedPicture] = []
         self.dpb = Dpb()
+        self.cur: Optional[_PicCtx] = None
         # TAppDecTop.cpp:144-155: NALs above this temporal layer are dropped
         # before decode (-1 = decode all layers).
         self.max_temporal_layer = max_temporal_layer
 
     def decode_stream(self, data: bytes):
-        """Decode a whole Annex-B stream, yielding pictures in POC order.
-
-        (All-intra round 1: every picture is an AU of its own; full DPB
-        reorder rules arrive with the inter configs.)
-        """
+        """Decode a whole Annex-B stream, returning pictures in POC order."""
         for unit in nal_mod.iter_annexb_nals(data):
             self.decode_nal(unit)
+        self.flush()
         return [p for p in sorted(self.pictures, key=lambda p: p.poc)
                 if p.output]
+
+    def flush(self) -> None:
+        """Finish the picture in flight (end of stream)."""
+        if self.cur is not None:
+            self._finish_picture()
 
     def decode_nal(self, unit: nal_mod.NalUnit) -> None:
         bs = InputBitstream(unit.rbsp)
@@ -74,6 +110,17 @@ class Decoder:
         elif t == nal_mod.NAL_UNIT_PPS:
             pps = headers.parse_pps(bs)
             self.pps_map[pps.pps_id] = pps
+            # substream model, set at PPS activation (TDecTop.cpp:284,
+            # reached from xDecodePPS): WPP = one per CTU row; dependent
+            # slices force one
+            sps = self.sps_map[pps.sps_id]
+            if pps.tiles_or_entropy_coding_sync_idc == 2:
+                pps.num_substreams = sps.pic_height_in_ctus * (
+                    pps.num_tile_columns_minus1 + 1)
+            else:
+                pps.num_substreams = 1
+            if pps.dependent_slices_enabled_flag:
+                pps.num_substreams = 1
         elif t == nal_mod.NAL_UNIT_SEI:
             self.pending_sei.extend(headers.parse_sei_rbsp(unit.rbsp))
         elif nal_mod.is_slice_nal(t):
@@ -84,18 +131,63 @@ class Decoder:
 
     # ------------------------------------------------------------------
     def _decode_slice(self, unit: nal_mod.NalUnit, bs: InputBitstream) -> None:
+        prev_sh = self.cur.slices[-1].sh if (self.cur and self.cur.slices) \
+            else None
         sh, sps, pps = headers.parse_slice_header(
             bs, unit.nal_type, unit.temporal_id, self.sps_map, self.pps_map,
-            self.prev_poc)
+            self.prev_poc, prev_slice=prev_sh)
+
+        if pps.dependent_slices_enabled_flag and sh.dependent_slice:
+            # dependent slice segment: inherit everything but the segment
+            # address from the previous slice (TDecTop copySliceInfo)
+            if prev_sh is None:
+                raise ValueError("dependent slice without preceding slice")
+            dep_start = sh.dependent_slice_start_cu_addr
+            merged = copy.copy(prev_sh)
+            merged.first_slice_in_pic = sh.first_slice_in_pic
+            merged.dependent_slice = True
+            merged.dependent_slice_start_cu_addr = dep_start
+            merged.nal_unit_type = sh.nal_unit_type
+            merged.temporal_id = sh.temporal_id
+            sh = merged
+            new_pic = False
+        else:
+            sh.dependent_slice = False
+            new_pic = sh.first_slice_in_pic or (
+                self.cur is not None and self.cur.slices
+                and sh.poc != self.cur.slices[0].sh.poc)
+
+        if new_pic and self.cur is not None:
+            self._finish_picture()
         self.prev_poc = sh.poc
 
-        # DPB bookkeeping (TDecTop::xDecodeSlice)
-        if unit.nal_type == nal_mod.NAL_UNIT_CODED_SLICE_IDR:
-            self.dpb.idr_flush()
-        else:
-            self.dpb.apply_rps(sh.rps, sh.poc)
+        if self.cur is None:
+            # first slice of a picture: DPB bookkeeping + picture alloc
+            # (TDecTop::xDecodeSlice "if (m_bFirstSliceInPicture)")
+            if unit.nal_type == nal_mod.NAL_UNIT_CODED_SLICE_IDR:
+                self.dpb.idr_flush()
+            else:
+                self.dpb.apply_rps(sh.rps, sh.poc)
+            f = FrameModel(sps, pps)
+            f.init_tiles(TileInfo(f.ctus_w, f.ctus_h, pps))
+            self.cur = _PicCtx(f, sps, pps, self.pending_sei)
+            self.pending_sei = []
+        cur = self.cur
+        f = cur.f
 
-        f = FrameModel(sps, pps)
+        # convert coded (raster) slice addresses to encode/tile-scan order
+        # (TDecTop.cpp "convert the start and end CU addresses")
+        parts = f.parts_per_ctu
+        if not sh.dependent_slice:
+            lcu = sh.slice_cur_start_cu_addr // parts
+            sh.slice_cur_start_cu_addr = int(f.ctu_inv_order[lcu]) * parts
+            sh.dependent_slice_start_cu_addr = sh.slice_cur_start_cu_addr
+            cur.n_regular += 1
+        else:
+            lcu = sh.dependent_slice_start_cu_addr // parts
+            sh.dependent_slice_start_cu_addr = int(
+                f.ctu_inv_order[lcu]) * parts
+
         list0: list = []
         list1: list = []
         inter_pred = None
@@ -110,33 +202,95 @@ class Decoder:
             ldc = check_ldc(sh, list0, list1)
             mvctx = MvCtx(f, sh, sps, pps, list0, list1, col_pic, ldc)
             inter_pred = InterPredictor(f, sh, sps, pps, list0, list1)
-        parser = SliceDataParser(f, sh, sps, pps, bs, mvctx)
+
+        # WPP: split the slice data into per-row substreams
+        # (TDecGop::decompressSlice, TComBitStream::extractSubstream)
+        substreams = None
+        if pps.num_substreams > 1:
+            sizes = list(sh.substream_sizes)
+            substreams = []
+            for i in range(pps.num_substreams):
+                n_bits = sizes[i] if i < len(sizes) else bs.num_bits_left
+                substreams.append(bs.extract_substream(n_bits))
+
+        run = _SliceRun(sh, list0, list1, inter_pred, len(f.cu_list))
+        parser = SliceDataParser(
+            f, sh, sps, pps, bs, mvctx,
+            slice_idx=max(cur.n_regular - 1, 0),
+            substreams=substreams, dep_ctx_in=cur.dep_ctx)
         parser.parse_slice()
+        cur.dep_ctx = parser.dep_ctx_out
+        run.cu_end = len(f.cu_list)
+        cur.slices.append(run)
+
+    # ------------------------------------------------------------------
+    def _finish_picture(self) -> None:
+        """Reconstruct, filter, and store the accumulated picture
+        (TDecTop::executeDeblockAndAlf / TDecGop::filterPicture)."""
+        cur, self.cur = self.cur, None
+        f, sps, pps = cur.f, cur.sps, cur.pps
+        sh0 = cur.slices[0].sh
 
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
         rec_y = np.zeros((h, w), np.int16)
         rec_cb = np.zeros((h // 2, w // 2), np.int16)
         rec_cr = np.zeros((h // 2, w // 2), np.int16)
-        ref_pocs = [[p.poc for p in list0], [p.poc for p in list1]]
-        reconstruct_frame(f, sh, sps, pps, rec_y, rec_cb, rec_cr, inter_pred)
-        deblock_frame(f, sh, sps, pps, rec_y, rec_cb, rec_cr,
-                      ref_pocs if not sh.is_intra else None)
-        rec_y, rec_cb, rec_cr = sao_frame(f, sh, sps, rec_y, rec_cb, rec_cr)
+
+        for run in cur.slices:
+            reconstruct_frame(f, run.sh, sps, pps, rec_y, rec_cb, rec_cr,
+                              run.inter_pred,
+                              cu_range=(run.cu_start, run.cu_end))
+
+        # per-unit reference POC map for deblock BS + the DPB motion snapshot
+        ref_poc = self._resolve_ref_pocs(cur)
+        any_inter = any(not run.sh.is_intra for run in cur.slices)
+        deblock_frame(f, sh0, sps, pps, rec_y, rec_cb, rec_cr,
+                      ref_poc if any_inter else None)
+        rec_y, rec_cb, rec_cr = sao_frame(f, sh0, sps, rec_y, rec_cb, rec_cr)
 
         # store in DPB with colocated-motion snapshot (TComPic::compressMotion)
-        dpb_pic = Picture(sh.poc, (rec_y, rec_cb, rec_cr), f, sh, ref_pocs,
-                          margin=sps.max_cu_width + 16)
+        ref_pocs0 = [[p.poc for p in cur.slices[0].list0],
+                     [p.poc for p in cur.slices[0].list1]]
+        dpb_pic = Picture(sh0.poc, (rec_y, rec_cb, rec_cr), f, sh0, ref_pocs0,
+                          margin=sps.max_cu_width + 16, ref_poc=ref_poc)
         dpb_pic.compress_motion()
         self.dpb.add(dpb_pic)
 
         frame = YuvFrame(rec_y, rec_cb, rec_cr)
-        pic = DecodedPicture(sh.poc, frame)
+        pic = DecodedPicture(sh0.poc, frame)
+        pic.output = sh0.pic_output_flag
 
         # digest verification (TDecGop::filterPicture)
-        for sei in self.pending_sei:
+        for sei in cur.sei:
             if sei.get("type") == "picture_digest":
                 got = calc_digest(sei["method"], frame.planes(),
                                   sps.internal_bit_depth)
                 pic.digest_ok = got == list(sei["digest"])
-        self.pending_sei = []
         self.pictures.append(pic)
+
+    @staticmethod
+    def _resolve_ref_pocs(cur: _PicCtx) -> np.ndarray:
+        """Per-unit [2, uh, uw] reference POC from each unit's slice's
+        reference lists (ref lists are per-slice in the reference)."""
+        f = cur.f
+        NULLP = -(2 ** 30)
+        ref_poc = np.full(f.ref_idx.shape, NULLP, np.int64)
+        for si, run in enumerate(cur.slices):
+            if run.sh.is_intra:
+                continue
+            mask = f.slice_idx == Decoder._regular_idx(cur, si)
+            for lst, lst_pics in ((0, run.list0), (1, run.list1)):
+                for idx, p in enumerate(lst_pics):
+                    m = mask & (f.ref_idx[lst] == idx)
+                    ref_poc[lst][m] = p.poc
+        return ref_poc
+
+    @staticmethod
+    def _regular_idx(cur: _PicCtx, slice_pos: int) -> int:
+        """Regular-slice index of the slice at position slice_pos (dependent
+        slices share their parent's index)."""
+        n = -1
+        for i in range(slice_pos + 1):
+            if not cur.slices[i].sh.dependent_slice:
+                n += 1
+        return max(n, 0)

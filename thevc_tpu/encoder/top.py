@@ -378,9 +378,11 @@ class Encoder:
         se.compress_slice(cu)
 
         # in-loop filters run before the final entropy pass (TEncGOP:631+)
+        from ..decoder.filters import ref_poc_from_lists
         ref_pocs = [[p.poc for p in list0], [p.poc for p in list1]]
         deblock_frame(f, sh, sps, pps, rec_y, rec_cb, rec_cr,
-                      ref_pocs if not sh.is_intra else None)
+                      ref_poc_from_lists(f, ref_pocs)
+                      if not sh.is_intra else None)
         sao_write = None
         if sps.use_sao:
             from .sao_encoder import SaoEncoder
