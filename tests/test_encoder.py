@@ -127,3 +127,33 @@ def test_encoder_lowdelay_p_byte_exact(oracle, test_clip_small, tmp_path):
               "-f", "5", "-fr", "30", "-b", str(out),
               "-o", "/dev/null", "--SEIpictureDigest=1"])
     assert out.read_bytes() == ref_bin.read_bytes()
+
+
+# ---------------------------------------------------------------------------
+# Frame partitioning on the encode side: slices / dependent slices / tiles /
+# WPP (TEncGOP.cpp:560-625 segmentation, TEncSlice.cpp compress/encode
+# passes, substream concat + entry points TEncGOP.cpp:904-976)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,extra", [
+    ("slices", ["--SliceMode=1", "--SliceArgument=2"]),
+    ("tiles", ["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1"]),
+    ("wpp", ["--WaveFrontSynchro=1"]),
+    ("dep", ["--DependentSliceMode=1", "--DependentSliceArgument=2"]),
+    ("depw", ["--DependentSliceMode=1", "--DependentSliceArgument=1",
+              "--WaveFrontSynchro=1"]),
+    ("tiles_slices", ["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
+                      "--SliceMode=1", "--SliceArgument=1"]),
+])
+def test_encode_partitioned_byte_exact(oracle, small_clip, tmp_path,
+                                       name, extra):
+    """Multi-slice / tiles / WPP / dependent-slice encode: byte-exact."""
+    hm_bin = TESTDATA / f"enc_part_{name}_96x80.bin"
+    if not hm_bin.exists():
+        _oracle_encode(small_clip, hm_bin, 96, 80, 2, extra)
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(small_clip), "-b", str(my_bin),
+                  "-wdt", "96", "-hgt", "80", "-f", "2", "-fr", "30",
+                  "--SEIpictureDigest=1", *extra])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()

@@ -207,9 +207,15 @@ class FrameModel:
         """getIntraDirLumaPredictor (TComDataCU.cpp:1928).
 
         NB the above neighbor is unavailable across the CTU boundary
-        (planarAtLCUBoundary=true in the reference call).
+        (planarAtLCUBoundary=true in the reference call), and the LEFT
+        neighbor — unlike every other derivation in this cut — enforces
+        the dependent-slice restriction (getPULeft default arguments at
+        TComDataCU.cpp:1936 vs the bDepSliceRestriction carve-outs).
         """
         n = self.left_unit(ux, uy)
+        if n is not None and self.unit_order(n[0], n[1]) < \
+                int(self.dep_slice_start[uy, ux]):
+            n = None
         left_dir = int(self.luma_dir[n[1], n[0]]) if (
             n is not None and self.pred_mode[n[1], n[0]] == MODE_INTRA) else DC_IDX
         n = self.above_unit(ux, uy, planar_at_ctu_boundary=True)

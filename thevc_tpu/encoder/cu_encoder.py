@@ -1601,17 +1601,25 @@ class CuEncoder:
         if (((px + size) % gran == 0 or (px + size) == f.width) and
                 ((py + size) % gran == 0 or (py + size) == f.height)):
             cur_parts = f.parts_per_ctu >> (depth << 1)
-            scu = self.ctu_addr * f.parts_per_ctu + abs_part
+            # pcCU->getSCUAddr() is in encode (tile-scan) order
+            scu = int(f.ctu_inv_order[self.ctu_addr]) * f.parts_per_ctu \
+                + abs_part
             terminate = (scu + cur_parts == self._slice_end_scu())
             if not terminate:
                 w.code_terminating_bit(0)
 
     def _slice_end_scu(self) -> int:
-        """finishCU's real-end-address computation (TEncCu.cpp:1000)."""
+        """finishCU's real-end-address computation (TEncCu.cpp:1000):
+        the dependent-slice end address walked back past out-of-picture
+        parts, in encode order."""
         f = self.f
-        end = self.sh.slice_cur_end_cu_addr
-        internal = (end - 1) % f.parts_per_ctu
-        external = (end - 1) // f.parts_per_ctu
+        parts = f.parts_per_ctu
+        end = getattr(self.sh, "dependent_slice_end_cu_addr", 0) \
+            or self.sh.slice_cur_end_cu_addr
+        raster = int(f.ctu_order[(end - 1) // parts]) * parts \
+            + (end - 1) % parts
+        internal = raster % parts
+        external = raster // parts
         upr = f.units_per_row
         while True:
             r = int(f.z2r[internal])
@@ -1621,10 +1629,14 @@ class CuEncoder:
                 break
             internal -= 1
         internal += 1
-        if internal == f.parts_per_ctu:
+        if internal == parts:
             internal = 0
-            external += 1
-        return external * f.parts_per_ctu + internal
+            nxt = int(f.ctu_inv_order[external]) + 1
+            external = int(f.ctu_order[nxt]) if nxt < f.num_ctus \
+                else f.num_ctus
+        if external >= f.num_ctus:
+            return f.num_ctus * parts
+        return int(f.ctu_inv_order[external]) * parts + internal
 
     def _final_transform_tree(self, abs_part: int, depth: int,
                               tr_idx: int) -> None:

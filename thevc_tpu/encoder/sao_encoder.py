@@ -521,10 +521,19 @@ class SaoEncoder:
         rec = [rec_y, rec_cb, rec_cr]
         org = [self.org_y, self.org_cb, self.org_cr]
 
+        # per-CTU tile and slice indices for merge allowances
+        # (rdoSaoUnitAll: "check tile id and slice id")
+        upr = f.units_per_row
+        ctu_tile = f.tile_idx[::upr, ::upr].reshape(-1)
+        ctu_slice = f.slice_idx[::upr, ::upr].reshape(-1)
+
         for ctu in range(f.num_ctus):
             rx, ry = ctu % f.ctus_w, ctu // f.ctus_w
-            allow_l = rx != 0     # tiles/slices: single slice, no tiles
-            allow_u = ry != 0
+            allow_l = rx != 0 and ctu_tile[ctu - 1] == ctu_tile[ctu] and \
+                ctu_slice[ctu - 1] == ctu_slice[ctu]
+            allow_u = ry != 0 and \
+                ctu_tile[ctu - f.ctus_w] == ctu_tile[ctu] and \
+                ctu_slice[ctu - f.ctus_w] == ctu_slice[ctu]
 
             comp_distortion = [0.0, 0.0, 0.0]
             self._load(self.curr_best)
@@ -612,12 +621,17 @@ class SaoEncoder:
         f = self.f
         bsao = self.bsao
 
-        def sao_write(w: SbacWriter, ctu: int) -> None:
+        def sao_write(w: SbacWriter, ctu: int, cu_in_slice: int = None,
+                      tile_ok_l: bool = True, tile_ok_u: bool = True) -> None:
+            """Final-pass SAO syntax for one CTU (TEncSlice.cpp:1241-1332).
+            cu_in_slice is the raster distance from the slice start;
+            tile_ok_* gate merges across tile boundaries."""
             rx, ry = ctu % f.ctus_w, ctu // f.ctus_w
-            cu_in_slice = ctu  # single slice starting at 0
+            if cu_in_slice is None:
+                cu_in_slice = ctu
             cu_up_in_slice = cu_in_slice - f.ctus_w
-            allow_l = rx > 0 and cu_in_slice != 0
-            allow_u = ry > 0 and cu_up_in_slice >= 0
+            allow_l = tile_ok_l and rx > 0 and cu_in_slice != 0
+            allow_u = tile_ok_u and ry > 0 and cu_up_in_slice >= 0
             if not bsao[0]:
                 return   # per-CTU SAO writes gated on the LUMA flag only
             merge_left = int(f.sao_merge_left[0, ctu]) if allow_l else 0

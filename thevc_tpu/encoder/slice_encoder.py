@@ -157,3 +157,448 @@ def encode_slice(cu: CuEncoder, sao_write=None) -> OutputBitstream:
     bs.write(1, 1)
     bs.write_align_zero()
     return bs
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice / tiles / WPP picture compression
+# (TEncGOP.cpp:560-625 segmentation driver, TEncSlice.cpp:652-997 compress +
+# encode passes, TEncSlice.cpp:1402 boundary determination)
+# ---------------------------------------------------------------------------
+
+def _scu_enc_to_raster(f, scu: int) -> int:
+    """getPicSCUAddr: encode-order SCU -> raster SCU."""
+    p = f.parts_per_ctu
+    return int(f.ctu_order[scu // p]) * p + scu % p
+
+
+def _scu_raster_to_enc(f, scu: int) -> int:
+    """getPicSCUEncOrder: raster SCU -> encode-order SCU."""
+    p = f.parts_per_ctu
+    return int(f.ctu_inv_order[scu // p]) * p + scu % p
+
+
+def real_end_address(f) -> int:
+    """Last in-picture SCU + 1 (TEncGOP.cpp:450-468)."""
+    parts = f.parts_per_ctu
+    upr = f.units_per_row
+    internal = parts - 4
+    external = f.num_ctus - 1
+    while True:
+        r = int(f.z2r[internal])
+        pos_x = (external % f.ctus_w) * f.ctu_size + (r % upr) * 4
+        pos_y = (external // f.ctus_w) * f.ctu_size + (r // upr) * 4
+        if pos_x < f.width and pos_y < f.height:
+            break
+        internal -= 1
+    internal += 1
+    if internal == parts:
+        internal = 0
+        external += 1
+    return external * parts + internal
+
+
+def _real_start_address(f, scu_enc: int) -> int:
+    """Advance an encode-order SCU start address past out-of-picture parts
+    (TEncSlice.cpp:1622-1640 'calculate real dependent slice start')."""
+    parts = f.parts_per_ctu
+    upr = f.units_per_row
+    raster = _scu_enc_to_raster(f, scu_enc)
+    internal = raster % parts
+    external = raster // parts
+
+    def pos(ext, itn):
+        r = int(f.z2r[itn])
+        return ((ext % f.ctus_w) * f.ctu_size + (r % upr) * 4,
+                (ext // f.ctus_w) * f.ctu_size + (r // upr) * 4)
+
+    px, py = pos(external, internal)
+    while (px >= f.width or py >= f.height) and \
+            not (px >= f.width and py >= f.height):
+        internal += 1
+        if internal >= parts:
+            internal = 0
+            nxt = int(f.ctu_inv_order[external]) + 1
+            external = int(f.ctu_order[nxt]) if nxt < f.num_ctus else f.num_ctus
+        px, py = pos(external, internal)
+    return _scu_raster_to_enc(f, external * parts + internal) \
+        if external < f.num_ctus else f.num_ctus * parts
+
+
+def determine_bounds(cfg, f, sh, encode_pass: bool):
+    """xDetermineStartAndBoundingCUAddr (TEncSlice.cpp:1402) for slice
+    modes 0/1 and dependent-slice modes 0/1.  Updates the slice header's
+    end addresses, next_slice/next_dependent_slice flags (compress pass),
+    and returns (start, bounding) in encode-order SCUs."""
+    parts = f.parts_per_ctu
+    num_scus = f.num_ctus * parts
+    tiles = f.tiles
+    n_tiles = tiles.n_cols * tiles.n_rows if tiles is not None else 1
+
+    start_slice = sh.slice_cur_start_cu_addr
+    if cfg.slice_mode == 1:
+        bound_slice = min(start_slice + cfg.slice_argument * parts, num_scus)
+    elif cfg.slice_mode != 0:
+        raise NotImplementedError(f"SliceMode={cfg.slice_mode}")
+    else:
+        bound_slice = num_scus
+    if not encode_pass:
+        # WPP: clamp the slice end to the end of the CTU row when the slice
+        # does not start at a row boundary (TEncSlice.cpp:1497-1501)
+        row_scus = f.ctus_w * parts
+        if getattr(f.pps, "num_substreams", 1) > 1 and \
+                start_slice % row_scus != 0:
+            bound_slice = start_slice - start_slice % row_scus + row_scus
+    sh.slice_cur_end_cu_addr = bound_slice
+
+    # clamp slices at tile boundaries (TEncSlice.cpp:1505-1524)
+    tile_boundary = False
+    if cfg.slice_mode in (1, 2) and n_tiles > 1:
+        lcu_enc = (start_slice + parts - 1) // parts
+        lcu = int(f.ctu_order[lcu_enc]) if lcu_enc < f.num_ctus else -1
+        if lcu >= 0:
+            start_tile = int(tiles.tile_idx_map[lcu])
+            while lcu_enc < f.num_ctus and \
+                    int(tiles.tile_idx_map[int(f.ctu_order[lcu_enc])]) == start_tile:
+                lcu_enc += 1
+            tile_bound = lcu_enc * parts
+            if tile_bound < bound_slice:
+                bound_slice = tile_bound
+                sh.slice_cur_end_cu_addr = bound_slice
+                tile_boundary = True
+
+    start_dep = sh.dependent_slice_start_cu_addr
+    if cfg.dependent_slice_mode == 1:
+        bound_dep = min(start_dep + cfg.dependent_slice_argument * parts,
+                        num_scus)
+    elif cfg.dependent_slice_mode != 0:
+        raise NotImplementedError(
+            f"DependentSliceMode={cfg.dependent_slice_mode}")
+    else:
+        bound_dep = num_scus
+    if bound_dep > bound_slice:
+        bound_dep = bound_slice
+    sh.dependent_slice_end_cu_addr = bound_dep
+
+    # real start addresses (skip out-of-picture parts)
+    start_dep = _real_start_address(f, start_dep)
+    sh.dependent_slice_start_cu_addr = start_dep
+    start_slice = _real_start_address(f, start_slice)
+    sh.slice_cur_start_cu_addr = start_slice
+
+    start = max(start_slice, start_dep)
+    bounding = min(bound_slice, bound_dep)
+
+    if not encode_pass:
+        deterministic = (
+            (cfg.slice_mode in (0, 1) and cfg.dependent_slice_mode in (0, 1)
+             and (cfg.slice_mode or cfg.dependent_slice_mode))
+            or tile_boundary)
+        if deterministic:
+            sh.next_slice = bound_slice <= bound_dep
+            sh.next_dependent_slice = bound_dep <= bound_slice
+        else:
+            sh.next_slice = False
+            sh.next_dependent_slice = False
+    return start, bounding
+
+
+class PictureCompressor:
+    """Per-picture CABAC-state machinery shared by all slice segments:
+    per-substream RD context chains (TEncTop::createWPPCoders),
+    WPP/tile context buffers, and dependent-slice context memory.
+
+    compress pass: compress_slice() mirrors TEncSlice::compressSlice's
+    CTU loop; final pass: encode_slice() mirrors TEncSlice::encodeSlice.
+    """
+
+    def __init__(self, cu: CuEncoder, cfg):
+        self.cu = cu
+        self.cfg = cfg
+        f = cu.f
+        pps = cu.pps
+        self.f = f
+        self.parts = f.parts_per_ctu
+        self.nsub = getattr(pps, "num_substreams", 1)
+        self.tiles = f.tiles
+        self.n_tiles = (self.tiles.n_cols * self.tiles.n_rows
+                        if self.tiles is not None else 1)
+        self.n_tile_cols = self.tiles.n_cols if self.tiles is not None else 1
+        self.wpp = pps.tiles_or_entropy_coding_sync_idc == 2
+        self.allow_dep = (pps.dependent_slices_enabled_flag
+                          and not pps.cabac_independent_flag)
+        sh = cu.sh
+        init = cc.make_context_states(sh.slice_type, sh.slice_qp,
+                                      sh.cabac_init_flag)
+        self._init_ctx = init
+        # main RD chain start state (m_pppcRDSbacCoder[0][CI_CURR_BEST])
+        cu.snap[0][CI_CURR_BEST] = (init.copy(), 0)
+        # RD chains: per-substream (ctx, frac) (ppppcRDSbacCoders[s][0][BEST])
+        self.sub_best = [(init.copy(), 0) for _ in range(self.nsub)]
+        # WPP 2nd-LCU buffers per tile column (m_pcBufferSbacCoders)
+        self.buffer_ctx = [init.copy() for _ in range(self.n_tile_cols)]
+        # dependent-slice context memory, compress side (CTXMem_enc)
+        self.dep_mem = None            # [ctx_2nd_lcu, (ctx_end, frac_end)]
+        self.cur_dep_idx = 0           # rpcPic->getCurrDepSliceIdx
+        # encode-pass state, created fresh per picture
+        self.enc_buffer_ctx = None
+        self.enc_dep_mem = None
+
+    # -- tile helpers --------------------------------------------------
+    def _tile_of(self, ctu: int) -> int:
+        return int(self.tiles.tile_idx_map[ctu]) if self.tiles is not None else 0
+
+    def _tile_first(self, tile: int) -> int:
+        return int(self.tiles.first_cu[tile]) if self.tiles is not None else 0
+
+    def _tr_sync_ok(self, ctu: int, sh) -> int:
+        """Top-right availability for WPP ctx inherit.  Returns 2 = sync,
+        1 = dep-slice carry-over sync, 0 = no sync (slice-init ctx)."""
+        f = self.f
+        ctus_w = f.ctus_w
+        parts = self.parts
+        if ctu < ctus_w or (ctu % ctus_w) + 1 >= ctus_w:
+            return 0
+        tr = ctu - ctus_w + 1
+        tr_end = int(f.ctu_inv_order[tr]) * parts + parts - 1
+        same_tile = self._tile_of(tr) == self._tile_of(ctu)
+        if (same_tile and tr_end >= sh.slice_cur_start_cu_addr
+                and tr_end >= sh.dependent_slice_start_cu_addr):
+            return 2
+        if (self.allow_dep and ctu != 0 and same_tile
+                and tr_end >= sh.slice_cur_start_cu_addr):
+            return 1
+        return 0
+
+    def _substream_of(self, ctu: int) -> int:
+        if self.nsub <= 1:
+            return 0
+        lin = ctu // self.f.ctus_w
+        per_tile = self.nsub // self.n_tiles
+        return self._tile_of(ctu) * per_tile + lin % per_tile
+
+    def _mark_ctu(self, ctu: int, sh, slice_idx: int) -> None:
+        f = self.f
+        upr = f.units_per_row
+        cx, cy = ctu % f.ctus_w, ctu // f.ctus_w
+        sl = (slice(cy * upr, (cy + 1) * upr), slice(cx * upr, (cx + 1) * upr))
+        f.slice_start[sl] = sh.slice_cur_start_cu_addr
+        f.dep_slice_start[sl] = sh.dependent_slice_start_cu_addr
+        f.slice_idx[sl] = slice_idx
+
+    def _reinit_type(self, sh):
+        """Slice type for tile-boundary ctx re-init: encCABACTableIdx swap
+        (TEncSlice.cpp:898-903).  The encoder never sets cabac_init_flag, so
+        this is the slice's own type."""
+        return sh.slice_type
+
+    # -- compress pass --------------------------------------------------
+    def compress_slice(self, sh, start: int, bounding: int,
+                       slice_idx: int) -> None:
+        """CTU loop of TEncSlice::compressSlice over [start, bounding)."""
+        cu, f = self.cu, self.f
+        cu.sh = sh          # finishCU's slice-end checks read the segment
+        parts = self.parts
+        ctus_w = f.ctus_w
+        slice_start_raster_lcu = _scu_enc_to_raster(
+            f, sh.slice_cur_start_cu_addr) // parts
+        dep_start_raster_lcu = _scu_enc_to_raster(
+            f, sh.dependent_slice_start_cu_addr) // parts
+
+        # per-slice reset of all RD chains and buffers to slice-init state
+        # (TEncSlice.cpp:668-700: resetEntropy + load into the RD coder,
+        # the per-substream coders, and the WPP buffers)
+        init = self._init_ctx
+        cu.snap[0][CI_CURR_BEST] = (init.copy(), 0)
+        self.sub_best = [(init.copy(), 0) for _ in range(self.nsub)]
+        for b in self.buffer_ctx:
+            b[:] = init
+
+        # dependent-slice context restore (TEncSlice.cpp:775-800)
+        if self.allow_dep:
+            if self.cur_dep_idx:
+                # loadContexts copies context models only: the counter state
+                # (frac bits) of the freshly reset chains is kept
+                if self.cfg.wavefront_synchro:
+                    self.buffer_ctx[0][:] = self.dep_mem[0]
+                ctx_end = self.dep_mem[1]
+                mctx, mfrac = cu.snap[0][CI_CURR_BEST]
+                cu.snap[0][CI_CURR_BEST] = (ctx_end.copy(), mfrac)
+                sctx, sfrac = self.sub_best[0]
+                self.sub_best[0] = (ctx_end.copy(), sfrac)
+            else:
+                base, _ = cu.snap[0][CI_CURR_BEST]
+                self.dep_mem = [base.copy(), base.copy()]
+
+        tile_col = 0
+        for enc in range(start // parts, (bounding + parts - 1) // parts):
+            ctu = int(f.ctu_order[enc])
+            self._mark_ctu(ctu, sh, slice_idx)
+            col, lin = ctu % ctus_w, ctu // ctus_w
+            tile = self._tile_of(ctu)
+            tile_col = tile % self.n_tile_cols
+            tile_lcux = self._tile_first(tile) % ctus_w
+            sub = self._substream_of(ctu)
+
+            # WPP row-start ctx inherit into the substream chain
+            if ((self.nsub > 1 or self.allow_dep) and col == tile_lcux
+                    and self.cfg.wavefront_synchro):
+                sync = self._tr_sync_ok(ctu, sh)
+                if sync:
+                    sctx, sfrac = self.sub_best[sub]
+                    self.sub_best[sub] = (self.buffer_ctx[tile_col].copy(),
+                                          sfrac)
+            if self.nsub > 1 or (self.allow_dep and self.cfg.wavefront_synchro):
+                sctx, sfrac = self.sub_best[sub]
+                cu.snap[0][CI_CURR_BEST] = (sctx.copy(), sfrac)
+
+            # tile-start context re-init (TEncSlice.cpp:885-905)
+            if (ctu == self._tile_first(tile) and ctu != 0
+                    and ctu != slice_start_raster_lcu
+                    and ctu != dep_start_raster_lcu):
+                ctx, frac = cu.snap[0][CI_CURR_BEST]
+                ctx = cc.make_context_states(self._reinit_type(sh),
+                                             sh.slice_qp, sh.cabac_init_flag)
+                cu.snap[0][CI_CURR_BEST] = (ctx, frac)
+
+            cu.compress_ctu(ctu)
+            # final-pass re-encode advancing [0][CI_CURR_BEST]
+            ctx, frac = cu.snap[0][CI_CURR_BEST]
+            eng = CounterEncoder(ctx.copy())
+            eng.frac_bits = frac
+            w = SbacWriter(f, sh, cu.sps, cu.pps, eng)
+            cu.encode_ctu(ctu, w)
+            cu.snap[0][CI_CURR_BEST] = (eng.ctx, eng.frac_bits)
+
+            self.sub_best[sub] = (eng.ctx.copy(), eng.frac_bits)
+            # store 2nd-LCU-of-row contexts (TEncSlice.cpp:938-947)
+            if (col == tile_lcux + 1
+                    and (self.allow_dep or self.nsub > 1)
+                    and self.cfg.wavefront_synchro):
+                self.buffer_ctx[tile_col][:] = self.sub_best[sub][0]
+
+        if self.nsub > 1:
+            sh.next_slice = True
+        if self.allow_dep:
+            if self.cfg.wavefront_synchro:
+                self.dep_mem[0] = self.buffer_ctx[tile_col].copy()
+            self.dep_mem[1] = cu.snap[0][CI_CURR_BEST][0].copy()
+            self.cur_dep_idx += 1
+
+    # -- final entropy pass ----------------------------------------------
+    def encode_slice(self, sh, sao_write=None):
+        """TEncSlice::encodeSlice over the dependent-slice range.  Returns
+        (substream OutputBitstreams, tile_locations) for this segment."""
+        cu, f = self.cu, self.f
+        cu.sh = sh          # finishCU's slice-end checks read the segment
+        parts = self.parts
+        ctus_w = f.ctus_w
+        start = sh.dependent_slice_start_cu_addr
+        bounding = sh.dependent_slice_end_cu_addr
+        slice_start_raster_lcu = _scu_enc_to_raster(
+            f, sh.slice_cur_start_cu_addr) // parts
+        dep_start_raster_lcu = _scu_enc_to_raster(f, start) // parts
+
+        init = cc.make_context_states(sh.slice_type, sh.slice_qp,
+                                      sh.cabac_init_flag)
+        subs = [OutputBitstream() for _ in range(self.nsub)]
+        engines = [BinEncoder(subs[i], init.copy()) for i in range(self.nsub)]
+        if self.enc_buffer_ctx is None:
+            self.enc_buffer_ctx = [init.copy()
+                                   for _ in range(self.n_tile_cols)]
+        else:
+            # per-slice reset of the buffers (TEncSlice.cpp:1035-1040)
+            for b in self.enc_buffer_ctx:
+                b[:] = init
+        if self.allow_dep:
+            if not sh.dependent_slice:
+                self.enc_dep_mem = [init.copy(), init.copy()]
+            else:
+                if self.cfg.wavefront_synchro:
+                    self.enc_buffer_ctx[0][:] = self.enc_dep_mem[0]
+                engines[0].ctx[:] = self.enc_dep_mem[1]
+
+        tile_locations = []
+        bits_at_tile_start = 0
+        tile_col = 0
+        eng = engines[0]
+        for enc in range(start // parts, (bounding + parts - 1) // parts):
+            ctu = int(f.ctu_order[enc])
+            col, lin = ctu % ctus_w, ctu // ctus_w
+            tile = self._tile_of(ctu)
+            tile_col = tile % self.n_tile_cols
+            tile_lcux = self._tile_first(tile) % ctus_w
+            sub = self._substream_of(ctu)
+            eng = engines[sub]
+
+            if ((self.nsub > 1 or self.allow_dep) and col == tile_lcux
+                    and self.cfg.wavefront_synchro):
+                if self._tr_sync_ok(ctu, sh):
+                    eng.ctx[:] = self.enc_buffer_ctx[tile_col]
+
+            # tile crossing with a single substream: terminate + align +
+            # ctx re-init + record tile location (TEncSlice.cpp:1163-1237)
+            if (ctu == self._tile_first(tile) and ctu != 0
+                    and ctu != slice_start_raster_lcu
+                    and ctu != dep_start_raster_lcu):
+                if self.nsub <= 1:
+                    eng.ctx[:] = cc.make_context_states(
+                        self._reinit_type(sh), sh.slice_qp,
+                        sh.cabac_init_flag)
+                    eng.encode_bin_trm(1)
+                    eng.finish()
+                    subs[sub].write(1, 1)
+                    subs[sub].write_align_zero()
+                    eng.start()
+                    # tile entry point: accumulated bytes incl. emulation
+                    # prevention inserted later (TEncSlice.cpp:1201-1237)
+                    data = subs[sub].get_bytes()
+                    emu = _count_emulation_bytes(data)
+                    tile_locations.append(len(data) + emu)
+
+            w = SbacWriter(f, sh, cu.sps, cu.pps, eng)
+            if sao_write is not None:
+                w.ctu_addr = ctu
+                tile_ok_l = (col == 0 or
+                             self._tile_of(ctu - 1) == tile)
+                tile_ok_u = (lin == 0 or
+                             self._tile_of(ctu - ctus_w) == tile)
+                sao_write(w, ctu, ctu - slice_start_raster_lcu,
+                          tile_ok_l, tile_ok_u)
+            cu.encode_ctu(ctu, w)
+
+            if (col == tile_lcux + 1
+                    and (self.allow_dep or self.nsub > 1)
+                    and self.cfg.wavefront_synchro):
+                self.enc_buffer_ctx[tile_col][:] = eng.ctx
+
+        if self.allow_dep:
+            if self.cfg.wavefront_synchro:
+                self.enc_dep_mem[0] = self.enc_buffer_ctx[tile_col].copy()
+            self.enc_dep_mem[1] = eng.ctx.copy()
+
+        # flush every substream (TEncGOP.cpp:904-935)
+        sizes = []
+        for i, e in enumerate(engines):
+            e.encode_bin_trm(1)
+            e.finish()
+            subs[i].write(1, 1)
+            subs[i].write_align_zero()
+            sizes.append(subs[i].num_bits)
+        sh.substream_sizes = sizes[:-1]
+        return subs, tile_locations
+
+
+def _count_emulation_bytes(data: bytes) -> int:
+    """Number of emulation-prevention bytes NAL writing will insert
+    (TEncSlice.cpp:1201-1226)."""
+    count = 0
+    zeros = 0
+    for b in data:
+        if zeros >= 2 and b <= 3:
+            count += 1
+            zeros = 0
+        if b == 0:
+            zeros += 1
+        else:
+            zeros = 0
+    return count

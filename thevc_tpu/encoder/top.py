@@ -139,11 +139,36 @@ def derive_params(cfg: EncoderCfg):
     pps.max_cu_dqp_depth = cfg.max_cu_dqp_depth if use_dqp else 0
     pps.chroma_cb_qp_offset = cfg.cb_qp_offset
     pps.chroma_cr_qp_offset = cfg.cr_qp_offset
-    pps.num_substreams = 1
-    pps.tiles_or_entropy_coding_sync_idc = \
-        2 if cfg.wavefront_synchro else \
+    # WPP substream count (TAppEncCfg.cpp:460: one per CTU row, forced to 1
+    # with dependent slices) and tile geometry (TEncTop::xInitPPSforTiles)
+    ctus_h = (cfg.source_height + cfg.max_cu_height - 1) // cfg.max_cu_height
+    wf_substreams = ctus_h if cfg.wavefront_synchro else 1
+    if cfg.dependent_slice_mode:
+        wf_substreams = 1
+    pps.num_substreams = wf_substreams
+    # written idc (TEncCavlc.cpp:289-311): tiles=1, substreams=2,
+    # dependent slices alone=3 (keeps 2 when entropy sync is also on)
+    initial_idc = 2 if cfg.wavefront_synchro else \
         (1 if (cfg.num_tile_columns_minus1 > 0 or cfg.num_tile_rows_minus1 > 0)
          else 0)
+    if initial_idc == 1:
+        idc = 1
+    elif wf_substreams > 1:
+        idc = 2
+    elif cfg.dependent_slice_mode:
+        idc = 2 if initial_idc == 2 else 3
+    else:
+        idc = 0
+    pps.tiles_or_entropy_coding_sync_idc = idc
+    pps.uniform_spacing_flag = cfg.uniform_spacing_idc == 1
+    pps.num_tile_columns_minus1 = cfg.num_tile_columns_minus1
+    pps.num_tile_rows_minus1 = cfg.num_tile_rows_minus1
+    if not pps.uniform_spacing_flag:
+        pps.column_widths = [int(v) for v in cfg.column_width_array.split()]
+        pps.row_heights = [int(v) for v in cfg.row_height_array.split()]
+    pps.lf_cross_tile_boundary_flag = bool(cfg.lf_cross_tile_boundary_flag)
+    if cfg.wavefront_synchro:
+        pps.num_substreams = wf_substreams * (cfg.num_tile_columns_minus1 + 1)
     pps.use_wp = bool(cfg.use_weighted_pred)
     pps.wp_bipred = bool(cfg.use_weighted_bipred)
     pps.output_flag_present_flag = False
@@ -351,6 +376,8 @@ class Encoder:
                 _generate_combined_list(sh, list0, list1)
 
         f = FrameModel(sps, pps)
+        from ..common.tiles import TileInfo
+        f.init_tiles(TileInfo(f.ctus_w, f.ctus_h, pps))
         h, w = sps.pic_height_in_luma_samples, sps.pic_width_in_luma_samples
         rec_y = np.zeros((h, w), np.int16)
         rec_cb = np.zeros((h // 2, w // 2), np.int16)
@@ -375,7 +402,46 @@ class Encoder:
                 search_range=cfg.search_range,
                 bipred_range=cfg.bipred_search_range,
                 fdm=bool(cfg.use_fast_decision_for_merge))
-        se.compress_slice(cu)
+        # ---- slice segmentation + compression (TEncGOP.cpp:560-625) ----
+        import copy as _copy
+        pc = se.PictureCompressor(cu, cfg)
+        real_end = se.real_end_address(f)
+        sh.slice_cur_start_cu_addr = 0
+        sh.dependent_slice_start_cu_addr = 0
+        sh.dependent_slice = False
+        segments = []
+        n_regular = 1
+        next_addr = 0
+        start_slice_var = 0
+        start_dep_var = 0
+        while True:
+            sh.next_slice = False
+            sh.next_dependent_slice = False
+            start, bounding = se.determine_bounds(cfg, f, sh, False)
+            pc.compress_slice(sh, start, bounding, n_regular - 1)
+            segments.append(_copy.copy(sh))
+            no_constraint = not sh.next_slice and not sh.next_dependent_slice
+            if sh.next_slice or (no_constraint and cfg.slice_mode == 1):
+                start_slice_var = sh.slice_cur_end_cu_addr
+                pc.cur_dep_idx = 0
+                if start_slice_var < real_end:
+                    sh.slice_cur_start_cu_addr = start_slice_var
+                    sh.dependent_slice_start_cu_addr = start_slice_var
+                    sh.dependent_slice = False
+                    n_regular += 1
+                if start_dep_var < start_slice_var:
+                    start_dep_var = start_slice_var
+            elif sh.next_dependent_slice or (no_constraint
+                                             and cfg.dependent_slice_mode == 1):
+                start_dep_var = sh.dependent_slice_end_cu_addr
+                sh.dependent_slice_start_cu_addr = start_dep_var
+                sh.dependent_slice = True
+            else:
+                start_slice_var = sh.slice_cur_end_cu_addr
+                start_dep_var = sh.dependent_slice_end_cu_addr
+            next_addr = max(start_slice_var, start_dep_var)
+            if next_addr >= real_end:
+                break
 
         # in-loop filters run before the final entropy pass (TEncGOP:631+)
         from ..decoder.filters import ref_poc_from_lists
@@ -404,12 +470,39 @@ class Encoder:
             bs = headers.write_pps(pps)
             au.append((nal_mod.NAL_UNIT_PPS, 0, bs.get_bytes()))
 
-        substream = se.encode_slice(cu, sao_write)
-        hdr = headers.write_slice_header(sh, sps, pps,
-                                         last_idr_poc=self.last_idr)
-        hdr.write_align_one()
-        hdr.add_substream(substream)
-        slice_nal = (nal_type, sh.temporal_id, hdr.get_bytes())
+        # ---- final entropy pass, one NAL per slice segment ----
+        parts = f.parts_per_ctu
+        slice_nals = []
+        for seg in segments:
+            # picture-level decisions made after compression (SAO flags)
+            seg.sao_enabled = sh.sao_enabled
+            seg.sao_enabled_chroma = sh.sao_enabled_chroma
+            start_field = seg.dependent_slice_start_cu_addr \
+                if seg.dependent_slice else seg.slice_cur_start_cu_addr
+            seg.write_lcu_address = int(f.ctu_order[start_field // parts])
+            seg_subs, tile_locs = pc.encode_slice(seg, sao_write)
+            seg.num_entry_point_offsets = 0
+            seg.entry_point_offsets = []
+            if not pps.dependent_slices_enabled_flag and \
+                    pps.tiles_or_entropy_coding_sync_idc > 0:
+                if pps.tiles_or_entropy_coding_sync_idc == 1:
+                    offs, prev = [], 0
+                    for loc in tile_locs:
+                        offs.append(loc - prev)
+                        prev = loc
+                    seg.entry_point_offsets = offs
+                else:
+                    sizes = list(seg.substream_sizes)
+                    while sizes and sizes[-1] == 0:
+                        sizes.pop()
+                    seg.entry_point_offsets = [s >> 3 for s in sizes]
+                seg.num_entry_point_offsets = len(seg.entry_point_offsets)
+            hdr = headers.write_slice_header(seg, sps, pps,
+                                             last_idr_poc=self.last_idr)
+            hdr.write_align_one()
+            for sub in seg_subs:
+                hdr.add_substream(sub)
+            slice_nals.append((nal_type, seg.temporal_id, hdr.get_bytes()))
 
         if cfg.picture_digest:
             method = cfg.picture_digest - 1  # 1:MD5 2:CRC 3:checksum
@@ -417,7 +510,7 @@ class Encoder:
                                  sps.internal_bit_depth)
             bs = headers.write_sei_picture_digest(method, digest)
             au.append((nal_mod.NAL_UNIT_SEI, sh.temporal_id, bs.get_bytes()))
-        au.append(slice_nal)
+        au.extend(slice_nals)
 
         # DPB bookkeeping for inter prediction of later pictures
         dpb_pic = Picture(poc, (rec_y, rec_cb, rec_cr), f, sh, ref_pocs,

@@ -780,9 +780,13 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps,
     req_bits_outer = 0
     while num_cus > (1 << req_bits_outer):
         req_bits_outer += 1
-    address = sh.slice_cur_start_cu_addr // sps.num_partitions \
-        if not sh.dependent_slice else \
-        sh.dependent_slice_start_cu_addr // sps.num_partitions
+    # multi-slice encoder passes the raster LCU address explicitly (slice
+    # start addresses are kept in encode/tile-scan order internally)
+    address = getattr(sh, "write_lcu_address", None)
+    if address is None:
+        address = sh.slice_cur_start_cu_addr // sps.num_partitions \
+            if not sh.dependent_slice else \
+            sh.dependent_slice_start_cu_addr // sps.num_partitions
     bs.write_flag(address == 0)
     if sh.nal_unit_type in (nal_mod.NAL_UNIT_CODED_SLICE_IDR,
                             nal_mod.NAL_UNIT_CODED_SLICE_BLANT,
