@@ -129,6 +129,34 @@ def test_encoder_lowdelay_p_byte_exact(oracle, test_clip_small, tmp_path):
     assert out.read_bytes() == ref_bin.read_bytes()
 
 
+def test_encoder_lowdelay_b_byte_exact(oracle, small_clip, tmp_path):
+    """B-slice inter encoder (lowdelay_main): bi-prediction, GPB combined
+    list with the L1-from-L0 cost derivation (GPB_SIMPLE_UNI), and the
+    encoder's CABAC init-table selection (determineCabacInitIdx)."""
+    import shutil
+    clip = TESTDATA / "clip_96x80_9f.yuv"
+    if not clip.exists():
+        subprocess.run(
+            ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
+             "--width", "96", "--height", "80", "--frames", "9"],
+            check=True)
+    ref_bin = TESTDATA / "enc_ldb5_ref.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", "/root/reference/cfg/encoder_lowdelay_main.cfg",
+             "-i", str(clip), "-wdt", "96", "-hgt", "80",
+             "-f", "5", "-fr", "30", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1"],
+            check=True, capture_output=True)
+    out = tmp_path / "ldb5.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_lowdelay_main.cfg",
+                  "-i", str(clip), "-wdt", "96", "-hgt", "80",
+                  "-f", "5", "-fr", "30", "-b", str(out),
+                  "-o", "/dev/null", "--SEIpictureDigest=1"])
+    assert out.read_bytes() == ref_bin.read_bytes()
+
+
 # ---------------------------------------------------------------------------
 # Frame partitioning on the encode side: slices / dependent slices / tiles /
 # WPP (TEncGOP.cpp:560-625 segmentation, TEncSlice.cpp compress/encode
@@ -157,3 +185,29 @@ def test_encode_partitioned_byte_exact(oracle, small_clip, tmp_path,
                   "-wdt", "96", "-hgt", "80", "-f", "2", "-fr", "30",
                   "--SEIpictureDigest=1", *extra])
     assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+
+def test_encoder_randomaccess_byte_exact(oracle, small_clip, tmp_path):
+    """Random-access hierarchical-B GOP (GOPSize=8, CRA refresh): byte-exact
+    (TEncGOP::getNalUnitType, bi-pred iteration, colDir alternation)."""
+    clip = TESTDATA / "clip_96x80_9f.yuv"
+    if not clip.exists():
+        subprocess.run(
+            ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
+             "--width", "96", "--height", "80", "--frames", "9"],
+            check=True)
+    ref_bin = TESTDATA / "enc_ra9_ref.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", "/root/reference/cfg/encoder_randomaccess_main.cfg",
+             "-i", str(clip), "-wdt", "96", "-hgt", "80",
+             "-f", "9", "-fr", "30", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1"],
+            check=True, capture_output=True)
+    out = tmp_path / "ra9.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_randomaccess_main.cfg",
+                  "-i", str(clip), "-wdt", "96", "-hgt", "80",
+                  "-f", "9", "-fr", "30", "-b", str(out),
+                  "-o", "/dev/null", "--SEIpictureDigest=1"])
+    assert out.read_bytes() == ref_bin.read_bytes()

@@ -94,6 +94,12 @@ def make_context_states(slice_type: int, qp: int,
             init_type = P_SLICE
         else:
             raise ValueError("cabac_init_flag on I slice")
+    return make_context_states_idx(init_type, qp)
+
+
+def make_context_states_idx(init_type: int, qp: int) -> np.ndarray:
+    """Initialize directly from a table index (encoder side, where the
+    init table is the PPS's encCABACTableIdx rather than the slice type)."""
     states = np.empty(NUM_CTX, dtype=np.uint8)
     off = 0
     for name, count, tbl in _LAYOUT:
@@ -102,3 +108,50 @@ def make_context_states(slice_type: int, qp: int,
             states[off + i] = T.init_state(qp, v)
         off += count
     return states
+
+
+# ContextModel3DBuffer::calcCost's state->LPS-probability map
+_STATE_TO_PROB_LPS = (
+    0.50000000, 0.47460857, 0.45050660, 0.42762859, 0.40591239, 0.38529900,
+    0.36573242, 0.34715948, 0.32952974, 0.31279528, 0.29691064, 0.28183267,
+    0.26752040, 0.25393496, 0.24103941, 0.22879875, 0.21717969, 0.20615069,
+    0.19568177, 0.18574449, 0.17631186, 0.16735824, 0.15885931, 0.15079198,
+    0.14313433, 0.13586556, 0.12896592, 0.12241667, 0.11620000, 0.11029903,
+    0.10469773, 0.09938088, 0.09433404, 0.08954349, 0.08499621, 0.08067986,
+    0.07658271, 0.07269362, 0.06900203, 0.06549791, 0.06217174, 0.05901448,
+    0.05601756, 0.05317283, 0.05047256, 0.04790942, 0.04547644, 0.04316702,
+    0.04097487, 0.03889405, 0.03691890, 0.03504406, 0.03326442, 0.03157516,
+    0.02997168, 0.02844963, 0.02700488, 0.02563349, 0.02433175, 0.02309612,
+    0.02192323, 0.02080991, 0.01975312, 0.01875000)
+
+
+def determine_cabac_init_idx(states: np.ndarray, used: np.ndarray,
+                             qp: int) -> int:
+    """TEncSbac::determineCabacInitIdx (TEncSbac.cpp:175): choose the init
+    table (B or P) whose states are cheapest under the slice-final context
+    probabilities; only contexts that coded at least one bin count
+    (ContextModel3DBuffer::calcCost)."""
+    best_cost = None
+    best_type = B_SLICE
+    eb = T.ENTROPY_BITS
+    for cand in (B_SLICE, P_SLICE):
+        cost = 0
+        off = 0
+        for name, count, tbl in _LAYOUT:
+            vals = tbl[cand][:count]
+            for i, v in enumerate(vals):
+                if not used[off + i]:
+                    continue
+                st = int(states[off + i])
+                prob_lps = _STATE_TO_PROB_LPS[st >> 1]
+                if st & 1:
+                    p0, p1 = prob_lps, 1.0 - prob_lps
+                else:
+                    p1, p0 = prob_lps, 1.0 - prob_lps
+                tmp = int(T.init_state(qp, v))
+                cost += int(p0 * int(eb[tmp]) + p1 * int(eb[tmp ^ 1]))
+            off += count
+        if best_cost is None or cost < best_cost:
+            best_cost = cost
+            best_type = cand
+    return best_type

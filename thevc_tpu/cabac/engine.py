@@ -20,11 +20,14 @@ class BinEncoder:
     """Arithmetic bin encoder writing into an OutputBitstream."""
 
     __slots__ = ("bs", "low", "range", "bits_left", "num_buffered_bytes",
-                 "buffered_byte", "ctx")
+                 "buffered_byte", "ctx", "used")
 
     def __init__(self, bs: OutputBitstream, ctx: np.ndarray | None = None):
         self.bs = bs
         self.ctx = ctx
+        # per-context "coded at least one bin" marks (ContextModel
+        # m_binsCoded), consumed by determineCabacInitIdx
+        self.used = np.zeros_like(ctx) if ctx is not None else None
         self.start()
 
     def start(self) -> None:
@@ -37,6 +40,7 @@ class BinEncoder:
     # -- context-coded bins -------------------------------------------------
     def encode_bin(self, bin_val: int, ctx_idx: int) -> None:
         state = self.ctx[ctx_idx]
+        self.used[ctx_idx] = 1
         lps = int(LPS_TABLE[state >> 1, (self.range >> 6) & 3])
         self.range -= lps
         if bin_val != (state & 1):

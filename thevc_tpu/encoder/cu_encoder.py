@@ -76,8 +76,9 @@ class CuEncoder:
         self.bit_inc = sps.bit_increment
         self.max_val = (1 << self.bit_depth) - 1
 
-        init = cc.make_context_states(sh.slice_type, sh.slice_qp,
-                                      sh.cabac_init_flag)
+        from .slice_encoder import enc_init_type
+        init = cc.make_context_states_idx(enc_init_type(sh, pps),
+                                          sh.slice_qp)
         depths = sps.max_cu_depth + 2
         # RD coder grid [depth][ci] -> (ctx copy, frac_bits)
         self.snap = [[(init.copy(), 0) for _ in range(5)] for _ in range(depths)]

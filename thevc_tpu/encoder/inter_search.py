@@ -779,6 +779,14 @@ class InterSearch:
                                                  cost_tmp)
                         mvp_idx_arr[lst][ref] = mvp_idx
                         mv_pred_arr[lst][ref] = mv_pred
+                        if RQTDBG:
+                            RQTDBG.write(
+                                "MEC l=%d r=%d mvp=%d pred=%d,%d mv=%d,%d "
+                                "bits=%d cost=%d c0=%d,%d c1=%d,%d\n" % (
+                                    lst, ref, mvp_idx, mv_pred[0],
+                                    mv_pred[1], mv[0], mv[1], bits_tmp,
+                                    cost_tmp, cands[0][0], cands[0][1],
+                                    cands[1][0], cands[1][1]))
                         if lc > 0 and not nbp:
                             if lst == 0:
                                 cost_l0[ref] = cost_tmp
@@ -787,7 +795,7 @@ class InterSearch:
                                     cost_tmp = MAX_UINT
                             elif sh.ref_idx_of_lc[1][ref] < 0:
                                 cost_tmp = MAX_UINT
-                        if RQTDBG:
+                        if False and RQTDBG:
                             RQTDBG.write(
                                 "MEC l=%d r=%d mvp=%d pred=%d,%d mv=%d,%d "
                                 "bits=%d cost=%d c0=%d,%d c1=%d,%d\n" % (

@@ -123,7 +123,9 @@ class SaoEncoder:
         # RD coder state; startSaoEnc does resetEntropy + resetBits on the
         # GoOn coder, which keeps the post-compressSlice fractional-bit
         # residue (TEncBinCABAC::start never clears m_fracBits)
-        init = cc.make_context_states(sh.slice_type, sh.slice_qp, False)
+        from .slice_encoder import enc_init_type
+        init = cc.make_context_states_idx(enc_init_type(sh, pps),
+                                          sh.slice_qp)
         frac = init_frac & 32767
         self.go = CounterEncoder(init.copy())
         self.go.frac_bits = frac

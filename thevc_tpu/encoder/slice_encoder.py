@@ -165,6 +165,17 @@ def encode_slice(cu: CuEncoder, sao_write=None) -> OutputBitstream:
 # encode passes, TEncSlice.cpp:1402 boundary determination)
 # ---------------------------------------------------------------------------
 
+def enc_init_type(sh, pps) -> int:
+    """Encoder-side CABAC init table: the PPS's encCABACTableIdx when set by
+    a previous inter slice (TEncSbac::resetEntropy :112-124), else the
+    slice's own type."""
+    idx = getattr(pps, "enc_cabac_table_idx", I_SLICE)
+    if (sh.slice_type != I_SLICE and pps.cabac_init_present_flag
+            and idx != I_SLICE):
+        return idx
+    return sh.slice_type
+
+
 def _scu_enc_to_raster(f, scu: int) -> int:
     """getPicSCUAddr: encode-order SCU -> raster SCU."""
     p = f.parts_per_ctu
@@ -327,8 +338,8 @@ class PictureCompressor:
         self.allow_dep = (pps.dependent_slices_enabled_flag
                           and not pps.cabac_independent_flag)
         sh = cu.sh
-        init = cc.make_context_states(sh.slice_type, sh.slice_qp,
-                                      sh.cabac_init_flag)
+        init = cc.make_context_states_idx(enc_init_type(sh, pps),
+                                          sh.slice_qp)
         self._init_ctx = init
         # main RD chain start state (m_pppcRDSbacCoder[0][CI_CURR_BEST])
         cu.snap[0][CI_CURR_BEST] = (init.copy(), 0)
@@ -341,7 +352,9 @@ class PictureCompressor:
         self.cur_dep_idx = 0           # rpcPic->getCurrDepSliceIdx
         # encode-pass state, created fresh per picture
         self.enc_buffer_ctx = None
+        self.enc_buffer_used = None
         self.enc_dep_mem = None
+        self.enc_dep_used = None
 
     # -- tile helpers --------------------------------------------------
     def _tile_of(self, ctu: int) -> int:
@@ -386,10 +399,9 @@ class PictureCompressor:
         f.slice_idx[sl] = slice_idx
 
     def _reinit_type(self, sh):
-        """Slice type for tile-boundary ctx re-init: encCABACTableIdx swap
-        (TEncSlice.cpp:898-903).  The encoder never sets cabac_init_flag, so
-        this is the slice's own type."""
-        return sh.slice_type
+        """Slice type for tile-boundary ctx re-init: the PPS's
+        encCABACTableIdx when set (TEncSlice.cpp:891-903)."""
+        return enc_init_type(sh, self.cu.pps)
 
     # -- compress pass --------------------------------------------------
     def compress_slice(self, sh, start: int, bounding: int,
@@ -456,8 +468,8 @@ class PictureCompressor:
                     and ctu != slice_start_raster_lcu
                     and ctu != dep_start_raster_lcu):
                 ctx, frac = cu.snap[0][CI_CURR_BEST]
-                ctx = cc.make_context_states(self._reinit_type(sh),
-                                             sh.slice_qp, sh.cabac_init_flag)
+                ctx = cc.make_context_states_idx(self._reinit_type(sh),
+                                                 sh.slice_qp)
                 cu.snap[0][CI_CURR_BEST] = (ctx, frac)
 
             cu.compress_ctu(ctu)
@@ -498,24 +510,33 @@ class PictureCompressor:
             f, sh.slice_cur_start_cu_addr) // parts
         dep_start_raster_lcu = _scu_enc_to_raster(f, start) // parts
 
-        init = cc.make_context_states(sh.slice_type, sh.slice_qp,
-                                      sh.cabac_init_flag)
+        init = cc.make_context_states_idx(enc_init_type(sh, cu.pps),
+                                          sh.slice_qp)
+        zero_used = np.zeros_like(init)
         subs = [OutputBitstream() for _ in range(self.nsub)]
         engines = [BinEncoder(subs[i], init.copy()) for i in range(self.nsub)]
+        # the 2nd-LCU buffers and dep memory shadow the binsCoded marks:
+        # loadContexts copies ContextModel structs including m_binsCoded
         if self.enc_buffer_ctx is None:
             self.enc_buffer_ctx = [init.copy()
                                    for _ in range(self.n_tile_cols)]
+            self.enc_buffer_used = [zero_used.copy()
+                                    for _ in range(self.n_tile_cols)]
         else:
             # per-slice reset of the buffers (TEncSlice.cpp:1035-1040)
-            for b in self.enc_buffer_ctx:
+            for b, u in zip(self.enc_buffer_ctx, self.enc_buffer_used):
                 b[:] = init
+                u[:] = 0
         if self.allow_dep:
             if not sh.dependent_slice:
                 self.enc_dep_mem = [init.copy(), init.copy()]
+                self.enc_dep_used = [zero_used.copy(), zero_used.copy()]
             else:
                 if self.cfg.wavefront_synchro:
                     self.enc_buffer_ctx[0][:] = self.enc_dep_mem[0]
+                    self.enc_buffer_used[0][:] = self.enc_dep_used[0]
                 engines[0].ctx[:] = self.enc_dep_mem[1]
+                engines[0].used[:] = self.enc_dep_used[1]
 
         tile_locations = []
         bits_at_tile_start = 0
@@ -534,6 +555,7 @@ class PictureCompressor:
                     and self.cfg.wavefront_synchro):
                 if self._tr_sync_ok(ctu, sh):
                     eng.ctx[:] = self.enc_buffer_ctx[tile_col]
+                    eng.used[:] = self.enc_buffer_used[tile_col]
 
             # tile crossing with a single substream: terminate + align +
             # ctx re-init + record tile location (TEncSlice.cpp:1163-1237)
@@ -541,9 +563,9 @@ class PictureCompressor:
                     and ctu != slice_start_raster_lcu
                     and ctu != dep_start_raster_lcu):
                 if self.nsub <= 1:
-                    eng.ctx[:] = cc.make_context_states(
-                        self._reinit_type(sh), sh.slice_qp,
-                        sh.cabac_init_flag)
+                    eng.ctx[:] = cc.make_context_states_idx(
+                        self._reinit_type(sh), sh.slice_qp)
+                    eng.used[:] = 0
                     eng.encode_bin_trm(1)
                     eng.finish()
                     subs[sub].write(1, 1)
@@ -570,11 +592,23 @@ class PictureCompressor:
                     and (self.allow_dep or self.nsub > 1)
                     and self.cfg.wavefront_synchro):
                 self.enc_buffer_ctx[tile_col][:] = eng.ctx
+                self.enc_buffer_used[tile_col][:] = eng.used
 
         if self.allow_dep:
             if self.cfg.wavefront_synchro:
                 self.enc_dep_mem[0] = self.enc_buffer_ctx[tile_col].copy()
+                self.enc_dep_used[0] = self.enc_buffer_used[tile_col].copy()
             self.enc_dep_mem[1] = eng.ctx.copy()
+            self.enc_dep_used[1] = eng.used.copy()
+
+        # choose the init table for the NEXT slice from this slice's final
+        # context states (TEncSlice.cpp:1392-1395)
+        if cu.pps.cabac_init_present_flag:
+            if sh.slice_type == I_SLICE:
+                cu.pps.enc_cabac_table_idx = I_SLICE
+            else:
+                cu.pps.enc_cabac_table_idx = cc.determine_cabac_init_idx(
+                    eng.ctx, eng.used, sh.slice_qp)
 
         # flush every substream (TEncGOP.cpp:904-935)
         sizes = []

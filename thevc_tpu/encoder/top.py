@@ -164,8 +164,14 @@ def derive_params(cfg: EncoderCfg):
     pps.num_tile_columns_minus1 = cfg.num_tile_columns_minus1
     pps.num_tile_rows_minus1 = cfg.num_tile_rows_minus1
     if not pps.uniform_spacing_flag:
-        pps.column_widths = [int(v) for v in cfg.column_width_array.split()]
-        pps.row_heights = [int(v) for v in cfg.row_height_array.split()]
+        # only the first NumColumnsMinus1/NumRowsMinus1 entries are used
+        # (TAppEncCfg array parse + xInitPPSforTiles)
+        pps.column_widths = [int(v) for v in
+                             cfg.column_width_array.split()
+                             ][:cfg.num_tile_columns_minus1]
+        pps.row_heights = [int(v) for v in
+                           cfg.row_height_array.split()
+                           ][:cfg.num_tile_rows_minus1]
     pps.lf_cross_tile_boundary_flag = bool(cfg.lf_cross_tile_boundary_flag)
     if cfg.wavefront_synchro:
         pps.num_substreams = wf_substreams * (cfg.num_tile_columns_minus1 + 1)
@@ -176,6 +182,7 @@ def derive_params(cfg: EncoderCfg):
     pps.deblocking_filter_control_present = bool(cfg.dbf_control_present)
     pps.log2_parallel_merge_level_minus2 = cfg.log2_parallel_merge_level - 2
     pps.cabac_init_present_flag = True  # CABAC_INIT_PRESENT_FLAG
+    pps.enc_cabac_table_idx = I_SLICE   # m_encCABACTableIdx, encoder-only
     pps.lf_cross_slice_boundary_flag = bool(cfg.lf_cross_slice_boundary_flag)
     # numRefIdxL0DefaultActive: histogram mode of numRefPicsActive
     hist = [0] * 8
@@ -477,6 +484,13 @@ class Encoder:
             # picture-level decisions made after compression (SAO flags)
             seg.sao_enabled = sh.sao_enabled
             seg.sao_enabled_chroma = sh.sao_enabled_chroma
+            # cabac_init_flag from the CURRENT PPS encCABACTableIdx — set
+            # before this segment's encode pass updates it
+            # (TEncCavlc.cpp:792-801)
+            if seg.slice_type != I_SLICE and pps.cabac_init_present_flag:
+                idx = pps.enc_cabac_table_idx
+                seg.cabac_init_flag = (seg.slice_type != idx
+                                       and idx != I_SLICE)
             start_field = seg.dependent_slice_start_cu_addr \
                 if seg.dependent_slice else seg.slice_cur_start_cu_addr
             seg.write_lcu_address = int(f.ctu_order[start_field // parts])
