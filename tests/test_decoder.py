@@ -146,3 +146,55 @@ def test_decode_partitioned_streams(oracle, test_clip, name):
              "-o", "/dev/null", "--SEIpictureDigest=1", *extra],
             check=True, capture_output=True)
     _decode_ok(out)
+
+
+# ---------------------------------------------------------------------------
+# Weighted prediction (TComWeightPrediction.cpp:61-366)
+# ---------------------------------------------------------------------------
+
+def _make_fade_clip(path):
+    """Luma/chroma fade so the reference encoder's WP analysis engages."""
+    rng = np.random.RandomState(7)
+    w, h, n = 176, 144, 9
+
+    def smooth(a):
+        out = a.astype(np.float32)
+        hh, ww = out.shape
+        for _ in range(2):
+            p = np.pad(out, 2, mode="edge")
+            out = sum(p[i:i + hh, j:j + ww]
+                      for i in range(5) for j in range(5)) / 25
+        return out
+
+    y0 = smooth(rng.randint(0, 200, (h, w)))
+    cb0 = smooth(rng.randint(80, 180, (h // 2, w // 2)))
+    cr0 = smooth(rng.randint(80, 180, (h // 2, w // 2)))
+    with open(path, "wb") as fh:
+        for i in range(n):
+            g, off = 1.0 - 0.08 * i, 5 * i
+            fh.write(np.clip(y0 * g + off, 0, 255).astype(np.uint8).tobytes())
+            fh.write(np.clip(cb0 * g + off / 2, 0, 255)
+                     .astype(np.uint8).tobytes())
+            fh.write(np.clip(cr0 * g + off / 2, 0, 255)
+                     .astype(np.uint8).tobytes())
+
+
+@pytest.mark.parametrize("cfg,opt,name", [
+    ("encoder_lowdelay_P_main.cfg", "-wpP", "wpP"),
+    ("encoder_lowdelay_main.cfg", "-wpB", "wpB"),
+])
+def test_decode_weighted_prediction(oracle, cfg, opt, name):
+    """Digest-exact decode of explicitly weighted P/B streams on a fade."""
+    clip = TESTDATA / "clip_fade_176x144.yuv"
+    if not clip.exists():
+        _make_fade_clip(clip)
+    out = TESTDATA / f"wp_{name}.bin"
+    if not out.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", f"/root/reference/cfg/{cfg}",
+             "-i", str(clip), "-wdt", "176", "-hgt", "144",
+             "-f", "5", "-fr", "30", opt, "1", "-b", str(out),
+             "-o", "/dev/null", "--SEIpictureDigest=1"],
+            check=True, capture_output=True)
+    _decode_ok(out)

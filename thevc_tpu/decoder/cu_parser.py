@@ -1058,6 +1058,9 @@ class SliceDataParser:
         _trace(f"parseCoeffNxN()\teType={etype}\twidth={width}\theight={width}\tdepth={depth}\tabspartidx={abs_part}")
         if self.pps.use_transform_skip:
             self._parse_transform_skip_flag(abs_part, width, depth, comp)
+        if TRACE is None and self._parse_coeff_native(abs_part, px, py,
+                                                      width, comp):
+            return
         is_luma = comp == 0
         log2 = width.bit_length() - 1
         max_coeff = width * width
@@ -1210,6 +1213,86 @@ class SliceDataParser:
         plane = (f.coeff_y if comp == 0 else
                  f.coeff_cb if comp == 1 else f.coeff_cr)
         plane[py:py + width, px:px + width] = coeff.reshape(width, width)
+
+    # cached contiguous scan tables (pointers) for the native parser
+    _scan_cache: dict = {}
+    # reusable zeroed coefficient buffers per width: (array, 2d view, ptr)
+    _coeff_bufs: dict = {}
+
+    def _native_state(self):
+        """Lazy per-parser native call state (struct + pointers)."""
+        from .. import native
+        lib = native.get_lib()
+        if lib is None:
+            return None
+        import ctypes
+        st = native.BsEngine()
+        self._nstate = (lib, st, ctypes.byref(st),
+                        ctypes.byref(native.coeff_ctx_offsets()),
+                        self.dec.ctx.ctypes.data)
+        return self._nstate
+
+    def _parse_coeff_native(self, abs_part: int, px: int, py: int,
+                            width: int, comp: int) -> bool:
+        """Native parseCoeffNxN fast path; returns False to fall back."""
+        ns = getattr(self, "_nstate", None) or self._native_state()
+        if ns is None:
+            return False
+        lib, st, st_ref, off_ref, _ = ns
+        f = self.f
+        dec = self.dec
+        bs = dec.bs
+        scan_idx = self._scan_idx(abs_part, width, comp == 0)
+        key = (scan_idx if scan_idx != rom.SCAN_ZIGZAG else rom.SCAN_DIAG,
+               width)
+        cached = self._scan_cache.get(key)
+        if cached is None:
+            scan = np.ascontiguousarray(rom.sig_last_scan(key[0], width),
+                                        dtype=np.int32)
+            scan_cg = np.ascontiguousarray(rom.cg_scan(key[0], width),
+                                           dtype=np.int32)
+            cached = (scan, scan_cg, scan.ctypes.data, scan_cg.ctypes.data)
+            self._scan_cache[key] = cached
+        scan_p, cg_p = cached[2], cached[3]
+        cb = self._coeff_bufs.get(width)
+        if cb is None:
+            arr = np.zeros(width * width, np.int32)
+            cb = (arr, arr.reshape(width, width), arr.ctypes.data)
+            self._coeff_bufs[width] = cb
+        coeff_flat, coeff_2d, coeff_p = cb
+        coeff_flat.fill(0)
+
+        ux, uy = self._unit_xy(abs_part)
+        be_valid = int((not f.tq_bypass[uy, ux]) and self.pps.sign_hide_flag)
+
+        st.buf = bs._buf
+        st.buf_len = len(bs._buf)
+        st.idx = bs._idx
+        st.held = bs._held
+        st.num_held = bs._num_held
+        st.num_bits_read = bs._num_bits_read
+        st.range = dec.range
+        st.value = dec.value
+        st.bits_needed = dec.bits_needed
+        st.overflow = 0
+        rc = lib.parse_coeff_nxn(
+            st_ref, self.dec.ctx.ctypes.data, off_ref,
+            width, scan_idx, int(comp == 0), be_valid,
+            scan_p, cg_p, coeff_p)
+        # sync state back
+        bs._idx = st.idx
+        bs._held = st.held
+        bs._num_held = st.num_held
+        bs._num_bits_read = st.num_bits_read
+        dec.range = st.range
+        dec.value = st.value
+        dec.bits_needed = st.bits_needed
+        if rc != 0:
+            raise EOFError("bitstream exhausted")
+        plane = (f.coeff_y if comp == 0 else
+                 f.coeff_cb if comp == 1 else f.coeff_cr)
+        plane[py:py + width, px:px + width] = coeff_2d
+        return True
 
     @staticmethod
     def _sig_cg_ctx(sig_cg, cg_x, cg_y, width) -> int:

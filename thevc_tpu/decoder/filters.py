@@ -158,15 +158,41 @@ def deblock_frame(f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
         return
     f.sps_pcm_nofilter = sps.use_pcm and sps.pcm_filter_disable_flag
     bd = sps.internal_bit_depth
+    from .. import native
+    lib = native.get_lib()
     for direction in (0, 1):
         flags, bs, qp_p, qp_q, no_p, no_q = _edge_maps(f, sh, direction,
                                                        ref_poc)
-        dbk.filter_luma_edges(rec_y, flags, bs, qp_p, qp_q, no_p, no_q,
-                              direction, sh.loop_filter_beta_offset,
-                              sh.loop_filter_tc_offset, bd)
-        dbk.filter_chroma_edges(rec_cb, rec_cr, flags, bs, qp_p, qp_q,
-                                no_p, no_q, direction,
-                                sh.loop_filter_tc_offset, bd)
+        if lib is not None:
+            from ..common.rom import CHROMA_SCALE
+            uh, uw = flags.shape
+            fl = np.ascontiguousarray(flags, np.uint8)
+            bsa = np.ascontiguousarray(bs, np.uint8)
+            qpp = np.ascontiguousarray(qp_p, np.int32)
+            qpq = np.ascontiguousarray(qp_q, np.int32)
+            npp = np.ascontiguousarray(no_p, np.uint8)
+            nqq = np.ascontiguousarray(no_q, np.uint8)
+            cs = np.ascontiguousarray(CHROMA_SCALE, np.uint8)
+            lib.deblock_luma(
+                rec_y.ctypes.data, rec_y.shape[0], rec_y.shape[1],
+                fl.ctypes.data, bsa.ctypes.data, qpp.ctypes.data,
+                qpq.ctypes.data, npp.ctypes.data, nqq.ctypes.data,
+                uh, uw, direction, sh.loop_filter_beta_offset,
+                sh.loop_filter_tc_offset, bd)
+            lib.deblock_chroma(
+                rec_cb.ctypes.data, rec_cr.ctypes.data,
+                rec_cb.shape[0], rec_cb.shape[1],
+                fl.ctypes.data, bsa.ctypes.data, qpp.ctypes.data,
+                qpq.ctypes.data, npp.ctypes.data, nqq.ctypes.data,
+                cs.ctypes.data, uh, uw, direction,
+                sh.loop_filter_tc_offset, bd)
+        else:
+            dbk.filter_luma_edges(rec_y, flags, bs, qp_p, qp_q, no_p, no_q,
+                                  direction, sh.loop_filter_beta_offset,
+                                  sh.loop_filter_tc_offset, bd)
+            dbk.filter_chroma_edges(rec_cb, rec_cr, flags, bs, qp_p, qp_q,
+                                    no_p, no_q, direction,
+                                    sh.loop_filter_tc_offset, bd)
 
 
 def sao_frame(f: FrameModel, sh: SliceHeader, sps: Sps,

@@ -30,10 +30,43 @@ class InterPredictor:
         self.pic_w = sps.pic_width_in_luma_samples
         self.pic_h = sps.pic_height_in_luma_samples
         self.ctu = sps.max_cu_width
-        wp_active = (pps.use_wp and sh.slice_type == 1) or \
-                    (pps.wp_bipred and sh.slice_type == 0)
-        if wp_active:
-            raise NotImplementedError("weighted prediction")
+        # explicit weighted prediction (TComWeightPrediction.cpp)
+        self.wp_active = (pps.use_wp and sh.slice_type == 1) or \
+                         (pps.wp_bipred and sh.slice_type == 0)
+        self.wp = getattr(sh, "wp_scaling", None) if self.wp_active else None
+
+    # -- weighted prediction helpers (TComWeightPrediction.cpp:61-366) ----
+    def _wp_params(self, lst: int, ref: int, comp: int):
+        """(weight, iOffset, log2denom) for one list/ref/component."""
+        w = self.wp["wp"][lst][ref][comp]
+        denom = self.wp["luma_log2_denom"] if comp == 0 \
+            else self.wp["chroma_log2_denom"]
+        return w[1], w[2], denom
+
+    def _weight_uni(self, blk, lst, ref, comp):
+        """addWeightUni: src is in the 14-bit internal domain (bi=True)."""
+        w, ioff, denom = self._wp_params(lst, ref, comp)
+        bd = self.bd
+        offset = ioff * (1 << (bd - 8))
+        shift = denom + (14 - bd)
+        round_ = (1 << (shift - 1)) if shift else 0
+        v = ((w * (blk.astype(np.int64) + 8192) + round_) >> shift) + offset
+        return np.clip(v, 0, (1 << bd) - 1).astype(np.int16)
+
+    def _weight_bi(self, b0, b1, ref0, ref1, comp):
+        """addWeightBi with the bi-dir derivation (getWpScaling)."""
+        w0, io0, denom = self._wp_params(0, ref0, comp)
+        w1, io1, _ = self._wp_params(1, ref1, comp)
+        bd = self.bd
+        o0 = io0 * (1 << (bd - 8))
+        o1 = io1 * (1 << (bd - 8))
+        offset = o0 + o1
+        shift = denom + 1 + (14 - bd)
+        round_ = (1 << (shift - 1)) if shift else 0
+        v = (w0 * (b0.astype(np.int64) + 8192)
+             + w1 * (b1.astype(np.int64) + 8192)
+             + round_ + (offset << (shift - 1))) >> shift
+        return np.clip(v, 0, (1 << bd) - 1).astype(np.int16)
 
     def predict_cu(self, px: int, py: int, size: int):
         """motionCompensation over all PUs of the CU at (px, py).
@@ -79,15 +112,25 @@ class InterPredictor:
                                         xp, yp, pw, ph, bi=True)
             y1, cb1, cr1 = self._mc_one(1, ref1, mv1, cu_x, cu_y,
                                         xp, yp, pw, ph, bi=True)
-            blk_y = bi_avg(y0, y1, self.bd)
-            blk_cb = bi_avg(cb0, cb1, self.bd)
-            blk_cr = bi_avg(cr0, cr1, self.bd)
+            if self.wp_active:
+                blk_y = self._weight_bi(y0, y1, ref0, ref1, 0)
+                blk_cb = self._weight_bi(cb0, cb1, ref0, ref1, 1)
+                blk_cr = self._weight_bi(cr0, cr1, ref0, ref1, 2)
+            else:
+                blk_y = bi_avg(y0, y1, self.bd)
+                blk_cb = bi_avg(cb0, cb1, self.bd)
+                blk_cr = bi_avg(cr0, cr1, self.bd)
         else:
             lst = 0 if ref0 >= 0 else 1
             ref = ref0 if ref0 >= 0 else ref1
             mv = mv0 if ref0 >= 0 else mv1
             blk_y, blk_cb, blk_cr = self._mc_one(
-                lst, ref, mv, cu_x, cu_y, xp, yp, pw, ph, bi=False)
+                lst, ref, mv, cu_x, cu_y, xp, yp, pw, ph,
+                bi=self.wp_active)
+            if self.wp_active:
+                blk_y = self._weight_uni(blk_y, lst, ref, 0)
+                blk_cb = self._weight_uni(blk_cb, lst, ref, 1)
+                blk_cr = self._weight_uni(blk_cr, lst, ref, 2)
         pred_y[ly:ly + ph, lx:lx + pw] = blk_y
         pred_cb[ly // 2:(ly + ph) // 2, lx // 2:(lx + pw) // 2] = blk_cb
         pred_cr[ly // 2:(ly + ph) // 2, lx // 2:(lx + pw) // 2] = blk_cr

@@ -43,6 +43,60 @@ def _tu_availability_flags(f: FrameModel, ux: int, uy: int, num_units: int) -> n
     return flags
 
 
+class _AvailCtx:
+    """Vectorized neighbor availability: padded per-unit decode-order /
+    slice / tile maps so a TU's whole flag vector is a handful of slice
+    comparisons instead of per-unit Python calls (FrameModel.available)."""
+
+    _PAD = 34  # > 2 * (64 / 4) units
+
+    def __init__(self, f: FrameModel):
+        self.f = f
+        upr = f.units_per_row
+        uh, uw = f.depth.shape
+        uy, ux = np.mgrid[0:uh, 0:uw]
+        ctu = (uy // upr).astype(np.int64) * f.ctus_w + ux // upr
+        z = f.r2z[(uy % upr) * upr + (ux % upr)]
+        order = np.asarray(f.ctu_inv_order)[ctu] * f.parts_per_ctu + z
+        in_pic = (ux * f.unit < f.width) & (uy * f.unit < f.height)
+
+        P = self._PAD
+        self.order = np.zeros((uh + 2 * P, uw + 2 * P), np.int64)
+        self.order[P:P + uh, P:P + uw] = order
+        self.in_pic = np.zeros((uh + 2 * P, uw + 2 * P), bool)
+        self.in_pic[P:P + uh, P:P + uw] = in_pic
+        self.ctu = np.full((uh + 2 * P, uw + 2 * P), -1, np.int64)
+        self.ctu[P:P + uh, P:P + uw] = ctu
+        self.tile = np.full((uh + 2 * P, uw + 2 * P), -2, np.int64)
+        self.tile[P:P + uh, P:P + uw] = f.tile_idx
+
+    def tu_flags(self, ux: int, uy: int, nu: int) -> np.ndarray:
+        f = self.f
+        P = self._PAD
+        x, y = ux + P, uy + P
+        cur_o = self.order[y, x]
+        sstart = int(f.slice_start[uy, ux])
+        cur_ctu = self.ctu[y, x]
+        cur_tile = self.tile[y, x]
+        flags = np.empty(4 * nu + 1, bool)
+
+        col = slice(y - 1, y + 2 * nu)
+        o = self.order[col, x - 1]
+        ok = (self.in_pic[col, x - 1] & (o < cur_o) & (o >= sstart)
+              & ((self.ctu[col, x - 1] == cur_ctu)
+                 | (self.tile[col, x - 1] == cur_tile)))
+        flags[2 * nu] = ok[0]
+        flags[:2 * nu] = ok[1:][::-1]
+
+        row = slice(x, x + 2 * nu)
+        o = self.order[y - 1, row]
+        flags[2 * nu + 1:] = (self.in_pic[y - 1, row] & (o < cur_o)
+                              & (o >= sstart)
+                              & ((self.ctu[y - 1, row] == cur_ctu)
+                                 | (self.tile[y - 1, row] == cur_tile)))
+        return flags
+
+
 def _residual(coeff_block: np.ndarray, qp: int, use_dst: bool, ts: bool,
               bypass: bool, bit_inc: int) -> np.ndarray:
     if bypass:
@@ -53,15 +107,111 @@ def _residual(coeff_block: np.ndarray, qp: int, use_dst: bool, ts: bool,
     return tops.inverse_transform(deq[None], use_dst, bit_inc)[0].astype(np.int32)
 
 
+def _collect_residuals(f: FrameModel, sps: Sps, pps: Pps, runs) -> dict:
+    """Stage 1 of the device decode path: gather every coded TU of the
+    picture into per-(component, size, dst) batches and run dequant+IDCT
+    as a handful of jx.residual_pipeline launches (SURVEY.md section 7).
+
+    Returns {(comp, x, y): residual int32 array}.  Transform-skip and
+    lossless-bypass TUs are left to the per-TU scalar path.
+    """
+    from ..ops import jx
+    bit_inc = sps.bit_increment
+    groups: dict = {}
+
+    def add(comp, x, y, size, plane, qps):
+        groups.setdefault((comp, size, False), []).append(
+            ((comp, x, y), plane[y:y + size, x:x + size], qps))
+
+    def add_dst(x, y, plane, qps):
+        groups.setdefault((0, 4, True), []).append(
+            ((0, x, y), plane[y:y + 4, x:x + 4], qps))
+
+    for (sh, inter_pred, lo, hi) in runs:
+        qp_off = (pps.chroma_cb_qp_offset + sh.slice_qp_delta_cb,
+                  pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr)
+        for (px, py, size, mode, l0, l1, c0, c1) in f.cu_list[lo:hi]:
+            for (tx, ty, tsz, abs_part, ctu, trd) in f.luma_tus[l0:l1]:
+                ux, uy = tx // 4, ty // 4
+                if not (int(f.cbf[0, uy, ux]) >> trd) & 1:
+                    continue
+                if f.ts_flag[0, uy, ux] or f.tq_bypass[uy, ux] \
+                        or f.ipcm[uy, ux]:
+                    continue
+                qps = tops.qp_scaled(int(f.qp[uy, ux]), True,
+                                     sps.qp_bd_offset_y)
+                if tsz == 4 and mode == MODE_INTRA:
+                    add_dst(tx, ty, f.coeff_y, qps)
+                else:
+                    add(0, tx, ty, tsz, f.coeff_y, qps)
+            for (cx, cy, csz, abs_part, ctu, trd) in f.chroma_tus[c0:c1]:
+                ux, uy = cx // 2, cy // 2
+                if f.tq_bypass[uy, ux] or f.ipcm[uy, ux]:
+                    continue
+                qp = int(f.qp[uy, ux])
+                for comp, plane in ((1, f.coeff_cb), (2, f.coeff_cr)):
+                    if not (int(f.cbf[comp, uy, ux]) >> trd) & 1:
+                        continue
+                    if f.ts_flag[comp, uy, ux]:
+                        continue
+                    qps = tops.qp_scaled(qp, False, sps.qp_bd_offset_c,
+                                         qp_off[comp - 1])
+                    add(comp, cx, cy, csz, plane, qps)
+
+    # Device offload is opt-in: this environment reaches the TPU through a
+    # ~20 MB/s tunnel, so per-frame coefficient transfers lose to host
+    # execution; on a directly-attached TPU set THEVC_DEVICE=1.
+    import os
+    use_device = os.environ.get("THEVC_DEVICE", "0") == "1"
+
+    store: dict = {}
+    for (comp, size, use_dst), items in groups.items():
+        n = len(items)
+        # device path: pad to a power-of-two bucket to bound jit recompiles
+        cap = (1 << max(4, (n - 1).bit_length())) if use_device else n
+        blocks = np.zeros((cap, size, size), np.int32)
+        qps = np.zeros(cap, np.int32)
+        for i, (_k, blk, q) in enumerate(items):
+            blocks[i] = blk
+            qps[i] = q
+        if use_device:
+            resi = np.asarray(jx.residual_pipeline(blocks, qps, use_dst,
+                                                   bit_inc))
+        else:
+            # same batched formulation through the numpy kernels
+            deq = tops.dequant(blocks, qps, bit_inc)
+            resi = tops.inverse_transform(deq, use_dst, bit_inc)
+        for i, (k, _blk, _q) in enumerate(items):
+            store[k] = resi[i]
+    return store
+
+
 class _FrameRecon:
     def __init__(self, f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
-                 rec_y, rec_cb, rec_cr, inter_pred=None):
+                 rec_y, rec_cb, rec_cr, inter_pred=None, store=None,
+                 avail=None):
         self.f, self.sh, self.sps, self.pps = f, sh, sps, pps
         self.rec_y, self.rec_cb, self.rec_cr = rec_y, rec_cb, rec_cr
         self.inter_pred = inter_pred
+        self.store = store          # batched residuals from device stage 1
+        self.avail = avail          # vectorized availability context
         self.bit_inc = sps.bit_increment
         self.max_val = (1 << sps.internal_bit_depth) - 1
         self.dc_val = 1 << (sps.internal_bit_depth - 1)
+
+    def _flags(self, ux: int, uy: int, nu: int) -> np.ndarray:
+        if self.avail is not None:
+            return self.avail.tu_flags(ux, uy, nu)
+        return _tu_availability_flags(self.f, ux, uy, nu)
+
+    def _resi(self, comp: int, x: int, y: int, size: int, qps: int,
+              use_dst: bool, ts: bool, bypass: bool, plane) -> np.ndarray:
+        if self.store is not None and not ts and not bypass:
+            r = self.store.get((comp, x, y))
+            if r is not None:
+                return r
+        return _residual(plane[y:y + size, x:x + size], qps, use_dst, ts,
+                         bypass, self.bit_inc)
 
     # -- intra TU reconstruction (xIntraRecLumaBlk / xIntraRecChromaBlk) --
     def intra_luma_tu(self, tu) -> None:
@@ -74,7 +224,7 @@ class _FrameRecon:
             return
         mode = int(f.luma_dir[uy, ux])
         nu = size // 4
-        flags = _tu_availability_flags(f, ux, uy, nu)
+        flags = self._flags(ux, uy, nu)
         line = intra_ops.fill_reference_line(rec_y, px, py, size, 4, flags,
                                              self.dc_val)
         log2 = size.bit_length() - 1
@@ -85,11 +235,10 @@ class _FrameRecon:
         if cbf:
             qp = int(f.qp[uy, ux])
             qps = tops.qp_scaled(qp, True, self.sps.qp_bd_offset_y)
-            resi = _residual(f.coeff_y[py:py + size, px:px + size], qps,
-                             use_dst=(size == 4),
-                             ts=bool(f.ts_flag[0, uy, ux]),
-                             bypass=bool(f.tq_bypass[uy, ux]),
-                             bit_inc=self.bit_inc)
+            resi = self._resi(0, px, py, size, qps, use_dst=(size == 4),
+                              ts=bool(f.ts_flag[0, uy, ux]),
+                              bypass=bool(f.tq_bypass[uy, ux]),
+                              plane=f.coeff_y)
         else:
             resi = 0
         rec_y[py:py + size, px:px + size] = np.clip(
@@ -114,7 +263,7 @@ class _FrameRecon:
         if mode == DM_CHROMA_IDX:
             mode = int(f.luma_dir[cuy, cux])
         nu = size // 2          # availability units (luma 4x4 parts)
-        flags = _tu_availability_flags(f, ux, uy, nu)
+        flags = self._flags(ux, uy, nu)
         cbf_u = (int(f.cbf[1, uy, ux]) >> tr_depth) & 1
         cbf_v = (int(f.cbf[2, uy, ux]) >> tr_depth) & 1
         qp = int(f.qp[uy, ux])
@@ -128,11 +277,10 @@ class _FrameRecon:
             pred = intra_ops.predict(line, size, 2, mode, False, self.max_val)
             if cbf:
                 qps = tops.qp_scaled(qp, False, self.sps.qp_bd_offset_c, qp_off)
-                resi = _residual(coeff_plane[cy:cy + size, cx:cx + size], qps,
-                                 use_dst=False,
-                                 ts=bool(f.ts_flag[comp, uy, ux]),
-                                 bypass=bool(f.tq_bypass[uy, ux]),
-                                 bit_inc=self.bit_inc)
+                resi = self._resi(comp, cx, cy, size, qps, use_dst=False,
+                                  ts=bool(f.ts_flag[comp, uy, ux]),
+                                  bypass=bool(f.tq_bypass[uy, ux]),
+                                  plane=coeff_plane)
             else:
                 resi = 0
             rec_c[cy:cy + size, cx:cx + size] = np.clip(
@@ -151,10 +299,10 @@ class _FrameRecon:
                 qp = int(f.qp[uy, ux])
                 qps = tops.qp_scaled(qp, True, self.sps.qp_bd_offset_y)
                 resi_y[ty - py:ty - py + tsz, tx - px:tx - px + tsz] = \
-                    _residual(f.coeff_y[ty:ty + tsz, tx:tx + tsz], qps,
-                              use_dst=False, ts=bool(f.ts_flag[0, uy, ux]),
-                              bypass=bool(f.tq_bypass[uy, ux]),
-                              bit_inc=self.bit_inc)
+                    self._resi(0, tx, ty, tsz, qps, use_dst=False,
+                               ts=bool(f.ts_flag[0, uy, ux]),
+                               bypass=bool(f.tq_bypass[uy, ux]),
+                               plane=f.coeff_y)
         cx0, cy0 = px // 2, py // 2
         for (cx, cy, csz, abs_part, ctu_addr, tr_depth) in chroma_tus:
             ux, uy = cx // 2, cy // 2
@@ -168,11 +316,10 @@ class _FrameRecon:
                     qps = tops.qp_scaled(qp, False, self.sps.qp_bd_offset_c,
                                          qp_off)
                     resi_c[cy - cy0:cy - cy0 + csz, cx - cx0:cx - cx0 + csz] = \
-                        _residual(coeff_plane[cy:cy + csz, cx:cx + csz], qps,
-                                  use_dst=False,
-                                  ts=bool(f.ts_flag[comp, uy, ux]),
-                                  bypass=bool(f.tq_bypass[uy, ux]),
-                                  bit_inc=self.bit_inc)
+                        self._resi(comp, cx, cy, csz, qps, use_dst=False,
+                                   ts=bool(f.ts_flag[comp, uy, ux]),
+                                   bypass=bool(f.tq_bypass[uy, ux]),
+                                   plane=coeff_plane)
         self.rec_y[py:py + size, px:px + size] = np.clip(
             pred_y.astype(np.int32) + resi_y, 0,
             self.max_val).astype(self.rec_y.dtype)
@@ -203,6 +350,142 @@ def reconstruct_frame(f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
                 r.intra_chroma_tu(tu)
         else:
             r.inter_cu(px, py, size, f.luma_tus[l0:l1], f.chroma_tus[c0:c1])
+
+
+def _native_intra_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
+                          rec_y, rec_cb, rec_cr) -> bool:
+    """All-intra picture reconstruction through the native core.  Returns
+    False (no-op) when unavailable or the picture has inter CUs."""
+    import os
+    if os.environ.get("THEVC_NATIVE", "1") == "0":
+        return False
+    from .. import native
+    lib = native.get_lib()
+    if lib is None:
+        return False
+    for (sh, inter_pred, lo, hi) in runs:
+        for cu in f.cu_list[lo:hi]:
+            if cu[3] != MODE_INTRA:
+                return False
+    import ctypes
+
+    avail = _AvailCtx(f)
+    maps = native.AvailMaps(
+        avail.order.ctypes.data, avail.in_pic.ctypes.data,
+        avail.ctu.ctypes.data, avail.tile.ctypes.data,
+        np.ascontiguousarray(f.slice_start).ctypes.data,
+        avail._PAD, avail.order.shape[1], f.slice_start.shape[1])
+    # keep the sstart array alive for the duration of the calls
+    sstart = np.ascontiguousarray(f.slice_start)
+    maps.sstart = sstart.ctypes.data
+
+    bases = _native_bases()
+    upr = f.units_per_row
+
+    rows_y, rows_cb, rows_cr = [], [], []
+    for (sh, inter_pred, lo, hi) in runs:
+        qp_off = (pps.chroma_cb_qp_offset + sh.slice_qp_delta_cb,
+                  pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr)
+        for (px, py, size, mode, l0, l1, c0, c1) in f.cu_list[lo:hi]:
+            for (tx, ty, tsz, abs_part, ctu, trd) in f.luma_tus[l0:l1]:
+                ux, uy = tx // 4, ty // 4
+                if f.ipcm[uy, ux]:
+                    rows_y.append((tx, ty, tsz, 0, 0, 0, 0, 0, 0, 1))
+                    continue
+                qps = tops.qp_scaled(int(f.qp[uy, ux]), True,
+                                     sps.qp_bd_offset_y)
+                rows_y.append((
+                    tx, ty, tsz, int(f.luma_dir[uy, ux]), qps,
+                    (int(f.cbf[0, uy, ux]) >> trd) & 1, int(tsz == 4),
+                    int(f.ts_flag[0, uy, ux]), int(f.tq_bypass[uy, ux]), 0))
+            for (cx, cy, csz, abs_part, ctu, trd) in f.chroma_tus[c0:c1]:
+                ux, uy = cx // 2, cy // 2
+                if f.ipcm[uy, ux]:
+                    rows_cb.append((cx, cy, csz, 0, 0, 0, 0, 0, 0, 1))
+                    rows_cr.append((cx, cy, csz, 0, 0, 0, 0, 0, 0, 1))
+                    continue
+                depth = int(f.depth[uy, ux])
+                cu_units = upr >> depth
+                cux = (ux // cu_units) * cu_units
+                cuy = (uy // cu_units) * cu_units
+                cmode = int(f.chroma_dir[cuy, cux])
+                if cmode == DM_CHROMA_IDX:
+                    cmode = int(f.luma_dir[cuy, cux])
+                qp = int(f.qp[uy, ux])
+                byp = int(f.tq_bypass[uy, ux])
+                for comp, rows in ((1, rows_cb), (2, rows_cr)):
+                    qps = tops.qp_scaled(qp, False, sps.qp_bd_offset_c,
+                                         qp_off[comp - 1])
+                    rows.append((
+                        cx, cy, csz, cmode, qps,
+                        (int(f.cbf[comp, uy, ux]) >> trd) & 1, 0,
+                        int(f.ts_flag[comp, uy, ux]), byp, 0))
+
+    bit_inc = sps.bit_increment
+    max_val = (1 << sps.internal_bit_depth) - 1
+    dc_val = 1 << (sps.internal_bit_depth - 1)
+    plane_cfg = (
+        (rows_y, rec_y, f.coeff_y, 4, 4, 1, getattr(f, "pcm_y", None)),
+        (rows_cb, rec_cb, f.coeff_cb, 2, 2, 0, getattr(f, "pcm_cb", None)),
+        (rows_cr, rec_cr, f.coeff_cr, 2, 2, 0, getattr(f, "pcm_cr", None)),
+    )
+    for rows, rec, coeff, unit, adiv, is_luma, pcm in plane_cfg:
+        if not rows:
+            continue
+        tu_arr = np.asarray(rows, np.int32)
+        params = native.IntraParams(
+            rec.shape[1], coeff.shape[1], unit, adiv, is_luma, dc_val,
+            max_val, bit_inc,
+            bases[4].ctypes.data, bases[8].ctypes.data,
+            bases[16].ctypes.data, bases[32].ctypes.data,
+            bases["dst"].ctypes.data,
+            pcm.ctypes.data if pcm is not None else None,
+            pcm.shape[1] if pcm is not None else 0)
+        lib.intra_recon_tus(
+            rec.ctypes.data, coeff.ctypes.data,
+            tu_arr.ctypes.data, len(rows),
+            ctypes.byref(maps), ctypes.byref(params))
+    return True
+
+
+_BASES = None
+
+
+def _native_bases():
+    global _BASES
+    if _BASES is None:
+        from ..common.rom import DCT_MATRICES, DST4
+        _BASES = {s: np.ascontiguousarray(DCT_MATRICES[s], np.int32)
+                  for s in (4, 8, 16, 32)}
+        _BASES["dst"] = np.ascontiguousarray(DST4, np.int32)
+    return _BASES
+
+
+def reconstruct_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
+                        rec_y: np.ndarray, rec_cb: np.ndarray,
+                        rec_cr: np.ndarray) -> None:
+    """Whole-picture reconstruction: stage 1 batches every coded TU's
+    dequant+IDCT on device, stage 2 walks CUs in decode order doing
+    prediction + add with the precomputed residuals (SURVEY.md section 7).
+
+    runs: [(sh, inter_pred, cu_lo, cu_hi)] — one entry per slice segment.
+    """
+    if _native_intra_picture(f, sps, pps, runs, rec_y, rec_cb, rec_cr):
+        return
+    store = _collect_residuals(f, sps, pps, runs)
+    avail = _AvailCtx(f)
+    for (sh, inter_pred, lo, hi) in runs:
+        r = _FrameRecon(f, sh, sps, pps, rec_y, rec_cb, rec_cr, inter_pred,
+                        store=store, avail=avail)
+        for (px, py, size, mode, l0, l1, c0, c1) in f.cu_list[lo:hi]:
+            if mode == MODE_INTRA:
+                for tu in f.luma_tus[l0:l1]:
+                    r.intra_luma_tu(tu)
+                for tu in f.chroma_tus[c0:c1]:
+                    r.intra_chroma_tu(tu)
+            else:
+                r.inter_cu(px, py, size, f.luma_tus[l0:l1],
+                           f.chroma_tus[c0:c1])
 
 
 def reconstruct_intra_frame(f: FrameModel, sh: SliceHeader, sps: Sps,

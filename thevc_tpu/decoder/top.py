@@ -32,7 +32,7 @@ from .frame import FrameModel
 from .filters import deblock_frame, sao_frame
 from .inter import InterPredictor
 from .mv import MvCtx
-from .recon import reconstruct_frame
+from .recon import reconstruct_picture
 from .refpic import Dpb, Picture, build_ref_lists, check_ldc
 
 
@@ -236,10 +236,11 @@ class Decoder:
         rec_cb = np.zeros((h // 2, w // 2), np.int16)
         rec_cr = np.zeros((h // 2, w // 2), np.int16)
 
-        for run in cur.slices:
-            reconstruct_frame(f, run.sh, sps, pps, rec_y, rec_cb, rec_cr,
-                              run.inter_pred,
-                              cu_range=(run.cu_start, run.cu_end))
+        reconstruct_picture(
+            f, sps, pps,
+            [(run.sh, run.inter_pred, run.cu_start, run.cu_end)
+             for run in cur.slices],
+            rec_y, rec_cb, rec_cr)
 
         # per-unit reference POC map for deblock BS + the DPB motion snapshot
         ref_poc = self._resolve_ref_pocs(cur)

@@ -686,11 +686,12 @@ def _parse_pred_weight_table(bs: InputBitstream, sh: SliceHeader, sps: Sps) -> N
                     dw = bs.read_se()
                     doff = bs.read_se()
                     w = (1 << chroma_log2_denom) + dw
-                    # offset reconstruction per WP_PARAM_RANGE_LIMIT
-                    shift = 1 << 7  # 128 for 8-bit
-                    off = (doff + ((shift * w) >> chroma_log2_denom) - shift
-                           if False else doff)
-                    wp[lx][i][c] = (True, w, doff)
+                    # offset prediction + range limit (TDecCAVLC.cpp:1820-
+                    # 1828, WP_PARAM_RANGE_LIMIT)
+                    half = 1 << (sps.internal_bit_depth - 1)
+                    pred = half - ((half * w) >> chroma_log2_denom)
+                    off = max(-128, min(127, doff + pred))
+                    wp[lx][i][c] = (True, w, off)
                 else:
                     wp[lx][i][c] = (False, 1 << chroma_log2_denom, 0)
     sh.wp_scaling = {"luma_log2_denom": luma_log2_denom,

@@ -107,6 +107,19 @@ def recon_add_clip(pred: jnp.ndarray, resi: jnp.ndarray, max_val: int) -> jnp.nd
     return jnp.clip(pred.astype(jnp.int32) + resi.astype(jnp.int32), 0, max_val)
 
 
+@partial(jax.jit, static_argnames=("use_dst", "bit_increment"))
+def residual_pipeline(qcoeff: jnp.ndarray, qp: jnp.ndarray,
+                      use_dst: bool = False,
+                      bit_increment: int = 0) -> jnp.ndarray:
+    """Batched dequant + inverse transform [N, s, s] -> residual int32.
+
+    The decoder's stage-1 kernel: every coded TU of a picture of one size
+    class runs through this in a single launch (dequant is elementwise on
+    the VPU; the 2D IDCT is two int32 matmuls on the MXU)."""
+    return inverse_transform(dequant(qcoeff, qp, bit_increment),
+                             use_dst, bit_increment)
+
+
 @partial(jax.jit, static_argnames=("use_dst", "bit_increment", "max_val"))
 def tu_recon_pipeline(pred: jnp.ndarray, qcoeff: jnp.ndarray, qp: jnp.ndarray,
                       use_dst: bool = False, bit_increment: int = 0,

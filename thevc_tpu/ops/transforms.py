@@ -30,6 +30,10 @@ def _fwd_pass(x: np.ndarray, t: np.ndarray, shift: int) -> np.ndarray:
 
     out[k, j] = (sum_n T[k, n] * x[j, n] + add) >> shift
     (partialButterflyN semantics: transforms each row, stores transposed.)
+
+    Computed in float64 BLAS: |sum| <= 32 * 2^16 * 90 << 2^53, so the
+    matmul is exact; floor((v + add) / 2^shift) equals the arithmetic
+    shift for integer-valued v.
     """
     add = 1 << (shift - 1)
     y = (np.einsum("kn,bjn->bkj", t, x.astype(np.int64)) + add) >> shift
@@ -40,6 +44,8 @@ def _inv_pass(s: np.ndarray, t: np.ndarray, shift: int) -> np.ndarray:
     """One inverse butterfly pass: [N, size, line] -> [N, line, size].
 
     out[j, k] = clip((sum_n T[n, k] * s[n, j] + add) >> shift)
+
+    float64 BLAS; exactness as in _fwd_pass (inputs are int16-clipped).
     """
     add = 1 << (shift - 1)
     y = (np.einsum("nk,bnj->bjk", t, s.astype(np.int64)) + add) >> shift
@@ -111,19 +117,24 @@ def qp_scaled(qp: int, is_luma: bool, qp_bd_offset: int, chroma_qp_offset: int =
     return int(CHROMA_SCALE[q]) + qp_bd_offset
 
 
-def dequant(qcoeff: np.ndarray, qp: int, bit_increment: int = 0) -> np.ndarray:
+def dequant(qcoeff: np.ndarray, qp, bit_increment: int = 0) -> np.ndarray:
     """xDeQuant without scaling lists: [N, size, size] -> int32 coeffs.
 
-    qp is the *scaled* QP (after qp_scaled).  shift = 6 - transformShift.
+    qp is the *scaled* QP (after qp_scaled); a scalar or an [N] vector
+    (per-TU QPs in the batched decode path).  shift = 6 - transformShift.
     """
     size = qcoeff.shape[-1]
     log2 = size.bit_length() - 1
-    per, rem = qp // 6, qp % 6
     transform_shift = MAX_TR_DYNAMIC_RANGE - (8 + bit_increment) - log2
     shift = QUANT_IQUANT_SHIFT - QUANT_SHIFT - transform_shift
     add = 1 << (shift - 1)
-    scale = int(INV_QUANT_SCALES[rem]) << per
-    q = np.clip(qcoeff.astype(np.int64), -32768, 32767)
+    if np.isscalar(qp) or getattr(qp, "ndim", 0) == 0:
+        scale = int(INV_QUANT_SCALES[int(qp) % 6]) << (int(qp) // 6)
+    else:
+        qp = np.asarray(qp, np.int64)
+        scale = (INV_QUANT_SCALES[qp % 6].astype(np.int64)
+                 << (qp // 6))[:, None, None]
+    q = np.clip(qcoeff, -32768, 32767).astype(np.int64)
     out = (q * scale + add) >> shift
     return np.clip(out, -32768, 32767).astype(np.int32)
 
