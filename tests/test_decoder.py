@@ -198,3 +198,55 @@ def test_decode_weighted_prediction(oracle, cfg, opt, name):
              "-o", "/dev/null", "--SEIpictureDigest=1"],
             check=True, capture_output=True)
     _decode_ok(out)
+
+
+def _write_custom_matrices(path):
+    """An HM ScalingListFile with non-default matrices (exercises the SPS
+    scaling-list syntax: DPCM coding + DC values + checkDefaultScalingList)."""
+    from thevc_tpu.common import scaling as sc
+    rng = np.random.RandomState(7)
+    out = []
+    for sid in range(4):
+        for lid in range(sc.SCALING_LIST_NUM[sid]):
+            n = min(64, sc.SCALING_LIST_SIZE[sid])
+            out.append(sc._MATRIX_TYPE[sid][lid] + " =")
+            vals = np.clip(16 + rng.randint(-6, 40, n), 1, 255)
+            for i in range(0, n, 8):
+                out.append(",".join(str(v) for v in vals[i:i + 8]) + ",")
+            if sid > 1:
+                out.append(sc._MATRIX_TYPE_DC[sid][lid] + " =")
+                out.append(str(int(np.clip(16 + rng.randint(-6, 40),
+                                           1, 255))) + ",")
+    path.write_text("\n".join(out) + "\n")
+
+
+def test_decode_scaling_list_default(oracle, test_clip):
+    """--ScalingList=1: default quantization matrices, intra."""
+    out = _encode(test_clip, TESTDATA / "intra_sl1.bin", frames=2,
+                  extra=["--ScalingList=1"])
+    _decode_ok(out)
+
+
+def test_decode_scaling_list_default_inter(oracle):
+    """--ScalingList=1 on a lowdelay B stream (inter dequant incl. the
+    32x32 list-3-onto-list-1 aliasing, TComTrQuant.cpp:3038)."""
+    from conftest import oracle_encode_small
+    clip = TESTDATA / "clip_fade_176x144.yuv"
+    if not clip.exists():
+        _make_fade_clip(clip)
+    out = TESTDATA / "ldb_sl1.bin"
+    if not out.exists():
+        oracle_encode_small("encoder_lowdelay_main.cfg", clip, out,
+                            frames=5, extra=["-q", "22", "--ScalingList=1"])
+    _decode_ok(out)
+
+
+def test_decode_scaling_list_custom(oracle, test_clip, tmp_path):
+    """--ScalingList=2 with a custom matrix file: the SPS carries the full
+    scaling-list data (parse + dequant tables from transmitted matrices)."""
+    mat = tmp_path / "mat.txt"
+    _write_custom_matrices(mat)
+    out = tmp_path / "intra_sl2.bin"
+    _encode(test_clip, out, frames=2,
+            extra=["--ScalingList=2", f"--ScalingListFile={mat}"])
+    _decode_ok(out)

@@ -211,3 +211,54 @@ def test_encoder_randomaccess_byte_exact(oracle, small_clip, tmp_path):
                   "-f", "9", "-fr", "30", "-b", str(out),
                   "-o", "/dev/null", "--SEIpictureDigest=1"])
     assert out.read_bytes() == ref_bin.read_bytes()
+
+
+@pytest.mark.parametrize("cfg,frames,name", [
+    ("encoder_intra_main.cfg", 2, "intra"),
+    ("encoder_lowdelay_P_main.cfg", 3, "ldp"),
+])
+def test_encoder_scaling_list_byte_exact(oracle, small_clip, tmp_path,
+                                         cfg, frames, name):
+    if frames > 2:
+        small_clip = TESTDATA / "clip_96x80_9f.yuv"
+    """--ScalingList=1 (default matrices): per-coefficient quant/RDOQ err
+    scale tables (TComTrQuant::xSetScalingListEnc/setErrScaleCoeff)."""
+    ref_bin = TESTDATA / f"enc_sl1_{name}_96x80.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", f"/root/reference/cfg/{cfg}",
+             "-i", str(small_clip), "-wdt", "96", "-hgt", "80",
+             "-f", str(frames), "-fr", "30", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1", "--ScalingList=1"],
+            check=True, capture_output=True)
+    out = tmp_path / "sl1.bin"
+    encoder_main(["-c", f"/root/reference/cfg/{cfg}",
+                  "-i", str(small_clip), "-wdt", "96", "-hgt", "80",
+                  "-f", str(frames), "-fr", "30", "-b", str(out),
+                  "--SEIpictureDigest=1", "--ScalingList=1"])
+    assert out.read_bytes() == ref_bin.read_bytes()
+
+
+def test_encoder_weighted_pred_byte_exact(oracle, tmp_path):
+    """-wpP on a fade clip: AC/DC WP analysis (WeightPredAnalysis.cpp),
+    weighted ME/RD, and the pred_weight_table syntax — byte-exact."""
+    from test_decoder import _make_fade_clip
+    clip = TESTDATA / "clip_fade_176x144.yuv"
+    if not clip.exists():
+        _make_fade_clip(clip)
+    ref_bin = TESTDATA / "enc_wpP3_ref.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+             "-i", str(clip), "-wdt", "176", "-hgt", "144",
+             "-f", "3", "-fr", "30", "-wpP", "1", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1"],
+            check=True, capture_output=True)
+    out = tmp_path / "wp.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+                  "-i", str(clip), "-wdt", "176", "-hgt", "144",
+                  "-f", "3", "-fr", "30", "-wpP", "1", "-b", str(out),
+                  "--SEIpictureDigest=1"])
+    assert out.read_bytes() == ref_bin.read_bytes()

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..common import rom
+from ..common import scaling as scaling_mod
 from ..ops import intra as intra_ops
 from ..ops import transforms as tops
 from ..params import Pps, SliceHeader, Sps
@@ -189,12 +190,13 @@ def _collect_residuals(f: FrameModel, sps: Sps, pps: Pps, runs) -> dict:
 class _FrameRecon:
     def __init__(self, f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
                  rec_y, rec_cb, rec_cr, inter_pred=None, store=None,
-                 avail=None):
+                 avail=None, scaling=None):
         self.f, self.sh, self.sps, self.pps = f, sh, sps, pps
         self.rec_y, self.rec_cb, self.rec_cr = rec_y, rec_cb, rec_cr
         self.inter_pred = inter_pred
         self.store = store          # batched residuals from device stage 1
         self.avail = avail          # vectorized availability context
+        self.scaling = scaling      # active ActiveScaling tables or None
         self.bit_inc = sps.bit_increment
         self.max_val = (1 << sps.internal_bit_depth) - 1
         self.dc_val = 1 << (sps.internal_bit_depth - 1)
@@ -205,7 +207,19 @@ class _FrameRecon:
         return _tu_availability_flags(self.f, ux, uy, nu)
 
     def _resi(self, comp: int, x: int, y: int, size: int, qps: int,
-              use_dst: bool, ts: bool, bypass: bool, plane) -> np.ndarray:
+              use_dst: bool, ts: bool, bypass: bool, plane,
+              is_intra: bool = True) -> np.ndarray:
+        if self.scaling is not None and not bypass:
+            blk = plane[y:y + size, x:x + size]
+            deq_tab = self.scaling.tables_for(size, qps, is_intra, comp)[0]
+            deq = scaling_mod.dequant_with_list(blk, deq_tab, qps,
+                                                size.bit_length() - 1,
+                                                self.bit_inc)
+            if ts:
+                return tops.transform_skip_inv(
+                    deq[None], self.bit_inc)[0].astype(np.int32)
+            return tops.inverse_transform(
+                deq[None], use_dst, self.bit_inc)[0].astype(np.int32)
         if self.store is not None and not ts and not bypass:
             r = self.store.get((comp, x, y))
             if r is not None:
@@ -302,7 +316,7 @@ class _FrameRecon:
                     self._resi(0, tx, ty, tsz, qps, use_dst=False,
                                ts=bool(f.ts_flag[0, uy, ux]),
                                bypass=bool(f.tq_bypass[uy, ux]),
-                               plane=f.coeff_y)
+                               plane=f.coeff_y, is_intra=False)
         cx0, cy0 = px // 2, py // 2
         for (cx, cy, csz, abs_part, ctu_addr, tr_depth) in chroma_tus:
             ux, uy = cx // 2, cy // 2
@@ -319,7 +333,7 @@ class _FrameRecon:
                         self._resi(comp, cx, cy, csz, qps, use_dst=False,
                                    ts=bool(f.ts_flag[comp, uy, ux]),
                                    bypass=bool(f.tq_bypass[uy, ux]),
-                                   plane=coeff_plane)
+                                   plane=coeff_plane, is_intra=False)
         self.rec_y[py:py + size, px:px + size] = np.clip(
             pred_y.astype(np.int32) + resi_y, 0,
             self.max_val).astype(self.rec_y.dtype)
@@ -463,20 +477,23 @@ def _native_bases():
 
 def reconstruct_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
                         rec_y: np.ndarray, rec_cb: np.ndarray,
-                        rec_cr: np.ndarray) -> None:
+                        rec_cr: np.ndarray, scaling=None) -> None:
     """Whole-picture reconstruction: stage 1 batches every coded TU's
     dequant+IDCT on device, stage 2 walks CUs in decode order doing
     prediction + add with the precomputed residuals (SURVEY.md section 7).
 
     runs: [(sh, inter_pred, cu_lo, cu_hi)] — one entry per slice segment.
+    scaling: active ActiveScaling tables (routes every TU through the
+    per-coefficient dequant; batching/native paths are bypassed).
     """
-    if _native_intra_picture(f, sps, pps, runs, rec_y, rec_cb, rec_cr):
+    if scaling is None and _native_intra_picture(f, sps, pps, runs, rec_y,
+                                                 rec_cb, rec_cr):
         return
-    store = _collect_residuals(f, sps, pps, runs)
+    store = _collect_residuals(f, sps, pps, runs) if scaling is None else None
     avail = _AvailCtx(f)
     for (sh, inter_pred, lo, hi) in runs:
         r = _FrameRecon(f, sh, sps, pps, rec_y, rec_cb, rec_cr, inter_pred,
-                        store=store, avail=avail)
+                        store=store, avail=avail, scaling=scaling)
         for (px, py, size, mode, l0, l1, c0, c1) in f.cu_list[lo:hi]:
             if mode == MODE_INTRA:
                 for tu in f.luma_tus[l0:l1]:

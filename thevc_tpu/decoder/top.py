@@ -81,6 +81,7 @@ class Decoder:
         self.pictures: List[DecodedPicture] = []
         self.dpb = Dpb()
         self.cur: Optional[_PicCtx] = None
+        self._scaling_cache: Dict[tuple, object] = {}
         # TAppDecTop.cpp:144-155: NALs above this temporal layer are dropped
         # before decode (-1 = decode all layers).
         self.max_temporal_layer = max_temporal_layer
@@ -240,7 +241,7 @@ class Decoder:
             f, sps, pps,
             [(run.sh, run.inter_pred, run.cu_start, run.cu_end)
              for run in cur.slices],
-            rec_y, rec_cb, rec_cr)
+            rec_y, rec_cb, rec_cr, scaling=self._active_scaling(sps, pps))
 
         # per-unit reference POC map for deblock BS + the DPB motion snapshot
         ref_poc = self._resolve_ref_pocs(cur)
@@ -268,6 +269,31 @@ class Decoder:
                                   sps.internal_bit_depth)
                 pic.digest_ok = got == list(sei["digest"])
         self.pictures.append(pic)
+
+    def _active_scaling(self, sps: Sps, pps: Pps):
+        """Scaling-list activation (TDecTop.cpp:585-606): PPS data wins
+        over SPS data; neither present means the default matrices built
+        with the PPS transform-skip flag (TS_FLAT_QUANTIZATION_MATRIX)."""
+        if not sps.scaling_list_enabled_flag:
+            return None
+        key = (id(sps), id(pps))
+        cached = self._scaling_cache.get(key)
+        if cached is not None:
+            return cached
+        from ..common import scaling as scaling_mod
+        src = pps.scaling_list if pps.scaling_list_present_flag else \
+            (sps.scaling_list if sps.scaling_list_present_flag else None)
+        sl = scaling_mod.ScalingList(pps.use_transform_skip)
+        if src is None:
+            sl.set_default()
+        else:
+            for s in range(4):
+                for l in range(scaling_mod.SCALING_LIST_NUM[s]):
+                    sl.lists[s][l][:] = src.lists[s][l]
+                    sl.dc[s][l] = src.dc[s][l]
+        active = scaling_mod.ActiveScaling(sl, sps.bit_increment)
+        self._scaling_cache[key] = active
+        return active
 
     @staticmethod
     def _resolve_ref_pocs(cur: _PicCtx) -> np.ndarray:

@@ -30,6 +30,7 @@ import numpy as np
 from ..cabac import contexts as cc
 from ..cabac.bitcount import CounterEncoder
 from ..common import rom
+from ..common import scaling as scaling_mod
 from ..decoder.frame import (DM_CHROMA_IDX, MODE_INTER, MODE_INTRA,
                              SIZE_2Nx2N, SIZE_2NxN, SIZE_2NxnD, SIZE_2NxnU,
                              SIZE_NxN, SIZE_Nx2N, SIZE_nLx2N, SIZE_nRx2N,
@@ -75,6 +76,11 @@ class CuEncoder:
         self.bit_depth = sps.internal_bit_depth
         self.bit_inc = sps.bit_increment
         self.max_val = (1 << self.bit_depth) - 1
+        # active quantization matrices (TEncGOP.cpp:255-275 activation)
+        self.scaling = getattr(sps, "enc_scaling", None) \
+            if sps.scaling_list_enabled_flag else None
+        # rate-control unit QP override (TEncCu.cpp:449-455/:812-817)
+        self.unit_qp = None
 
         from .slice_encoder import enc_init_type
         init = cc.make_context_states_idx(enc_init_type(sh, pps),
@@ -223,7 +229,7 @@ class CuEncoder:
         sl = (slice(cy * upr, (cy + 1) * upr), slice(cx * upr, (cx + 1) * upr))
         f.depth[sl] = 0
         f.tr_idx[sl] = 0
-        f.qp[sl] = self.sh.slice_qp
+        f.qp[sl] = self.sh.slice_qp if self.unit_qp is None else self.unit_qp
         f.pred_mode[sl] = 15
         f.part_size_arr[sl] = 15
         f.skip[sl] = False
@@ -260,7 +266,7 @@ class CuEncoder:
         ux, uy = self._unit_xy(abs_part)
 
         if inside:
-            qp = self.sh.slice_qp
+            qp = self.sh.slice_qp if self.unit_qp is None else self.unit_qp
             is_inter_slice = self.sh.slice_type != I_SLICE
             if is_inter_slice:
                 best = self._check_rd_merge_2nx2n(abs_part, depth, best)
@@ -440,7 +446,7 @@ class CuEncoder:
         f.part_size_arr[reg] = part_size
         f.pred_mode[reg] = MODE_INTER
         f.depth[reg] = depth
-        f.qp[reg] = self.sh.slice_qp
+        f.qp[reg] = self.sh.slice_qp if self.unit_qp is None else self.unit_qp
         f.ipcm[reg] = False
         f.tr_idx[reg] = 0
         f.cbf[:, reg[0], reg[1]] = 0
@@ -986,7 +992,7 @@ class CuEncoder:
         f.cbf[0, uy:uy + units, ux:ux + units] = cbf << tr_depth
 
         if abs_sum:
-            deq = tops.dequant(levels[None], qps, self.bit_inc)[0]
+            deq = self._dequant(levels, qps, size, 0, True)
             if use_ts:
                 resi_rec = tops.transform_skip_inv(deq[None], self.bit_inc)[0]
             else:
@@ -1007,6 +1013,14 @@ class CuEncoder:
 
         return self.rd.dist_part(rec, self.org_y[py:py + size, px:px + size])
 
+    def _dequant(self, levels, qps, size, comp, is_intra):
+        """xDeQuant dispatch: scaling-list path when matrices are active."""
+        if self.scaling is not None:
+            deq_tab = self.scaling.tables_for(size, qps, is_intra, comp)[0]
+            return scaling_mod.dequant_with_list(
+                levels, deq_tab, qps, size.bit_length() - 1, self.bit_inc)
+        return tops.dequant(levels[None], qps, self.bit_inc)[0]
+
     def _xform_quant(self, part, resi, size, qps, is_luma, comp, use_ts,
                      cbf_tr_depth, is_intra=True):
         """transformNxN: forward transform + RDOQ/quant (+ SBH)."""
@@ -1023,13 +1037,28 @@ class CuEncoder:
         # xQuant: RDOQ unless (TransformSkipFast && transformSkip)
         use_rdoq = self.cfg.get("RDOQ", 1) and not (
             self.cfg.get("TransformSkipFast", 1) and use_ts)
+        quant_tab = err_tab = None
+        if self.scaling is not None:
+            comp_idx = 0 if is_luma else comp
+            _deq, quant_tab, err_tab = self.scaling.tables_for(
+                size, qps, is_intra, comp_idx)
         if use_rdoq:
             eb = build_est_bits(self.go_on.ctx, size, is_luma)
             lam = self.lambda_luma if is_luma else self.lambda_chroma
             levels, abs_sum = rdoq_mod.rdoq(
                 coeff_t, size, per, rem, lam, is_luma, is_intra, scan_idx,
-                eb, cbf_tr_depth, self.pps.sign_hide_flag, self.bit_inc)
+                eb, cbf_tr_depth, self.pps.sign_hide_flag, self.bit_inc,
+                quant_tab=quant_tab, err_tab=err_tab)
             return levels.reshape(size, size), abs_sum
+        if quant_tab is not None:
+            levels, du0 = scaling_mod.quant_with_list(
+                coeff_t, quant_tab, per, size.bit_length() - 1,
+                self.sh.slice_type == I_SLICE, self.bit_inc)
+            abs_sum = int(np.abs(levels).sum())
+            if self.pps.sign_hide_flag and abs_sum >= 2:
+                levels = self._sign_bit_hiding(levels, coeff_t, du0,
+                                               scan_idx, size)
+            return levels, abs_sum
         lv, du = tops.quant(coeff_t[None], qps,
                             self.sh.slice_type == I_SLICE, self.bit_inc)
         levels = lv[0]
@@ -1465,7 +1494,7 @@ class CuEncoder:
         f.cbf[comp, uy:uy + units_td, ux:ux + units_td] = cbf << org_tr_depth
 
         if abs_sum:
-            deq = tops.dequant(levels[None], qps, self.bit_inc)[0]
+            deq = self._dequant(levels, qps, size, comp, True)
             if use_ts:
                 resi_rec = tops.transform_skip_inv(deq[None], self.bit_inc)[0]
             else:

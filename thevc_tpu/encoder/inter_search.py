@@ -147,6 +147,49 @@ class InterSearch:
                          for _ in range(nlayers)]
 
     # ------------------------------------------------------------------
+    # weighted-prediction ME support (TComRdCostWeightPrediction.cpp,
+    # TEncSearch::setWpScalingDistParam :6183)
+    # ------------------------------------------------------------------
+    def _wp_active(self) -> bool:
+        """Live flags: the slice-level WP disable toggles the PPS flags
+        during compression (xCheckWPEnable / xRestoreWPparam)."""
+        return ((self.sh.slice_type == 1 and self.pps.use_wp) or
+                (self.sh.slice_type == 0 and self.pps.wp_bipred))
+
+    def _wp_luma_params(self, lst: int, ref: int):
+        """Uni-derived (w, offset, shift, round) for luma (getWpScaling)."""
+        w = self.sh.wp_scaling["wp"][lst][ref][0]
+        denom = self.sh.wp_scaling["luma_log2_denom"]
+        bd = self.sps.internal_bit_depth
+        offset = w[2] * (1 << (bd - 8))
+        rnd = (1 << (denom - 1)) if denom >= 1 else 0
+        return w[1], offset, denom, rnd
+
+    _wp_plane_cache: dict
+
+    def _weighted_plane(self, lst: int, ref: int):
+        """Padded reference plane with the ME weighting pre-applied:
+        pred = ((w*ref + round) >> shift) + offset (xGetSADw, no clip)."""
+        cache = getattr(self, "_wp_planes", None)
+        if cache is None:
+            cache = self._wp_planes = {}
+        key = (lst, ref)
+        p = cache.get(key)
+        if p is None:
+            w, offset, shift, rnd = self._wp_luma_params(lst, ref)
+            pad_y = self.lists[lst][ref].padded()[0]
+            p = (((w * pad_y.astype(np.int32) + rnd) >> shift)
+                 + offset).astype(np.int16)
+            cache[key] = p
+        return p
+
+    def _wp_weight_block(self, blk, lst, ref):
+        """Weight interpolated samples for the fractional SATD/SAD."""
+        w, offset, shift, rnd = self._wp_luma_params(lst, ref)
+        return (((w * blk.astype(np.int32) + rnd) >> shift)
+                + offset).astype(np.int16)
+
+    # ------------------------------------------------------------------
     # small helpers
     # ------------------------------------------------------------------
     def _clip(self, mv, cu_x, cu_y):
@@ -283,10 +326,17 @@ class InterSearch:
         self.mc.set_cost_scale(2)
 
         sub_shift = 1 if (self.fast_enc and ph > 8) else 0
+        wp = self._wp_active()
+        if wp:
+            # weighted SAD ignores the subsampling shift (xGetSADw)
+            sub_shift = 0
+            sad_plane = self._weighted_plane(lst, ref_idx)
+        else:
+            sad_plane = pad_y
 
         def sad_at(x, y):
-            blk = pad_y[m + yp + y:m + yp + y + ph,
-                        m + xp + x:m + xp + x + pw]
+            blk = sad_plane[m + yp + y:m + yp + y + ph,
+                            m + xp + x:m + xp + x + pw]
             return _sad(org, blk, sub_shift, self.bit_inc) + \
                 self.mc.cost_pts(x, y)
 
@@ -301,7 +351,8 @@ class InterSearch:
         self.mc.motion_cost_sad()
         self.mc.set_cost_scale(1)
         mv_half, mv_qter, cost = self._frac_search(
-            org if not bi else org, pad_y, m, xp, yp, pw, ph, mv_int)
+            org if not bi else org, pad_y, m, xp, yp, pw, ph, mv_int,
+            wp_ref=(lst, ref_idx) if wp else None)
 
         self.mc.set_cost_scale(0)
         mv = (mv_int[0] * 4 + mv_half[0] * 2 + mv_qter[0],
@@ -483,7 +534,8 @@ class InterSearch:
             st["best"] - self.mc.cost_pts(st["x"], st["y"])
 
     # -- fractional search ----------------------------------------------
-    def _frac_search(self, org, pad_y, m, xp, yp, pw, ph, mv_int):
+    def _frac_search(self, org, pad_y, m, xp, yp, pw, ph, mv_int,
+                     wp_ref=None):
         """xPatternSearchFracDIF: half then quarter refinement."""
         # ROI origin inside padded plane
         ox = m + xp + mv_int[0]
@@ -491,13 +543,15 @@ class InterSearch:
         blocks = self._upsample_h(pad_y, ox, oy, pw, ph)
 
         mv_half, cost = self._refine(org, blocks, pw, ph, 2,
-                                     (mv_int[0] * 2, mv_int[1] * 2), (0, 0))
+                                     (mv_int[0] * 2, mv_int[1] * 2), (0, 0),
+                                     wp_ref)
         self.mc.set_cost_scale(0)
         self._upsample_q(pad_y, ox, oy, pw, ph, mv_half, blocks)
         base = (mv_half[0] * 2, mv_half[1] * 2)
         start = (mv_int[0] * 4 + mv_half[0] * 2,
                  mv_int[1] * 4 + mv_half[1] * 2)
-        mv_qter, cost = self._refine(org, blocks, pw, ph, 1, start, base)
+        mv_qter, cost = self._refine(org, blocks, pw, ph, 1, start, base,
+                                     wp_ref)
         return mv_half, mv_qter, cost
 
     def _upsample_h(self, pad_y, ox, oy, pw, ph):
@@ -585,7 +639,8 @@ class InterSearch:
         blocks[(1, 3)] = vq(tmp3, 1, 1 if hv == 0 else 0, pw)
         blocks[(3, 3)] = vq(tmp3, 3, 0, pw)
 
-    def _refine(self, org, blocks, pw, ph, frac, start_mv, base_mv):
+    def _refine(self, org, blocks, pw, ph, frac, start_mv, base_mv,
+                wp_ref=None):
         """xPatternRefinement."""
         refine = REFINE_H if frac == 2 else REFINE_Q
         best = MAX_UINT
@@ -597,6 +652,8 @@ class InterSearch:
             co = 1 if (hor_val == 2 and (ver_val & 1) == 0) else 0
             ro = 1 if ((hor_val & 1) == 0 and ver_val == 2) else 0
             cur = blk[ro:ro + ph, co:co + pw]
+            if wp_ref is not None:
+                cur = self._wp_weight_block(cur, *wp_ref)
             if self.use_had_me:
                 dist = calc_had(org, cur, self.bit_inc)
             else:
@@ -1382,7 +1439,7 @@ def _est_residual_qt(self, abs_part, cu_depth, full_depth, acc, zacc):
             zacc["zero_dist"] += dist_y
         resi_rec_y = None
         if abs_sum_y:
-            deq = tops.dequant(coeff_y[None], qps_y, self.bit_inc)[0]
+            deq = cu._dequant(coeff_y, qps_y, size, 0, False)
             resi_rec_y = tops.inverse_transform(
                 deq[None], use_dst=False, bit_increment=self.bit_inc)[0]
             nz_dist_y = cu.rd.dist_part(resi_rec_y, resi_y)
@@ -1417,7 +1474,7 @@ def _est_residual_qt(self, abs_part, cu_depth, full_depth, acc, zacc):
             if zacc is not None:
                 zacc["zero_dist"] += dist_u
             if abs_sum_u:
-                deq = tops.dequant(coeff_u[None], qps_u, self.bit_inc)[0]
+                deq = cu._dequant(coeff_u, qps_u, size_c, 1, False)
                 resi_rec_u = tops.inverse_transform(
                     deq[None], use_dst=False, bit_increment=self.bit_inc)[0]
                 nz = cu.rd.dist_part(resi_rec_u, resi_u, True)
@@ -1449,7 +1506,7 @@ def _est_residual_qt(self, abs_part, cu_depth, full_depth, acc, zacc):
             if zacc is not None:
                 zacc["zero_dist"] += dist_v
             if abs_sum_v:
-                deq = tops.dequant(coeff_v[None], qps_v, self.bit_inc)[0]
+                deq = cu._dequant(coeff_v, qps_v, size_c, 2, False)
                 resi_rec_v = tops.inverse_transform(
                     deq[None], use_dst=False, bit_increment=self.bit_inc)[0]
                 nz = cu.rd.dist_part(resi_rec_v, resi_v, True)

@@ -130,12 +130,15 @@ def _get_coded_level(cost_coeff, cost_coeff0, cost_sig, scan_pos,
 
 def rdoq(src_coeff: np.ndarray, width: int, qp_per: int, qp_rem: int,
          lam: float, is_luma: bool, is_intra: bool, scan_idx: int,
-         eb: EstBits, tr_depth: int, sign_hide: bool, bit_increment: int = 0):
+         eb: EstBits, tr_depth: int, sign_hide: bool, bit_increment: int = 0,
+         quant_tab=None, err_tab=None):
     """xRateDistOptQuant for a width x width TU.
 
     Returns (dst_coeff int32 flat array, abs_sum).
     scan_idx: already zigzag->diag mapped.  tr_depth: luma CBF ctx depth
     (for the uncoded-block cost); chroma uses its own cbf ctx = trDepth.
+    quant_tab/err_tab: per-coefficient quant scale / error scale in raster
+    order when a scaling list is active (TComTrQuant.cpp:1759-1760).
     """
     max_coeff = width * width
     log2 = width.bit_length() - 1
@@ -144,6 +147,9 @@ def rdoq(src_coeff: np.ndarray, width: int, qp_per: int, qp_rem: int,
     qbits = 14 + qp_per + transform_shift
     err_scale = float(1 << SCALE_BITS) * (2.0 ** (-2.0 * transform_shift)) \
         / float(uiQ) / float(uiQ) / float(1 << (2 * bit_increment))
+    if quant_tab is not None:
+        quant_flat = np.asarray(quant_tab, np.int64).reshape(-1)
+        err_flat = np.asarray(err_tab, np.float64).reshape(-1)
 
     dst = np.zeros(max_coeff, np.int32)
     cost_coeff = np.zeros(max_coeff, np.float64)
@@ -189,6 +195,9 @@ def rdoq(src_coeff: np.ndarray, width: int, qp_per: int, qp_rem: int,
         for pos_in_cg in range(cg_size - 1, -1, -1):
             scan_pos = cg_scan_pos * cg_size + pos_in_cg
             blk_pos = int(scan[scan_pos])
+            if quant_tab is not None:
+                uiQ = int(quant_flat[blk_pos])
+                err_scale = float(err_flat[blk_pos])
             level_double = int(flat[blk_pos])
             level_double = min(abs(level_double) * uiQ,
                                MAX_INT - (1 << (qbits - 1)))

@@ -31,10 +31,12 @@ from .rdcost import RdCost
 from .sbac_writer import SbacWriter
 
 
-def init_enc_slice(cfg, sps, pps, poc: int, gop_id: int, nal_type: int):
+def init_enc_slice(cfg, sps, pps, poc: int, gop_id: int, nal_type: int,
+                   rc=None):
     """initEncSlice: slice type, QP, lambda (TEncSlice.cpp:164).
 
     Returns (SliceHeader, lambda, chroma_weight, lambda_chroma).
+    rc: active rate controller — overrides the QP (TEncSlice.cpp:248-251).
     """
     ge = cfg.gop_list[gop_id] if gop_id < len(cfg.gop_list) else None
 
@@ -64,6 +66,10 @@ def init_enc_slice(cfg, sps, pps, poc: int, gop_id: int, nal_type: int):
     dqp = float(cfg.qp)
     if slice_type != I_SLICE and ge is not None:
         dqp += ge.qp_offset
+    if rc is not None:
+        referenced = True if slice_type == I_SLICE else \
+            bool(ge.ref_pic) if ge is not None else True
+        dqp = float(rc.get_frame_qp(referenced, poc))
 
     # lambda (iDQpIdx = 0 case)
     num_b = cfg.gop_size - 1
@@ -100,6 +106,34 @@ def init_enc_slice(cfg, sps, pps, poc: int, gop_id: int, nal_type: int):
     sh.lf_cross_slice_boundary_flag = bool(cfg.lf_cross_slice_boundary_flag)
     sh.tmvp_enabled = cfg.tmvp_mode == 1 and slice_type != I_SLICE
     return sh, lam, weight, lam / weight
+
+
+def rc_lambda_recalc(cu: CuEncoder, cfg, sh, change_qp: int,
+                     id_gop: int) -> None:
+    """xLamdaRecalculation (TEncSlice.cpp:413): refresh every lambda from
+    the unit QP chosen by the rate controller (slice header QP unchanged)."""
+    sps = cu.sps
+    num_b = cfg.gop_size - 1
+    lambda_scale = 1.0 - max(0.0, min(0.5, 0.05 * num_b))
+    qp_temp = float(change_qp) - 12
+    ge = cfg.gop_list[id_gop] if id_gop < len(cfg.gop_list) else None
+    qp_factor = ge.qp_factor if ge is not None else 1.0
+    if sh.slice_type == I_SLICE:
+        qp_factor = 0.57 * lambda_scale
+    lam = qp_factor * math.pow(2.0, qp_temp / 3.0)
+    if sh.gop_depth > 0:
+        lam *= max(2.0, min(4.0, qp_temp / 6.0))
+    if not cfg.use_had_me:
+        lam *= 0.95
+    qp = max(-sps.qp_bd_offset_y,
+             min(51, int(math.floor(change_qp + 0.5))))
+    weight = 1.0
+    if qp >= 0:
+        weight = math.pow(2.0, (qp - int(rom.CHROMA_SCALE[qp])) / 3.0)
+    cu.rd.set_lambda(lam)
+    cu.rd.chroma_distortion_weight = weight
+    cu.lambda_luma = lam
+    cu.lambda_chroma = lam / weight
 
 
 def make_cu_encoder(cfg, sps, pps, sh, frame: FrameModel, org_planes,
@@ -355,6 +389,9 @@ class PictureCompressor:
         self.enc_buffer_used = None
         self.enc_dep_mem = None
         self.enc_dep_used = None
+        # rate control (TEncSlice.cpp:812-819/:968-970 hooks)
+        self.rc = None
+        self.pic_total_bits = 0
 
     # -- tile helpers --------------------------------------------------
     def _tile_of(self, ctu: int) -> int:
@@ -472,6 +509,13 @@ class PictureCompressor:
                                                  sh.slice_qp)
                 cu.snap[0][CI_CURR_BEST] = (ctx, frac)
 
+            if self.rc is not None:
+                if self.rc.calculate_unit_qp():
+                    rc_lambda_recalc(cu, self.cfg, sh,
+                                     self.rc.get_unit_qp(),
+                                     self.rc.gop_id())
+                cu.unit_qp = max(0, min(51, self.rc.get_unit_qp()))
+
             cu.compress_ctu(ctu)
             # final-pass re-encode advancing [0][CI_CURR_BEST]
             ctx, frac = cu.snap[0][CI_CURR_BEST]
@@ -480,6 +524,16 @@ class PictureCompressor:
             w = SbacWriter(f, sh, cu.sps, cu.pps, eng)
             cu.encode_ctu(ctu, w)
             cu.snap[0][CI_CURR_BEST] = (eng.ctx, eng.frac_bits)
+
+            self.pic_total_bits += cu.total_bits
+            if self.rc is not None:
+                ux = (ctu % ctus_w) * f.units_per_row
+                uy = (ctu // ctus_w) * f.units_per_row
+                self.rc.update_lcu_data(
+                    cu.org_y, cu.rec_y, (ctu % ctus_w) * f.ctu_size,
+                    (ctu // ctus_w) * f.ctu_size, cu.total_bits,
+                    int(f.qp[uy, ux]))
+                self.rc.update_unit_status()
 
             self.sub_best[sub] = (eng.ctx.copy(), eng.frac_bits)
             # store 2nd-LCU-of-row contexts (TEncSlice.cpp:938-947)

@@ -19,6 +19,7 @@ from ..digest import calc_digest
 from ..decoder.frame import FrameModel
 from ..decoder.filters import deblock_frame, sao_frame
 from ..io.yuv import YuvFrame, YuvReader, YuvWriter
+from ..common import scaling as scaling_mod
 from ..params import I_SLICE, P_SLICE, Pps, ReferencePictureSet, Sps, Vps
 from ..decoder.mv import MvCtx
 from ..decoder.refpic import Dpb, Picture, build_ref_lists, check_ldc
@@ -29,6 +30,10 @@ from ..utils.cfg import EncoderCfg
 
 def derive_params(cfg: EncoderCfg):
     """Build (Vps, Sps, Pps) exactly as TAppEncTop + TEncTop would."""
+    if cfg.use_rate_ctrl:
+        # TAppEncCfg.cpp:896-906: RC forces per-LCU delta-QP coding
+        cfg.max_delta_qp = 2
+        cfg.max_cu_dqp_depth = 0
     num_reorder, max_dpb = cfg.dpb_params()
     max_tl = cfg.max_temp_layer
 
@@ -197,6 +202,27 @@ def derive_params(cfg: EncoderCfg):
     pps.dependent_slices_enabled_flag = cfg.dependent_slice_mode != 0
     pps.cabac_independent_flag = bool(cfg.cabac_independent_flag)
     pps.pic_init_qp_minus26 = 0
+
+    # scaling-list activation (TEncGOP.cpp:243-279): mode 1 = defaults with
+    # present flags off; mode 2 = file read, SPS carries the data whenever
+    # any matrix differs from the defaults (checkDefaultScalingList)
+    if cfg.scaling_list:
+        sl = scaling_mod.ScalingList(pps.use_transform_skip)
+        if cfg.scaling_list == 1:
+            sl.set_default()
+            sps.scaling_list_present_flag = False
+            pps.scaling_list_present_flag = False
+        else:
+            if scaling_mod.parse_scaling_list_file(sl, cfg.scaling_list_file):
+                sl.set_default()
+            scaling_mod.check_dc_of_matrix(sl)
+            sps.scaling_list_present_flag = \
+                scaling_mod.check_default_scaling_list(sl)
+            pps.scaling_list_present_flag = False
+            if sps.scaling_list_present_flag:
+                sps.scaling_list = sl
+        sps.enc_scaling = scaling_mod.ActiveScaling(sl, sps.bit_increment,
+                                                    for_encoder=True)
     return vps, sps, pps
 
 
@@ -258,6 +284,13 @@ class Encoder:
         self._sao_rate_state = [[0.0] * 10, [0.0] * 10]
         self.dpb = Dpb()
         self.last_idr = 0
+        self.rate_ctrl = None
+        if cfg.use_rate_ctrl:
+            from .rate_ctrl import RateCtrl
+            self.rate_ctrl = RateCtrl(
+                cfg.intra_period, cfg.gop_size, cfg.frame_rate,
+                cfg.target_bitrate, int(cfg.qp), cfg.source_width,
+                cfg.source_height, self.sps.max_cu_width)
         self.poc_cra = 0
         self.refresh_pending = False
 
@@ -274,7 +307,7 @@ class Encoder:
         if nal_type == nal_mod.NAL_UNIT_CODED_SLICE_IDR:
             self.last_idr = poc
         sh, lam, weight, lam_chroma = se.init_enc_slice(
-            cfg, sps, pps, poc, gop_id, nal_type)
+            cfg, sps, pps, poc, gop_id, nal_type, rc=self.rate_ctrl)
         ge = cfg.gop_list[gop_id] if gop_id < len(cfg.gop_list) else None
         sh.temporal_id = 0 if poc == 0 else (ge.temporal_id if ge else 0)
         if sh.slice_type == 0 and ge is not None and ge.slice_type == "P":
@@ -382,6 +415,23 @@ class Encoder:
                     sh.num_ref_lc = 0
                 _generate_combined_list(sh, list0, list1)
 
+        # ---- weighted-prediction analysis (TEncSlice.cpp:686-710) ----
+        from . import wp_analysis as wpa
+        wp_saved = (pps.use_wp, pps.wp_bipred)
+        if pps.use_wp or pps.wp_bipred:
+            sh.wp_acdc = wpa.calc_acdc((org.y, org.cb, org.cr))
+        wp_explicit = (sh.slice_type == P_SLICE and pps.use_wp) or \
+                      (sh.slice_type == 0 and pps.wp_bipred)
+        if wp_explicit:
+            sh.wp_scaling = wpa.estimate_wp_param_slice(
+                sh, [list0, list1], (org.y, org.cb, org.cr),
+                sps.internal_bit_depth)
+            if not wpa.check_wp_enable(sh.wp_scaling, sh):
+                # no weights survived: compress this picture unweighted
+                # (the PPS flags are restored before the entropy pass)
+                pps.use_wp = False
+                pps.wp_bipred = False
+
         f = FrameModel(sps, pps)
         from ..common.tiles import TileInfo
         f.init_tiles(TileInfo(f.ctus_w, f.ctus_h, pps))
@@ -412,6 +462,7 @@ class Encoder:
         # ---- slice segmentation + compression (TEncGOP.cpp:560-625) ----
         import copy as _copy
         pc = se.PictureCompressor(cu, cfg)
+        pc.rc = self.rate_ctrl
         real_end = se.real_end_address(f)
         sh.slice_cur_start_cu_addr = 0
         sh.dependent_slice_start_cu_addr = 0
@@ -449,6 +500,11 @@ class Encoder:
             next_addr = max(start_slice_var, start_dep_var)
             if next_addr >= real_end:
                 break
+
+        # xRestoreWPparam (TEncSlice.cpp:988)
+        pps.use_wp, pps.wp_bipred = wp_saved
+        if self.rate_ctrl is not None:     # TEncSlice.cpp:989-992
+            self.rate_ctrl.update_frame_data(pc.pic_total_bits)
 
         # in-loop filters run before the final entropy pass (TEncGOP:631+)
         from ..decoder.filters import ref_poc_from_lists
@@ -530,10 +586,19 @@ class Encoder:
         dpb_pic = Picture(poc, (rec_y, rec_cb, rec_cr), f, sh, ref_pocs,
                           margin=sps.max_cu_width + 16)
         dpb_pic.temporal_id = sh.temporal_id
+        # AC/DC stats of the original picture for later WP estimation
+        # (WeightPredAnalysis::xCalcACDCParamSlice)
+        dpb_pic.wp_acdc = getattr(sh, "wp_acdc", None)
         dpb_pic.compress_motion()
         self.dpb.add(dpb_pic)
 
         data, _sizes = nal_mod.write_annexb(au)
+        if self.rate_ctrl is not None:
+            # AU size excluding start codes and SEI NALs (TEncGOP.cpp:1655)
+            au_bits = sum(
+                len(nal_mod.write_nal(t, tid, rbsp)) * 8
+                for (t, tid, rbsp) in au if t != nal_mod.NAL_UNIT_SEI)
+            self.rate_ctrl.update_frame_status(au_bits, sh.slice_type)
         self._add_psnr(org, (rec_y, rec_cb, rec_cr), len(data) * 8)
         return data, YuvFrame(rec_y, rec_cb, rec_cr)
 
@@ -582,6 +647,8 @@ class Encoder:
             first = False
             chunks.append(data)
             recons[0] = rec
+            if self.rate_ctrl is not None:   # TEncGOP.cpp:1228-1231
+                self.rate_ctrl.update_gop_status()
         nxt = 1
         while nxt < n:
             batch = min(gop_size, n - nxt)
@@ -595,6 +662,8 @@ class Encoder:
                 chunks.append(data)
                 recons[poc] = rec
             nxt += batch
+            if self.rate_ctrl is not None:
+                self.rate_ctrl.update_gop_status()
         if writer is not None:
             for poc in sorted(recons):
                 writer.write_frame(recons[poc])

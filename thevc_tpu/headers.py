@@ -16,6 +16,7 @@ from .bitstream import InputBitstream, OutputBitstream
 from . import nal as nal_mod
 from .params import (B_SLICE, I_SLICE, P_SLICE, Pps, ReferencePictureSet,
                      SliceHeader, Sps, Vps)
+from .common import scaling
 
 MRG_MAX_NUM_CANDS = 5
 
@@ -222,7 +223,7 @@ def parse_sps(bs: InputBitstream) -> Sps:
     if sps.scaling_list_enabled_flag:
         sps.scaling_list_present_flag = bool(bs.read_flag())
         if sps.scaling_list_present_flag:
-            raise NotImplementedError("SPS scaling list parsing")
+            sps.scaling_list = scaling.parse_scaling_list(bs, False)
     sps.use_amp = bool(bs.read_flag())
     sps.use_sao = bool(bs.read_flag())
     if sps.use_pcm:
@@ -288,8 +289,9 @@ def write_sps(sps: Sps) -> OutputBitstream:
     bs.write_ue(sps.quadtree_tu_max_depth_intra - 1)
     bs.write_flag(sps.scaling_list_enabled_flag)
     if sps.scaling_list_enabled_flag:
-        assert not sps.scaling_list_present_flag, "scaling list write TODO"
-        bs.write_flag(False)
+        bs.write_flag(sps.scaling_list_present_flag)
+        if sps.scaling_list_present_flag:
+            scaling.write_scaling_list(bs, sps.scaling_list)
     bs.write_flag(sps.use_amp)
     bs.write_flag(sps.use_sao)
     if sps.use_pcm:
@@ -358,7 +360,7 @@ def parse_pps(bs: InputBitstream) -> Pps:
                 pps.loop_filter_tc_offset = bs.read_se()
     pps.scaling_list_present_flag = bool(bs.read_flag())
     if pps.scaling_list_present_flag:
-        raise NotImplementedError("PPS scaling list parsing")
+        pps.scaling_list = scaling.parse_scaling_list(bs, False)
     pps.log2_parallel_merge_level_minus2 = bs.read_ue()
     pps.slice_header_extension_present_flag = bool(bs.read_flag())
     ext = bs.read_flag()
@@ -413,6 +415,8 @@ def write_pps(pps: Pps) -> OutputBitstream:
                 bs.write_se(pps.loop_filter_beta_offset)
                 bs.write_se(pps.loop_filter_tc_offset)
     bs.write_flag(pps.scaling_list_present_flag)
+    if pps.scaling_list_present_flag:
+        scaling.write_scaling_list(bs, pps.scaling_list)
     bs.write_ue(pps.log2_parallel_merge_level_minus2)
     bs.write_flag(pps.slice_header_extension_present_flag)
     bs.write_flag(False)  # pps_extension_flag
@@ -661,6 +665,37 @@ def _num_rps_curr_temp_list(sh: SliceHeader) -> int:
                                 + rps.num_longterm_pics) if rps.used[i])
 
 
+def _write_pred_weight_table(bs: OutputBitstream, sh: SliceHeader,
+                             sps: Sps) -> None:
+    """TEncCavlc::xCodePredWeightTable (TEncCavlc.cpp:1339)."""
+    w = sh.wp_scaling
+    luma_denom = w["luma_log2_denom"]
+    chroma_denom = w["chroma_log2_denom"]
+    num_lists = 2 if sh.slice_type == B_SLICE else 1
+    denom_coded = False
+    for lx in range(num_lists):
+        for i in range(sh.num_ref_idx[lx]):
+            if not denom_coded:
+                bs.write_ue(luma_denom)
+                bs.write_se(chroma_denom - luma_denom)
+                denom_coded = True
+            bs.write_flag(w["wp"][lx][i][0][0])
+        for i in range(sh.num_ref_idx[lx]):
+            bs.write_flag(w["wp"][lx][i][1][0])
+        for i in range(sh.num_ref_idx[lx]):
+            present, wt, off = w["wp"][lx][i][0]
+            if present:
+                bs.write_se(wt - (1 << luma_denom))
+                bs.write_se(off)
+            if w["wp"][lx][i][1][0]:
+                half = 1 << (sps.internal_bit_depth - 1)
+                for c in (1, 2):
+                    _p, cw, co = w["wp"][lx][i][c]
+                    bs.write_se(cw - (1 << chroma_denom))
+                    pred = half - ((half * cw) >> chroma_denom)
+                    bs.write_se(co - pred)
+
+
 def _parse_pred_weight_table(bs: InputBitstream, sh: SliceHeader, sps: Sps) -> None:
     """TDecCavlc::xParsePredWeightTable — explicit WP parameters."""
     wp = [[[None] * 3 for _ in range(16)] for _ in range(2)]
@@ -881,7 +916,7 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps,
 
     if (pps.use_wp and sh.slice_type == P_SLICE) or \
             (pps.wp_bipred and sh.slice_type == B_SLICE):
-        raise NotImplementedError("pred weight table write (later round)")
+        _write_pred_weight_table(bs, sh, sps)
 
     bs.write_ue(MRG_MAX_NUM_CANDS - sh.max_num_merge_cand)
 

@@ -106,6 +106,7 @@ class Sps:
     quadtree_tu_max_depth_intra: int = 3
     scaling_list_enabled_flag: bool = False
     scaling_list_present_flag: bool = False
+    scaling_list: object = None
     use_amp: bool = True
     use_sao: bool = True
     pcm_filter_disable_flag: bool = False
@@ -173,6 +174,7 @@ class Pps:
     loop_filter_beta_offset: int = 0
     loop_filter_tc_offset: int = 0
     scaling_list_present_flag: bool = False
+    scaling_list: object = None
     log2_parallel_merge_level_minus2: int = 0
     slice_header_extension_present_flag: bool = False
     num_substreams: int = 1
