@@ -262,3 +262,36 @@ def test_encoder_weighted_pred_byte_exact(oracle, tmp_path):
                   "-f", "3", "-fr", "30", "-wpP", "1", "-b", str(out),
                   "--SEIpictureDigest=1"])
     assert out.read_bytes() == ref_bin.read_bytes()
+
+
+@pytest.mark.parametrize("cfg,kbps,name", [
+    ("encoder_lowdelay_P_main.cfg", 100000, "ldp"),
+    ("encoder_randomaccess_main.cfg", 50000, "ra"),
+])
+def test_encoder_rate_control_byte_exact(oracle, tmp_path, cfg, kbps, name):
+    """--RateControl=1: MAD linear + URQ quadratic models, frame-level QP
+    and LCU-level unit QP with per-LCU dQP signalling (TEncRateCtrl.cpp:60,
+    :99, :321, :429; hooks TEncSlice.cpp:249,:814,:969,:991)."""
+    clip = TESTDATA / "clip_96x80_9f.yuv"
+    if not clip.exists():
+        subprocess.run(
+            ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
+             "--width", "96", "--height", "80", "--frames", "9"],
+            check=True)
+    ref_bin = TESTDATA / f"enc_rc_{name}_ref.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", f"/root/reference/cfg/{cfg}",
+             "-i", str(clip), "-wdt", "96", "-hgt", "80",
+             "-f", "9", "-fr", "30", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1",
+             "--RateControl=1", f"--TargetBitrate={kbps}"],
+            check=True, capture_output=True)
+    out = tmp_path / "rc.bin"
+    encoder_main(["-c", f"/root/reference/cfg/{cfg}",
+                  "-i", str(clip), "-wdt", "96", "-hgt", "80",
+                  "-f", "9", "-fr", "30", "-b", str(out),
+                  "-o", "/dev/null", "--SEIpictureDigest=1",
+                  "--RateControl=1", f"--TargetBitrate={kbps}"])
+    assert out.read_bytes() == ref_bin.read_bytes()

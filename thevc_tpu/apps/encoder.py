@@ -21,13 +21,13 @@ def main(argv=None) -> int:
         return 1
     enc = Encoder(cfg)
     enc.encode(cfg.bitstream_file)
+    enc.print_summary()
+    # TAppEncTop::printRateSummary (TAppEncTop.cpp:486-493)
     n = max(enc.frames_encoded, 1)
     fr = cfg.frame_rate or 30
-    kbps = enc.total_bits * fr / n / 1000.0
-    print(f"SUMMARY: {enc.frames_encoded} frames, {kbps:.4f} kbps, "
-          f"Y-PSNR {enc.psnr_sums[0]/n:.4f} "
-          f"U-PSNR {enc.psnr_sums[1]/n:.4f} "
-          f"V-PSNR {enc.psnr_sums[2]/n:.4f}")
+    total_bytes = enc.total_bits // 8
+    print("Bytes written to file: %u (%.3f kbps)"
+          % (total_bytes, 0.008 * total_bytes / (n / fr)))
     return 0
 
 

@@ -10,6 +10,7 @@ TAppEncCfg.cpp xCheckParameter derivations.
 from __future__ import annotations
 
 import math
+import time
 
 import numpy as np
 
@@ -280,6 +281,11 @@ class Encoder:
         self.frames_encoded = 0
         self.total_bits = 0
         self.psnr_sums = [0.0, 0.0, 0.0]
+        # TEncAnalyze accumulators: [psnrY, psnrU, psnrV, bits, numPic]
+        # for all/I/P/B slices (TEncAnalyze.h:58-96)
+        self.analyze = {k: [0.0, 0.0, 0.0, 0.0, 0] for k in "aipb"}
+        self.rvm_rp: list = []      # per-AU bits for RVM (TEncGOP.cpp:1677)
+        self.verbose = True
         # SAO_ENCODING_CHOICE early-termination state (persists per encoder)
         self._sao_rate_state = [[0.0] * 10, [0.0] * 10]
         self.dpb = Dpb()
@@ -301,6 +307,7 @@ class Encoder:
 
         One iteration of TEncGOP::compressGOP.
         """
+        t_start = time.time()
         cfg = self.cfg
         sps, pps = self.sps, self.pps
         nal_type = _nal_unit_type(cfg, poc)
@@ -574,6 +581,7 @@ class Encoder:
                 hdr.add_substream(sub)
             slice_nals.append((nal_type, seg.temporal_id, hdr.get_bytes()))
 
+        digest = None
         if cfg.picture_digest:
             method = cfg.picture_digest - 1  # 1:MD5 2:CRC 3:checksum
             digest = calc_digest(method, (rec_y, rec_cb, rec_cr),
@@ -593,27 +601,119 @@ class Encoder:
         self.dpb.add(dpb_pic)
 
         data, _sizes = nal_mod.write_annexb(au)
+        # AU size excluding start codes and SEI NALs (TEncGOP.cpp:1655)
+        uibits = sum(
+            len(nal_mod.write_nal(t, tid, rbsp)) * 8
+            for (t, tid, rbsp) in au if t != nal_mod.NAL_UNIT_SEI)
         if self.rate_ctrl is not None:
-            # AU size excluding start codes and SEI NALs (TEncGOP.cpp:1655)
-            au_bits = sum(
-                len(nal_mod.write_nal(t, tid, rbsp)) * 8
-                for (t, tid, rbsp) in au if t != nal_mod.NAL_UNIT_SEI)
-            self.rate_ctrl.update_frame_status(au_bits, sh.slice_type)
-        self._add_psnr(org, (rec_y, rec_cb, rec_cr), len(data) * 8)
+            self.rate_ctrl.update_frame_status(uibits, sh.slice_type)
+        psnrs = self._add_psnr(org, (rec_y, rec_cb, rec_cr), len(data) * 8,
+                               uibits, sh.slice_type)
+        if self.verbose:
+            referenced = True if ge is None else bool(ge.ref_pic)
+            self._print_poc_line(sh, uibits, psnrs, time.time() - t_start,
+                                 list0, list1, digest,
+                                 cfg.picture_digest, referenced)
         return data, YuvFrame(rec_y, rec_cb, rec_cr)
 
-    def _add_psnr(self, org: YuvFrame, rec, bits: int) -> None:
+    def _add_psnr(self, org: YuvFrame, rec, bits: int, uibits: int,
+                  slice_type: int):
+        """xCalculateAddPSNR (TEncGOP.cpp:1582-1688)."""
         self.frames_encoded += 1
         self.total_bits += bits
-        maxval = (1 << self.sps.internal_bit_depth) - 1
+        # maxval = 255 << (bitDepth - 8) (TEncGOP.cpp:1648)
+        maxval = 255 << (self.sps.internal_bit_depth - 8)
+        psnrs = []
         for i, (o, r) in enumerate(zip((org.y, org.cb, org.cr), rec)):
             d = o.astype(np.int64) - r.astype(np.int64)
             sse = float(np.sum(d * d))
             if sse == 0.0:
-                psnr = 999.99
+                psnr = 99.99
             else:
                 psnr = 10.0 * math.log10(maxval * maxval * o.size / sse)
             self.psnr_sums[i] += psnr
+            psnrs.append(psnr)
+        self.rvm_rp.append(uibits)
+        buckets = ["a"]
+        buckets.append("i" if slice_type == I_SLICE else
+                       "p" if slice_type == P_SLICE else "b")
+        for k in buckets:
+            acc = self.analyze[k]
+            acc[0] += psnrs[0]
+            acc[1] += psnrs[1]
+            acc[2] += psnrs[2]
+            acc[3] += float(uibits)
+            acc[4] += 1
+        return psnrs
+
+    def _print_poc_line(self, sh, uibits, psnrs, enc_time, list0, list1,
+                        digest, digest_method, referenced) -> None:
+        """Per-POC log line (TEncGOP.cpp:1690-1759 + digest print :1195)."""
+        c = ("I" if sh.slice_type == I_SLICE else
+             "P" if sh.slice_type == P_SLICE else "B")
+        if not referenced:
+            c = c.lower()
+        line = ("POC %4d TId: %1d ( %c-SLICE, nQP %d QP %d ) %10d bits"
+                % (sh.poc, sh.temporal_id, c, sh.slice_qp, sh.slice_qp,
+                   uibits))
+        line += (" [Y %6.4f dB    U %6.4f dB    V %6.4f dB]"
+                 % (psnrs[0], psnrs[1], psnrs[2]))
+        line += " [ET %5.0f ]" % enc_time
+        for name, lst in (("L0", list0), ("L1", list1)):
+            line += " [%s " % name
+            for p in lst:
+                line += "%d " % (p.poc - self.last_idr)
+            line += "]"
+        if digest is not None:
+            tag = ("MD5", "CRC", "Checksum")[digest_method - 1]
+            line += " [%s:%s]" % (tag, ",".join(d.hex() for d in digest))
+        print(line)
+
+    def print_summary(self) -> None:
+        """printOutSummary (TEncGOP.cpp:1321-1355) + TEncAnalyze printOut."""
+        fps = float(self.cfg.frame_rate or 30)
+        heads = [("SUMMARY --------------------------------------------------------", "a"),
+                 ("I Slices--------------------------------------------------------", "i"),
+                 ("P Slices--------------------------------------------------------", "p"),
+                 ("B Slices--------------------------------------------------------", "b")]
+        for head, k in heads:
+            acc = self.analyze[k]
+            print("\n\n%s" % head)
+            print("\tTotal Frames |  Bitrate    Y-PSNR    U-PSNR    V-PSNR ")
+            n = acc[4]
+            if n == 0:
+                n = 1  # HM divides by zero and prints nan; print zeros
+                scale = 0.0
+            else:
+                scale = fps / 1000 / acc[4]
+            print("\t %8d    %c%12.4f  %8.4f  %8.4f  %8.4f"
+                  % (acc[4], k, acc[3] * scale,
+                     acc[0] / n, acc[1] / n, acc[2] / n))
+        print("\nRVM: %.3f" % self._calc_rvm())
+
+    def _calc_rvm(self) -> float:
+        """Rate-variation metric (TEncGOP::xCalculateRVM :1760-1806)."""
+        cfg, m = self.cfg, 4  # RVM_VCEGAM10_M (TypeDef.h:200)
+        if not (cfg.gop_size == 1 and cfg.intra_period != 1
+                and self.frames_encoded > 2 * m):
+            return 0.0
+        rp = self.rvm_rp
+        n = len(rp)
+        vrl = [0.0] * n
+        vb = [0.0] * n
+        ravg = bavg = 0.0
+        for i in range(m + 1, n - m + 1):
+            vrl[i] = sum(rp[i - m:i + m]) / (2 * m)
+            vb[i] = vb[i - 1] + rp[i] - vrl[i]
+            ravg += rp[i]
+            bavg += vb[i]
+        cnt = n - 2 * m
+        ravg /= cnt
+        bavg /= cnt
+        sigma_b = math.sqrt(
+            sum((vb[i] - bavg) ** 2 for i in range(m + 1, n - m + 1)) / cnt)
+        f = math.sqrt(12.0 * (m - 1) / (m + 1))
+        return sigma_b / ravg * f
 
     # ------------------------------------------------------------------
     def encode(self, out_path: str | None = None):
