@@ -161,8 +161,31 @@ def deblock_frame(f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
     from .. import native
     lib = native.get_lib()
     for direction in (0, 1):
-        flags, bs, qp_p, qp_q, no_p, no_q = _edge_maps(f, sh, direction,
-                                                       ref_poc)
+        if lib is not None:
+            from .native_parse import fill_frame_arrays
+            import ctypes
+            fa = fill_frame_arrays(f)
+            uh, uw = f.depth.shape
+            flags = np.empty((uh, uw), np.uint8)
+            bs = np.empty((uh, uw), np.uint8)
+            qp_p = np.empty((uh, uw), np.int32)
+            qp_q = np.empty((uh, uw), np.int32)
+            no_p = np.empty((uh, uw), np.uint8)
+            no_q = np.empty((uh, uw), np.uint8)
+            rp = None
+            if ref_poc is not None:
+                rp = np.ascontiguousarray(ref_poc, np.int64)
+            lib.build_edge_maps(
+                ctypes.byref(fa), direction, sh.slice_type,
+                int(bool(sh.lf_cross_slice_boundary_flag)),
+                int(bool(f.pps.lf_cross_tile_boundary_flag)),
+                int(bool(f.sps_pcm_nofilter)),
+                rp.ctypes.data if rp is not None else None,
+                flags.ctypes.data, bs.ctypes.data, qp_p.ctypes.data,
+                qp_q.ctypes.data, no_p.ctypes.data, no_q.ctypes.data)
+        else:
+            flags, bs, qp_p, qp_q, no_p, no_q = _edge_maps(f, sh, direction,
+                                                           ref_poc)
         if lib is not None:
             from ..common.rom import CHROMA_SCALE
             uh, uw = flags.shape

@@ -50,9 +50,20 @@ class _AvailCtx:
     comparisons instead of per-unit Python calls (FrameModel.available)."""
 
     _PAD = 34  # > 2 * (64 / 4) units
+    _GEOM_CACHE: dict = {}
 
     def __init__(self, f: FrameModel):
         self.f = f
+        # the padded maps depend only on picture geometry + tile layout —
+        # cache them across pictures (they were ~10% of decode wall time)
+        t = f.tiles
+        key = (f.depth.shape, f.units_per_row, f.width, f.height,
+               None if t is None else
+               (t.n_cols, t.n_rows, tuple(t.col_width), tuple(t.row_height)))
+        cached = self._GEOM_CACHE.get(key)
+        if cached is not None:
+            self.order, self.in_pic, self.ctu, self.tile = cached
+            return
         upr = f.units_per_row
         uh, uw = f.depth.shape
         uy, ux = np.mgrid[0:uh, 0:uw]
@@ -70,6 +81,10 @@ class _AvailCtx:
         self.ctu[P:P + uh, P:P + uw] = ctu
         self.tile = np.full((uh + 2 * P, uw + 2 * P), -2, np.int64)
         self.tile[P:P + uh, P:P + uw] = f.tile_idx
+        if len(self._GEOM_CACHE) > 8:
+            self._GEOM_CACHE.clear()
+        self._GEOM_CACHE[key] = (self.order, self.in_pic, self.ctu,
+                                 self.tile)
 
     def tu_flags(self, ux: int, uy: int, nu: int) -> np.ndarray:
         f = self.f
@@ -377,11 +392,23 @@ def _native_intra_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
     lib = native.get_lib()
     if lib is None:
         return False
-    for (sh, inter_pred, lo, hi) in runs:
-        for cu in f.cu_list[lo:hi]:
-            if cu[3] != MODE_INTRA:
-                return False
     import ctypes
+    from .native_parse import fill_frame_arrays
+
+    nat = getattr(f, "_native_out", None)
+    if nat is not None:
+        cu_arr = nat["cu_list"]
+        lt_arr, ct_arr = nat["luma_tus"], nat["chroma_tus"]
+    else:
+        cu_arr = (np.asarray(f.cu_list, np.int32).reshape(-1, 8)
+                  if f.cu_list else np.zeros((0, 8), np.int32))
+        lt_arr = (np.asarray(f.luma_tus, np.int32).reshape(-1, 6)
+                  if f.luma_tus else np.zeros((0, 6), np.int32))
+        ct_arr = (np.asarray(f.chroma_tus, np.int32).reshape(-1, 6)
+                  if f.chroma_tus else np.zeros((0, 6), np.int32))
+    for (sh, inter_pred, lo, hi) in runs:
+        if not (cu_arr[lo:hi, 3] == MODE_INTRA).all():
+            return False
 
     avail = _AvailCtx(f)
     maps = native.AvailMaps(
@@ -394,59 +421,45 @@ def _native_intra_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
     maps.sstart = sstart.ctypes.data
 
     bases = _native_bases()
-    upr = f.units_per_row
 
-    rows_y, rows_cb, rows_cr = [], [], []
+    # per-TU recon rows built natively (build_intra_rows); per-run chroma
+    # QP offsets come from the slice header
+    from ..common.rom import CHROMA_SCALE
+    cscale = np.ascontiguousarray(CHROMA_SCALE, np.uint8)
+    fa = fill_frame_arrays(f)
+    n_lt, n_ct = len(lt_arr), len(ct_arr)
+    rows_y = np.empty((max(n_lt, 1), 10), np.int32)
+    rows_cb = np.empty((max(n_ct, 1), 10), np.int32)
+    rows_cr = np.empty((max(n_ct, 1), 10), np.int32)
+    n_y = np.zeros(1, np.int32)
+    n_cb = np.zeros(1, np.int32)
+    n_cr = np.zeros(1, np.int32)
     for (sh, inter_pred, lo, hi) in runs:
-        qp_off = (pps.chroma_cb_qp_offset + sh.slice_qp_delta_cb,
-                  pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr)
-        for (px, py, size, mode, l0, l1, c0, c1) in f.cu_list[lo:hi]:
-            for (tx, ty, tsz, abs_part, ctu, trd) in f.luma_tus[l0:l1]:
-                ux, uy = tx // 4, ty // 4
-                if f.ipcm[uy, ux]:
-                    rows_y.append((tx, ty, tsz, 0, 0, 0, 0, 0, 0, 1))
-                    continue
-                qps = tops.qp_scaled(int(f.qp[uy, ux]), True,
-                                     sps.qp_bd_offset_y)
-                rows_y.append((
-                    tx, ty, tsz, int(f.luma_dir[uy, ux]), qps,
-                    (int(f.cbf[0, uy, ux]) >> trd) & 1, int(tsz == 4),
-                    int(f.ts_flag[0, uy, ux]), int(f.tq_bypass[uy, ux]), 0))
-            for (cx, cy, csz, abs_part, ctu, trd) in f.chroma_tus[c0:c1]:
-                ux, uy = cx // 2, cy // 2
-                if f.ipcm[uy, ux]:
-                    rows_cb.append((cx, cy, csz, 0, 0, 0, 0, 0, 0, 1))
-                    rows_cr.append((cx, cy, csz, 0, 0, 0, 0, 0, 0, 1))
-                    continue
-                depth = int(f.depth[uy, ux])
-                cu_units = upr >> depth
-                cux = (ux // cu_units) * cu_units
-                cuy = (uy // cu_units) * cu_units
-                cmode = int(f.chroma_dir[cuy, cux])
-                if cmode == DM_CHROMA_IDX:
-                    cmode = int(f.luma_dir[cuy, cux])
-                qp = int(f.qp[uy, ux])
-                byp = int(f.tq_bypass[uy, ux])
-                for comp, rows in ((1, rows_cb), (2, rows_cr)):
-                    qps = tops.qp_scaled(qp, False, sps.qp_bd_offset_c,
-                                         qp_off[comp - 1])
-                    rows.append((
-                        cx, cy, csz, cmode, qps,
-                        (int(f.cbf[comp, uy, ux]) >> trd) & 1, 0,
-                        int(f.ts_flag[comp, uy, ux]), byp, 0))
+        lib.build_intra_rows(
+            ctypes.byref(fa), cu_arr.ctypes.data, lo, hi,
+            lt_arr.ctypes.data, ct_arr.ctypes.data,
+            sps.qp_bd_offset_y, sps.qp_bd_offset_c,
+            pps.chroma_cb_qp_offset + sh.slice_qp_delta_cb,
+            pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr,
+            cscale.ctypes.data,
+            rows_y.ctypes.data, n_y.ctypes.data,
+            rows_cb.ctypes.data, n_cb.ctypes.data,
+            rows_cr.ctypes.data, n_cr.ctypes.data)
 
     bit_inc = sps.bit_increment
     max_val = (1 << sps.internal_bit_depth) - 1
     dc_val = 1 << (sps.internal_bit_depth - 1)
     plane_cfg = (
-        (rows_y, rec_y, f.coeff_y, 4, 4, 1, getattr(f, "pcm_y", None)),
-        (rows_cb, rec_cb, f.coeff_cb, 2, 2, 0, getattr(f, "pcm_cb", None)),
-        (rows_cr, rec_cr, f.coeff_cr, 2, 2, 0, getattr(f, "pcm_cr", None)),
+        (rows_y, int(n_y[0]), rec_y, f.coeff_y, 4, 4, 1,
+         getattr(f, "pcm_y", None)),
+        (rows_cb, int(n_cb[0]), rec_cb, f.coeff_cb, 2, 2, 0,
+         getattr(f, "pcm_cb", None)),
+        (rows_cr, int(n_cr[0]), rec_cr, f.coeff_cr, 2, 2, 0,
+         getattr(f, "pcm_cr", None)),
     )
-    for rows, rec, coeff, unit, adiv, is_luma, pcm in plane_cfg:
-        if not rows:
+    for tu_arr, n_rows, rec, coeff, unit, adiv, is_luma, pcm in plane_cfg:
+        if not n_rows:
             continue
-        tu_arr = np.asarray(rows, np.int32)
         params = native.IntraParams(
             rec.shape[1], coeff.shape[1], unit, adiv, is_luma, dc_val,
             max_val, bit_inc,
@@ -457,7 +470,7 @@ def _native_intra_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
             pcm.shape[1] if pcm is not None else 0)
         lib.intra_recon_tus(
             rec.ctypes.data, coeff.ctypes.data,
-            tu_arr.ctypes.data, len(rows),
+            tu_arr.ctypes.data, n_rows,
             ctypes.byref(maps), ctypes.byref(params))
     return True
 

@@ -215,12 +215,20 @@ class Decoder:
                 substreams.append(bs.extract_substream(n_bits))
 
         run = _SliceRun(sh, list0, list1, inter_pred, len(f.cu_list))
-        parser = SliceDataParser(
+        from .native_parse import parse_slice_native
+        ok, dep_out = parse_slice_native(
             f, sh, sps, pps, bs, mvctx,
             slice_idx=max(cur.n_regular - 1, 0),
             substreams=substreams, dep_ctx_in=cur.dep_ctx)
-        parser.parse_slice()
-        cur.dep_ctx = parser.dep_ctx_out
+        if ok:
+            cur.dep_ctx = dep_out
+        else:
+            parser = SliceDataParser(
+                f, sh, sps, pps, bs, mvctx,
+                slice_idx=max(cur.n_regular - 1, 0),
+                substreams=substreams, dep_ctx_in=cur.dep_ctx)
+            parser.parse_slice()
+            cur.dep_ctx = parser.dep_ctx_out
         run.cu_end = len(f.cu_list)
         cur.slices.append(run)
 
@@ -255,7 +263,8 @@ class Decoder:
                      [p.poc for p in cur.slices[0].list1]]
         dpb_pic = Picture(sh0.poc, (rec_y, rec_cb, rec_cr), f, sh0, ref_pocs0,
                           margin=sps.max_cu_width + 16, ref_poc=ref_poc)
-        dpb_pic.compress_motion()
+        if any_inter:      # all-intra motion fields are zero already
+            dpb_pic.compress_motion()
         self.dpb.add(dpb_pic)
 
         frame = YuvFrame(rec_y, rec_cb, rec_cr)

@@ -38,18 +38,49 @@ def _gen_tables_header() -> None:
         vals = ",".join(str(int(v)) for v in a)
         return f"static const uint8_t {name}[{len(a)}] = {{{vals}}};\n"
 
+    from ..common import rom
+
+    def arr1d_t(name, a, ctype):
+        vals = ",".join(str(int(v)) for v in a)
+        return f"static const {ctype} {name}[{len(a)}] = {{{vals}}};\n"
+
+    def arr2d_t(name, a, ctype):
+        rows = ",\n  ".join(
+            "{" + ",".join(str(int(v)) for v in row) + "}" for row in a)
+        return (f"static const {ctype} {name}[{a.shape[0]}]"
+                f"[{a.shape[1]}] = {{\n  {rows}}};\n")
+
     with open(_HDR, "w") as fh:
-        fh.write("// generated from thevc_tpu/cabac/tables.py — do not edit\n")
+        fh.write("// generated from thevc_tpu/cabac/tables.py and "
+                 "common/rom.py — do not edit\n")
         fh.write(arr2d("kLPS", np.asarray(T.LPS_TABLE)))
         fh.write(arr1d("kRenorm", np.asarray(T.RENORM_TABLE)))
         fh.write(arr1d("kNextMPS", np.asarray(T.NEXT_STATE_MPS)))
         fh.write(arr1d("kNextLPS", np.asarray(T.NEXT_STATE_LPS)))
+        fh.write(arr1d_t("kEntropyBits", np.asarray(T.ENTROPY_BITS),
+                         "int32_t"))
+        fh.write(arr2d_t("kNextState", np.asarray(T.NEXT_STATE), "uint8_t"))
+        fh.write(arr1d_t("kQuantScales", np.asarray(rom.QUANT_SCALES),
+                         "int32_t"))
+        fh.write(arr1d_t("kGoRiceRange", np.asarray(rom.GO_RICE_RANGE),
+                         "int32_t"))
+        fh.write(arr1d_t("kGoRicePrefixLen",
+                         np.asarray(rom.GO_RICE_PREFIX_LEN), "int32_t"))
+        fh.write(arr1d_t("kIntraModeNumFast",
+                         np.asarray(rom.INTRA_MODE_NUM_FAST), "int32_t"))
+        fh.write(arr1d_t("kChromaScale", np.asarray(rom.CHROMA_SCALE),
+                         "int32_t"))
+        for s in (4, 8, 16, 32):
+            fh.write(arr2d_t(f"kDct{s}", np.asarray(rom.DCT_MATRICES[s]),
+                             "int32_t"))
+        fh.write(arr2d_t("kDst4", np.asarray(rom.DST4), "int32_t"))
 
 
 def _build() -> bool:
     try:
         _gen_tables_header()
-        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        cmd = ["g++", "-O3", "-march=native", "-fno-math-errno",
+               "-shared", "-fPIC", "-std=c++17",
                str(_SRC), "-o", str(_SO)]
         subprocess.run(cmd, check=True, capture_output=True)
         return True
@@ -111,6 +142,67 @@ class CoeffCtxOffsets(ctypes.Structure):
                  "o_abs", "num_sig_luma")]
 
 
+class CtxOffsets(ctypes.Structure):
+    """All syntax context offsets (mirrors cabac/contexts.py)."""
+    _fields_ = [(n, ctypes.c_int32) for n in
+                ("split_flag", "skip_flag", "merge_flag", "merge_idx",
+                 "part_size", "amp", "pred_mode", "intra_pred",
+                 "chroma_pred", "inter_dir", "mvd", "ref_pic", "dqp",
+                 "qt_cbf", "qt_root_cbf", "sig_cg", "sig", "last_x",
+                 "last_y", "one", "abs_", "mvp_idx", "sao_merge",
+                 "sao_type", "trans_subdiv", "ts_flag", "tq_bypass",
+                 "num_sig_luma", "num_ctx")]
+
+
+class ScanTables(ctypes.Structure):
+    _fields_ = [("scan", (ctypes.c_void_p * 4) * 4),
+                ("cg", (ctypes.c_void_p * 4) * 4)]
+
+
+class FrameArrays(ctypes.Structure):
+    _fields_ = (
+        [(n, ctypes.c_void_p) for n in
+         ("depth", "pred_mode", "part_size", "merge_idx", "inter_dir",
+          "luma_dir", "chroma_dir", "tr_idx", "qp", "ref_idx", "mvp_idx",
+          "skip", "merge_flag", "tq_bypass", "ipcm", "cbf", "ts_flag",
+          "mv", "mvd", "slice_start", "dep_slice_start", "slice_idx_arr",
+          "tile_idx", "coeff_y", "coeff_cb", "coeff_cr",
+          "pcm_y", "pcm_cb", "pcm_cr",
+          "sao_type", "sao_sub_type", "sao_offsets",
+          "sao_merge_left", "sao_merge_up")]
+        + [(n, ctypes.c_int32) for n in
+           ("uw", "uh", "upr", "ctus_w", "ctus_h", "num_ctus",
+            "ctu_size", "max_depth", "parts", "width", "height")]
+        + [(n, ctypes.c_void_p) for n in
+           ("z2r", "r2z", "ctu_order", "ctu_inv_order", "tile_map",
+            "tile_first")]
+        + [("n_tile_cols", ctypes.c_int32),
+           ("n_tile_rows", ctypes.c_int32)]
+        + [(n, ctypes.c_void_p) for n in
+           ("luma_tus", "chroma_tus", "cu_list")]
+        + [("n_luma", ctypes.c_int32), ("n_chroma", ctypes.c_int32),
+           ("n_cu", ctypes.c_int32)])
+
+
+class SliceParams(ctypes.Structure):
+    _fields_ = (
+        [(n, ctypes.c_int32) for n in
+         ("slice_type", "slice_qp", "poc",
+          "slice_start_cu", "dep_start_cu", "dependent_slice",
+          "slice_index", "sao_enabled", "sao_enabled_chroma", "use_sao",
+          "bit_depth", "use_dqp", "max_cu_dqp_depth", "tq_bypass_enable",
+          "use_ts", "sign_hide", "use_pcm", "pcm_log2_min", "pcm_log2_max",
+          "pcm_bd_luma", "pcm_bd_chroma", "add_cu_depth", "max_tr_log2",
+          "min_tr_log2", "tu_depth_intra", "tu_depth_inter", "max_tr_size",
+          "use_amp", "qp_bd_offset_y", "wpp", "allow_dep",
+          "num_ref_idx0", "num_ref_idx1", "max_merge", "mvd_l1_zero",
+          "tmvp", "plevel", "col_dir", "check_ldc", "is_b")]
+        + [("ref_pocs", (ctypes.c_int32 * 16) * 2)]
+        + [(n, ctypes.c_void_p) for n in
+           ("col_pred_mode", "col_ref_idx", "col_mv", "col_ref_poc")]
+        + [("col_poc", ctypes.c_int32), ("has_col", ctypes.c_int32)])
+
+
 def get_lib():
     """Load (building if needed) the native library, or None."""
     global _lib, _tried
@@ -140,6 +232,26 @@ def get_lib():
         lib.deblock_chroma.restype = None
         lib.deblock_chroma.argtypes = [ctypes.c_void_p] * 2 + \
             [ctypes.c_int] * 2 + [ctypes.c_void_p] * 7 + [ctypes.c_int] * 5
+        lib.build_edge_maps.restype = None
+        lib.build_edge_maps.argtypes = [
+            ctypes.POINTER(FrameArrays)] + [ctypes.c_int32] * 5 + \
+            [ctypes.c_void_p] * 7
+        lib.build_intra_rows.restype = None
+        lib.build_intra_rows.argtypes = [
+            ctypes.POINTER(FrameArrays), ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.parse_slice_data.restype = ctypes.c_int
+        lib.parse_slice_data.argtypes = [
+            ctypes.POINTER(FrameArrays), ctypes.POINTER(SliceParams),
+            ctypes.POINTER(CtxOffsets), ctypes.POINTER(ScanTables),
+            ctypes.POINTER(BsEngine), ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None
@@ -157,3 +269,42 @@ def coeff_ctx_offsets() -> CoeffCtxOffsets:
             cc.O_LAST_X, cc.O_LAST_Y, cc.O_SIG, cc.O_SIG_CG, cc.O_ONE,
             cc.O_ABS, cc.NUM_SIG_FLAG_CTX_LUMA)
     return _offsets_struct
+
+
+_ctx_offsets = None
+_scan_tables = None
+_scan_keepalive = []
+
+
+def ctx_offsets() -> CtxOffsets:
+    global _ctx_offsets
+    if _ctx_offsets is None:
+        from ..cabac import contexts as cc
+        _ctx_offsets = CtxOffsets(
+            cc.O_SPLIT_FLAG, cc.O_SKIP_FLAG, cc.O_MERGE_FLAG, cc.O_MERGE_IDX,
+            cc.O_PART_SIZE, cc.O_AMP, cc.O_PRED_MODE, cc.O_INTRA_PRED,
+            cc.O_CHROMA_PRED, cc.O_INTER_DIR, cc.O_MVD, cc.O_REF_PIC,
+            cc.O_DQP, cc.O_QT_CBF, cc.O_QT_ROOT_CBF, cc.O_SIG_CG, cc.O_SIG,
+            cc.O_LAST_X, cc.O_LAST_Y, cc.O_ONE, cc.O_ABS, cc.O_MVP_IDX,
+            cc.O_SAO_MERGE, cc.O_SAO_TYPE, cc.O_TRANS_SUBDIV, cc.O_TS_FLAG,
+            cc.O_TQ_BYPASS, cc.NUM_SIG_FLAG_CTX_LUMA, cc.NUM_CTX)
+    return _ctx_offsets
+
+
+def scan_tables() -> ScanTables:
+    """Coefficient + coefficient-group scan orders for the native parser
+    (single source of truth: common/rom.py)."""
+    global _scan_tables
+    if _scan_tables is None:
+        from ..common import rom
+        st = ScanTables()
+        for s in (1, 2, 3):   # HOR, VER, DIAG
+            for lg in range(4):
+                w = 4 << lg
+                a = np.ascontiguousarray(rom.sig_last_scan(s, w), np.int32)
+                b = np.ascontiguousarray(rom.cg_scan(s, w), np.int32)
+                _scan_keepalive.extend((a, b))
+                st.scan[s][lg] = a.ctypes.data
+                st.cg[s][lg] = b.ctypes.data
+        _scan_tables = st
+    return _scan_tables

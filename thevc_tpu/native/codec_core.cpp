@@ -14,6 +14,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cmath>
+#include <cfloat>
 
 extern "C" {
 
@@ -197,13 +199,17 @@ struct CoeffCtxOffsets {
   int32_t num_sig_luma;   // NUM_SIG_FLAG_CTX_LUMA
 };
 
-int parse_coeff_nxn(BsEngine* st, uint8_t* ctx, const CoeffCtxOffsets* off,
-                    int width, int scan_idx_orig, int is_luma, int be_valid,
-                    const int32_t* scan, const int32_t* scan_cg,
-                    int32_t* coeff /* width*width row-major, zeroed */) {
+static int parse_coeff_core(BsEngine* st, uint8_t* ctx,
+                            const CoeffCtxOffsets* off,
+                            int width, int scan_idx_orig, int is_luma,
+                            int be_valid,
+                            const int32_t* scan, const int32_t* scan_cg,
+                            int32_t* plane, int64_t stride, int px, int py) {
   const int kSBH = 4, kC1Num = 8;
   int log2 = 0; while ((1 << log2) < width) log2++;
   int block_type = log2;
+#define COEFF_AT(blk) plane[(int64_t)(py + ((blk) >> log2)) * stride + px + \
+                            ((blk) & (width - 1))]
 
   // parseLastSignificantXY
   int blk_off, shift, base_x, base_y;
@@ -236,7 +242,7 @@ int parse_coeff_nxn(BsEngine* st, uint8_t* ctx, const CoeffCtxOffsets* off,
   }
   if (scan_idx == 0 /*SCAN_ZIGZAG -> SCAN_DIAG*/) scan_idx = 3;
   int blk_pos_last = pos_x + (pos_y << log2);
-  coeff[blk_pos_last] = 1;
+  COEFF_AT(blk_pos_last) = 1;
 
   int max_coeff = width * width;
   int scan_pos_last = 0;
@@ -292,7 +298,7 @@ int parse_coeff_nxn(BsEngine* st, uint8_t* ctx, const CoeffCtxOffsets* off,
           sig = 1;
         }
       }
-      coeff[blk] = sig;
+      COEFF_AT(blk) = sig;
       if (sig) {
         pos[num_nonzero++] = blk;
         if (last_nz == -1) last_nz = i_scan_pos_sig;
@@ -346,17 +352,27 @@ int parse_coeff_nxn(BsEngine* st, uint8_t* ctx, const CoeffCtxOffsets* off,
       int64_t abs_sum = 0;
       for (int i = 0; i < num_nonzero; i++) {
         int blk = pos[i];
-        coeff[blk] = abs_coeff[i];
-        abs_sum += abs_coeff[i];
+        int32_t v = abs_coeff[i];
+        abs_sum += v;
         if (i == num_nonzero - 1 && sign_hidden && be_valid) {
-          if (abs_sum & 1) coeff[blk] = -coeff[blk];
+          if (abs_sum & 1) v = -v;
         } else {
-          if ((signs >> (nsign - 1 - i)) & 1) coeff[blk] = -coeff[blk];
+          if ((signs >> (nsign - 1 - i)) & 1) v = -v;
         }
+        COEFF_AT(blk) = v;
       }
     }
   }
   return st->overflow ? -1 : 0;
+}
+#undef COEFF_AT
+
+int parse_coeff_nxn(BsEngine* st, uint8_t* ctx, const CoeffCtxOffsets* off,
+                    int width, int scan_idx_orig, int is_luma, int be_valid,
+                    const int32_t* scan, const int32_t* scan_cg,
+                    int32_t* coeff /* width*width row-major, zeroed */) {
+  return parse_coeff_core(st, ctx, off, width, scan_idx_orig, is_luma,
+                          be_valid, scan, scan_cg, coeff, width, 0, 0);
 }
 
 
@@ -650,27 +666,39 @@ static void residual_c(const int32_t* coeff, int cstride, int x, int y,
     return;
   }
   // pass 1: y1[j][k] = clip16((sum_n T[n][k] * deq[n][j] + 64) >> 7)
+  // accumulate k-contiguous (vectorizes) and skip all-zero input rows —
+  // the coefficient block is sparse at typical QPs.  Same integer sums as
+  // the reference's partial butterflies, so bit-identical.
   int32_t tmp[64 * 64];
+  int32_t acc[64];
   for (int j = 0; j < size; j++) {
+    for (int k = 0; k < size; k++) acc[k] = 64;
+    for (int n = 0; n < size; n++) {
+      int32_t v = deq[n * size + j];
+      if (!v) continue;
+      const int32_t* brow = basis + n * size;
+      for (int k = 0; k < size; k++) acc[k] += brow[k] * v;
+    }
     for (int k = 0; k < size; k++) {
-      int64_t acc = 0;
-      for (int n = 0; n < size; n++)
-        acc += (int64_t)basis[n * size + k] * deq[n * size + j];
-      int64_t v = (acc + 64) >> 7;
+      int32_t v = acc[k] >> 7;
       if (v < -32768) v = -32768; else if (v > 32767) v = 32767;
-      tmp[j * size + k] = (int32_t)v;
+      tmp[j * size + k] = v;
     }
   }
   int shift2 = 12 - bit_inc;
-  int64_t add2 = 1ll << (shift2 - 1);
+  int32_t add2 = 1 << (shift2 - 1);
   for (int j = 0; j < size; j++) {
+    for (int k = 0; k < size; k++) acc[k] = add2;
+    for (int n = 0; n < size; n++) {
+      int32_t v = tmp[n * size + j];
+      if (!v) continue;
+      const int32_t* brow = basis + n * size;
+      for (int k = 0; k < size; k++) acc[k] += brow[k] * v;
+    }
     for (int k = 0; k < size; k++) {
-      int64_t acc = 0;
-      for (int n = 0; n < size; n++)
-        acc += (int64_t)basis[n * size + k] * tmp[n * size + j];
-      int64_t v = (acc + add2) >> shift2;
+      int32_t v = acc[k] >> shift2;
       if (v < -32768) v = -32768; else if (v > 32767) v = 32767;
-      resi[j * size + k] = (int32_t)v;
+      resi[j * size + k] = v;
     }
   }
 }
@@ -910,6 +938,4384 @@ void deblock_chroma(int16_t* cb, int16_t* cr, int h, int w,
       }
     }
   }
+}
+
+
+// ===========================================================================
+// Full slice-data CABAC parse (native mirror of decoder/cu_parser.py)
+//
+// Behavioral references: TDecSlice::decompressSlice (TDecSlice.cpp:93+),
+// TDecCu::xDecodeCU (TDecCu.cpp:202), TDecSbac parse* methods,
+// TDecEntropy::xDecodeTransform (:322) / decodePUWise (:153),
+// TComDataCU neighbor/context/merge/AMVP derivation (TComDataCU.cpp:1928,
+// :2064, :2758, :3324, :3792), TComPic motion compression read-through
+// (g_motionRefer line-buffer remap, TComRom::initMotionReferIdx).
+// ===========================================================================
+
+enum { MODE_INTER = 0, MODE_INTRA = 1, MODE_NONE = 15 };
+enum { SZ_2Nx2N = 0, SZ_2NxN = 1, SZ_Nx2N = 2, SZ_NxN = 3,
+       SZ_2NxnU = 4, SZ_2NxnD = 5, SZ_nLx2N = 6, SZ_nRx2N = 7 };
+enum { SLICE_B = 0, SLICE_P = 1, SLICE_I = 2 };
+static const int DC_IDX = 1, PLANAR_IDX = 0, HOR_IDX = 10, VER_IDX = 26,
+                 DM_CHROMA_IDX = 36;
+static const int MRG_MAX = 5, AMVP_MAX = 2;
+
+// all context-array offsets (single source of truth: cabac/contexts.py)
+struct CtxOffsets {
+  int32_t split_flag, skip_flag, merge_flag, merge_idx, part_size, amp,
+      pred_mode, intra_pred, chroma_pred, inter_dir, mvd, ref_pic, dqp,
+      qt_cbf, qt_root_cbf, sig_cg, sig, last_x, last_y, one, abs_,
+      mvp_idx, sao_merge, sao_type, trans_subdiv, ts_flag, tq_bypass;
+  int32_t num_sig_luma, num_ctx;
+};
+
+// scan tables: [scan(1=hor,2=ver,3=diag)][log2-2] coefficient + CG scans
+struct ScanTables {
+  const int32_t* scan[4][4];     // scan[s][lg], s in {1,2,3}
+  const int32_t* cg[4][4];
+};
+
+struct FrameArrays {
+  int8_t *depth, *pred_mode, *part_size, *merge_idx, *inter_dir,
+      *luma_dir, *chroma_dir, *tr_idx, *qp, *ref_idx, *mvp_idx;
+  uint8_t *skip, *merge_flag, *tq_bypass, *ipcm, *cbf, *ts_flag;
+  int16_t *mv, *mvd;
+  int64_t *slice_start, *dep_slice_start;
+  int32_t *slice_idx_arr, *tile_idx;
+  int32_t *coeff_y, *coeff_cb, *coeff_cr;
+  int16_t *pcm_y, *pcm_cb, *pcm_cr;            // may be null (no PCM)
+  int8_t *sao_type, *sao_sub_type;             // [3][num_ctus]
+  int32_t *sao_offsets;                        // [3][num_ctus][4]
+  uint8_t *sao_merge_left, *sao_merge_up;      // [3][num_ctus]
+  // geometry
+  int32_t uw, uh, upr, ctus_w, ctus_h, num_ctus;
+  int32_t ctu_size, max_depth, parts, width, height;
+  const int32_t *z2r, *r2z;                    // per-CTU part maps
+  const int64_t *ctu_order, *ctu_inv_order;    // tile-scan <-> raster
+  const int32_t *tile_map;                     // per-CTU tile index (or 0)
+  const int32_t *tile_first;                   // per-tile first CTU (raster)
+  int32_t n_tile_cols, n_tile_rows;
+  // decode-order TU/CU list outputs (int32 rows)
+  int32_t *luma_tus;    // [n][6]: x, y, size, abs_part, ctu, tr_depth
+  int32_t *chroma_tus;  // [n][6]
+  int32_t *cu_list;     // [n][8]: px, py, size, mode, l0, l1, c0, c1
+  int32_t n_luma, n_chroma, n_cu;
+};
+
+struct SliceParams {
+  int32_t slice_type, slice_qp, poc;
+  int32_t slice_start_cu, dep_start_cu;        // encode-order part addrs
+  int32_t dependent_slice, slice_index;
+  int32_t sao_enabled, sao_enabled_chroma, use_sao;
+  int32_t bit_depth, use_dqp, max_cu_dqp_depth, tq_bypass_enable;
+  int32_t use_ts, sign_hide;
+  int32_t use_pcm, pcm_log2_min, pcm_log2_max, pcm_bd_luma, pcm_bd_chroma;
+  int32_t add_cu_depth, max_tr_log2, min_tr_log2, tu_depth_intra,
+      tu_depth_inter, max_tr_size;
+  int32_t use_amp, qp_bd_offset_y;
+  int32_t wpp, allow_dep;                      // entropy sync / dep slices
+  int32_t num_ref_idx0, num_ref_idx1, max_merge, mvd_l1_zero, tmvp;
+  int32_t plevel;                              // log2_par_merge_minus2 + 2
+  int32_t col_dir, check_ldc, is_b;
+  int32_t ref_pocs[2][16];
+  // colocated picture (TMVP); null pointers when absent
+  const int8_t* col_pred_mode;
+  const int8_t* col_ref_idx;                   // [2][uh][uw]
+  const int16_t* col_mv;                       // [2][uh][uw][2]
+  const int64_t* col_ref_poc;                  // [2][uh][uw]
+  int32_t col_poc, has_col;
+};
+
+struct Parser {
+  FrameArrays* fa;
+  SliceParams* sp;
+  const CtxOffsets* co;
+  const ScanTables* sc;
+  CoeffCtxOffsets coff;
+  BsEngine* subs;          // substream engines (buffers preset by caller)
+  uint8_t* sub_ctx;        // [nsub][num_ctx]
+  uint8_t* sub_started;    // [nsub]
+  int nsub;
+  const uint8_t* init_ctx; // base contexts for this slice
+  uint8_t* buffer_ctx;     // [n_tile_cols][num_ctx] WPP/tile col buffers
+  BsEngine* st;
+  uint8_t* ctx;
+  int cur_sub;
+  // per-slice state
+  int ctu_addr;
+  int is_last, dqp_flag, code_dqp, coded_qp, last_dqp_nonzero;
+  int bak_abs_part_cu, bak_chroma_part, num_suc_ipcm;
+};
+
+// ---------------------------------------------------------------------------
+// geometry + availability (FrameModel.available / unit_order)
+// ---------------------------------------------------------------------------
+static inline void unit_xy(const Parser* P, int abs_part, int* ux, int* uy) {
+  const FrameArrays* fa = P->fa;
+  int r = fa->z2r[abs_part];
+  int cx = P->ctu_addr % fa->ctus_w, cy = P->ctu_addr / fa->ctus_w;
+  *ux = cx * fa->upr + (r % fa->upr);
+  *uy = cy * fa->upr + (r / fa->upr);
+}
+
+static inline int64_t unit_order(const FrameArrays* fa, int ux, int uy) {
+  int ctu = (uy / fa->upr) * fa->ctus_w + ux / fa->upr;
+  int z = fa->r2z[(uy % fa->upr) * fa->upr + (ux % fa->upr)];
+  return fa->ctu_inv_order[ctu] * fa->parts + z;
+}
+
+static inline int unit_in_pic(const FrameArrays* fa, int ux, int uy) {
+  return ux >= 0 && uy >= 0 && ux * 4 < fa->width && uy * 4 < fa->height;
+}
+
+static int avail(const FrameArrays* fa, int nux, int nuy, int cux, int cuy) {
+  if (!unit_in_pic(fa, nux, nuy)) return 0;
+  int64_t no = unit_order(fa, nux, nuy);
+  if (no >= unit_order(fa, cux, cuy)) return 0;
+  if (no < fa->slice_start[(int64_t)cuy * fa->uw + cux]) return 0;
+  int n_ctu = (nuy / fa->upr) * fa->ctus_w + nux / fa->upr;
+  int c_ctu = (cuy / fa->upr) * fa->ctus_w + cux / fa->upr;
+  if (n_ctu != c_ctu &&
+      fa->tile_idx[(int64_t)nuy * fa->uw + nux] !=
+          fa->tile_idx[(int64_t)cuy * fa->uw + cux])
+    return 0;
+  return 1;
+}
+
+#define U(arr, x, y) arr[(int64_t)(y) * fa->uw + (x)]
+#define U3(arr, c, x, y) \
+  arr[((int64_t)(c) * fa->uh + (y)) * fa->uw + (x)]
+#define MV_AT(arr, l, x, y, k) \
+  arr[((((int64_t)(l) * fa->uh + (y)) * fa->uw) + (x)) * 2 + (k)]
+
+// set an units x units square region
+}  // extern "C" (template helpers need C++ linkage)
+template <typename T>
+static inline void set_region(const FrameArrays* fa, T* arr, int ux, int uy,
+                              int units, T v) {
+  for (int j = 0; j < units; j++) {
+    T* row = arr + (int64_t)(uy + j) * fa->uw + ux;
+    for (int i = 0; i < units; i++) row[i] = v;
+  }
+}
+extern "C" {
+
+static inline int units_at_depth(const FrameArrays* fa, int depth) {
+  return fa->upr >> depth;
+}
+
+// ---------------------------------------------------------------------------
+// CABAC primitives
+// ---------------------------------------------------------------------------
+static inline void engine_start(BsEngine* st) {
+  st->range = 510;
+  st->bits_needed = -8;
+  st->value = ((int64_t)bs_read(st, 8) << 8) | bs_read(st, 8);
+}
+
+static inline int dec_bin_trm(BsEngine* st) {
+  st->range -= 2;
+  int64_t scaled = (int64_t)st->range << 7;
+  if (st->value >= scaled) return 1;
+  if (scaled < (256 << 7)) {
+    st->range = scaled >> 6;
+    st->value += st->value;
+    if (++st->bits_needed == 0) {
+      st->bits_needed = -8;
+      st->value += bs_read(st, 8);
+    }
+  }
+  return 0;
+}
+
+static inline int unary_max(Parser* P, int ctx0, int ctx1, int max_symbol) {
+  if (max_symbol == 0) return 0;
+  int sym = dec_bin(P->st, P->ctx, ctx0);
+  if (sym == 0 || max_symbol == 1) return sym;
+  int count = 0, cont = 1;
+  while (cont && count < max_symbol - 1) {
+    cont = dec_bin(P->st, P->ctx, ctx1);
+    count++;
+  }
+  if (cont && count == max_symbol - 1) count++;
+  return count;
+}
+
+static inline int ep_exgolomb(Parser* P, int count) {
+  int sym = 0, bit = 1;
+  while (bit) {
+    bit = dec_bin_ep(P->st);
+    sym += bit << count;
+    count++;
+  }
+  count--;
+  if (count) sym += dec_bins_ep(P->st, count);
+  return sym;
+}
+
+static inline int64_t bits_left(const BsEngine* st) {
+  return (st->buf_len - st->idx) * 8 + st->num_held;
+}
+
+static inline void byte_align_read(BsEngine* st) {
+  // read single bits until byte aligned (InputBitstream semantics:
+  // aligned iff num_held == 0)
+  while (bits_left(st) > 0 && st->num_held != 0) bs_read(st, 1);
+}
+
+// ---------------------------------------------------------------------------
+// SAO per-CTU parameters (parseSaoOneLcuInterleaving, TDecSbac.cpp:1640+)
+// ---------------------------------------------------------------------------
+static int sao_max_uvlc(Parser* P, int max_symbol) {
+  if (max_symbol == 0) return 0;
+  if (dec_bin_ep(P->st) == 0) return 0;
+  int i = 1;
+  for (;;) {
+    if (dec_bin_ep(P->st) == 0) break;
+    if (++i == max_symbol) break;
+  }
+  return i;
+}
+
+static void copy_sao(const FrameArrays* fa, int comp, int dst, int src) {
+  int64_t di = (int64_t)comp * fa->num_ctus + dst;
+  int64_t si = (int64_t)comp * fa->num_ctus + src;
+  fa->sao_type[di] = fa->sao_type[si];
+  if (fa->sao_type[di] != -1) {
+    fa->sao_sub_type[di] = fa->sao_sub_type[si];
+    for (int i = 0; i < 4; i++)
+      fa->sao_offsets[di * 4 + i] = fa->sao_offsets[si * 4 + i];
+  } else {
+    for (int i = 0; i < 4; i++) fa->sao_offsets[di * 4 + i] = 0;
+  }
+}
+
+static void parse_sao_offset(Parser* P, int comp, int ctu, int shared_type) {
+  const FrameArrays* fa = P->fa;
+  int64_t ci = (int64_t)comp * fa->num_ctus + ctu;
+  int type_p1;
+  if (shared_type >= -1) {
+    type_p1 = shared_type + 1;
+  } else {
+    if (dec_bin(P->st, P->ctx, P->co->sao_type) == 0) type_p1 = 0;
+    else type_p1 = dec_bin_ep(P->st) == 0 ? 5 : 1;
+  }
+  int type_idx = type_p1 - 1;
+  fa->sao_type[ci] = (int8_t)type_idx;
+  if (type_p1 == 0) return;
+  int offset_th = 1 << (P->sp->bit_depth - 5 < 5 ? P->sp->bit_depth - 5 : 5);
+  if (type_idx == 4) {  // BO
+    for (int i = 0; i < 4; i++)
+      fa->sao_offsets[ci * 4 + i] = sao_max_uvlc(P, offset_th - 1);
+    for (int i = 0; i < 4; i++)
+      if (fa->sao_offsets[ci * 4 + i] != 0 && dec_bin_ep(P->st))
+        fa->sao_offsets[ci * 4 + i] = -fa->sao_offsets[ci * 4 + i];
+    fa->sao_sub_type[ci] = (int8_t)dec_bins_ep(P->st, 5);
+  } else {  // EO
+    fa->sao_offsets[ci * 4 + 0] = sao_max_uvlc(P, offset_th - 1);
+    fa->sao_offsets[ci * 4 + 1] = sao_max_uvlc(P, offset_th - 1);
+    fa->sao_offsets[ci * 4 + 2] = -sao_max_uvlc(P, offset_th - 1);
+    fa->sao_offsets[ci * 4 + 3] = -sao_max_uvlc(P, offset_th - 1);
+    if (comp != 2) {
+      int sub = dec_bins_ep(P->st, 2);
+      fa->sao_sub_type[ci] = (int8_t)sub;
+      fa->sao_type[ci] = (int8_t)(type_idx + sub);
+    } else {
+      fa->sao_sub_type[ci] = fa->sao_sub_type[(int64_t)fa->num_ctus + ctu];
+    }
+  }
+}
+
+static void parse_sao_ctu(Parser* P, int ctu, int start_ctu, int allow_left,
+                          int allow_up) {
+  const FrameArrays* fa = P->fa;
+  int rx = ctu % fa->ctus_w, ry = ctu / fa->ctus_w;
+  int in_slice = ctu - start_ctu;
+  int up_in_slice = in_slice - fa->ctus_w;
+  int flag0 = P->sp->sao_enabled, flag1 = P->sp->sao_enabled_chroma;
+
+  for (int comp = 0; comp < 3; comp++) {
+    int64_t ci = (int64_t)comp * fa->num_ctus + ctu;
+    fa->sao_merge_left[ci] = 0;
+    fa->sao_merge_up[ci] = 0;
+    fa->sao_sub_type[ci] = 0;
+    fa->sao_type[ci] = -1;
+    for (int i = 0; i < 4; i++) fa->sao_offsets[ci * 4 + i] = 0;
+  }
+  int merge_left = 0, merge_up = 0;
+  if (flag0 || flag1) {
+    if (rx > 0 && in_slice != 0 && allow_left)
+      merge_left = dec_bin(P->st, P->ctx, P->co->sao_merge);
+    if (merge_left == 0 && ry > 0 && up_in_slice >= 0 && allow_up)
+      merge_up = dec_bin(P->st, P->ctx, P->co->sao_merge);
+  }
+  for (int comp = 0; comp < 3; comp++) {
+    int enabled = comp == 0 ? flag0 : flag1;
+    int64_t ci = (int64_t)comp * fa->num_ctus + ctu;
+    if (!enabled) {
+      fa->sao_type[ci] = -1;
+      fa->sao_sub_type[ci] = 0;
+      continue;
+    }
+    int ml = (rx > 0 && in_slice != 0 && allow_left) ? merge_left : 0;
+    fa->sao_merge_left[ci] = (uint8_t)(ml != 0);
+    if (!ml) {
+      int mu = (ry > 0 && up_in_slice >= 0 && allow_up) ? merge_up : 0;
+      fa->sao_merge_up[ci] = (uint8_t)(mu != 0);
+      if (!mu) {
+        if (comp == 2)
+          parse_sao_offset(P, comp, ctu,
+                           fa->sao_type[(int64_t)fa->num_ctus + ctu]);
+        else
+          parse_sao_offset(P, comp, ctu, -2 /* no sharing */);
+      } else {
+        copy_sao(fa, comp, ctu, ctu - fa->ctus_w);
+      }
+    } else {
+      copy_sao(fa, comp, ctu, ctu - 1);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// neighbor-context + intra-direction derivation (TComDataCU.cpp)
+// ---------------------------------------------------------------------------
+static inline int left_avail(const FrameArrays* fa, int ux, int uy) {
+  return avail(fa, ux - 1, uy, ux, uy);
+}
+static inline int above_avail(const FrameArrays* fa, int ux, int uy,
+                              int planar_at_ctu) {
+  if (planar_at_ctu && (uy % fa->upr) == 0) return 0;
+  return avail(fa, ux, uy - 1, ux, uy);
+}
+
+static int ctx_split_flag(const FrameArrays* fa, int ux, int uy, int depth) {
+  int ctx = 0;
+  if (left_avail(fa, ux, uy) && U(fa->depth, ux - 1, uy) > depth) ctx++;
+  if (above_avail(fa, ux, uy, 0) && U(fa->depth, ux, uy - 1) > depth) ctx++;
+  return ctx;
+}
+
+static int ctx_skip_flag(const FrameArrays* fa, int ux, int uy) {
+  int ctx = 0;
+  if (left_avail(fa, ux, uy) && U(fa->skip, ux - 1, uy)) ctx++;
+  if (above_avail(fa, ux, uy, 0) && U(fa->skip, ux, uy - 1)) ctx++;
+  return ctx;
+}
+
+// getIntraDirLumaPredictor (TComDataCU.cpp:1928); see FrameModel.intra_mpm
+static void intra_mpm(const FrameArrays* fa, int ux, int uy, int preds[3]) {
+  int left_dir = DC_IDX, above_dir = DC_IDX;
+  if (left_avail(fa, ux, uy) &&
+      unit_order(fa, ux - 1, uy) >=
+          fa->dep_slice_start[(int64_t)uy * fa->uw + ux] &&
+      U(fa->pred_mode, ux - 1, uy) == MODE_INTRA)
+    left_dir = U(fa->luma_dir, ux - 1, uy);
+  if (above_avail(fa, ux, uy, 1) &&
+      U(fa->pred_mode, ux, uy - 1) == MODE_INTRA)
+    above_dir = U(fa->luma_dir, ux, uy - 1);
+  if (left_dir == above_dir) {
+    if (left_dir > 1) {
+      preds[0] = left_dir;
+      preds[1] = ((left_dir + 29) % 32) + 2;
+      preds[2] = ((left_dir - 1) % 32) + 2;
+    } else {
+      preds[0] = PLANAR_IDX; preds[1] = DC_IDX; preds[2] = VER_IDX;
+    }
+  } else {
+    preds[0] = left_dir; preds[1] = above_dir;
+    if (left_dir && above_dir) preds[2] = PLANAR_IDX;
+    else preds[2] = (left_dir + above_dir) < 2 ? VER_IDX : DC_IDX;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// CU-level syntax
+// ---------------------------------------------------------------------------
+static inline int min_cu_dqp_size(const Parser* P) {
+  return P->fa->ctu_size >> P->sp->max_cu_dqp_depth;
+}
+
+static int pcm_allowed(const Parser* P, int size) {
+  const SliceParams* sp = P->sp;
+  return sp->use_pcm && size >= (1 << sp->pcm_log2_min) &&
+         size <= (1 << sp->pcm_log2_max);
+}
+
+static void parse_skip_flag(Parser* P, int abs_part, int depth) {
+  const FrameArrays* fa = P->fa;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int units = units_at_depth(fa, depth);
+  int ctx = ctx_skip_flag(fa, ux, uy);
+  int bit = dec_bin(P->st, P->ctx, P->co->skip_flag + ctx);
+  if (bit) {
+    set_region<uint8_t>(fa, fa->skip, ux, uy, units, 1);
+    set_region<int8_t>(fa, fa->pred_mode, ux, uy, units, MODE_INTER);
+    set_region<int8_t>(fa, fa->part_size, ux, uy, units, SZ_2Nx2N);
+    set_region<uint8_t>(fa, fa->merge_flag, ux, uy, units, 1);
+  }
+}
+
+static int convert_to_bit(int size) {
+  int b = 0;
+  while ((1 << (b + 2)) < size) b++;
+  return b;  // log2(size) - 2
+}
+
+static void parse_part_size(Parser* P, int abs_part, int depth) {
+  const FrameArrays* fa = P->fa;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int units = units_at_depth(fa, depth);
+  int max_sig_depth = fa->max_depth - P->sp->add_cu_depth;
+  if (U(fa->pred_mode, ux, uy) == MODE_INTRA) {
+    int sym = 1;
+    if (depth == max_sig_depth)
+      sym = dec_bin(P->st, P->ctx, P->co->part_size + 0);
+    int mode = sym ? SZ_2Nx2N : SZ_NxN;
+    set_region<int8_t>(fa, fa->part_size, ux, uy, units, (int8_t)mode);
+    int size = fa->ctu_size >> depth;
+    int width_bit = convert_to_bit(size) + 2;
+    int tr_size_bit = convert_to_bit(P->sp->max_tr_size) + 2;
+    int tr_level = width_bit - tr_size_bit;
+    if (tr_level < 0) tr_level = 0;
+    set_region<int8_t>(fa, fa->tr_idx, ux, uy, units,
+                       (int8_t)(mode == SZ_NxN ? 1 + tr_level : tr_level));
+  } else {
+    int size = fa->ctu_size >> depth;
+    int max_bits = (depth == max_sig_depth && size != 8) ? 3 : 2;
+    int mode = 0;
+    for (int ui = 0; ui < max_bits; ui++) {
+      if (dec_bin(P->st, P->ctx, P->co->part_size + ui)) break;
+      mode++;
+    }
+    if (P->sp->use_amp && depth < max_sig_depth) {
+      if (mode == SZ_2NxN || mode == SZ_Nx2N) {
+        if (dec_bin(P->st, P->ctx, P->co->amp) == 0) {
+          int sym = dec_bin_ep(P->st);
+          if (mode == SZ_2NxN) mode = sym == 0 ? SZ_2NxnU : SZ_2NxnD;
+          else mode = sym == 0 ? SZ_nLx2N : SZ_nRx2N;
+        }
+      }
+    }
+    set_region<int8_t>(fa, fa->part_size, ux, uy, units, (int8_t)mode);
+  }
+}
+
+static void parse_intra_dir_luma(Parser* P, int abs_part, int depth) {
+  const FrameArrays* fa = P->fa;
+  int ux0, uy0;
+  unit_xy(P, abs_part, &ux0, &uy0);
+  int part_sz = U(fa->part_size, ux0, uy0);
+  int part_num = part_sz == SZ_NxN ? 4 : 1;
+  int part_offset = (fa->parts >> (depth << 1)) >> 2;
+  int sub_depth = part_sz == SZ_NxN ? depth + 1 : depth;
+  int mpm_flags[4];
+  for (int j = 0; j < part_num; j++)
+    mpm_flags[j] = dec_bin(P->st, P->ctx, P->co->intra_pred);
+  for (int j = 0; j < part_num; j++) {
+    int part = abs_part + part_offset * j;
+    int ux, uy;
+    unit_xy(P, part, &ux, &uy);
+    int preds[3];
+    intra_mpm(fa, ux, uy, preds);
+    int mode;
+    if (mpm_flags[j]) {
+      int sym = dec_bin_ep(P->st);
+      if (sym) sym = dec_bin_ep(P->st) + 1;
+      mode = preds[sym];
+    } else {
+      mode = dec_bins_ep(P->st, 5);
+      int sp0 = preds[0], sp1 = preds[1], sp2 = preds[2], t;
+      if (sp0 > sp1) { t = sp0; sp0 = sp1; sp1 = t; }
+      if (sp1 > sp2) { t = sp1; sp1 = sp2; sp2 = t; }
+      if (sp0 > sp1) { t = sp0; sp0 = sp1; sp1 = t; }
+      mode += (mode >= sp0);
+      mode += (mode >= sp1);
+      mode += (mode >= sp2);
+    }
+    set_region<int8_t>(fa, fa->luma_dir, ux, uy,
+                       units_at_depth(fa, sub_depth), (int8_t)mode);
+  }
+}
+
+static void parse_intra_dir_chroma(Parser* P, int abs_part, int depth) {
+  const FrameArrays* fa = P->fa;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int units = units_at_depth(fa, depth);
+  int sym = dec_bin(P->st, P->ctx, P->co->chroma_pred);
+  int mode;
+  if (sym == 0) {
+    mode = DM_CHROMA_IDX;
+  } else {
+    int idx = dec_bins_ep(P->st, 2);
+    int modes[5] = {PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX, DM_CHROMA_IDX};
+    int luma = U(fa->luma_dir, ux, uy);
+    for (int i = 0; i < 4; i++)
+      if (luma == modes[i]) { modes[i] = 34; break; }
+    mode = modes[idx];
+  }
+  set_region<int8_t>(fa, fa->chroma_dir, ux, uy, units, (int8_t)mode);
+}
+
+// getRefQP (TComDataCU.cpp:1826): left/above within the same CTU
+static int ref_qp(Parser* P, int abs_part) {
+  const FrameArrays* fa = P->fa;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int last = P->coded_qp;
+  int l = last, a = last;
+  if (left_avail(fa, ux, uy) && (ux - 1) / fa->upr == ux / fa->upr)
+    l = U(fa->qp, ux - 1, uy);
+  if (above_avail(fa, ux, uy, 0) && (uy - 1) / fa->upr == uy / fa->upr)
+    a = U(fa->qp, ux, uy - 1);
+  return (l + a + 1) >> 1;
+}
+
+static void parse_delta_qp(Parser* P, int abs_part) {
+  const FrameArrays* fa = P->fa;
+  const int kCMax = 5, kEgK = 0;  // CU_DQP_TU_CMAX / CU_DQP_EG_K
+  int dqp = unary_max(P, P->co->dqp, P->co->dqp + 1, kCMax);
+  if (dqp >= kCMax) dqp += ep_exgolomb(P, kEgK);
+  int qp;
+  if (dqp > 0) {
+    int sign = dec_bin_ep(P->st);
+    int idqp = sign ? -dqp : dqp;
+    int bd = P->sp->qp_bd_offset_y;
+    qp = ((ref_qp(P, abs_part) + idqp + 52 + 2 * bd) % (52 + bd)) - bd;
+  } else {
+    qp = ref_qp(P, abs_part);
+  }
+  int ux, uy;
+  unit_xy(P, P->bak_abs_part_cu, &ux, &uy);
+  int depth = U(fa->depth, ux, uy);
+  set_region<int8_t>(fa, fa->qp, ux, uy, units_at_depth(fa, depth),
+                     (int8_t)qp);
+  P->coded_qp = qp;
+}
+
+static int parse_merge_index(Parser* P) {
+  int num_cand = P->sp->max_merge;
+  int idx = 0;
+  if (num_cand > 1) {
+    while (idx < num_cand - 1) {
+      int sym = idx == 0 ? dec_bin(P->st, P->ctx, P->co->merge_idx)
+                         : dec_bin_ep(P->st);
+      if (sym == 0) break;
+      idx++;
+    }
+  }
+  return idx;
+}
+
+// ---------------------------------------------------------------------------
+// merge / AMVP candidate derivation (TComDataCU.cpp:2758, :3324, :3792)
+// ---------------------------------------------------------------------------
+struct MvCand {
+  int dir;
+  int ref[2];
+  int16_t mv[2][2];
+};
+
+static void pu_geometry(int part_size, int x, int y, int size, int part_idx,
+                        int* xp, int* yp, int* pw, int* ph) {
+  int w = size, h = size;
+  switch (part_size) {
+    case SZ_2NxN: h = size >> 1; y += part_idx ? h : 0; break;
+    case SZ_Nx2N: w = size >> 1; x += part_idx ? w : 0; break;
+    case SZ_NxN:
+      w = h = size >> 1;
+      x += (part_idx & 1) * w;
+      y += (part_idx >> 1) * h;
+      break;
+    case SZ_2NxnU:
+      h = part_idx == 0 ? (size >> 2) : (size >> 2) + (size >> 1);
+      y += part_idx ? size - h : 0;
+      break;
+    case SZ_2NxnD:
+      h = part_idx == 0 ? (size >> 2) + (size >> 1) : (size >> 2);
+      y += part_idx ? size - h : 0;
+      break;
+    case SZ_nLx2N:
+      w = part_idx == 0 ? (size >> 2) : (size >> 2) + (size >> 1);
+      x += part_idx ? size - w : 0;
+      break;
+    case SZ_nRx2N:
+      w = part_idx == 0 ? (size >> 2) + (size >> 1) : (size >> 2);
+      x += part_idx ? size - w : 0;
+      break;
+    default: break;
+  }
+  *xp = x; *yp = y; *pw = w; *ph = h;
+}
+
+static inline int num_pus(int part_size) {
+  return part_size == SZ_2Nx2N ? 1 : (part_size == SZ_NxN ? 4 : 2);
+}
+
+// neighbor handle: valid flag + unit coords
+struct Nb { int ok, ux, uy; };
+
+static Nb neighbor(const FrameArrays* fa, int nux, int nuy, int cux,
+                   int cuy) {
+  Nb n;
+  n.ok = avail(fa, nux, nuy, cux, cuy);
+  n.ux = nux; n.uy = nuy;
+  return n;
+}
+
+// g_motionRefer compressed line-buffer remap (see decoder/mv.py:104)
+static Nb remap_above(const FrameArrays* fa, Nb n, int corner_uy) {
+  if (!n.ok) return n;
+  if ((fa->ctu_size >> (fa->max_depth - 1)) != 8) return n;
+  if (n.uy / fa->upr != corner_uy / fa->upr) {
+    int m = n.ux & 3;
+    if (m == 1) n.ux -= 1;
+    else if (m == 2) n.ux += 1;
+  }
+  return n;
+}
+
+static inline int nb_is_intra(const FrameArrays* fa, Nb n) {
+  return U(fa->pred_mode, n.ux, n.uy) != MODE_INTER;
+}
+
+static inline int diff_mer(const Parser* P, int xn, int yn, int xp, int yp) {
+  int pl = P->sp->plevel;
+  return (xn >> pl) != (xp >> pl) || (yn >> pl) != (yp >> pl);
+}
+
+static int equal_motion(const FrameArrays* fa, Nb a, Nb b) {
+  if (U(fa->inter_dir, a.ux, a.uy) != U(fa->inter_dir, b.ux, b.uy)) return 0;
+  for (int l = 0; l < 2; l++) {
+    if (U3(fa->ref_idx, l, a.ux, a.uy) != U3(fa->ref_idx, l, b.ux, b.uy))
+      return 0;
+    if (MV_AT(fa->mv, l, a.ux, a.uy, 0) != MV_AT(fa->mv, l, b.ux, b.uy, 0) ||
+        MV_AT(fa->mv, l, a.ux, a.uy, 1) != MV_AT(fa->mv, l, b.ux, b.uy, 1))
+      return 0;
+  }
+  return 1;
+}
+
+static void scale_mv16(int16_t mv[2], int scale) {
+  int x = scale * mv[0], y = scale * mv[1];
+  int mx = (x + 127 + (x < 0)) >> 8;
+  int my = (y + 127 + (y < 0)) >> 8;
+  mv[0] = (int16_t)(mx < -32768 ? -32768 : (mx > 32767 ? 32767 : mx));
+  mv[1] = (int16_t)(my < -32768 ? -32768 : (my > 32767 ? 32767 : my));
+}
+
+static inline int trunc_div(int a, int b) {
+  return a / b;  // C++ division truncates toward zero
+}
+
+static int dist_scale_factor(int cur_poc, int cur_ref_poc, int col_poc,
+                             int col_ref_poc) {
+  int diff_d = col_poc - col_ref_poc;
+  int diff_b = cur_poc - cur_ref_poc;
+  if (diff_d == diff_b) return 4096;
+  int tdb = diff_b < -128 ? -128 : (diff_b > 127 ? 127 : diff_b);
+  int tdd = diff_d < -128 ? -128 : (diff_d > 127 ? 127 : diff_d);
+  int num = 0x4000 + (trunc_div(tdd, 2) < 0 ? -trunc_div(tdd, 2)
+                                            : trunc_div(tdd, 2));
+  int x = trunc_div(num, tdd);
+  int scale = (tdb * x + 32) >> 6;
+  return scale < -4096 ? -4096 : (scale > 4095 ? 4095 : scale);
+}
+
+// xGetColMVP: returns 1 + writes scaled mv when available
+static int get_col_mvp(const Parser* P, int ref_list, int ux, int uy,
+                       int target_ref_idx, int16_t out_mv[2]) {
+  const SliceParams* sp = P->sp;
+  const FrameArrays* fa = P->fa;
+  int64_t ui = (int64_t)uy * fa->uw + ux;
+  if (sp->col_pred_mode[ui] != MODE_INTER) return 0;
+  int col_list = sp->check_ldc ? ref_list : (1 - sp->col_dir);
+  int col_ref_idx = sp->col_ref_idx[(int64_t)col_list * fa->uh * fa->uw + ui];
+  if (col_ref_idx < 0) {
+    col_list = 1 - col_list;
+    col_ref_idx = sp->col_ref_idx[(int64_t)col_list * fa->uh * fa->uw + ui];
+    if (col_ref_idx < 0) return 0;
+  }
+  int64_t base = (int64_t)col_list * fa->uh * fa->uw + ui;
+  int col_ref_poc = (int)sp->col_ref_poc[base];
+  out_mv[0] = sp->col_mv[base * 2 + 0];
+  out_mv[1] = sp->col_mv[base * 2 + 1];
+  int cur_ref_poc = sp->ref_pocs[ref_list][target_ref_idx];
+  int scale = dist_scale_factor(sp->poc, cur_ref_poc, sp->col_poc,
+                                col_ref_poc);
+  if (scale != 4096) scale_mv16(out_mv, scale);
+  return 1;
+}
+
+// right-bottom + center colocated units; rb_ok=0 when invalid
+static void col_units(const FrameArrays* fa, int xp, int yp, int pw, int ph,
+                      int* rb_ok, int* rbx, int* rby, int* cx, int* cy) {
+  *rb_ok = 0;
+  if (xp + pw < fa->width && yp + ph < fa->height) {
+    int uby = (yp + ph - 4) / 4;
+    if ((uby % fa->upr) != fa->upr - 1) {
+      *rb_ok = 1;
+      *rbx = (xp + pw) / 4;
+      *rby = (yp + ph) / 4;
+    }
+  }
+  *cx = (xp + (pw >> 1)) / 4;
+  *cy = (yp + (ph >> 1)) / 4;
+}
+
+static int tmvp_merge(const Parser* P, int xp, int yp, int pw, int ph,
+                      MvCand* out) {
+  const FrameArrays* fa = P->fa;
+  int rb_ok, rbx, rby, cx, cy;
+  col_units(fa, xp, yp, pw, ph, &rb_ok, &rbx, &rby, &cx, &cy);
+  int16_t mv0[2], mv1[2];
+  int got0 = rb_ok ? get_col_mvp(P, 0, rbx, rby, 0, mv0) : 0;
+  if (!got0) got0 = get_col_mvp(P, 0, cx, cy, 0, mv0);
+  if (!got0) return 0;
+  out->ref[0] = 0;
+  out->mv[0][0] = mv0[0]; out->mv[0][1] = mv0[1];
+  out->ref[1] = -1;
+  out->mv[1][0] = 0; out->mv[1][1] = 0;
+  out->dir = 1;
+  if (P->sp->is_b) {
+    int got1 = rb_ok ? get_col_mvp(P, 1, rbx, rby, 0, mv1) : 0;
+    if (!got1) got1 = get_col_mvp(P, 1, cx, cy, 0, mv1);
+    if (got1) {
+      out->dir = 3;
+      out->ref[1] = 0;
+      out->mv[1][0] = mv1[0]; out->mv[1][1] = mv1[1];
+    }
+  }
+  return 1;
+}
+
+// getInterMergeCandidates; returns num_valid.  mrg_cand_idx >= 0 allows the
+// reference's early-out once the wanted candidate is complete.
+static int merge_candidates(Parser* P, int cu_x, int cu_y, int cu_size,
+                            int part_size, int pu_idx, int mrg_cand_idx,
+                            MvCand cands[MRG_MAX]) {
+  const FrameArrays* fa = P->fa;
+  const SliceParams* sp = P->sp;
+  int xp, yp, pw, ph;
+  pu_geometry(part_size, cu_x, cu_y, cu_size, pu_idx, &xp, &yp, &pw, &ph);
+  int lbx = xp / 4, lby = (yp + ph - 4) / 4;
+  int rtx = (xp + pw - 4) / 4, rty = yp / 4;
+  int ox = xp / 4, oy = yp / 4;
+
+  int cand_is_inter[MRG_MAX] = {0, 0, 0, 0, 0};
+  for (int i = 0; i < MRG_MAX; i++) {
+    cands[i].dir = 0;
+    cands[i].ref[0] = cands[i].ref[1] = -1;
+    cands[i].mv[0][0] = cands[i].mv[0][1] = 0;
+    cands[i].mv[1][0] = cands[i].mv[1][1] = 0;
+  }
+  int count = 0;
+
+#define TAKE(n)                                                        \
+  do {                                                                 \
+    cand_is_inter[count] = 1;                                          \
+    cands[count].dir = U(fa->inter_dir, (n).ux, (n).uy);               \
+    cands[count].ref[0] = U3(fa->ref_idx, 0, (n).ux, (n).uy);          \
+    cands[count].mv[0][0] = MV_AT(fa->mv, 0, (n).ux, (n).uy, 0);       \
+    cands[count].mv[0][1] = MV_AT(fa->mv, 0, (n).ux, (n).uy, 1);       \
+    if (sp->is_b) {                                                    \
+      cands[count].ref[1] = U3(fa->ref_idx, 1, (n).ux, (n).uy);        \
+      cands[count].mv[1][0] = MV_AT(fa->mv, 1, (n).ux, (n).uy, 0);     \
+      cands[count].mv[1][1] = MV_AT(fa->mv, 1, (n).ux, (n).uy, 1);     \
+    }                                                                  \
+    count++;                                                           \
+  } while (0)
+
+  // left (from LB corner)
+  Nb left = neighbor(fa, lbx - 1, lby, lbx, lby);
+  if (left.ok && !diff_mer(P, xp - 1, yp + ph - 1, xp, yp)) left.ok = 0;
+  int use_left = !(pu_idx == 1 && (part_size == SZ_Nx2N ||
+                                   part_size == SZ_nLx2N ||
+                                   part_size == SZ_nRx2N));
+  if (use_left && left.ok && !nb_is_intra(fa, left)) {
+    TAKE(left);
+    if (mrg_cand_idx == count - 1) return count;
+  }
+  // above (from RT corner)
+  Nb above = remap_above(fa, neighbor(fa, rtx, rty - 1, rtx, rty), rty);
+  if (above.ok && !diff_mer(P, xp + pw - 1, yp - 1, xp, yp)) above.ok = 0;
+  if (above.ok && !nb_is_intra(fa, above) &&
+      !(pu_idx == 1 && (part_size == SZ_2NxN || part_size == SZ_2NxnU ||
+                        part_size == SZ_2NxnD)) &&
+      (!left.ok || nb_is_intra(fa, left) || !equal_motion(fa, left, above))) {
+    TAKE(above);
+    if (mrg_cand_idx == count - 1) return count;
+  }
+  // above-right
+  Nb ar = remap_above(fa, neighbor(fa, rtx + 1, rty - 1, rtx, rty), rty);
+  if (ar.ok && !diff_mer(P, xp + pw, yp - 1, xp, yp)) ar.ok = 0;
+  if (ar.ok && !nb_is_intra(fa, ar) &&
+      (!above.ok || nb_is_intra(fa, above) || !equal_motion(fa, above, ar))) {
+    TAKE(ar);
+    if (mrg_cand_idx == count - 1) return count;
+  }
+  // below-left
+  Nb bl = neighbor(fa, lbx - 1, lby + 1, lbx, lby);
+  if (bl.ok && !diff_mer(P, xp - 1, yp + ph, xp, yp)) bl.ok = 0;
+  if (bl.ok && !nb_is_intra(fa, bl) &&
+      (!left.ok || nb_is_intra(fa, left) || !equal_motion(fa, left, bl))) {
+    TAKE(bl);
+    if (mrg_cand_idx == count - 1) return count;
+  }
+  // above-left
+  if (count < 4) {
+    Nb al = remap_above(fa, neighbor(fa, ox - 1, oy - 1, ox, oy), oy);
+    if (al.ok && !diff_mer(P, xp - 1, yp - 1, xp, yp)) al.ok = 0;
+    if (al.ok && !nb_is_intra(fa, al) &&
+        (!left.ok || nb_is_intra(fa, left) ||
+         !equal_motion(fa, left, al)) &&
+        (!above.ok || nb_is_intra(fa, above) ||
+         !equal_motion(fa, above, al))) {
+      TAKE(al);
+      if (mrg_cand_idx == count - 1) return count;
+    }
+  }
+  // temporal
+  if (sp->tmvp && sp->has_col) {
+    MvCand t;
+    if (tmvp_merge(P, xp, yp, pw, ph, &t)) {
+      cand_is_inter[count] = 1;
+      cands[count] = t;
+      count++;
+      if (mrg_cand_idx == count - 1) return count;
+    }
+  }
+#undef TAKE
+
+  int array_addr = count, cutoff = count;
+  if (sp->is_b) {
+    static const int pl0[12] = {0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3};
+    static const int pl1[12] = {1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2};
+    for (int idx = 0; idx < cutoff * (cutoff - 1); idx++) {
+      if (array_addr == MRG_MAX) break;
+      int i = pl0[idx], j = pl1[idx];
+      if (cand_is_inter[i] && cand_is_inter[j] && (cands[i].dir & 1) &&
+          (cands[j].dir & 2)) {
+        cand_is_inter[array_addr] = 1;
+        cands[array_addr].dir = 3;
+        cands[array_addr].ref[0] = cands[i].ref[0];
+        cands[array_addr].mv[0][0] = cands[i].mv[0][0];
+        cands[array_addr].mv[0][1] = cands[i].mv[0][1];
+        cands[array_addr].ref[1] = cands[j].ref[1];
+        cands[array_addr].mv[1][0] = cands[j].mv[1][0];
+        cands[array_addr].mv[1][1] = cands[j].mv[1][1];
+        int poc0 = sp->ref_pocs[0][cands[array_addr].ref[0]];
+        int poc1 = sp->ref_pocs[1][cands[array_addr].ref[1]];
+        if (poc0 == poc1 &&
+            cands[array_addr].mv[0][0] == cands[array_addr].mv[1][0] &&
+            cands[array_addr].mv[0][1] == cands[array_addr].mv[1][1]) {
+          cand_is_inter[array_addr] = 0;
+        } else {
+          array_addr++;
+        }
+      }
+    }
+  }
+  int num_ref = sp->is_b ? (sp->num_ref_idx0 < sp->num_ref_idx1
+                                ? sp->num_ref_idx0 : sp->num_ref_idx1)
+                         : sp->num_ref_idx0;
+  int r = 0, refcnt = 0;
+  while (array_addr < MRG_MAX) {
+    cand_is_inter[array_addr] = 1;
+    cands[array_addr].dir = 1;
+    cands[array_addr].ref[0] = r;
+    cands[array_addr].mv[0][0] = 0; cands[array_addr].mv[0][1] = 0;
+    cands[array_addr].ref[1] = -1;
+    cands[array_addr].mv[1][0] = 0; cands[array_addr].mv[1][1] = 0;
+    if (sp->is_b) {
+      cands[array_addr].dir = 3;
+      cands[array_addr].ref[1] = r;
+    }
+    array_addr++;
+    if (refcnt == num_ref - 1) r = 0;
+    else { r++; refcnt++; }
+  }
+  return array_addr < sp->max_merge ? array_addr : sp->max_merge;
+}
+
+// xAddMVPCand: same ref in this list, else same POC via the other list
+static int add_mvp_cand(const Parser* P, int16_t cands[][2], int* n, Nb nb,
+                        int ref_list, int ref_idx) {
+  const FrameArrays* fa = P->fa;
+  const SliceParams* sp = P->sp;
+  if (!nb.ok) return 0;
+  int nref = U3(fa->ref_idx, ref_list, nb.ux, nb.uy);
+  if (nref >= 0 && ref_idx >= 0 &&
+      sp->ref_pocs[ref_list][nref] == sp->ref_pocs[ref_list][ref_idx]) {
+    cands[*n][0] = MV_AT(fa->mv, ref_list, nb.ux, nb.uy, 0);
+    cands[*n][1] = MV_AT(fa->mv, ref_list, nb.ux, nb.uy, 1);
+    (*n)++;
+    return 1;
+  }
+  int other = 1 - ref_list;
+  int cur_ref_poc = sp->ref_pocs[ref_list][ref_idx];
+  int oref = U3(fa->ref_idx, other, nb.ux, nb.uy);
+  if (oref >= 0 && sp->ref_pocs[other][oref] == cur_ref_poc) {
+    cands[*n][0] = MV_AT(fa->mv, other, nb.ux, nb.uy, 0);
+    cands[*n][1] = MV_AT(fa->mv, other, nb.ux, nb.uy, 1);
+    (*n)++;
+    return 1;
+  }
+  return 0;
+}
+
+// xAddMVPCandOrder: same-list then cross-list with POC scaling
+static int add_mvp_cand_order(const Parser* P, int16_t cands[][2], int* n,
+                              Nb nb, int ref_list, int ref_idx) {
+  const FrameArrays* fa = P->fa;
+  const SliceParams* sp = P->sp;
+  if (!nb.ok) return 0;
+  int cur_ref_poc = sp->ref_pocs[ref_list][ref_idx];
+  for (int k = 0; k < 2; k++) {
+    int lst = k == 0 ? ref_list : 1 - ref_list;
+    int nref = U3(fa->ref_idx, lst, nb.ux, nb.uy);
+    if (nref >= 0) {
+      int neib_ref_poc = sp->ref_pocs[lst][nref];
+      int16_t mv[2] = {MV_AT(fa->mv, lst, nb.ux, nb.uy, 0),
+                       MV_AT(fa->mv, lst, nb.ux, nb.uy, 1)};
+      int scale = dist_scale_factor(sp->poc, cur_ref_poc, sp->poc,
+                                    neib_ref_poc);
+      if (scale != 4096) scale_mv16(mv, scale);
+      cands[*n][0] = mv[0];
+      cands[*n][1] = mv[1];
+      (*n)++;
+      return 1;
+    }
+  }
+  return 0;
+}
+
+// fillMvpCand (TComDataCU.cpp:3324); fills exactly AMVP_MAX entries
+static void amvp_candidates(Parser* P, int cu_x, int cu_y, int cu_size,
+                            int part_size, int pu_idx, int ref_list,
+                            int ref_idx, int16_t out[AMVP_MAX][2]) {
+  const FrameArrays* fa = P->fa;
+  const SliceParams* sp = P->sp;
+  out[0][0] = out[0][1] = out[1][0] = out[1][1] = 0;
+  if (ref_idx < 0) return;
+  int xp, yp, pw, ph;
+  pu_geometry(part_size, cu_x, cu_y, cu_size, pu_idx, &xp, &yp, &pw, &ph);
+  int lbx = xp / 4, lby = (yp + ph - 4) / 4;
+  int rtx = (xp + pw - 4) / 4, rty = yp / 4;
+  int ltx = xp / 4, lty = yp / 4;
+
+  int16_t cands[4][2];
+  int n = 0;
+
+  Nb bl = neighbor(fa, lbx - 1, lby + 1, lbx, lby);
+  Nb left = neighbor(fa, lbx - 1, lby, lbx, lby);
+  int added_smvp = (bl.ok && !nb_is_intra(fa, bl)) ||
+                   (left.ok && !nb_is_intra(fa, left));
+
+  int added = add_mvp_cand(P, cands, &n, bl, ref_list, ref_idx);
+  if (!added) added = add_mvp_cand(P, cands, &n, left, ref_list, ref_idx);
+  if (!added) {
+    added = add_mvp_cand_order(P, cands, &n, bl, ref_list, ref_idx);
+    if (!added) add_mvp_cand_order(P, cands, &n, left, ref_list, ref_idx);
+  }
+
+  Nb ar = remap_above(fa, neighbor(fa, rtx + 1, rty - 1, rtx, rty), rty);
+  Nb above = remap_above(fa, neighbor(fa, rtx, rty - 1, rtx, rty), rty);
+  Nb al = remap_above(fa, neighbor(fa, ltx - 1, lty - 1, ltx, lty), lty);
+  added = add_mvp_cand(P, cands, &n, ar, ref_list, ref_idx);
+  if (!added) added = add_mvp_cand(P, cands, &n, above, ref_list, ref_idx);
+  if (!added) added = add_mvp_cand(P, cands, &n, al, ref_list, ref_idx);
+
+  added = added_smvp;
+  if (n == 2) added = 1;
+  if (!added) {
+    added = add_mvp_cand_order(P, cands, &n, ar, ref_list, ref_idx);
+    if (!added)
+      added = add_mvp_cand_order(P, cands, &n, above, ref_list, ref_idx);
+    if (!added) add_mvp_cand_order(P, cands, &n, al, ref_list, ref_idx);
+  }
+
+  if (n == 2 && cands[0][0] == cands[1][0] && cands[0][1] == cands[1][1])
+    n--;
+
+  if (sp->tmvp && sp->has_col) {
+    int rb_ok, rbx, rby, cx, cy;
+    col_units(fa, xp, yp, pw, ph, &rb_ok, &rbx, &rby, &cx, &cy);
+    int16_t mv[2];
+    int got = rb_ok ? get_col_mvp(P, ref_list, rbx, rby, ref_idx, mv) : 0;
+    if (!got) got = get_col_mvp(P, ref_list, cx, cy, ref_idx, mv);
+    if (got && n < 4) {
+      cands[n][0] = mv[0];
+      cands[n][1] = mv[1];
+      n++;
+    }
+  }
+  for (int i = 0; i < AMVP_MAX; i++) {
+    if (i < n) { out[i][0] = cands[i][0]; out[i][1] = cands[i][1]; }
+    else { out[i][0] = 0; out[i][1] = 0; }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// inter PU syntax (TDecEntropy::decodePUWise) with inline MV reconstruction
+// ---------------------------------------------------------------------------
+static void set_pu_i8(const FrameArrays* fa, int8_t* arr, int ux, int uy,
+                      int uw_, int uh_, int8_t v) {
+  for (int j = 0; j < uh_; j++) {
+    int8_t* row = arr + (int64_t)(uy + j) * fa->uw + ux;
+    for (int i = 0; i < uw_; i++) row[i] = v;
+  }
+}
+static void set_pu_u8(const FrameArrays* fa, uint8_t* arr, int ux, int uy,
+                      int uw_, int uh_, uint8_t v) {
+  for (int j = 0; j < uh_; j++) {
+    uint8_t* row = arr + (int64_t)(uy + j) * fa->uw + ux;
+    for (int i = 0; i < uw_; i++) row[i] = v;
+  }
+}
+static void set_pu_list_i8(const FrameArrays* fa, int8_t* arr, int l, int ux,
+                           int uy, int uw_, int uh_, int8_t v) {
+  for (int j = 0; j < uh_; j++) {
+    int8_t* row = arr + ((int64_t)l * fa->uh + uy + j) * fa->uw + ux;
+    for (int i = 0; i < uw_; i++) row[i] = v;
+  }
+}
+static void set_pu_mv(const FrameArrays* fa, int16_t* arr, int l, int ux,
+                      int uy, int uw_, int uh_, int16_t vx, int16_t vy) {
+  for (int j = 0; j < uh_; j++) {
+    int16_t* row = arr + (((int64_t)l * fa->uh + uy + j) * fa->uw + ux) * 2;
+    for (int i = 0; i < uw_; i++) { row[i * 2] = vx; row[i * 2 + 1] = vy; }
+  }
+}
+
+static int parse_ref_idx(Parser* P, int lst) {
+  int sym = dec_bin(P->st, P->ctx, P->co->ref_pic);
+  if (!sym) return 0;
+  int ref_num = (lst == 0 ? P->sp->num_ref_idx0 : P->sp->num_ref_idx1) - 2;
+  int ui = 0;
+  while (ui < ref_num) {
+    sym = ui == 0 ? dec_bin(P->st, P->ctx, P->co->ref_pic + 1)
+                  : dec_bin_ep(P->st);
+    if (sym == 0) break;
+    ui++;
+  }
+  return ui + 1;
+}
+
+static void parse_mvd(Parser* P, int lst, int inter_dir, int* mvx,
+                      int* mvy) {
+  if (P->sp->mvd_l1_zero && lst == 1 && inter_dir == 3) {
+    *mvx = 0; *mvy = 0;
+    return;
+  }
+  int hor = dec_bin(P->st, P->ctx, P->co->mvd);
+  int ver = dec_bin(P->st, P->ctx, P->co->mvd);
+  int hor_gr0 = hor != 0, ver_gr0 = ver != 0;
+  if (hor_gr0) hor += dec_bin(P->st, P->ctx, P->co->mvd + 1);
+  if (ver_gr0) ver += dec_bin(P->st, P->ctx, P->co->mvd + 1);
+  int hor_sign = 0, ver_sign = 0;
+  if (hor_gr0) {
+    if (hor == 2) hor += ep_exgolomb(P, 1);
+    hor_sign = dec_bin_ep(P->st);
+  }
+  if (ver_gr0) {
+    if (ver == 2) ver += ep_exgolomb(P, 1);
+    ver_sign = dec_bin_ep(P->st);
+  }
+  *mvx = hor_sign ? -hor : hor;
+  *mvy = ver_sign ? -ver : ver;
+}
+
+static void decode_skip_cu(Parser* P, int abs_part, int depth) {
+  const FrameArrays* fa = P->fa;
+  const SliceParams* sp = P->sp;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int units = units_at_depth(fa, depth);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int merge_idx = parse_merge_index(P);
+  set_region<int8_t>(fa, fa->merge_idx, ux, uy, units, (int8_t)merge_idx);
+  MvCand cands[MRG_MAX];
+  merge_candidates(P, px, py, size, SZ_2Nx2N, 0, merge_idx, cands);
+  set_region<int8_t>(fa, fa->inter_dir, ux, uy, units,
+                     (int8_t)cands[merge_idx].dir);
+  for (int l = 0; l < 2; l++) {
+    int nref = l == 0 ? sp->num_ref_idx0 : sp->num_ref_idx1;
+    if (nref > 0) {
+      set_pu_list_i8(fa, fa->ref_idx, l, ux, uy, units, units,
+                     (int8_t)cands[merge_idx].ref[l]);
+      set_pu_mv(fa, fa->mv, l, ux, uy, units, units,
+                cands[merge_idx].mv[l][0], cands[merge_idx].mv[l][1]);
+      set_pu_mv(fa, fa->mvd, l, ux, uy, units, units, 0, 0);
+      set_pu_list_i8(fa, fa->mvp_idx, l, ux, uy, units, units, 0);
+    } else {
+      set_pu_list_i8(fa, fa->ref_idx, l, ux, uy, units, units, -1);
+      set_pu_mv(fa, fa->mv, l, ux, uy, units, units, 0, 0);
+    }
+  }
+  for (int c = 0; c < 3; c++)
+    set_region<uint8_t>(fa, fa->cbf + (int64_t)c * fa->uh * fa->uw, ux, uy,
+                        units, 0);
+  set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, 0);
+}
+
+static void parse_pu_wise(Parser* P, int abs_part, int depth) {
+  const FrameArrays* fa = P->fa;
+  const SliceParams* sp = P->sp;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int part_sz = U(fa->part_size, ux, uy);
+  int n_pu = num_pus(part_sz);
+  int is_b = sp->slice_type == SLICE_B;
+
+  for (int pu = 0; pu < n_pu; pu++) {
+    int xp, yp, pw, ph;
+    pu_geometry(part_sz, px, py, size, pu, &xp, &yp, &pw, &ph);
+    int rux = xp / 4, ruy = yp / 4, ruw = pw / 4, ruh = ph / 4;
+    int merge = dec_bin(P->st, P->ctx, P->co->merge_flag);
+    set_pu_u8(fa, fa->merge_flag, rux, ruy, ruw, ruh, (uint8_t)(merge != 0));
+    if (merge) {
+      int merge_idx = parse_merge_index(P);
+      set_pu_i8(fa, fa->merge_idx, rux, ruy, ruw, ruh, (int8_t)merge_idx);
+      MvCand cands[MRG_MAX];
+      merge_candidates(P, px, py, size, part_sz, pu, merge_idx, cands);
+      set_pu_i8(fa, fa->inter_dir, rux, ruy, ruw, ruh,
+                (int8_t)cands[merge_idx].dir);
+      for (int l = 0; l < 2; l++) {
+        int nref = l == 0 ? sp->num_ref_idx0 : sp->num_ref_idx1;
+        if (nref > 0) {
+          set_pu_list_i8(fa, fa->ref_idx, l, rux, ruy, ruw, ruh,
+                         (int8_t)cands[merge_idx].ref[l]);
+          set_pu_mv(fa, fa->mv, l, rux, ruy, ruw, ruh,
+                    cands[merge_idx].mv[l][0], cands[merge_idx].mv[l][1]);
+          set_pu_mv(fa, fa->mvd, l, rux, ruy, ruw, ruh, 0, 0);
+          set_pu_list_i8(fa, fa->mvp_idx, l, rux, ruy, ruw, ruh, 0);
+        } else {
+          set_pu_list_i8(fa, fa->ref_idx, l, rux, ruy, ruw, ruh, -1);
+          set_pu_mv(fa, fa->mv, l, rux, ruy, ruw, ruh, 0, 0);
+        }
+      }
+    } else {
+      int inter_dir;
+      if (!is_b) {
+        inter_dir = 1;
+      } else {
+        int restrict_ = !(part_sz == SZ_2Nx2N || size != 8);
+        int sym = restrict_ ? 0
+                            : dec_bin(P->st, P->ctx, P->co->inter_dir + depth);
+        if (sym) inter_dir = 3;
+        else inter_dir = 1 + dec_bin(P->st, P->ctx, P->co->inter_dir + 4);
+      }
+      set_pu_i8(fa, fa->inter_dir, rux, ruy, ruw, ruh, (int8_t)inter_dir);
+      for (int l = 0; l < 2; l++) {
+        int nref = l == 0 ? sp->num_ref_idx0 : sp->num_ref_idx1;
+        if (nref <= 0) {
+          set_pu_list_i8(fa, fa->ref_idx, l, rux, ruy, ruw, ruh, -1);
+          set_pu_mv(fa, fa->mv, l, rux, ruy, ruw, ruh, 0, 0);
+          continue;
+        }
+        int has_list = inter_dir & (1 << l);
+        int ref_idx;
+        if (nref > 1 && has_list) ref_idx = parse_ref_idx(P, l);
+        else if (has_list) ref_idx = 0;
+        else ref_idx = -1;
+        set_pu_list_i8(fa, fa->ref_idx, l, rux, ruy, ruw, ruh,
+                       (int8_t)ref_idx);
+        int mvdx = 0, mvdy = 0;
+        if (has_list) parse_mvd(P, l, inter_dir, &mvdx, &mvdy);
+        set_pu_mv(fa, fa->mvd, l, rux, ruy, ruw, ruh, (int16_t)mvdx,
+                  (int16_t)mvdy);
+        int mvp_idx = has_list
+                          ? unary_max(P, P->co->mvp_idx, P->co->mvp_idx + 1, 1)
+                          : -1;
+        set_pu_list_i8(fa, fa->mvp_idx, l, rux, ruy, ruw, ruh,
+                       (int8_t)mvp_idx);
+        int16_t preds[AMVP_MAX][2];
+        amvp_candidates(P, px, py, size, part_sz, pu, l, ref_idx, preds);
+        if (ref_idx >= 0) {
+          int pi = mvp_idx >= 0 ? mvp_idx : 0;
+          set_pu_mv(fa, fa->mv, l, rux, ruy, ruw, ruh,
+                    (int16_t)(preds[pi][0] + mvdx),
+                    (int16_t)(preds[pi][1] + mvdy));
+        } else {
+          set_pu_mv(fa, fa->mv, l, rux, ruy, ruw, ruh, 0, 0);
+        }
+      }
+    }
+    // bipred restriction (8x8 CU with sub-8x8 PUs)
+    if (U(fa->inter_dir, rux, ruy) == 3 && size == 8 &&
+        part_sz != SZ_2Nx2N) {
+      set_pu_mv(fa, fa->mv, 1, rux, ruy, ruw, ruh, 0, 0);
+      set_pu_list_i8(fa, fa->ref_idx, 1, rux, ruy, ruw, ruh, -1);
+      set_pu_i8(fa, fa->inter_dir, rux, ruy, ruw, ruh, 1);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// transform tree + coefficients (TDecEntropy::xDecodeTransform :322)
+// ---------------------------------------------------------------------------
+static inline int get_cbf(const FrameArrays* fa, int ux, int uy, int comp,
+                          int trd) {
+  return (U3(fa->cbf, comp, ux, uy) >> trd) & 1;
+}
+
+static inline void set_cbf_store(Parser* P, int abs_part, int comp, int value,
+                                 int depth) {
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  set_region<uint8_t>(P->fa, P->fa->cbf + (int64_t)comp * P->fa->uh *
+                                  P->fa->uw,
+                      ux, uy, units_at_depth(P->fa, depth), (uint8_t)value);
+}
+
+static int log2_ctu(const FrameArrays* fa) {
+  return convert_to_bit(fa->ctu_size) + 2;
+}
+
+// getQuadtreeTULog2MinSizeInCU (TComDataCU.cpp:2037)
+static int min_tu_size_in_cu(Parser* P, int abs_part) {
+  const FrameArrays* fa = P->fa;
+  const SliceParams* sp = P->sp;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int depth = U(fa->depth, ux, uy);
+  int log2_cb = log2_ctu(fa) - depth;
+  int part_sz = U(fa->part_size, ux, uy);
+  int is_intra = U(fa->pred_mode, ux, uy) == MODE_INTRA;
+  int max_tu_depth = is_intra ? sp->tu_depth_intra : sp->tu_depth_inter;
+  int intra_split = (is_intra && part_sz == SZ_NxN) ? 1 : 0;
+  int inter_split =
+      (max_tu_depth == 1 && !is_intra && part_sz != SZ_2Nx2N) ? 1 : 0;
+  if (log2_cb < sp->min_tr_log2 + max_tu_depth - 1 + inter_split + intra_split)
+    return sp->min_tr_log2;
+  int v = log2_cb - (max_tu_depth - 1 + inter_split + intra_split);
+  return v < sp->max_tr_log2 ? v : sp->max_tr_log2;
+}
+
+// getCoefScanIdx (TComDataCU.cpp:4014); returns 1=hor 2=ver 3=diag
+static int scan_order(Parser* P, int abs_part, int width, int is_luma) {
+  const FrameArrays* fa = P->fa;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  if (U(fa->pred_mode, ux, uy) != MODE_INTRA) return 3;
+  int ctx_idx;
+  switch (width) {
+    case 2: ctx_idx = 6; break;
+    case 4: ctx_idx = 5; break;
+    case 8: ctx_idx = 4; break;
+    case 16: ctx_idx = 3; break;
+    case 32: ctx_idx = 2; break;
+    case 64: ctx_idx = 1; break;
+    default: ctx_idx = 0; break;
+  }
+  int dir_mode;
+  if (is_luma) {
+    dir_mode = U(fa->luma_dir, ux, uy);
+    if (ctx_idx > 3 && ctx_idx < 6) {
+      int dv = dir_mode - VER_IDX; if (dv < 0) dv = -dv;
+      int dh = dir_mode - HOR_IDX; if (dh < 0) dh = -dh;
+      if (dv < 5) return 1;
+      if (dh < 5) return 2;
+    }
+    return 3;
+  }
+  dir_mode = U(fa->chroma_dir, ux, uy);
+  if (dir_mode == DM_CHROMA_IDX) {
+    int depth = U(fa->depth, ux, uy);
+    int num_parts = fa->parts >> (2 * depth);
+    int cu_part = (abs_part / num_parts) * num_parts;
+    int cux, cuy;
+    unit_xy(P, cu_part, &cux, &cuy);
+    dir_mode = U(fa->luma_dir, cux, cuy);
+  }
+  if (ctx_idx > 4 && ctx_idx < 7) {
+    int dv = dir_mode - VER_IDX; if (dv < 0) dv = -dv;
+    int dh = dir_mode - HOR_IDX; if (dh < 0) dh = -dh;
+    if (dv < 5) return 1;
+    if (dh < 5) return 2;
+  }
+  return 3;
+}
+
+static void parse_ts_flag(Parser* P, int abs_part, int width, int depth,
+                          int comp) {
+  const FrameArrays* fa = P->fa;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  if (U(fa->tq_bypass, ux, uy)) return;
+  if (width != 4) return;
+  int bit = dec_bin(P->st, P->ctx, P->co->ts_flag + (comp == 0 ? 0 : 1));
+  int store_depth = depth;
+  if (comp != 0 && log2_ctu(fa) - depth == 2) store_depth = depth - 1;
+  set_region<uint8_t>(fa, fa->ts_flag + (int64_t)comp * fa->uh * fa->uw, ux,
+                      uy, units_at_depth(fa, store_depth), (uint8_t)(bit != 0));
+}
+
+static int parse_coeff_tu(Parser* P, int abs_part, int px, int py, int width,
+                          int depth, int comp) {
+  const FrameArrays* fa = P->fa;
+  if (width > P->sp->max_tr_size) width = P->sp->max_tr_size;
+  if (P->sp->use_ts) parse_ts_flag(P, abs_part, width, depth, comp);
+  int is_luma = comp == 0;
+  int scan_idx = scan_order(P, abs_part, width, is_luma);
+  int lg = convert_to_bit(width);
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int be_valid = !U(fa->tq_bypass, ux, uy) && P->sp->sign_hide;
+  int32_t* plane = comp == 0 ? fa->coeff_y
+                             : (comp == 1 ? fa->coeff_cb : fa->coeff_cr);
+  int64_t stride = comp == 0 ? (int64_t)fa->uw * 4 : (int64_t)fa->uw * 2;
+  return parse_coeff_core(P->st, P->ctx, &P->coff, width, scan_idx, is_luma,
+                          be_valid, P->sc->scan[scan_idx][lg],
+                          P->sc->cg[scan_idx][lg], plane, stride, px, py);
+}
+
+static inline void push_luma_tu(Parser* P, int x, int y, int size,
+                                int abs_part, int trd) {
+  int32_t* r = P->fa->luma_tus + (int64_t)P->fa->n_luma * 6;
+  r[0] = x; r[1] = y; r[2] = size; r[3] = abs_part; r[4] = P->ctu_addr;
+  r[5] = trd;
+  P->fa->n_luma++;
+}
+static inline void push_chroma_tu(Parser* P, int x, int y, int size,
+                                  int abs_part, int trd) {
+  int32_t* r = P->fa->chroma_tus + (int64_t)P->fa->n_chroma * 6;
+  r[0] = x; r[1] = y; r[2] = size; r[3] = abs_part; r[4] = P->ctu_addr;
+  r[5] = trd;
+  P->fa->n_chroma++;
+}
+
+static void decode_transform(Parser* P, int abs_part, int depth, int tr_idx,
+                             int cu_abs_part, int cu_depth) {
+  const FrameArrays* fa = P->fa;
+  const SliceParams* sp = P->sp;
+  if (tr_idx == 0) {
+    P->bak_abs_part_cu = abs_part;
+    cu_abs_part = abs_part;
+    int ux0, uy0;
+    unit_xy(P, abs_part, &ux0, &uy0);
+    cu_depth = U(fa->depth, ux0, uy0);
+  }
+  int log2_tr = log2_ctu(fa) - depth;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+
+  if (log2_tr == 2) {
+    int part_num = fa->parts >> ((depth - 1) << 1);
+    if (abs_part % part_num == 0) P->bak_chroma_part = abs_part;
+  }
+  int is_intra = U(fa->pred_mode, ux, uy) == MODE_INTRA;
+  int part_sz = U(fa->part_size, ux, uy);
+  int cu_d = U(fa->depth, ux, uy);
+
+  int subdiv;
+  if (is_intra && part_sz == SZ_NxN && depth == cu_d) {
+    subdiv = 1;
+  } else if (sp->tu_depth_inter == 1 && !is_intra && part_sz != SZ_2Nx2N &&
+             depth == cu_d) {
+    subdiv = log2_tr > min_tu_size_in_cu(P, abs_part);
+  } else if (log2_tr > sp->max_tr_log2) {
+    subdiv = 1;
+  } else if (log2_tr == sp->min_tr_log2) {
+    subdiv = 0;
+  } else if (log2_tr == min_tu_size_in_cu(P, abs_part)) {
+    subdiv = 0;
+  } else {
+    subdiv = dec_bin(P->st, P->ctx, P->co->trans_subdiv + (5 - log2_tr));
+  }
+
+  int tr_depth = depth - cu_d;
+  int first_cbf_of_cu = tr_depth == 0;
+  if (first_cbf_of_cu) {
+    // zero chroma cbf over this region
+    set_cbf_store(P, abs_part, 1, 0, depth);
+    set_cbf_store(P, abs_part, 2, 0, depth);
+  }
+  if (first_cbf_of_cu || log2_tr > 2) {
+    for (int comp = 1; comp <= 2; comp++) {
+      if (first_cbf_of_cu || get_cbf(fa, ux, uy, comp, tr_depth - 1)) {
+        int bit = dec_bin(P->st, P->ctx, P->co->qt_cbf + 5 + tr_depth);
+        set_cbf_store(P, abs_part, comp, bit << tr_depth, depth);
+      }
+    }
+  } else {
+    for (int comp = 1; comp <= 2; comp++) {
+      int parent = get_cbf(fa, ux, uy, comp, tr_depth - 1);
+      set_cbf_store(P, abs_part, comp, parent << tr_depth, depth);
+    }
+  }
+
+  if (subdiv) {
+    depth++;
+    tr_idx++;
+    int q_parts = fa->parts >> (depth << 1);
+    int start = abs_part;
+    int y_cbf = 0, u_cbf = 0, v_cbf = 0;
+    int luma_tr = tr_depth + 1;
+    int chroma_tr = tr_depth + 1;  // convertTransIdx = identity in this cut
+    int part = abs_part;
+    for (int i = 0; i < 4; i++) {
+      decode_transform(P, part, depth, tr_idx, cu_abs_part, cu_depth);
+      int sux, suy;
+      unit_xy(P, part, &sux, &suy);
+      y_cbf |= get_cbf(fa, sux, suy, 0, luma_tr);
+      u_cbf |= get_cbf(fa, sux, suy, 1, chroma_tr);
+      v_cbf |= get_cbf(fa, sux, suy, 2, chroma_tr);
+      part += q_parts;
+    }
+    int luma_tr_p = tr_depth, chroma_tr_p = tr_depth;
+    for (int k = 0; k < 4 * q_parts; k++) {
+      int p = start + k;
+      int sux, suy;
+      unit_xy(P, p, &sux, &suy);
+      U3(fa->cbf, 0, sux, suy) |= (uint8_t)(y_cbf << luma_tr_p);
+      U3(fa->cbf, 1, sux, suy) |= (uint8_t)(u_cbf << chroma_tr_p);
+      U3(fa->cbf, 2, sux, suy) |= (uint8_t)(v_cbf << chroma_tr_p);
+    }
+    return;
+  }
+
+  // leaf TU
+  set_region<int8_t>(fa, fa->tr_idx, ux, uy, units_at_depth(fa, depth),
+                     (int8_t)tr_depth);
+  int size = 1 << log2_tr;
+  int px = ux * 4, py = uy * 4;
+  push_luma_tu(P, px, py, size, abs_part, tr_depth);
+  if (log2_tr > 2) {
+    push_chroma_tu(P, px / 2, py / 2, size / 2, abs_part, tr_depth);
+  } else {
+    int pn = fa->parts >> ((depth - 1) << 1);
+    if (abs_part % pn == 0)
+      push_chroma_tu(P, px / 2, py / 2, size, abs_part, tr_depth - 1);
+  }
+
+  // luma CBF
+  if (!is_intra && depth == cu_d && !get_cbf(fa, ux, uy, 1, 0) &&
+      !get_cbf(fa, ux, uy, 2, 0)) {
+    set_cbf_store(P, abs_part, 0, 1 << tr_depth, depth);
+  } else {
+    int ctx = tr_depth == 0 ? 1 : 0;
+    int bit = dec_bin(P->st, P->ctx, P->co->qt_cbf + ctx);
+    set_cbf_store(P, abs_part, 0, bit << tr_depth, depth);
+  }
+
+  int cbf_y = get_cbf(fa, ux, uy, 0, tr_idx);
+  int cbf_u = get_cbf(fa, ux, uy, 1, tr_idx);
+  int cbf_v = get_cbf(fa, ux, uy, 2, tr_idx);
+  if (log2_tr == 2) {
+    int part_num = fa->parts >> ((depth - 1) << 1);
+    if (abs_part % part_num == part_num - 1) {
+      int bux, buy;
+      unit_xy(P, P->bak_chroma_part, &bux, &buy);
+      cbf_u = get_cbf(fa, bux, buy, 1, tr_idx);
+      cbf_v = get_cbf(fa, bux, buy, 2, tr_idx);
+    }
+  }
+
+  if (cbf_y || cbf_u || cbf_v) {
+    if (sp->use_dqp && P->code_dqp) {
+      parse_delta_qp(P, P->bak_abs_part_cu);
+      P->code_dqp = 0;
+    }
+  }
+  if (cbf_y) parse_coeff_tu(P, abs_part, px, py, size, depth, 0);
+  if (log2_tr > 2) {
+    if (cbf_u) parse_coeff_tu(P, abs_part, px / 2, py / 2, size / 2, depth, 1);
+    if (cbf_v) parse_coeff_tu(P, abs_part, px / 2, py / 2, size / 2, depth, 2);
+  } else {
+    int part_num = fa->parts >> ((depth - 1) << 1);
+    if (abs_part % part_num == part_num - 1) {
+      int bx, by;
+      unit_xy(P, P->bak_chroma_part, &bx, &by);
+      int bpx = bx * 4, bpy = by * 4;
+      if (cbf_u)
+        parse_coeff_tu(P, P->bak_chroma_part, bpx / 2, bpy / 2, size, depth,
+                       1);
+      if (cbf_v)
+        parse_coeff_tu(P, P->bak_chroma_part, bpx / 2, bpy / 2, size, depth,
+                       2);
+    }
+  }
+}
+
+static int decode_coeff(Parser* P, int abs_part, int depth, int code_dqp) {
+  const FrameArrays* fa = P->fa;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int units = units_at_depth(fa, depth);
+  if (U(fa->pred_mode, ux, uy) != MODE_INTRA) {
+    int root_cbf = 1;
+    if (!(U(fa->part_size, ux, uy) == SZ_2Nx2N &&
+          U(fa->merge_flag, ux, uy)))
+      root_cbf = dec_bin(P->st, P->ctx, P->co->qt_root_cbf);
+    if (!root_cbf) {
+      for (int c = 0; c < 3; c++)
+        set_region<uint8_t>(fa, fa->cbf + (int64_t)c * fa->uh * fa->uw, ux,
+                            uy, units, 0);
+      set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, 0);
+      return code_dqp;
+    }
+  }
+  P->code_dqp = code_dqp;
+  decode_transform(P, abs_part, depth, 0, 0, 0);
+  return P->code_dqp;
+}
+
+// ---------------------------------------------------------------------------
+// IPCM (TDecSbac parsePCMInfo / TDecBinCABAC decodeNumSubseqIPCM + PCM reads)
+// ---------------------------------------------------------------------------
+static void parse_ipcm(Parser* P, int abs_part, int depth) {
+  const FrameArrays* fa = P->fa;
+  const SliceParams* sp = P->sp;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int units = units_at_depth(fa, depth);
+  int read_pcm = 0;
+  if (P->num_suc_ipcm > 0) {
+    read_pcm = 1;
+  } else if (dec_bin_trm(P->st)) {
+    read_pcm = 1;
+    // decodeNumSubseqIPCM
+    int n = 0, bit = 0;
+    BsEngine* st = P->st;
+    for (;;) {
+      st->value += st->value;
+      if (++st->bits_needed >= 0) {
+        st->bits_needed = -8;
+        st->value += bs_read(st, 8);
+      }
+      bit = (int)((st->value & 128) >> 7);
+      n++;
+      if (!(bit && n < 3)) break;
+    }
+    if (bit && n == 3) n++;
+    n--;
+    P->num_suc_ipcm = n + 1;
+    byte_align_read(st);  // decodePCMAlignBits
+  }
+  if (read_pcm) {
+    set_region<int8_t>(fa, fa->part_size, ux, uy, units, SZ_2Nx2N);
+    set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, 0);
+    set_region<uint8_t>(fa, fa->ipcm, ux, uy, units, 1);
+    int size = fa->ctu_size >> depth;
+    int px = ux * 4, py = uy * 4;
+    int shift_l = sp->bit_depth - sp->pcm_bd_luma;
+    int shift_c = sp->bit_depth - sp->pcm_bd_chroma;
+    int64_t ls = (int64_t)fa->uw * 4, cs = (int64_t)fa->uw * 2;
+    for (int y = 0; y < size; y++)
+      for (int x = 0; x < size; x++)
+        fa->pcm_y[(py + y) * ls + px + x] =
+            (int16_t)(bs_read(P->st, sp->pcm_bd_luma) << shift_l);
+    int16_t* planes[2] = {fa->pcm_cb, fa->pcm_cr};
+    for (int pi = 0; pi < 2; pi++)
+      for (int y = 0; y < size / 2; y++)
+        for (int x = 0; x < size / 2; x++)
+          planes[pi][(py / 2 + y) * cs + px / 2 + x] =
+              (int16_t)(bs_read(P->st, sp->pcm_bd_chroma) << shift_c);
+    push_luma_tu(P, px, py, size, abs_part, 0);
+    push_chroma_tu(P, px / 2, py / 2, size / 2, abs_part, 0);
+    P->num_suc_ipcm--;
+    if (P->num_suc_ipcm == 0) engine_start(P->st);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// CU quadtree (TDecCu::xDecodeCU :202)
+// ---------------------------------------------------------------------------
+static int decode_slice_end(Parser* P, int abs_part, int depth) {
+  const FrameArrays* fa = P->fa;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int gran = fa->ctu_size;
+  if (((px + size) % gran == 0 || (px + size) == fa->width) &&
+      ((py + size) % gran == 0 || (py + size) == fa->height))
+    return dec_bin_trm(P->st) > 0;
+  return 0;
+}
+
+static void finish_cu(Parser* P, int abs_part, int depth) {
+  const FrameArrays* fa = P->fa;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int units = units_at_depth(fa, depth);
+  if (P->sp->use_dqp) {
+    int val = P->dqp_flag ? ref_qp(P, abs_part) : P->coded_qp;
+    set_region<int8_t>(fa, fa->qp, ux, uy, units, (int8_t)val);
+  } else {
+    set_region<int8_t>(fa, fa->qp, ux, uy, units, (int8_t)P->sp->slice_qp);
+  }
+  if (P->num_suc_ipcm > 0) return;
+  P->is_last = decode_slice_end(P, abs_part, depth);
+}
+
+static inline void push_cu(Parser* P, int px, int py, int size, int mode,
+                           int l0, int l1, int c0, int c1) {
+  int32_t* r = P->fa->cu_list + (int64_t)P->fa->n_cu * 8;
+  r[0] = px; r[1] = py; r[2] = size; r[3] = mode;
+  r[4] = l0; r[5] = l1; r[6] = c0; r[7] = c1;
+  P->fa->n_cu++;
+}
+
+static void decode_cu(Parser* P, int abs_part, int depth) {
+  const FrameArrays* fa = P->fa;
+  const SliceParams* sp = P->sp;
+  int cur_parts = fa->parts >> (depth << 1);
+  int q_parts = cur_parts >> 2;
+  int ux, uy;
+  unit_xy(P, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int boundary = !(px + size <= fa->width && py + size <= fa->height);
+  int max_sig_depth = fa->max_depth - sp->add_cu_depth;
+  int units = units_at_depth(fa, depth);
+
+  int split = 0;
+  if (!boundary) {
+    if (depth == max_sig_depth || P->num_suc_ipcm > 0) {
+      set_region<int8_t>(fa, fa->depth, ux, uy, units, (int8_t)depth);
+    } else {
+      int ctx = ctx_split_flag(fa, ux, uy, depth);
+      int bit = dec_bin(P->st, P->ctx, P->co->split_flag + ctx);
+      set_region<int8_t>(fa, fa->depth, ux, uy, units,
+                         (int8_t)(depth + bit));
+      split = bit == 1;
+    }
+  }
+  if ((!boundary && split && depth < max_sig_depth) || boundary) {
+    int idx = abs_part;
+    if (sp->use_dqp && size == min_cu_dqp_size(P)) P->dqp_flag = 1;
+    for (int i = 0; i < 4; i++) {
+      int sux, suy;
+      unit_xy(P, idx, &sux, &suy);
+      if (sux * 4 < fa->width && suy * 4 < fa->height) {
+        decode_cu(P, idx, depth + 1);
+      } else {
+        int su = units_at_depth(fa, depth + 1);
+        set_region<int8_t>(fa, fa->depth, sux, suy, su, (int8_t)(depth + 1));
+        set_region<int8_t>(fa, fa->pred_mode, sux, suy, su, MODE_NONE);
+      }
+      if (P->is_last) return;
+      idx += q_parts;
+    }
+    return;
+  }
+
+  // leaf CU
+  int lt0 = fa->n_luma, ct0 = fa->n_chroma;
+  if (sp->use_dqp && size >= min_cu_dqp_size(P)) P->dqp_flag = 1;
+
+  if (sp->tq_bypass_enable) {
+    int bit = dec_bin(P->st, P->ctx, P->co->tq_bypass);
+    set_region<uint8_t>(fa, fa->tq_bypass, ux, uy, units,
+                        (uint8_t)(bit != 0));
+  }
+  if (sp->slice_type != SLICE_I && P->num_suc_ipcm == 0)
+    parse_skip_flag(P, abs_part, depth);
+
+  if (U(fa->skip, ux, uy)) {
+    decode_skip_cu(P, abs_part, depth);
+    push_cu(P, px, py, size, MODE_INTER, lt0, lt0, ct0, ct0);
+    finish_cu(P, abs_part, depth);
+    return;
+  }
+  if (P->num_suc_ipcm == 0) {
+    if (sp->slice_type == SLICE_I) {
+      set_region<int8_t>(fa, fa->pred_mode, ux, uy, units, MODE_INTRA);
+    } else {
+      int bit = dec_bin(P->st, P->ctx, P->co->pred_mode);
+      set_region<int8_t>(fa, fa->pred_mode, ux, uy, units,
+                         (int8_t)(MODE_INTER + bit));
+    }
+    parse_part_size(P, abs_part, depth);
+  } else {
+    set_region<int8_t>(fa, fa->pred_mode, ux, uy, units, MODE_INTRA);
+    set_region<int8_t>(fa, fa->part_size, ux, uy, units, SZ_2Nx2N);
+    set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, 0);
+  }
+
+  int is_intra = U(fa->pred_mode, ux, uy) == MODE_INTRA;
+  int part_sz = U(fa->part_size, ux, uy);
+
+  if (is_intra && part_sz == SZ_2Nx2N && pcm_allowed(P, size)) {
+    parse_ipcm(P, abs_part, depth);
+    if (U(fa->ipcm, ux, uy)) {
+      push_cu(P, px, py, size, MODE_INTRA, lt0, fa->n_luma, ct0,
+              fa->n_chroma);
+      finish_cu(P, abs_part, depth);
+      return;
+    }
+  }
+
+  if (is_intra) {
+    parse_intra_dir_luma(P, abs_part, depth);
+    parse_intra_dir_chroma(P, abs_part, depth);
+  } else {
+    parse_pu_wise(P, abs_part, depth);
+  }
+
+  P->dqp_flag = decode_coeff(P, abs_part, depth, P->dqp_flag);
+  push_cu(P, px, py, size, is_intra ? MODE_INTRA : MODE_INTER, lt0,
+          fa->n_luma, ct0, fa->n_chroma);
+  finish_cu(P, abs_part, depth);
+}
+
+// ---------------------------------------------------------------------------
+// slice loop (TDecSlice::decompressSlice :93) + entry point
+// ---------------------------------------------------------------------------
+struct SliceCtx {
+  Parser* P;
+  int num_ctx;
+  uint8_t* sub_started;
+};
+
+static void switch_dec(Parser* P, int sub, int num_ctx,
+                       uint8_t* sub_started, const uint8_t* init_ctx) {
+  if (!sub_started[sub]) {
+    memcpy(P->sub_ctx + (int64_t)sub * num_ctx, init_ctx, num_ctx);
+    engine_start(&P->subs[sub]);
+    sub_started[sub] = 1;
+  }
+  P->cur_sub = sub;
+  P->st = &P->subs[sub];
+  P->ctx = P->sub_ctx + (int64_t)sub * num_ctx;
+}
+
+static void mark_ctu_slice(Parser* P, int ctu, int64_t slice_start_addr,
+                           int64_t dep_start_addr, int slice_index) {
+  const FrameArrays* fa = P->fa;
+  int upr = fa->upr;
+  int cx = ctu % fa->ctus_w, cy = ctu / fa->ctus_w;
+  for (int j = 0; j < upr; j++) {
+    int64_t row = (int64_t)(cy * upr + j) * fa->uw + cx * upr;
+    for (int i = 0; i < upr; i++) {
+      fa->slice_start[row + i] = slice_start_addr;
+      fa->dep_slice_start[row + i] = dep_start_addr;
+      fa->slice_idx_arr[row + i] = slice_index;
+    }
+  }
+}
+
+int parse_slice_data(FrameArrays* fa, SliceParams* sp, const CtxOffsets* co,
+                     const ScanTables* sc, BsEngine* subs, int32_t nsub,
+                     uint8_t* sub_ctx, uint8_t* sub_started,
+                     uint8_t* buffer_ctx, const uint8_t* init_ctx,
+                     const uint8_t* dep_in_wpp, const uint8_t* dep_in_end,
+                     uint8_t* dep_out_wpp, uint8_t* dep_out_end,
+                     int32_t* out_info) {
+  Parser parser;
+  memset(&parser, 0, sizeof(parser));
+  Parser* P = &parser;
+  P->fa = fa;
+  P->sp = sp;
+  P->co = co;
+  P->sc = sc;
+  P->coff.o_last_x = co->last_x;
+  P->coff.o_last_y = co->last_y;
+  P->coff.o_sig = co->sig;
+  P->coff.o_sig_cg = co->sig_cg;
+  P->coff.o_one = co->one;
+  P->coff.o_abs = co->abs_;
+  P->coff.num_sig_luma = co->num_sig_luma;
+  P->subs = subs;
+  P->sub_ctx = sub_ctx;
+  P->nsub = nsub;
+  P->init_ctx = init_ctx;
+  P->buffer_ctx = buffer_ctx;
+  P->coded_qp = sp->slice_qp;
+  int num_ctx = co->num_ctx;
+
+  // WPP/tile column context buffers start from the slice-init contexts
+  for (int c = 0; c < fa->n_tile_cols; c++)
+    memcpy(buffer_ctx + (int64_t)c * num_ctx, init_ctx, num_ctx);
+
+  switch_dec(P, 0, num_ctx, sub_started, init_ctx);
+
+  int wpp = sp->wpp, allow_dep = sp->allow_dep;
+  int n_tiles = fa->n_tile_cols * fa->n_tile_rows;
+  int per_tile = nsub / (n_tiles ? n_tiles : 1);
+  if (per_tile < 1) per_tile = 1;
+
+  // dependent slice: restore contexts from the previous segment
+  if (allow_dep && sp->dependent_slice) {
+    if (wpp && dep_in_wpp) memcpy(buffer_ctx, dep_in_wpp, num_ctx);
+    if (dep_in_end) memcpy(P->ctx, dep_in_end, num_ctx);
+  }
+
+  int parts = fa->parts;
+  int start_cu = sp->slice_start_cu > sp->dep_start_cu ? sp->slice_start_cu
+                                                       : sp->dep_start_cu;
+  int start_enc = start_cu / parts;
+  int slice_start_raster = (int)fa->ctu_order[sp->slice_start_cu / parts];
+  int dep_start_raster = (int)fa->ctu_order[sp->dep_start_cu / parts];
+
+  int tile_col = 0;
+  for (int enc = start_enc; enc < fa->num_ctus; enc++) {
+    int ctu = (int)fa->ctu_order[enc];
+    P->ctu_addr = ctu;
+    mark_ctu_slice(P, ctu, sp->slice_start_cu, sp->dep_start_cu,
+                   sp->slice_index);
+    int col = ctu % fa->ctus_w, lin = ctu / fa->ctus_w;
+    int tile = fa->tile_map[ctu];
+    tile_col = tile % fa->n_tile_cols;
+    int tile_first = fa->tile_first[tile];
+    int tile_lcux = tile_first % fa->ctus_w;
+
+    if (nsub > 1 || (allow_dep && col == tile_lcux && wpp)) {
+      int sub = nsub > 1 ? tile * per_tile + lin % per_tile : 0;
+      switch_dec(P, sub, num_ctx, sub_started, init_ctx);
+      if (col == tile_lcux && wpp) {
+        // top-right context inherit (TDecSlice.cpp:228-262)
+        int tr_exists = ctu >= fa->ctus_w && (ctu % fa->ctus_w) + 1 <
+                                                 fa->ctus_w;
+        if (tr_exists) {
+          int tr = ctu - fa->ctus_w + 1;
+          int64_t tr_end = fa->ctu_inv_order[tr] * parts + parts - 1;
+          int same_tile = fa->tile_map[tr] == fa->tile_map[ctu];
+          if (same_tile && tr_end >= sp->slice_start_cu &&
+              tr_end >= sp->dep_start_cu) {
+            memcpy(P->ctx, buffer_ctx + (int64_t)tile_col * num_ctx,
+                   num_ctx);
+          } else if (allow_dep && ctu != 0 && same_tile &&
+                     tr_end >= sp->slice_start_cu) {
+            memcpy(P->ctx, buffer_ctx + (int64_t)tile_col * num_ctx,
+                   num_ctx);
+          }
+        }
+      }
+    } else if (nsub == 1 && n_tiles > 1) {
+      if (ctu == tile_first && ctu != 0 && ctu != slice_start_raster &&
+          ctu != dep_start_raster) {
+        // TDecSbac::updateContextTables: terminate, align, re-init
+        dec_bin_trm(P->st);
+        byte_align_read(P->st);
+        memcpy(P->ctx, init_ctx, num_ctx);
+        engine_start(P->st);
+      }
+    }
+
+    if (sp->use_sao && sp->sao_enabled) {
+      int allow_left = 1, allow_up = 1;
+      if (col > 0 && fa->tile_map[ctu - 1] != tile) allow_left = 0;
+      if (lin > 0 && fa->tile_map[ctu - fa->ctus_w] != tile) allow_up = 0;
+      parse_sao_ctu(P, ctu, slice_start_raster, allow_left, allow_up);
+    }
+
+    P->is_last = 0;
+    decode_cu(P, 0, 0);
+
+    if (wpp && col == tile_lcux + 1 && (nsub > 1 || allow_dep))
+      memcpy(buffer_ctx + (int64_t)tile_col * num_ctx, P->ctx, num_ctx);
+    if (P->is_last) break;
+    if (P->st->overflow) { out_info[3] = 1; return -1; }
+  }
+
+  if (allow_dep) {
+    memcpy(dep_out_wpp, buffer_ctx + (int64_t)tile_col * num_ctx, num_ctx);
+    memcpy(dep_out_end, P->ctx, num_ctx);
+  }
+  out_info[0] = fa->n_luma;
+  out_info[1] = fa->n_chroma;
+  out_info[2] = fa->n_cu;
+  out_info[3] = P->st->overflow;
+  return P->st->overflow ? -1 : 0;
+}
+
+// ---------------------------------------------------------------------------
+// build the per-TU reconstruction rows for the all-intra native recon
+// (replaces the Python row-building loop in decoder/recon.py
+// _native_intra_picture; row layout matches intra_recon_tus)
+// ---------------------------------------------------------------------------
+static inline int qp_scaled_chroma(int qp, int qp_bd, int off,
+                                   const uint8_t* chroma_scale) {
+  int q = qp + off;
+  if (q < -qp_bd) q = -qp_bd;
+  if (q > 57) q = 57;
+  if (q < 0) return q + qp_bd;
+  return chroma_scale[q] + qp_bd;
+}
+
+void build_intra_rows(const FrameArrays* fa, const int32_t* cu_list,
+                      int32_t cu_lo, int32_t cu_hi, const int32_t* luma_tus,
+                      const int32_t* chroma_tus, int32_t qp_bd_y,
+                      int32_t qp_bd_c, int32_t cb_off, int32_t cr_off,
+                      const uint8_t* chroma_scale, int32_t* rows_y,
+                      int32_t* n_y, int32_t* rows_cb, int32_t* n_cb,
+                      int32_t* rows_cr, int32_t* n_cr) {
+  int upr = fa->upr;
+  for (int c = cu_lo; c < cu_hi; c++) {
+    const int32_t* cu = cu_list + (int64_t)c * 8;
+    int l0 = cu[4], l1 = cu[5], c0 = cu[6], c1 = cu[7];
+    for (int t = l0; t < l1; t++) {
+      const int32_t* tu = luma_tus + (int64_t)t * 6;
+      int tx = tu[0], ty = tu[1], tsz = tu[2], trd = tu[5];
+      int ux = tx / 4, uy = ty / 4;
+      int32_t* r = rows_y + (int64_t)(*n_y) * 10;
+      (*n_y)++;
+      if (U(fa->ipcm, ux, uy)) {
+        r[0] = tx; r[1] = ty; r[2] = tsz;
+        r[3] = r[4] = r[5] = r[6] = r[7] = r[8] = 0; r[9] = 1;
+        continue;
+      }
+      r[0] = tx; r[1] = ty; r[2] = tsz;
+      r[3] = U(fa->luma_dir, ux, uy);
+      r[4] = U(fa->qp, ux, uy) + qp_bd_y;
+      r[5] = (U3(fa->cbf, 0, ux, uy) >> trd) & 1;
+      r[6] = tsz == 4;
+      r[7] = U3(fa->ts_flag, 0, ux, uy);
+      r[8] = U(fa->tq_bypass, ux, uy);
+      r[9] = 0;
+    }
+    for (int t = c0; t < c1; t++) {
+      const int32_t* tu = chroma_tus + (int64_t)t * 6;
+      int cx = tu[0], cy = tu[1], csz = tu[2], trd = tu[5];
+      int ux = cx / 2, uy = cy / 2;
+      int32_t* rb = rows_cb + (int64_t)(*n_cb) * 10;
+      int32_t* rr = rows_cr + (int64_t)(*n_cr) * 10;
+      (*n_cb)++; (*n_cr)++;
+      if (U(fa->ipcm, ux, uy)) {
+        rb[0] = cx; rb[1] = cy; rb[2] = csz;
+        rb[3] = rb[4] = rb[5] = rb[6] = rb[7] = rb[8] = 0; rb[9] = 1;
+        rr[0] = cx; rr[1] = cy; rr[2] = csz;
+        rr[3] = rr[4] = rr[5] = rr[6] = rr[7] = rr[8] = 0; rr[9] = 1;
+        continue;
+      }
+      int depth = U(fa->depth, ux, uy);
+      int cu_units = upr >> depth;
+      int cux = (ux / cu_units) * cu_units;
+      int cuy = (uy / cu_units) * cu_units;
+      int cmode = U(fa->chroma_dir, cux, cuy);
+      if (cmode == DM_CHROMA_IDX) cmode = U(fa->luma_dir, cux, cuy);
+      int qp = U(fa->qp, ux, uy);
+      int byp = U(fa->tq_bypass, ux, uy);
+      rb[0] = cx; rb[1] = cy; rb[2] = csz; rb[3] = cmode;
+      rb[4] = qp_scaled_chroma(qp, qp_bd_c, cb_off, chroma_scale);
+      rb[5] = (U3(fa->cbf, 1, ux, uy) >> trd) & 1;
+      rb[6] = 0;
+      rb[7] = U3(fa->ts_flag, 1, ux, uy);
+      rb[8] = byp; rb[9] = 0;
+      rr[0] = cx; rr[1] = cy; rr[2] = csz; rr[3] = cmode;
+      rr[4] = qp_scaled_chroma(qp, qp_bd_c, cr_off, chroma_scale);
+      rr[5] = (U3(fa->cbf, 2, ux, uy) >> trd) & 1;
+      rr[6] = 0;
+      rr[7] = U3(fa->ts_flag, 2, ux, uy);
+      rr[8] = byp; rr[9] = 0;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// deblocking edge/BS map derivation (TComLoopFilter xDeblockCU /
+// xSetEdgefilterTU/PU / xGetBoundaryStrengthSingle) — native mirror of
+// decoder/filters.py _edge_maps
+// ---------------------------------------------------------------------------
+static inline int mvdiff_ge4(const int16_t* a, const int16_t* b) {
+  int dx = a[0] - b[0]; if (dx < 0) dx = -dx;
+  int dy = a[1] - b[1]; if (dy < 0) dy = -dy;
+  return dx >= 4 || dy >= 4;
+}
+
+void build_edge_maps(const FrameArrays* fa, int32_t direction,
+                     int32_t slice_type, int32_t cross_slice,
+                     int32_t cross_tile, int32_t pcm_nofilter,
+                     const int64_t* ref_poc /* [2][uh][uw] or null */,
+                     uint8_t* flags, uint8_t* bs, int32_t* qp_p,
+                     int32_t* qp_q, uint8_t* no_p, uint8_t* no_q) {
+  int uw = fa->uw, uh = fa->uh, upr = fa->upr;
+  int pic_uw = (fa->width + 3) / 4, pic_uh = (fa->height + 3) / 4;
+  int64_t plane = (int64_t)uh * uw;
+  int motion_remap = (fa->ctu_size >> (fa->max_depth - 1)) == 8;
+  for (int uy = 0; uy < uh; uy++) {
+    for (int ux = 0; ux < uw; ux++) {
+      int64_t i = (int64_t)uy * uw + ux;
+      int p_ux = direction == 0 ? (ux > 0 ? ux - 1 : 0) : ux;
+      int p_uy = direction == 0 ? uy : (uy > 0 ? uy - 1 : 0);
+      int64_t pi = (int64_t)p_uy * uw + p_ux;
+      // QP / no-filter maps are unconditional (match the numpy maps)
+      qp_q[i] = fa->qp[i];
+      qp_p[i] = fa->qp[pi];
+      int nq = fa->tq_bypass[i], np = fa->tq_bypass[pi];
+      if (pcm_nofilter) { nq |= fa->ipcm[i]; np |= fa->ipcm[pi]; }
+      no_q[i] = (uint8_t)nq;
+      no_p[i] = (uint8_t)np;
+      bs[i] = 0;
+      flags[i] = 0;
+      int coord = direction == 0 ? ux : uy;
+      if (coord <= 0 || ux >= pic_uw || uy >= pic_uh) continue;
+      int depth = fa->depth[i];
+      int cu_units = upr >> depth;
+      int tr = fa->tr_idx[i];
+      int tu_units = cu_units >> tr; if (tu_units < 1) tu_units = 1;
+      int tu_edge = (coord % tu_units) == 0;
+      int cu_edge = (coord % cu_units) == 0;
+      int ps = fa->part_size[i];
+      int lc = coord % cu_units;
+      int half = cu_units >> 1, quarter = cu_units >> 2;
+      int threeq = half + quarter;
+      int pu_edge;
+      if (direction == 0)
+        pu_edge = (((ps == SZ_Nx2N || ps == SZ_NxN) && lc == half) ||
+                   (ps == SZ_nLx2N && lc == quarter) ||
+                   (ps == SZ_nRx2N && lc == threeq));
+      else
+        pu_edge = (((ps == SZ_2NxN || ps == SZ_NxN) && lc == half) ||
+                   (ps == SZ_2NxnU && lc == quarter) ||
+                   (ps == SZ_2NxnD && lc == threeq));
+      int fl = tu_edge || cu_edge || pu_edge;
+      if (cu_edge && fl) {
+        if (!cross_slice && fa->slice_idx_arr[pi] != fa->slice_idx_arr[i])
+          fl = 0;
+        if (!cross_tile && fa->tile_idx[pi] != fa->tile_idx[i]) fl = 0;
+      }
+      if (!fl) continue;
+      flags[i] = 1;
+      int p_intra = fa->pred_mode[pi] == MODE_INTRA;
+      int q_intra = fa->pred_mode[i] == MODE_INTRA;
+      if (p_intra || q_intra) { bs[i] = 2; continue; }
+      if (!ref_poc) continue;
+      // BS=1 from luma cbf only on TU/CU edges
+      int cbf_q = (fa->cbf[i] >> tr) & 1;
+      int cbf_p = (fa->cbf[pi] >> fa->tr_idx[pi]) & 1;
+      if (tu_edge && (cbf_p || cbf_q)) { bs[i] = 1; continue; }
+      // motion compare; HOR edges crossing the CTU top read P-side motion
+      // through the compressed line buffer (g_motionRefer)
+      int mv_p_ux = p_ux, mv_p_uy = p_uy;
+      if (direction == 1 && motion_remap && (uy % upr) == 0) {
+        int xm = p_ux & 3;
+        if (xm == 1) mv_p_ux = p_ux - 1;
+        else if (xm == 2) mv_p_ux = p_ux + 1;
+      }
+      int64_t mpi = (int64_t)mv_p_uy * uw + mv_p_ux;
+      int64_t rq0 = ref_poc[i], rq1 = ref_poc[plane + i];
+      int64_t rp0 = ref_poc[mpi], rp1 = ref_poc[plane + mpi];
+      const int16_t* mq0 = fa->mv + i * 2;
+      const int16_t* mq1 = fa->mv + (plane + i) * 2;
+      const int16_t* mp0 = fa->mv + mpi * 2;
+      const int16_t* mp1 = fa->mv + (plane + mpi) * 2;
+      int bs_mv;
+      if (slice_type == SLICE_B) {
+        int same = rp0 == rq0 && rp1 == rq1;
+        int cross = rp0 == rq1 && rp1 == rq0;
+        if (!(same || cross)) {
+          bs_mv = 1;
+        } else {
+          int p_two = rp0 != rp1;
+          int straight = mvdiff_ge4(mp0, mq0) || mvdiff_ge4(mp1, mq1);
+          int crossed = mvdiff_ge4(mp0, mq1) || mvdiff_ge4(mp1, mq0);
+          if (p_two) bs_mv = rp0 == rq0 ? straight : crossed;
+          else bs_mv = straight && crossed;
+        }
+      } else {
+        bs_mv = rp0 != rq0 || mvdiff_ge4(mp0, mq0);
+      }
+      if (bs_mv) bs[i] = 1;
+    }
+  }
+}
+
+// ===========================================================================
+// Native intra encoder core (all-intra compressSlice / encodeSlice)
+//
+// Behavioral references: TEncCu.cpp (xCompressCU :386, xCheckRDCostIntra
+// :1409, xEncodeCU :1144, finishCU :995), TEncSearch.cpp (estIntraPredQT
+// :2471, xRecurIntraCodingQT :1394, xIntraCodingLumaBlk :1006,
+// estIntraPredChromaQT :2806), TEncSbac.cpp (code* syntax + estBit :1723),
+// TEncBinCoderCABAC[Counter].cpp, TComTrQuant.cpp (xT/xQuant/RDOQ/SBH),
+// TComRdCost.cpp (xCalcHADs4x4 :1684 / 8x8 :1778, calcRdCost :59).
+// Mirrors encoder/cu_encoder.py (the bit-exact Python reference impl).
+// ===========================================================================
+
+static const double MAX_DOUBLE_C = 1.7e308;
+enum { ECI_CURR_BEST = 0, ECI_NEXT_BEST, ECI_TEMP_BEST, ECI_QT_TRAFO_TEST,
+       ECI_QT_TRAFO_ROOT, ECI_NUM };
+
+// ---------------------------------------------------------------------------
+// bin sinks: fractional-bit counter (FAST_BIT_EST) + real arithmetic coder
+// ---------------------------------------------------------------------------
+struct EncBin {
+  int32_t mode;            // 0 = counter, 1 = real CABAC
+  uint8_t* ctx;
+  // counter state
+  uint64_t frac_bits;
+  int64_t bit_count;
+  // real engine state (TEncBinCABAC)
+  uint32_t low;
+  int32_t range, bits_left, num_buffered_bytes, buffered_byte;
+  uint8_t* out;            // byte sink
+  int64_t out_len, out_cap;
+};
+
+static inline void eb_put_byte(EncBin* e, int v) {
+  if (e->out_len < e->out_cap) e->out[e->out_len] = (uint8_t)v;
+  e->out_len++;
+}
+
+static void eb_write_out(EncBin* e) {
+  int lead_byte = e->low >> (24 - e->bits_left);
+  e->bits_left += 8;
+  e->low &= 0xFFFFFFFFu >> e->bits_left;
+  if (lead_byte == 0xFF) {
+    e->num_buffered_bytes++;
+  } else if (e->num_buffered_bytes > 0) {
+    int carry = lead_byte >> 8;
+    eb_put_byte(e, (e->buffered_byte + carry) & 0xFF);
+    e->buffered_byte = lead_byte & 0xFF;
+    int byte = (0xFF + carry) & 0xFF;
+    while (e->num_buffered_bytes > 1) {
+      eb_put_byte(e, byte);
+      e->num_buffered_bytes--;
+    }
+  } else {
+    e->num_buffered_bytes = 1;
+    e->buffered_byte = lead_byte & 0xFF;
+  }
+}
+
+static inline void eb_bin(EncBin* e, int bin, int ctx_idx) {
+  uint8_t state = e->ctx[ctx_idx];
+  if (e->mode == 0) {
+    e->frac_bits += (uint64_t)kEntropyBits[state ^ bin];
+    e->ctx[ctx_idx] = kNextState[state][bin];
+    return;
+  }
+  int lps = kLPS[state >> 1][(e->range >> 6) & 3];
+  e->range -= lps;
+  if (bin != (state & 1)) {
+    int num_bits = kRenorm[lps >> 3];
+    e->low = (e->low + e->range) << num_bits;
+    e->range = lps << num_bits;
+    e->ctx[ctx_idx] = kNextLPS[state];
+    e->bits_left -= num_bits;
+  } else {
+    e->ctx[ctx_idx] = kNextMPS[state];
+    if (e->range >= 256) return;
+    e->low <<= 1;
+    e->range <<= 1;
+    e->bits_left -= 1;
+  }
+  if (e->bits_left < 12) eb_write_out(e);
+}
+
+static inline void eb_bin_ep(EncBin* e, int bin) {
+  if (e->mode == 0) { e->frac_bits += 32768; return; }
+  e->low <<= 1;
+  if (bin) e->low += e->range;
+  e->bits_left -= 1;
+  if (e->bits_left < 12) eb_write_out(e);
+}
+
+static inline void eb_bins_ep(EncBin* e, uint32_t bins, int num) {
+  if (e->mode == 0) { e->frac_bits += 32768u * (uint32_t)num; return; }
+  while (num > 8) {
+    num -= 8;
+    uint32_t pattern = bins >> num;
+    e->low = (e->low << 8) + e->range * pattern;
+    bins -= pattern << num;
+    e->bits_left -= 8;
+    if (e->bits_left < 12) eb_write_out(e);
+  }
+  e->low = (e->low << num) + e->range * bins;
+  e->bits_left -= num;
+  if (e->bits_left < 12) eb_write_out(e);
+}
+
+static inline void eb_bin_trm(EncBin* e, int bin) {
+  if (e->mode == 0) {
+    e->frac_bits += (uint64_t)kEntropyBits[126 ^ bin];
+    return;
+  }
+  e->range -= 2;
+  if (bin) {
+    e->low = (e->low + e->range) << 7;
+    e->range = 2 << 7;
+    e->bits_left -= 7;
+  } else if (e->range >= 256) {
+    return;
+  } else {
+    e->low <<= 1;
+    e->range <<= 1;
+    e->bits_left -= 1;
+  }
+  if (e->bits_left < 12) eb_write_out(e);
+}
+
+static inline void eb_reset_bits(EncBin* e) {
+  e->bit_count = 0;
+  e->frac_bits &= 32767;
+}
+
+static inline int64_t eb_bits(const EncBin* e) {
+  return e->bit_count + (int64_t)(e->frac_bits >> 15);
+}
+
+// xWriteUnaryMaxSymbol
+static void eb_unary_max(EncBin* e, int value, int ctx0, int ctx1,
+                         int max_symbol) {
+  if (max_symbol == 0) return;
+  eb_bin(e, value ? 1 : 0, ctx0);
+  if (value == 0) return;
+  int code_last = max_symbol > value;
+  for (int i = 0; i < value - 1; i++) eb_bin(e, 1, ctx1);
+  if (code_last) eb_bin(e, 0, ctx1);
+}
+
+// xWriteEpExGolomb
+static void eb_ep_exgolomb(EncBin* e, int value, int count) {
+  uint32_t bins = 0;
+  int num = 0;
+  while (value >= (1 << count)) {
+    bins = 2 * bins + 1;
+    num++;
+    value -= 1 << count;
+    count++;
+  }
+  bins = 2 * bins;
+  num++;
+  bins = (bins << count) | (uint32_t)value;
+  num += count;
+  eb_bins_ep(e, bins, num);
+}
+
+// xWriteCoefRemainExGolomb
+static void eb_coef_remain(EncBin* e, int symbol, int rparam) {
+  const int kRed = 3;
+  int code_number = symbol;
+  if (code_number < (kRed << rparam)) {
+    int length = code_number >> rparam;
+    eb_bins_ep(e, (1u << (length + 1)) - 2, length + 1);
+    eb_bins_ep(e, (uint32_t)(code_number % (1 << rparam)), rparam);
+  } else {
+    int length = rparam;
+    code_number -= kRed << rparam;
+    while (code_number >= (1 << length)) {
+      code_number -= 1 << length;
+      length++;
+    }
+    eb_bins_ep(e, (1u << (kRed + length + 1 - rparam)) - 2,
+               kRed + length + 1 - rparam);
+    eb_bins_ep(e, (uint32_t)code_number, length);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// estBit tables (TEncSbac.cpp:1723; mirrors sbac_writer.build_est_bits)
+// ---------------------------------------------------------------------------
+struct EstBitsC {
+  int64_t block_cbp[10][2];
+  int64_t block_root_cbp[1][2];
+  int64_t sig_cg[2][2];
+  int64_t sig[28][2];
+  int64_t last_x[16], last_y[16];
+  int64_t greater_one[16][2];
+  int64_t level_abs[4][2];
+};
+
+static void build_est_bits_c(const CtxOffsets* co, const uint8_t* states,
+                             int width, int is_luma, EstBitsC* eb) {
+  for (int i = 0; i < 10; i++)
+    for (int b = 0; b < 2; b++)
+      eb->block_cbp[i][b] = kEntropyBits[states[co->qt_cbf + i] ^ b];
+  for (int b = 0; b < 2; b++)
+    eb->block_root_cbp[0][b] = kEntropyBits[states[co->qt_root_cbf] ^ b];
+  int comp_off = is_luma ? 0 : 2;
+  for (int i = 0; i < 2; i++)
+    for (int b = 0; b < 2; b++)
+      eb->sig_cg[i][b] =
+          kEntropyBits[states[co->sig_cg + comp_off + i] ^ b];
+  int sig_off = co->sig + (is_luma ? 0 : co->num_sig_luma);
+  memset(eb->sig, 0, sizeof(eb->sig));
+  int first_ctx = 1, num_ctx = 8;
+  if (width >= 16) {
+    first_ctx = is_luma ? 21 : 12;
+    num_ctx = is_luma ? 6 : 3;
+  } else if (width == 8) {
+    first_ctx = 9;
+    num_ctx = is_luma ? 12 : 3;
+  }
+  for (int b = 0; b < 2; b++)
+    eb->sig[0][b] = kEntropyBits[states[sig_off] ^ b];
+  for (int c = first_ctx; c < first_ctx + num_ctx; c++)
+    for (int b = 0; b < 2; b++)
+      eb->sig[c][b] = kEntropyBits[states[sig_off + c] ^ b];
+  int lg = convert_to_bit(width);
+  int blk_off, shift, base_x, base_y;
+  if (is_luma) {
+    blk_off = lg * 3 + ((lg + 1) >> 2);
+    shift = (lg + 3) >> 2;
+    base_x = co->last_x;
+    base_y = co->last_y;
+  } else {
+    blk_off = 0;
+    shift = lg;
+    base_x = co->last_x + 15;
+    base_y = co->last_y + 15;
+  }
+  int gmax = kGroupIdx[width - 1];
+  memset(eb->last_x, 0, sizeof(eb->last_x));
+  memset(eb->last_y, 0, sizeof(eb->last_y));
+  int64_t bits = 0;
+  for (int c = 0; c < gmax; c++) {
+    int off = blk_off + (c >> shift);
+    eb->last_x[c] = bits + kEntropyBits[states[base_x + off] ^ 0];
+    bits += kEntropyBits[states[base_x + off] ^ 1];
+  }
+  eb->last_x[gmax] = bits;
+  bits = 0;
+  for (int c = 0; c < gmax; c++) {
+    int off = blk_off + (c >> shift);
+    eb->last_y[c] = bits + kEntropyBits[states[base_y + off] ^ 0];
+    bits += kEntropyBits[states[base_y + off] ^ 1];
+  }
+  eb->last_y[gmax] = bits;
+  int one_off = co->one + (is_luma ? 0 : 16);
+  int n_one = is_luma ? 16 : 8;
+  memset(eb->greater_one, 0, sizeof(eb->greater_one));
+  for (int i = 0; i < n_one; i++)
+    for (int b = 0; b < 2; b++)
+      eb->greater_one[i][b] = kEntropyBits[states[one_off + i] ^ b];
+  int abs_off = co->abs_ + (is_luma ? 0 : 4);
+  int n_abs = is_luma ? 4 : 2;
+  memset(eb->level_abs, 0, sizeof(eb->level_abs));
+  for (int i = 0; i < n_abs; i++)
+    for (int b = 0; b < 2; b++)
+      eb->level_abs[i][b] = kEntropyBits[states[abs_off + i] ^ b];
+}
+
+// ---------------------------------------------------------------------------
+// forward transform + quant (TComTrQuant xT :1542 / xQuant :1102)
+// ---------------------------------------------------------------------------
+// out[k][j] = (sum_n T[k][n] * in[j][n] + add) >> shift   (both passes)
+static void fwd_pass(const int32_t* x, const int32_t* t, int size, int shift,
+                     int32_t* y) {
+  int32_t add = 1 << (shift - 1);
+  for (int k = 0; k < size; k++) {
+    const int32_t* trow = t + k * size;
+    for (int j = 0; j < size; j++) {
+      int32_t acc = add;
+      const int32_t* xrow = x + j * size;
+      for (int n = 0; n < size; n++) acc += trow[n] * xrow[n];
+      y[k * size + j] = acc >> shift;
+    }
+  }
+}
+
+static const int32_t* dct_basis(int size) {
+  switch (size) {
+    case 4: return &kDct4[0][0];
+    case 8: return &kDct8[0][0];
+    case 16: return &kDct16[0][0];
+    default: return &kDct32[0][0];
+  }
+}
+
+static void forward_transform_c(const int32_t* resi, int size, int use_dst,
+                                int bit_inc, int32_t* coeff,
+                                int32_t* scratch) {
+  int log2 = 0; while ((1 << log2) < size) log2++;
+  int shift1 = log2 - 1 + bit_inc;
+  int shift2 = log2 + 6;
+  const int32_t* t = (use_dst && size == 4) ? &kDst4[0][0] : dct_basis(size);
+  fwd_pass(resi, t, size, shift1, scratch);
+  fwd_pass(scratch, t, size, shift2, coeff);
+}
+
+static void transform_skip_fwd_c(const int32_t* resi, int size, int bit_inc,
+                                 int32_t* coeff) {
+  int log2 = 0; while ((1 << log2) < size) log2++;
+  int shift = 15 - (8 + bit_inc) - log2;
+  if (shift >= 0) {
+    for (int i = 0; i < size * size; i++) coeff[i] = resi[i] << shift;
+  } else {
+    int off = 1 << (-shift - 1);
+    for (int i = 0; i < size * size; i++)
+      coeff[i] = (resi[i] + off) >> (-shift);
+  }
+}
+
+// xQuant scalar path (non-RDOQ); levels + deltaU for sign-bit hiding
+static void quant_c(const int32_t* coeff, int size, int qps, int is_intra_sl,
+                    int bit_inc, int32_t* levels, int32_t* delta_u) {
+  int log2 = 0; while ((1 << log2) < size) log2++;
+  int per = qps / 6, rem = qps % 6;
+  int tshift = 15 - (8 + bit_inc) - log2;
+  int qbits = 14 + per + tshift;
+  int64_t add = (int64_t)(is_intra_sl ? 171 : 85) << (qbits - 9);
+  int64_t qscale = kQuantScales[rem];
+  for (int i = 0; i < size * size; i++) {
+    int64_t c = coeff[i];
+    int64_t a = c < 0 ? -c : c;
+    int64_t tmp = a * qscale;
+    int64_t level = (tmp + add) >> qbits;
+    delta_u[i] = (int32_t)((tmp - (level << qbits)) >> (qbits - 8));
+    int64_t v = c < 0 ? -level : level;
+    if (v < -32768) v = -32768; else if (v > 32767) v = 32767;
+    levels[i] = (int32_t)v;
+  }
+}
+
+// signBitHidingHDQ (non-RDOQ path)
+static void sbh_hdq_c(int32_t* q, const int32_t* src, const int32_t* du,
+                      const int32_t* scan, int size) {
+  int last_cg = -1;
+  for (int subset = (size * size - 1) >> 4; subset >= 0; subset--) {
+    int sub_pos = subset << 4;
+    int first_nz = 16, last_nz = -1;
+    for (int n = 15; n >= 0; n--)
+      if (q[scan[n + sub_pos]]) { last_nz = n; break; }
+    for (int n = 0; n < 16; n++)
+      if (q[scan[n + sub_pos]]) { first_nz = n; break; }
+    int64_t s = 0;
+    for (int n = first_nz; n <= last_nz; n++) s += q[scan[n + sub_pos]];
+    if (last_nz >= 0 && last_cg == -1) last_cg = 1;
+    if (last_nz - first_nz >= 4) {
+      int signbit = q[scan[sub_pos + first_nz]] > 0 ? 0 : 1;
+      if (signbit != (s & 1)) {
+        int64_t min_cost = 1ll << 62;
+        int min_pos = -1, final_change = 0;
+        int start_n = last_cg == 1 ? last_nz : 15;
+        for (int n = start_n; n >= 0; n--) {
+          int blk = scan[n + sub_pos];
+          int64_t cur_cost;
+          int cur_change;
+          if (q[blk] != 0) {
+            if (du[blk] > 0) { cur_cost = -(int64_t)du[blk]; cur_change = 1; }
+            else if (n == first_nz &&
+                     (q[blk] == 1 || q[blk] == -1)) {
+              cur_cost = 1ll << 62; cur_change = 0;
+            } else { cur_cost = du[blk]; cur_change = -1; }
+          } else {
+            if (n < first_nz) {
+              int this_sign = src[blk] >= 0 ? 0 : 1;
+              if (this_sign != signbit) { cur_cost = 1ll << 62; cur_change = 0; }
+              else { cur_cost = -(int64_t)du[blk]; cur_change = 1; }
+            } else { cur_cost = -(int64_t)du[blk]; cur_change = 1; }
+          }
+          if (cur_cost < min_cost) {
+            min_cost = cur_cost;
+            final_change = cur_change;
+            min_pos = blk;
+          }
+        }
+        if (q[min_pos] == 32767 || q[min_pos] == -32768) final_change = -1;
+        if (src[min_pos] >= 0) q[min_pos] += final_change;
+        else q[min_pos] -= final_change;
+      }
+    }
+    if (last_cg == 1) last_cg = 0;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Hadamard SATD (TComRdCost xCalcHADs4x4 :1684 / xCalcHADs8x8 :1778)
+// ---------------------------------------------------------------------------
+static int64_t had8x8(const int16_t* org, int64_t so, const int32_t* cur,
+                      int64_t sc) {
+  int32_t diff[64], m1[8][8], m2[8][8], m3[8][8];
+  for (int j = 0; j < 8; j++)
+    for (int i = 0; i < 8; i++)
+      diff[j * 8 + i] = org[j * so + i] - cur[j * sc + i];
+  for (int k = 0; k < 64; k += 8) {
+    m2[k >> 3][0] = diff[k] + diff[k + 4];
+    m2[k >> 3][1] = diff[k + 1] + diff[k + 5];
+    m2[k >> 3][2] = diff[k + 2] + diff[k + 6];
+    m2[k >> 3][3] = diff[k + 3] + diff[k + 7];
+    m2[k >> 3][4] = diff[k] - diff[k + 4];
+    m2[k >> 3][5] = diff[k + 1] - diff[k + 5];
+    m2[k >> 3][6] = diff[k + 2] - diff[k + 6];
+    m2[k >> 3][7] = diff[k + 3] - diff[k + 7];
+    int j = k >> 3;
+    m1[j][0] = m2[j][0] + m2[j][2];
+    m1[j][1] = m2[j][1] + m2[j][3];
+    m1[j][2] = m2[j][0] - m2[j][2];
+    m1[j][3] = m2[j][1] - m2[j][3];
+    m1[j][4] = m2[j][4] + m2[j][6];
+    m1[j][5] = m2[j][5] + m2[j][7];
+    m1[j][6] = m2[j][4] - m2[j][6];
+    m1[j][7] = m2[j][5] - m2[j][7];
+    m2[j][0] = m1[j][0] + m1[j][1];
+    m2[j][1] = m1[j][0] - m1[j][1];
+    m2[j][2] = m1[j][2] + m1[j][3];
+    m2[j][3] = m1[j][2] - m1[j][3];
+    m2[j][4] = m1[j][4] + m1[j][5];
+    m2[j][5] = m1[j][4] - m1[j][5];
+    m2[j][6] = m1[j][6] + m1[j][7];
+    m2[j][7] = m1[j][6] - m1[j][7];
+  }
+  for (int i = 0; i < 8; i++) {
+    m3[0][i] = m2[0][i] + m2[4][i];
+    m3[1][i] = m2[1][i] + m2[5][i];
+    m3[2][i] = m2[2][i] + m2[6][i];
+    m3[3][i] = m2[3][i] + m2[7][i];
+    m3[4][i] = m2[0][i] - m2[4][i];
+    m3[5][i] = m2[1][i] - m2[5][i];
+    m3[6][i] = m2[2][i] - m2[6][i];
+    m3[7][i] = m2[3][i] - m2[7][i];
+    m1[0][i] = m3[0][i] + m3[2][i];
+    m1[1][i] = m3[1][i] + m3[3][i];
+    m1[2][i] = m3[0][i] - m3[2][i];
+    m1[3][i] = m3[1][i] - m3[3][i];
+    m1[4][i] = m3[4][i] + m3[6][i];
+    m1[5][i] = m3[5][i] + m3[7][i];
+    m1[6][i] = m3[4][i] - m3[6][i];
+    m1[7][i] = m3[5][i] - m3[7][i];
+    m2[0][i] = m1[0][i] + m1[1][i];
+    m2[1][i] = m1[0][i] - m1[1][i];
+    m2[2][i] = m1[2][i] + m1[3][i];
+    m2[3][i] = m1[2][i] - m1[3][i];
+    m2[4][i] = m1[4][i] + m1[5][i];
+    m2[5][i] = m1[4][i] - m1[5][i];
+    m2[6][i] = m1[6][i] + m1[7][i];
+    m2[7][i] = m1[6][i] - m1[7][i];
+  }
+  int64_t sad = 0;
+  for (int j = 0; j < 8; j++)
+    for (int i = 0; i < 8; i++)
+      sad += m2[j][i] < 0 ? -m2[j][i] : m2[j][i];
+  return (sad + 2) >> 2;
+}
+
+static int64_t had4x4(const int16_t* org, int64_t so, const int32_t* cur,
+                      int64_t sc) {
+  int32_t diff[16], m[16], d[16];
+  for (int j = 0; j < 4; j++)
+    for (int i = 0; i < 4; i++)
+      diff[j * 4 + i] = org[j * so + i] - cur[j * sc + i];
+  m[0] = diff[0] + diff[12];
+  m[1] = diff[1] + diff[13];
+  m[2] = diff[2] + diff[14];
+  m[3] = diff[3] + diff[15];
+  m[4] = diff[4] + diff[8];
+  m[5] = diff[5] + diff[9];
+  m[6] = diff[6] + diff[10];
+  m[7] = diff[7] + diff[11];
+  m[8] = diff[4] - diff[8];
+  m[9] = diff[5] - diff[9];
+  m[10] = diff[6] - diff[10];
+  m[11] = diff[7] - diff[11];
+  m[12] = diff[0] - diff[12];
+  m[13] = diff[1] - diff[13];
+  m[14] = diff[2] - diff[14];
+  m[15] = diff[3] - diff[15];
+  d[0] = m[0] + m[4];
+  d[1] = m[1] + m[5];
+  d[2] = m[2] + m[6];
+  d[3] = m[3] + m[7];
+  d[4] = m[8] + m[12];
+  d[5] = m[9] + m[13];
+  d[6] = m[10] + m[14];
+  d[7] = m[11] + m[15];
+  d[8] = m[0] - m[4];
+  d[9] = m[1] - m[5];
+  d[10] = m[2] - m[6];
+  d[11] = m[3] - m[7];
+  d[12] = m[12] - m[8];
+  d[13] = m[13] - m[9];
+  d[14] = m[14] - m[10];
+  d[15] = m[15] - m[11];
+  m[0] = d[0] + d[3];
+  m[1] = d[1] + d[2];
+  m[2] = d[1] - d[2];
+  m[3] = d[0] - d[3];
+  m[4] = d[4] + d[7];
+  m[5] = d[5] + d[6];
+  m[6] = d[5] - d[6];
+  m[7] = d[4] - d[7];
+  m[8] = d[8] + d[11];
+  m[9] = d[9] + d[10];
+  m[10] = d[9] - d[10];
+  m[11] = d[8] - d[11];
+  m[12] = d[12] + d[15];
+  m[13] = d[13] + d[14];
+  m[14] = d[13] - d[14];
+  m[15] = d[12] - d[15];
+  d[0] = m[0] + m[1];
+  d[1] = m[0] - m[1];
+  d[2] = m[2] + m[3];
+  d[3] = m[3] - m[2];
+  d[4] = m[4] + m[5];
+  d[5] = m[4] - m[5];
+  d[6] = m[6] + m[7];
+  d[7] = m[7] - m[6];
+  d[8] = m[8] + m[9];
+  d[9] = m[8] - m[9];
+  d[10] = m[10] + m[11];
+  d[11] = m[11] - m[10];
+  d[12] = m[12] + m[13];
+  d[13] = m[12] - m[13];
+  d[14] = m[14] + m[15];
+  d[15] = m[15] - m[14];
+  int64_t sad = 0;
+  for (int i = 0; i < 16; i++) sad += d[i] < 0 ? -d[i] : d[i];
+  return (sad + 1) >> 1;
+}
+
+// xGetHADs over one size x size block (pred in int32, org int16)
+static int64_t calc_had_c(const int16_t* org, int64_t so, const int32_t* cur,
+                          int64_t sc, int size, int bit_inc) {
+  int64_t sum = 0;
+  if ((size & 7) == 0) {
+    for (int y = 0; y < size; y += 8)
+      for (int x = 0; x < size; x += 8)
+        sum += had8x8(org + y * so + x, so, cur + y * sc + x, sc);
+  } else {
+    for (int y = 0; y < size; y += 4)
+      for (int x = 0; x < size; x += 4)
+        sum += had4x4(org + y * so + x, so, cur + y * sc + x, sc);
+  }
+  return sum >> bit_inc;
+}
+
+// ---------------------------------------------------------------------------
+// RDOQ (TComTrQuant::xRateDistOptQuant :1719) — mirrors encoder/rdoq.py
+// ---------------------------------------------------------------------------
+static const int kC1Flag = 8, kC2Flag = 1;
+static const int64_t IEP_RATE = 32768;
+
+static inline double ic_rate_cost(int abs_level, int ctx_one, int ctx_abs,
+                                  int go_rice, int c1_idx, int c2_idx,
+                                  const EstBitsC* eb) {
+  double rate = (double)IEP_RATE;
+  int base_level = (c1_idx < kC1Flag) ? (2 + (c2_idx < kC2Flag ? 1 : 0)) : 1;
+  if (abs_level >= base_level) {
+    int symbol = abs_level - base_level;
+    if (symbol < (3 << go_rice)) {
+      int length = symbol >> go_rice;
+      rate += (double)((int64_t)(length + 1 + go_rice) << 15);
+    } else {
+      int length = go_rice;
+      symbol -= 3 << go_rice;
+      while (symbol >= (1 << length)) {
+        symbol -= 1 << length;
+        length++;
+      }
+      rate += (double)((int64_t)(3 + length + 1 - go_rice + length) << 15);
+    }
+    if (c1_idx < kC1Flag) {
+      rate += (double)eb->greater_one[ctx_one][1];
+      if (c2_idx < kC2Flag) rate += (double)eb->level_abs[ctx_abs][1];
+    }
+  } else if (abs_level == 1) {
+    rate += (double)eb->greater_one[ctx_one][0];
+  } else if (abs_level == 2) {
+    rate += (double)eb->greater_one[ctx_one][1];
+    rate += (double)eb->level_abs[ctx_abs][0];
+  }
+  return rate;
+}
+
+static inline int64_t ic_rate(int abs_level, int ctx_one, int ctx_abs,
+                              int go_rice, int c1_idx, int c2_idx,
+                              const EstBitsC* eb) {
+  int64_t rate = 0;
+  int base_level = (c1_idx < kC1Flag) ? (2 + (c2_idx < kC2Flag ? 1 : 0)) : 1;
+  if (abs_level >= base_level) {
+    int symbol = abs_level - base_level;
+    int max_vlc = kGoRiceRange[go_rice];
+    if (symbol > max_vlc) {
+      int num = symbol - max_vlc;
+      int egs = 1, mx = 2;
+      while (num >= mx) {
+        mx <<= 1;
+        egs += 2;
+      }
+      rate += (int64_t)egs << 15;
+      symbol = symbol < max_vlc + 1 ? symbol : max_vlc + 1;
+    }
+    int pref_len = (symbol >> go_rice) + 1;
+    int gp = kGoRicePrefixLen[go_rice];
+    int num_bins = (pref_len < gp ? pref_len : gp) + go_rice;
+    rate += (int64_t)num_bins << 15;
+    if (c1_idx < kC1Flag) {
+      rate += eb->greater_one[ctx_one][1];
+      if (c2_idx < kC2Flag) rate += eb->level_abs[ctx_abs][1];
+    }
+  } else if (abs_level == 0) {
+    return 0;
+  } else if (abs_level == 1) {
+    rate += eb->greater_one[ctx_one][0];
+  } else if (abs_level == 2) {
+    rate += eb->greater_one[ctx_one][1];
+    rate += eb->level_abs[ctx_abs][0];
+  }
+  return rate;
+}
+
+// xGetCodedLevel
+static int coded_level(double* cost_coeff, double* cost_coeff0,
+                       double* cost_sig, int64_t level_double,
+                       int max_abs_level, int ctx_sig, int ctx_one,
+                       int ctx_abs, int go_rice, int c1_idx, int c2_idx,
+                       int qbits, double err_scale, int is_last, double lam,
+                       const EstBitsC* eb) {
+  double curr_cost_sig = 0.0;
+  int best_level = 0;
+  double coded_cost = *cost_coeff;
+  double coded_cost0 = *cost_coeff0;
+  double coded_cost_sig = *cost_sig;
+  if (!is_last && max_abs_level < 3) {
+    coded_cost_sig = lam * (double)eb->sig[ctx_sig][0];
+    coded_cost = coded_cost0 + coded_cost_sig;
+    if (max_abs_level == 0) {
+      *cost_coeff = coded_cost;
+      *cost_sig = coded_cost_sig;
+      return 0;
+    }
+  } else {
+    coded_cost = MAX_DOUBLE_C;
+  }
+  if (!is_last) curr_cost_sig = lam * (double)eb->sig[ctx_sig][1];
+  int min_abs_level = max_abs_level > 1 ? max_abs_level - 1 : 1;
+  for (int abs_level = max_abs_level; abs_level >= min_abs_level;
+       abs_level--) {
+    double err = (double)(level_double - ((int64_t)abs_level << qbits));
+    double curr_cost = err * err * err_scale +
+                       lam * ic_rate_cost(abs_level, ctx_one, ctx_abs,
+                                          go_rice, c1_idx, c2_idx, eb);
+    curr_cost += curr_cost_sig;
+    if (curr_cost < coded_cost) {
+      best_level = abs_level;
+      coded_cost = curr_cost;
+      coded_cost_sig = curr_cost_sig;
+    }
+  }
+  *cost_coeff = coded_cost;
+  *cost_sig = coded_cost_sig;
+  return best_level;
+}
+
+static inline double rate_last_c(int pos_x, int pos_y, double lam,
+                                 const EstBitsC* eb) {
+  int cx = kGroupIdx[pos_x], cy = kGroupIdx[pos_y];
+  double cost = (double)(eb->last_x[cx] + eb->last_y[cy]);
+  if (cx > 3) cost += (double)(IEP_RATE * ((cx - 2) >> 1));
+  if (cy > 3) cost += (double)(IEP_RATE * ((cy - 2) >> 1));
+  return lam * cost;
+}
+
+// xRateDistOptQuant; returns abs_sum.  dst = size*size raster int32.
+static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
+                      double lam, int is_luma, int is_intra, int scan_idx,
+                      const EstBitsC* eb, int tr_depth, int sign_hide,
+                      int bit_inc, const int32_t* scan, const int32_t* scan_cg,
+                      int32_t* dst) {
+  int max_coeff = width * width;
+  int log2 = 0; while ((1 << log2) < width) log2++;
+  int64_t uiQ = kQuantScales[qp_rem];
+  int tshift = 15 - (8 + bit_inc) - log2;
+  int qbits = 14 + qp_per + tshift;
+  double err_scale = (double)(1 << 15) * pow(2.0, -2.0 * tshift) /
+                     (double)uiQ / (double)uiQ / (double)(1 << (2 * bit_inc));
+  memset(dst, 0, sizeof(int32_t) * max_coeff);
+  double cost_coeff[32 * 32], cost_sig[32 * 32], cost_coeff0[32 * 32];
+  int64_t rate_inc_up[32 * 32], rate_inc_down[32 * 32],
+      sig_rate_delta[32 * 32], delta_u[32 * 32];
+  memset(cost_coeff, 0, sizeof(double) * max_coeff);
+  memset(cost_sig, 0, sizeof(double) * max_coeff);
+  memset(rate_inc_up, 0, sizeof(int64_t) * max_coeff);
+  memset(rate_inc_down, 0, sizeof(int64_t) * max_coeff);
+  memset(sig_rate_delta, 0, sizeof(int64_t) * max_coeff);
+  memset(delta_u, 0, sizeof(int64_t) * max_coeff);
+  int num_blk_side = width >> 2;
+  double cost_cg_sig[64];
+  int32_t sig_cg[64];
+  memset(cost_cg_sig, 0, sizeof(cost_cg_sig));
+  memset(sig_cg, 0, sizeof(sig_cg));
+
+  double block_uncoded_cost = 0.0, base_cost = 0.0;
+  int last_scan_pos = -1, cg_last_scan_pos = -1;
+  int ctx_set = 0, c1 = 1, c2 = 0, go_rice = 0, c1_idx = 0, c2_idx = 0;
+  int comp = is_luma ? 0 : 1;
+  int cg_num = max_coeff >> 4;
+
+  for (int cg_scan_pos = cg_num - 1; cg_scan_pos >= 0; cg_scan_pos--) {
+    int cg_blk_pos = scan_cg[cg_scan_pos];
+    int cg_pos_y = num_blk_side ? cg_blk_pos / num_blk_side : 0;
+    int cg_pos_x = cg_blk_pos - cg_pos_y * num_blk_side;
+    double rd_sig_cost = 0.0, rd_sig_cost0 = 0.0;
+    double rd_coded_leveland_dist = 0.0, rd_uncoded_dist = 0.0;
+    int rd_nnz_before_pos0 = 0;
+    int pattern = calc_pattern(sig_cg, cg_pos_x, cg_pos_y, width);
+    for (int pos_in_cg = 15; pos_in_cg >= 0; pos_in_cg--) {
+      int scan_pos = cg_scan_pos * 16 + pos_in_cg;
+      int blk_pos = scan[scan_pos];
+      int64_t level_double = src[blk_pos];
+      if (level_double < 0) level_double = -level_double;
+      level_double *= uiQ;
+      int64_t cap = 2147483647ll - (1ll << (qbits - 1));
+      if (level_double > cap) level_double = cap;
+      int max_abs_level = (int)((level_double + (1ll << (qbits - 1))) >>
+                                qbits);
+      double err = (double)level_double;
+      cost_coeff0[scan_pos] = err * err * err_scale;
+      block_uncoded_cost += cost_coeff0[scan_pos];
+      dst[blk_pos] = max_abs_level;
+
+      if (max_abs_level > 0 && last_scan_pos < 0) {
+        last_scan_pos = scan_pos;
+        ctx_set = (scan_pos < 16 || !is_luma) ? 0 : 2;
+        cg_last_scan_pos = cg_scan_pos;
+      }
+      if (last_scan_pos >= 0) {
+        int ctx_one = 4 * ctx_set + c1;
+        int ctx_abs = ctx_set + c2;
+        int level;
+        if (scan_pos == last_scan_pos) {
+          level = coded_level(&cost_coeff[scan_pos], &cost_coeff0[scan_pos],
+                              &cost_sig[scan_pos], level_double,
+                              max_abs_level, 0, ctx_one, ctx_abs, go_rice,
+                              c1_idx, c2_idx, qbits, err_scale, 1, lam, eb);
+        } else {
+          int pos_y = blk_pos >> log2;
+          int pos_x = blk_pos - (pos_y << log2);
+          int ctx_sig = sig_ctx_inc(pattern, scan_idx, pos_x, pos_y, log2,
+                                    comp);
+          level = coded_level(&cost_coeff[scan_pos], &cost_coeff0[scan_pos],
+                              &cost_sig[scan_pos], level_double,
+                              max_abs_level, ctx_sig, ctx_one, ctx_abs,
+                              go_rice, c1_idx, c2_idx, qbits, err_scale, 0,
+                              lam, eb);
+          sig_rate_delta[blk_pos] =
+              eb->sig[ctx_sig][1] - eb->sig[ctx_sig][0];
+        }
+        delta_u[blk_pos] =
+            (level_double - ((int64_t)level << qbits)) >> (qbits - 8);
+        if (level > 0) {
+          int64_t rate_now = ic_rate(level, ctx_one, ctx_abs, go_rice,
+                                     c1_idx, c2_idx, eb);
+          rate_inc_up[blk_pos] = ic_rate(level + 1, ctx_one, ctx_abs,
+                                         go_rice, c1_idx, c2_idx, eb) -
+                                 rate_now;
+          rate_inc_down[blk_pos] = ic_rate(level - 1, ctx_one, ctx_abs,
+                                           go_rice, c1_idx, c2_idx, eb) -
+                                  rate_now;
+        } else {
+          rate_inc_up[blk_pos] = eb->greater_one[ctx_one][0];
+        }
+        dst[blk_pos] = level;
+        base_cost += cost_coeff[scan_pos];
+
+        int base_level = (c1_idx < kC1Flag)
+                             ? (2 + (c2_idx < kC2Flag ? 1 : 0))
+                             : 1;
+        if (level >= base_level) {
+          if (level > 3 * (1 << go_rice))
+            go_rice = go_rice < 4 ? go_rice + 1 : 4;
+        }
+        if (level >= 1) c1_idx++;
+        if (level > 1) {
+          c1 = 0;
+          if (c2 < 2) c2++;
+          c2_idx++;
+        } else if (c1 > 0 && c1 < 3 && level) {
+          c1++;
+        }
+        if ((scan_pos % 16 == 0) && scan_pos > 0) {
+          c2 = 0;
+          go_rice = 0;
+          c1_idx = 0;
+          c2_idx = 0;
+          ctx_set = (scan_pos == 16 || !is_luma) ? 0 : 2;
+          if (c1 == 0) ctx_set++;
+          c1 = 1;
+        }
+      } else {
+        base_cost += cost_coeff0[scan_pos];
+      }
+      rd_sig_cost += cost_sig[scan_pos];
+      if (pos_in_cg == 0) rd_sig_cost0 = cost_sig[scan_pos];
+      if (dst[blk_pos]) {
+        sig_cg[cg_blk_pos] = 1;
+        rd_coded_leveland_dist += cost_coeff[scan_pos] - cost_sig[scan_pos];
+        rd_uncoded_dist += cost_coeff0[scan_pos];
+        if (pos_in_cg != 0) rd_nnz_before_pos0++;
+      }
+    }
+    if (cg_last_scan_pos >= 0) {
+      if (cg_scan_pos) {
+        if (sig_cg[cg_blk_pos] == 0) {
+          int ctx_sig = sig_cg_ctx(sig_cg, cg_pos_x, cg_pos_y, width);
+          base_cost += lam * (double)eb->sig_cg[ctx_sig][0] - rd_sig_cost;
+          cost_cg_sig[cg_scan_pos] = lam * (double)eb->sig_cg[ctx_sig][0];
+        } else {
+          if (cg_scan_pos < cg_last_scan_pos) {
+            if (rd_nnz_before_pos0 == 0) {
+              base_cost -= rd_sig_cost0;
+              rd_sig_cost -= rd_sig_cost0;
+            }
+            double cost_zero_cg = base_cost;
+            int ctx_sig = sig_cg_ctx(sig_cg, cg_pos_x, cg_pos_y, width);
+            base_cost += lam * (double)eb->sig_cg[ctx_sig][1];
+            cost_zero_cg += lam * (double)eb->sig_cg[ctx_sig][0];
+            cost_cg_sig[cg_scan_pos] = lam * (double)eb->sig_cg[ctx_sig][1];
+            cost_zero_cg += rd_uncoded_dist;
+            cost_zero_cg -= rd_coded_leveland_dist;
+            cost_zero_cg -= rd_sig_cost;
+            if (cost_zero_cg < base_cost) {
+              sig_cg[cg_blk_pos] = 0;
+              base_cost = cost_zero_cg;
+              cost_cg_sig[cg_scan_pos] =
+                  lam * (double)eb->sig_cg[ctx_sig][0];
+              for (int pos_in_cg = 15; pos_in_cg >= 0; pos_in_cg--) {
+                int scan_pos = cg_scan_pos * 16 + pos_in_cg;
+                int blk_pos = scan[scan_pos];
+                if (dst[blk_pos]) {
+                  dst[blk_pos] = 0;
+                  cost_coeff[scan_pos] = cost_coeff0[scan_pos];
+                  cost_sig[scan_pos] = 0.0;
+                }
+              }
+            }
+          }
+        }
+      } else {
+        sig_cg[cg_blk_pos] = 1;
+      }
+    }
+  }
+
+  if (last_scan_pos < 0) return 0;
+
+  double best_cost;
+  if (is_luma && !is_intra && tr_depth == 0) {
+    best_cost =
+        block_uncoded_cost + lam * (double)eb->block_root_cbp[0][0];
+    base_cost += lam * (double)eb->block_root_cbp[0][1];
+  } else {
+    int ctx = is_luma ? (tr_depth == 0 ? 1 : 0) : tr_depth;
+    int ctx_cbf = (is_luma ? 0 : 1) * 5 + ctx;
+    best_cost = block_uncoded_cost + lam * (double)eb->block_cbp[ctx_cbf][0];
+    base_cost += lam * (double)eb->block_cbp[ctx_cbf][1];
+  }
+
+  int best_last_idx_p1 = 0;
+  int found_last = 0;
+  for (int cg_scan_pos = cg_last_scan_pos; cg_scan_pos >= 0; cg_scan_pos--) {
+    int cg_blk_pos = scan_cg[cg_scan_pos];
+    base_cost -= cost_cg_sig[cg_scan_pos];
+    if (sig_cg[cg_blk_pos]) {
+      for (int pos_in_cg = 15; pos_in_cg >= 0; pos_in_cg--) {
+        int scan_pos = cg_scan_pos * 16 + pos_in_cg;
+        if (scan_pos > last_scan_pos) continue;
+        int blk_pos = scan[scan_pos];
+        if (dst[blk_pos]) {
+          int pos_y = blk_pos >> log2;
+          int pos_x = blk_pos - (pos_y << log2);
+          double cost_last =
+              scan_idx == 2 /*SCAN_VER*/
+                  ? rate_last_c(pos_y, pos_x, lam, eb)
+                  : rate_last_c(pos_x, pos_y, lam, eb);
+          double total_cost = base_cost + cost_last - cost_sig[scan_pos];
+          if (total_cost < best_cost) {
+            best_last_idx_p1 = scan_pos + 1;
+            best_cost = total_cost;
+          }
+          if (dst[blk_pos] > 1) {
+            found_last = 1;
+            break;
+          }
+          base_cost -= cost_coeff[scan_pos];
+          base_cost += cost_coeff0[scan_pos];
+        } else {
+          base_cost -= cost_sig[scan_pos];
+        }
+      }
+      if (found_last) break;
+    }
+  }
+
+  int64_t abs_sum = 0;
+  for (int scan_pos = 0; scan_pos < best_last_idx_p1; scan_pos++) {
+    int blk_pos = scan[scan_pos];
+    int level = dst[blk_pos];
+    abs_sum += level;
+    dst[blk_pos] = src[blk_pos] < 0 ? -level : level;
+  }
+  for (int scan_pos = best_last_idx_p1; scan_pos <= last_scan_pos;
+       scan_pos++)
+    dst[scan[scan_pos]] = 0;
+
+  if (sign_hide && abs_sum >= 2) {
+    static const int kInvQS[6] = {40, 45, 51, 57, 64, 72};
+    int64_t inv_q = kInvQS[qp_rem];
+    int64_t rd_factor = (int64_t)((double)inv_q * (double)inv_q *
+                                      (double)(1ll << (2 * qp_per)) / lam /
+                                      16.0 /
+                                      (double)(1 << (2 * bit_inc)) +
+                                  0.5);
+    int last_cg = -1;
+    for (int subset = (max_coeff - 1) >> 4; subset >= 0; subset--) {
+      int sub_pos = subset << 4;
+      int first_nz = 16, last_nz = -1;
+      for (int n = 15; n >= 0; n--)
+        if (dst[scan[n + sub_pos]]) { last_nz = n; break; }
+      for (int n = 0; n < 16; n++)
+        if (dst[scan[n + sub_pos]]) { first_nz = n; break; }
+      int64_t ssum = 0;
+      for (int n = first_nz; n <= last_nz; n++) ssum += dst[scan[n + sub_pos]];
+      if (last_nz >= 0 && last_cg == -1) last_cg = 1;
+      if (last_nz - first_nz >= 4) {
+        int signbit = dst[scan[sub_pos + first_nz]] > 0 ? 0 : 1;
+        if (signbit != (ssum & 1)) {
+          int64_t min_cost_inc = INT64_MAX;
+          int min_pos = -1, final_change = 0;
+          int start_n = last_cg == 1 ? last_nz : 15;
+          for (int n = start_n; n >= 0; n--) {
+            int blk = scan[n + sub_pos];
+            int64_t cur_cost;
+            int cur_change;
+            if (dst[blk] != 0) {
+              int64_t cost_up = rd_factor * (-delta_u[blk]) +
+                                rate_inc_up[blk];
+              int64_t a = dst[blk] < 0 ? -dst[blk] : dst[blk];
+              int64_t cost_down =
+                  rd_factor * delta_u[blk] + rate_inc_down[blk] -
+                  (a == 1 ? ((1ll << 15) + sig_rate_delta[blk]) : 0);
+              if (last_cg == 1 && last_nz == n && a == 1)
+                cost_down -= 4ll << 15;
+              if (cost_up < cost_down) {
+                cur_cost = cost_up;
+                cur_change = 1;
+              } else {
+                cur_change = -1;
+                if (n == first_nz && a == 1)
+                  cur_cost = INT64_MAX;
+                else
+                  cur_cost = cost_down;
+              }
+            } else {
+              int64_t du_abs = delta_u[blk] < 0 ? -delta_u[blk]
+                                                : delta_u[blk];
+              cur_cost = rd_factor * (-du_abs) + (1ll << 15) +
+                         rate_inc_up[blk] + sig_rate_delta[blk];
+              cur_change = 1;
+              if (n < first_nz) {
+                int this_sign = src[blk] >= 0 ? 0 : 1;
+                if (this_sign != signbit) cur_cost = INT64_MAX;
+              }
+            }
+            if (cur_cost < min_cost_inc) {
+              min_cost_inc = cur_cost;
+              final_change = cur_change;
+              min_pos = blk;
+            }
+          }
+          if (dst[min_pos] == 32767 || dst[min_pos] == -32768)
+            final_change = -1;
+          if (src[min_pos] >= 0) dst[min_pos] += final_change;
+          else dst[min_pos] -= final_change;
+        }
+      }
+      if (last_cg == 1) last_cg = 0;
+    }
+  }
+  return abs_sum;
+}
+
+// ---------------------------------------------------------------------------
+// encoder state + slice parameters
+// ---------------------------------------------------------------------------
+struct EncParams {
+  int32_t slice_type, slice_qp;
+  int32_t bit_depth, bit_inc, max_val;
+  int32_t qp_bd_offset_y, qp_bd_offset_c, cb_qp_off, cr_qp_off;
+  int32_t use_dqp, tq_bypass_enable, cu_tq_bypass_value;
+  int32_t use_ts, ts_fast, use_rdoq, sign_hide;
+  int32_t use_pcm, pcm_log2_min, pcm_log2_max;
+  int32_t add_cu_depth, max_tr_log2, min_tr_log2, tu_depth_intra,
+      tu_depth_inter, max_tr_size;
+  int32_t use_amp;
+  double lambda_, sqrt_lambda, chroma_weight, lambda_luma, lambda_chroma;
+  int32_t slice_end_scu;
+  int32_t unit_qp;               // -1 = use slice_qp
+};
+
+// per-depth scratch for region snapshots + per-PU/TU result stores
+struct RegionSnap {
+  int8_t attrs[9][16 * 16];      // depth,pred,part,ldir,cdir,tridx,qp,tqb,ipcm
+  uint8_t skip[16 * 16];
+  uint8_t cbf[3][16 * 16], ts[3][16 * 16];
+  int32_t coeff_y[64 * 64], coeff_cb[32 * 32], coeff_cr[32 * 32];
+  int16_t rec_y[64 * 64], rec_cb[32 * 32], rec_cr[32 * 32];
+  int64_t bits, dist;
+  double cost;
+};
+
+struct LumaStore {
+  int8_t tr_idx[16 * 16];
+  uint8_t cbf[16 * 16], ts[16 * 16];
+  int32_t coeff[64 * 64];
+  int16_t rec[64 * 64];
+};
+
+struct ChromaStore {
+  uint8_t cbf[2][16 * 16], ts[2][16 * 16];
+  int32_t coeff_cb[32 * 32], coeff_cr[32 * 32];
+  int16_t rec_cb[32 * 32], rec_cr[32 * 32];
+};
+
+struct TuStore {
+  int32_t coeff[64 * 64];
+  int16_t rec[64 * 64];
+};
+
+struct EncState {
+  FrameArrays fa;
+  EncParams ep;
+  CtxOffsets co;
+  ScanTables sc;
+  const int16_t *org_y, *org_cb, *org_cr;
+  int16_t *rec_y, *rec_cb, *rec_cr;
+  int64_t ls, cs;                // luma/chroma plane strides
+  int num_ctx, depths, n_layers, log2_ctu_v;
+  uint8_t* snap_ctx;             // [depths][ECI_NUM][num_ctx]
+  uint64_t* snap_frac;
+  EncBin go;                     // GoOn counter
+  uint8_t* go_ctx;
+  int ctu_addr;
+  int64_t total_bits, total_dist;
+  double total_cost;
+  // QT temp buffers [layer][plane 0=y 1=cb 2=cr] at CTU-local coords
+  int16_t* qt_rec[8][3];
+  int32_t* qt_coeff[8][3];
+  int32_t shared_pred[3][64 * 64];
+  RegionSnap* region[8];         // best per depth
+  LumaStore* luma_store[8];
+  ChromaStore* chroma_store[8];
+  TuStore* tu_store[8][3];
+  // final-pass state
+  EncBin* fin;
+  int fin_dqp_flag;
+  int bak_cu_part, bak_chroma;
+};
+
+static inline void es_unit_xy(const EncState* S, int abs_part, int* ux,
+                              int* uy) {
+  const FrameArrays* fa = &S->fa;
+  int r = fa->z2r[abs_part];
+  int cx = S->ctu_addr % fa->ctus_w, cy = S->ctu_addr / fa->ctus_w;
+  *ux = cx * fa->upr + (r % fa->upr);
+  *uy = cy * fa->upr + (r / fa->upr);
+}
+
+static inline int es_cbf(const EncState* S, int abs_part, int comp,
+                         int trd) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  return (U3(fa->cbf, comp, ux, uy) >> trd) & 1;
+}
+
+static inline int es_qp_scaled_luma(const EncState* S, int qp) {
+  return qp + S->ep.qp_bd_offset_y;
+}
+
+static inline int es_qp_scaled_chroma(const EncState* S, int qp, int off) {
+  int bd = S->ep.qp_bd_offset_c;
+  int q = qp + off;
+  if (q < -bd) q = -bd;
+  if (q > 57) q = 57;
+  if (q < 0) return q + bd;
+  return kChromaScale[q] + bd;
+}
+
+// TComRdCost::calcRdCost (DF_DEFAULT)
+static inline double es_rd_cost(const EncState* S, int64_t bits,
+                                int64_t dist) {
+  double cost = (double)dist +
+                (double)(int64_t)((double)bits * S->ep.lambda_ + 0.5);
+  return floor(cost);
+}
+
+// getDistPart DF_SSE (+ WEIGHTED_CHROMA_DISTORTION)
+static int64_t es_sse(const EncState* S, const int16_t* rec, int64_t sr,
+                      const int16_t* org, int64_t so, int size,
+                      int weighted) {
+  int64_t sse = 0;
+  int sh = S->ep.bit_inc << 1;
+  for (int y = 0; y < size; y++)
+    for (int x = 0; x < size; x++) {
+      int64_t d = (int64_t)org[y * so + x] - rec[y * sr + x];
+      sse += (d * d) >> sh;
+    }
+  if (weighted) return (int64_t)(S->ep.chroma_weight * (double)sse);
+  return sse;
+}
+
+// coder snapshot plumbing
+static inline uint8_t* es_snap_ctx(EncState* S, int depth, int ci) {
+  return S->snap_ctx + ((int64_t)depth * ECI_NUM + ci) * S->num_ctx;
+}
+static inline void es_store(EncState* S, int depth, int ci) {
+  memcpy(es_snap_ctx(S, depth, ci), S->go.ctx, S->num_ctx);
+  S->snap_frac[depth * ECI_NUM + ci] = S->go.frac_bits;
+}
+static inline void es_load(EncState* S, int depth, int ci) {
+  memcpy(S->go.ctx, es_snap_ctx(S, depth, ci), S->num_ctx);
+  S->go.frac_bits = S->snap_frac[depth * ECI_NUM + ci];
+}
+static inline void es_copy_snap(EncState* S, int sd, int sci, int dd,
+                                int dci) {
+  memcpy(es_snap_ctx(S, dd, dci), es_snap_ctx(S, sd, sci), S->num_ctx);
+  S->snap_frac[dd * ECI_NUM + dci] = S->snap_frac[sd * ECI_NUM + sci];
+}
+
+// ---------------------------------------------------------------------------
+// syntax writers (TEncSbac code*; engine-agnostic via EncBin)
+// ---------------------------------------------------------------------------
+static void we_split_flag(EncState* S, EncBin* e, int abs_part, int depth) {
+  const FrameArrays* fa = &S->fa;
+  int max_sig = fa->max_depth - S->ep.add_cu_depth;
+  if (depth == max_sig) return;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int ctx = ctx_split_flag(fa, ux, uy, depth);
+  int split = U(fa->depth, ux, uy) > depth ? 1 : 0;
+  eb_bin(e, split, S->co.split_flag + ctx);
+}
+
+static void we_part_size(EncState* S, EncBin* e, int abs_part, int depth) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int part_sz = U(fa->part_size, ux, uy);
+  int max_sig = fa->max_depth - S->ep.add_cu_depth;
+  if (U(fa->pred_mode, ux, uy) == MODE_INTRA) {
+    if (depth == max_sig)
+      eb_bin(e, part_sz == SZ_2Nx2N ? 1 : 0, S->co.part_size);
+    return;
+  }
+  int amp = S->ep.use_amp && depth < max_sig;
+  if (part_sz == SZ_2Nx2N) {
+    eb_bin(e, 1, S->co.part_size);
+  } else if (part_sz == SZ_2NxN || part_sz == SZ_2NxnU ||
+             part_sz == SZ_2NxnD) {
+    eb_bin(e, 0, S->co.part_size);
+    eb_bin(e, 1, S->co.part_size + 1);
+    if (amp) {
+      if (part_sz == SZ_2NxN) {
+        eb_bin(e, 1, S->co.amp);
+      } else {
+        eb_bin(e, 0, S->co.amp);
+        eb_bin_ep(e, part_sz == SZ_2NxnU ? 0 : 1);
+      }
+    }
+  } else if (part_sz == SZ_Nx2N || part_sz == SZ_nLx2N ||
+             part_sz == SZ_nRx2N) {
+    eb_bin(e, 0, S->co.part_size);
+    eb_bin(e, 0, S->co.part_size + 1);
+    int size = fa->ctu_size >> depth;
+    if (depth == max_sig && size != 8)
+      eb_bin(e, 1, S->co.part_size + 2);
+    if (amp) {
+      if (part_sz == SZ_Nx2N) {
+        eb_bin(e, 1, S->co.amp);
+      } else {
+        eb_bin(e, 0, S->co.amp);
+        eb_bin_ep(e, part_sz == SZ_nLx2N ? 0 : 1);
+      }
+    }
+  } else {
+    eb_bin(e, 0, S->co.part_size);
+    eb_bin(e, 0, S->co.part_size + 1);
+    eb_bin(e, 0, S->co.part_size + 2);
+  }
+}
+
+static void we_tq_bypass(EncState* S, EncBin* e, int abs_part) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  eb_bin(e, U(fa->tq_bypass, ux, uy) ? 1 : 0, S->co.tq_bypass);
+}
+
+static void we_intra_dir_luma(EncState* S, EncBin* e, int abs_part,
+                              int multiple) {
+  const FrameArrays* fa = &S->fa;
+  int ux0, uy0;
+  es_unit_xy(S, abs_part, &ux0, &uy0);
+  int mode_sz = U(fa->part_size, ux0, uy0);
+  int depth = U(fa->depth, ux0, uy0);
+  int part_num = (multiple && mode_sz == SZ_NxN) ? 4 : 1;
+  int part_offset = (fa->parts >> (depth << 1)) >> 2;
+  int dirs[4], preds[4][3], pred_idx[4];
+  for (int j = 0; j < part_num; j++) {
+    int part = abs_part + part_offset * j;
+    int ux, uy;
+    es_unit_xy(S, part, &ux, &uy);
+    int d = U(fa->luma_dir, ux, uy);
+    intra_mpm(fa, ux, uy, preds[j]);
+    int idx = -1;
+    for (int i = 0; i < 3; i++)
+      if (d == preds[j][i]) idx = i;
+    dirs[j] = d;
+    pred_idx[j] = idx;
+    eb_bin(e, idx != -1 ? 1 : 0, S->co.intra_pred);
+  }
+  for (int j = 0; j < part_num; j++) {
+    if (pred_idx[j] != -1) {
+      eb_bin_ep(e, pred_idx[j] ? 1 : 0);
+      if (pred_idx[j]) eb_bin_ep(e, pred_idx[j] - 1);
+    } else {
+      int p0 = preds[j][0], p1 = preds[j][1], p2 = preds[j][2], t;
+      if (p0 > p1) { t = p0; p0 = p1; p1 = t; }
+      if (p1 > p2) { t = p1; p1 = p2; p2 = t; }
+      if (p0 > p1) { t = p0; p0 = p1; p1 = t; }
+      int d = dirs[j];
+      if (d > p2) d--;
+      if (d > p1) d--;
+      if (d > p0) d--;
+      eb_bins_ep(e, (uint32_t)d, 5);
+    }
+  }
+}
+
+static void es_allowed_chroma(const EncState* S, int ux, int uy,
+                              int modes[5]) {
+  const FrameArrays* fa = &S->fa;
+  modes[0] = PLANAR_IDX; modes[1] = VER_IDX; modes[2] = HOR_IDX;
+  modes[3] = DC_IDX; modes[4] = DM_CHROMA_IDX;
+  int luma = U(fa->luma_dir, ux, uy);
+  for (int i = 0; i < 4; i++)
+    if (luma == modes[i]) { modes[i] = 34; break; }
+}
+
+static void we_intra_dir_chroma(EncState* S, EncBin* e, int abs_part) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int mode = U(fa->chroma_dir, ux, uy);
+  if (mode == DM_CHROMA_IDX) {
+    eb_bin(e, 0, S->co.chroma_pred);
+  } else {
+    int modes[5];
+    es_allowed_chroma(S, ux, uy, modes);
+    int idx = 0;
+    for (int i = 0; i < 5; i++)
+      if (modes[i] == mode) { idx = i; break; }
+    eb_bin(e, 1, S->co.chroma_pred);
+    eb_bins_ep(e, (uint32_t)idx, 2);
+  }
+}
+
+static void we_transform_subdiv(EncState* S, EncBin* e, int subdiv,
+                                int log2_tr) {
+  eb_bin(e, subdiv, S->co.trans_subdiv + (5 - log2_tr));
+}
+
+static void we_qt_cbf(EncState* S, EncBin* e, int abs_part, int comp,
+                      int trd) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int cbf = (U3(fa->cbf, comp, ux, uy) >> trd) & 1;
+  if (comp == 0)
+    eb_bin(e, cbf, S->co.qt_cbf + (trd == 0 ? 1 : 0));
+  else
+    eb_bin(e, cbf, S->co.qt_cbf + 5 + trd);
+}
+
+static void we_ts_flag(EncState* S, EncBin* e, int abs_part, int width,
+                       int comp) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  if (U(fa->tq_bypass, ux, uy) || width != 4) return;
+  int flag = U3(fa->ts_flag, comp, ux, uy) ? 1 : 0;
+  eb_bin(e, flag, S->co.ts_flag + (comp == 0 ? 0 : 1));
+}
+
+// getCoefScanIdx for the encoder (raw scan id 1=hor 2=ver 3=diag)
+static int es_scan_idx(const EncState* S, int abs_part, int width,
+                       int is_luma) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  if (U(fa->pred_mode, ux, uy) != MODE_INTRA) return 3;
+  int ctx_idx;
+  switch (width) {
+    case 2: ctx_idx = 6; break;
+    case 4: ctx_idx = 5; break;
+    case 8: ctx_idx = 4; break;
+    case 16: ctx_idx = 3; break;
+    case 32: ctx_idx = 2; break;
+    case 64: ctx_idx = 1; break;
+    default: ctx_idx = 0; break;
+  }
+  int dir_mode;
+  if (is_luma) {
+    dir_mode = U(fa->luma_dir, ux, uy);
+    if (ctx_idx > 3 && ctx_idx < 6) {
+      int dv = dir_mode - VER_IDX; if (dv < 0) dv = -dv;
+      int dh = dir_mode - HOR_IDX; if (dh < 0) dh = -dh;
+      if (dv < 5) return 1;
+      if (dh < 5) return 2;
+    }
+    return 3;
+  }
+  dir_mode = U(fa->chroma_dir, ux, uy);
+  if (dir_mode == DM_CHROMA_IDX) {
+    int depth = U(fa->depth, ux, uy);
+    int num_parts = fa->parts >> (2 * depth);
+    int cu_part = (abs_part / num_parts) * num_parts;
+    int cux, cuy;
+    es_unit_xy(S, cu_part, &cux, &cuy);
+    dir_mode = U(fa->luma_dir, cux, cuy);
+  }
+  if (ctx_idx > 4 && ctx_idx < 7) {
+    int dv = dir_mode - VER_IDX; if (dv < 0) dv = -dv;
+    int dh = dir_mode - HOR_IDX; if (dh < 0) dh = -dh;
+    if (dv < 5) return 1;
+    if (dh < 5) return 2;
+  }
+  return 3;
+}
+
+static void we_last_xy(EncState* S, EncBin* e, int pos_x, int pos_y,
+                       int width, int is_chroma, int scan_idx) {
+  if (scan_idx == 2) { int t = pos_x; pos_x = pos_y; pos_y = t; }
+  int lg = convert_to_bit(width);
+  int blk_off, shift, base_x, base_y;
+  if (is_chroma) {
+    blk_off = 0; shift = lg;
+    base_x = S->co.last_x + 15; base_y = S->co.last_y + 15;
+  } else {
+    blk_off = lg * 3 + ((lg + 1) >> 2);
+    shift = (lg + 3) >> 2;
+    base_x = S->co.last_x; base_y = S->co.last_y;
+  }
+  int gx = kGroupIdx[pos_x], gy = kGroupIdx[pos_y];
+  int gmax = kGroupIdx[width - 1];
+  for (int c = 0; c < gx; c++) eb_bin(e, 1, base_x + blk_off + (c >> shift));
+  if (gx < gmax) eb_bin(e, 0, base_x + blk_off + (gx >> shift));
+  for (int c = 0; c < gy; c++) eb_bin(e, 1, base_y + blk_off + (c >> shift));
+  if (gy < gmax) eb_bin(e, 0, base_y + blk_off + (gy >> shift));
+  if (gx > 3) {
+    int count = (gx - 2) >> 1;
+    int rem = pos_x - kMinInGroup[gx];
+    for (int i = count - 1; i >= 0; i--) eb_bin_ep(e, (rem >> i) & 1);
+  }
+  if (gy > 3) {
+    int count = (gy - 2) >> 1;
+    int rem = pos_y - kMinInGroup[gy];
+    for (int i = count - 1; i >= 0; i--) eb_bin_ep(e, (rem >> i) & 1);
+  }
+}
+
+// codeCoeffNxN; coeff is a (width x width) view with row stride `cstride`
+static void we_coeff_nxn(EncState* S, EncBin* e, int abs_part,
+                         const int32_t* coeff, int64_t cstride, int width,
+                         int comp) {
+  const int kSBH = 4, kC1Num = 8;
+  int num_sig = 0;
+  for (int y = 0; y < width; y++)
+    for (int x = 0; x < width; x++)
+      if (coeff[y * cstride + x]) num_sig++;
+  if (num_sig == 0) return;
+  if (S->ep.use_ts) we_ts_flag(S, e, abs_part, width, comp);
+  int is_luma = comp == 0;
+  int log2 = 0; while ((1 << log2) < width) log2++;
+  int scan_idx = es_scan_idx(S, abs_part, width, is_luma);
+  int lg = convert_to_bit(width);
+  const int32_t* scan = S->sc.scan[scan_idx][lg];
+  const int32_t* scan_cg = S->sc.cg[scan_idx][lg];
+
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int be_valid = !U(fa->tq_bypass, ux, uy) && S->ep.sign_hide;
+
+  int num_blk_side = width >> 2;
+  int32_t sig_cg[64];
+  memset(sig_cg, 0, sizeof(sig_cg));
+  int scan_pos_last = -1;
+  int remaining = num_sig;
+  int pos_last = 0;
+  while (remaining > 0) {
+    scan_pos_last++;
+    int pos = scan[scan_pos_last];
+    if (coeff[(pos >> log2) * cstride + (pos & (width - 1))]) {
+      int py_ = pos >> log2, px_ = pos & (width - 1);
+      sig_cg[num_blk_side * (py_ >> 2) + (px_ >> 2)] = 1;
+      remaining--;
+      pos_last = pos;
+    }
+  }
+  int last_y = pos_last >> log2;
+  int last_x = pos_last - (last_y << log2);
+  we_last_xy(S, e, last_x, last_y, width, !is_luma, scan_idx);
+
+  int sig_base = S->co.sig + (is_luma ? 0 : S->co.num_sig_luma);
+  int cg_base = S->co.sig_cg + (is_luma ? 0 : 2);
+  int last_scan_set = scan_pos_last >> 4;
+  int c1 = 1, go_rice = 0;
+  int i_scan_pos_sig = scan_pos_last;
+  int block_type = log2;
+
+#define CVAL(blk) coeff[((blk) >> log2) * cstride + ((blk) & (width - 1))]
+  for (int subset = last_scan_set; subset >= 0; subset--) {
+    int sub_pos = subset << 4;
+    go_rice = 0;
+    int abs_coeff[16];
+    uint32_t coeff_signs = 0;
+    int num_nonzero = 0, last_nz = -1, first_nz = 16;
+    if (i_scan_pos_sig == scan_pos_last) {
+      int32_t v = CVAL(pos_last);
+      abs_coeff[0] = v < 0 ? -v : v;
+      coeff_signs = v < 0 ? 1 : 0;
+      num_nonzero = 1;
+      last_nz = i_scan_pos_sig;
+      first_nz = i_scan_pos_sig;
+      i_scan_pos_sig--;
+    }
+    int cg_blk_pos = scan_cg[subset];
+    int cg_pos_y = num_blk_side ? cg_blk_pos / num_blk_side : 0;
+    int cg_pos_x = cg_blk_pos - cg_pos_y * num_blk_side;
+    if (subset == last_scan_set || subset == 0) {
+      sig_cg[cg_blk_pos] = 1;
+    } else {
+      int flag = sig_cg[cg_blk_pos] != 0;
+      int ctx = sig_cg_ctx(sig_cg, cg_pos_x, cg_pos_y, width);
+      eb_bin(e, flag, cg_base + ctx);
+    }
+    if (sig_cg[cg_blk_pos]) {
+      int pattern = calc_pattern(sig_cg, cg_pos_x, cg_pos_y, width);
+      while (i_scan_pos_sig >= sub_pos) {
+        int blk = scan[i_scan_pos_sig];
+        int yy = blk >> log2;
+        int xx = blk - (yy << log2);
+        int32_t v = CVAL(blk);
+        int sig = v != 0;
+        if (i_scan_pos_sig > sub_pos || subset == 0 || num_nonzero) {
+          int ctx = sig_ctx_inc(pattern, scan_idx, xx, yy, block_type,
+                                is_luma ? 0 : 1);
+          eb_bin(e, sig, sig_base + ctx);
+        }
+        if (sig) {
+          abs_coeff[num_nonzero] = v < 0 ? -v : v;
+          coeff_signs = 2 * coeff_signs + (v < 0 ? 1 : 0);
+          num_nonzero++;
+          if (last_nz == -1) last_nz = i_scan_pos_sig;
+          first_nz = i_scan_pos_sig;
+        }
+        i_scan_pos_sig--;
+      }
+    } else {
+      i_scan_pos_sig = sub_pos - 1;
+    }
+    if (num_nonzero > 0) {
+      int sign_hidden = (last_nz - first_nz) >= kSBH;
+      int ctx_set = (subset > 0 && is_luma) ? 2 : 0;
+      if (c1 == 0) ctx_set++;
+      c1 = 1;
+      int one_base = S->co.one + (is_luma ? 0 : 16) + 4 * ctx_set;
+      int num_c1 = num_nonzero < kC1Num ? num_nonzero : kC1Num;
+      int first_c2_idx = -1;
+      for (int idx = 0; idx < num_c1; idx++) {
+        int sym = abs_coeff[idx] > 1 ? 1 : 0;
+        eb_bin(e, sym, one_base + c1);
+        if (sym) {
+          c1 = 0;
+          if (first_c2_idx == -1) first_c2_idx = idx;
+        } else if (c1 > 0 && c1 < 3) {
+          c1++;
+        }
+      }
+      if (c1 == 0) {
+        int abs_base = S->co.abs_ + (is_luma ? 0 : 4) + ctx_set;
+        if (first_c2_idx != -1)
+          eb_bin(e, abs_coeff[first_c2_idx] > 2 ? 1 : 0, abs_base);
+      }
+      if (be_valid && sign_hidden)
+        eb_bins_ep(e, coeff_signs >> 1, num_nonzero - 1);
+      else
+        eb_bins_ep(e, coeff_signs, num_nonzero);
+      int first_coeff2 = 1;
+      if (c1 == 0 || num_nonzero > kC1Num) {
+        for (int idx = 0; idx < num_nonzero; idx++) {
+          int base_level = idx < kC1Num ? (2 + first_coeff2) : 1;
+          if (abs_coeff[idx] >= base_level) {
+            eb_coef_remain(e, abs_coeff[idx] - base_level, go_rice);
+            if (abs_coeff[idx] > 3 * (1 << go_rice))
+              go_rice = go_rice < 4 ? go_rice + 1 : 4;
+          }
+          if (abs_coeff[idx] >= 2) first_coeff2 = 0;
+        }
+      }
+    }
+  }
+#undef CVAL
+}
+
+// ---------------------------------------------------------------------------
+// intra prediction dispatch (mirrors ops/intra.predict)
+// ---------------------------------------------------------------------------
+static void es_predict(const int32_t* line, int size, int unit, int mode,
+                       int is_luma, int max_val, int32_t* pred) {
+  if (mode == PLANAR_IDX) {
+    predict_c(line, size, unit, 0, is_luma, max_val, pred);
+    return;
+  }
+  angular_c(line, size, unit, mode, is_luma, max_val, pred);
+  if (mode == DC_IDX && is_luma) dc_filter_c(line, size, unit, pred);
+}
+
+// _tu_availability_flags (decoder/recon.py:28) via the parse-side avail()
+static void es_tu_flags(const FrameArrays* fa, int ux, int uy, int nu,
+                        uint8_t* flags) {
+  flags[2 * nu] = (uint8_t)avail(fa, ux - 1, uy - 1, ux, uy);
+  for (int j = 0; j < 2 * nu; j++)
+    flags[2 * nu - 1 - j] = (uint8_t)avail(fa, ux - 1, uy + j, ux, uy);
+  for (int j = 0; j < 2 * nu; j++)
+    flags[2 * nu + 1 + j] = (uint8_t)avail(fa, ux + j, uy - 1, ux, uy);
+}
+
+static void es_adi_luma(EncState* S, int px, int py, int size,
+                        int32_t* line_raw, int32_t* line_filt) {
+  uint8_t flags[4 * 32 + 1];
+  es_tu_flags(&S->fa, px / 4, py / 4, size / 4, flags);
+  int dc = 1 << (S->ep.bit_depth - 1);
+  fill_reference_line_c(S->rec_y, S->ls, px, py, size, 4, flags, dc,
+                        line_raw);
+  memcpy(line_filt, line_raw, sizeof(int32_t) * (4 * size + 4));
+  smooth_line_c(line_filt, size, 4);
+}
+
+static void es_adi_chroma(EncState* S, int cx, int cy, int size, int comp,
+                          int32_t* line) {
+  uint8_t flags[4 * 32 + 1];
+  es_tu_flags(&S->fa, cx / 2, cy / 2, size / 2, flags);
+  int dc = 1 << (S->ep.bit_depth - 1);
+  const int16_t* plane = comp == 1 ? S->rec_cb : S->rec_cr;
+  fill_reference_line_c(plane, S->cs, cx, cy, size, 2, flags, dc, line);
+}
+
+// ---------------------------------------------------------------------------
+// transformNxN: forward transform + RDOQ/quant (+SBH)
+// ---------------------------------------------------------------------------
+static int64_t es_xform_quant(EncState* S, int abs_part, const int32_t* resi,
+                              int size, int qps, int is_luma, int comp,
+                              int use_ts, int cbf_tr_depth,
+                              int32_t* levels) {
+  int per = qps / 6, rem = qps % 6;
+  int scan_idx = es_scan_idx(S, abs_part, size, is_luma);
+  int32_t coeff_t[32 * 32], scratch[32 * 32];
+  if (use_ts)
+    transform_skip_fwd_c(resi, size, S->ep.bit_inc, coeff_t);
+  else
+    forward_transform_c(resi, size, is_luma && size == 4, S->ep.bit_inc,
+                        coeff_t, scratch);
+  int lg = convert_to_bit(size);
+  const int32_t* scan = S->sc.scan[scan_idx][lg];
+  const int32_t* scan_cg = S->sc.cg[scan_idx][lg];
+  int use_rdoq = S->ep.use_rdoq && !(S->ep.ts_fast && use_ts);
+  if (use_rdoq) {
+    EstBitsC eb;
+    build_est_bits_c(&S->co, S->go.ctx, size, is_luma, &eb);
+    double lam = is_luma ? S->ep.lambda_luma : S->ep.lambda_chroma;
+    return rdoq_c(coeff_t, size, per, rem, lam, is_luma, 1, scan_idx, &eb,
+                  cbf_tr_depth, S->ep.sign_hide, S->ep.bit_inc, scan,
+                  scan_cg, levels);
+  }
+  int32_t delta_u[32 * 32];
+  quant_c(coeff_t, size, qps, S->ep.slice_type == SLICE_I, S->ep.bit_inc,
+          levels, delta_u);
+  int64_t abs_sum = 0;
+  for (int i = 0; i < size * size; i++)
+    abs_sum += levels[i] < 0 ? -levels[i] : levels[i];
+  if (S->ep.sign_hide && abs_sum >= 2)
+    sbh_hdq_c(levels, coeff_t, delta_u, scan, size);
+  return abs_sum;
+}
+
+static inline int es_qt_layer(const EncState* S, int full_depth) {
+  return S->ep.max_tr_log2 - (S->log2_ctu_v - full_depth);
+}
+
+static inline void es_ctu_local(const EncState* S, int abs_part, int* lx,
+                                int* ly) {
+  int r = S->fa.z2r[abs_part];
+  *lx = (r % S->fa.upr) * 4;
+  *ly = (r / S->fa.upr) * 4;
+}
+
+// xIntraCodingLumaBlk (TEncSearch.cpp:1006)
+static int64_t es_intra_luma_blk(EncState* S, int part, int cu_depth,
+                                 int tr_depth, int d0s1l2) {
+  FrameArrays* fa = &S->fa;
+  int full_depth = cu_depth + tr_depth;
+  int size = fa->ctu_size >> full_depth;
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int units = units_at_depth(fa, full_depth);
+  int mode = U(fa->luma_dir, ux, uy);
+  int use_ts = U3(fa->ts_flag, 0, ux, uy);
+
+  int32_t pred_buf[64 * 64];
+  int32_t* pred;
+  if (d0s1l2 != 2) {
+    int32_t line_raw[4 * 64 + 8], line_filt[4 * 64 + 8];
+    es_adi_luma(S, px, py, size, line_raw, line_filt);
+    int log2 = 0; while ((1 << log2) < size) log2++;
+    const int32_t* line =
+        use_filtered_c(mode, log2, 1) ? line_filt : line_raw;
+    es_predict(line, size, 4, mode, 1, S->ep.max_val, pred_buf);
+    pred = pred_buf;
+    if (d0s1l2 == 1)
+      memcpy(S->shared_pred[0], pred_buf, sizeof(int32_t) * size * size);
+  } else {
+    pred = S->shared_pred[0];
+  }
+
+  int32_t resi[64 * 64];
+  for (int y = 0; y < size; y++)
+    for (int x = 0; x < size; x++)
+      resi[y * size + x] =
+          (int32_t)S->org_y[(int64_t)(py + y) * S->ls + px + x] -
+          pred[y * size + x];
+
+  set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, (int8_t)tr_depth);
+
+  int qps = es_qp_scaled_luma(S, U(fa->qp, ux, uy));
+  int32_t levels[64 * 64];
+  int64_t abs_sum = es_xform_quant(S, part, resi, size, qps, 1, 0, use_ts,
+                                   tr_depth, levels);
+  int cbf = abs_sum ? 1 : 0;
+  set_region<uint8_t>(fa, fa->cbf, ux, uy, units, (uint8_t)(cbf << tr_depth));
+
+  int32_t resi_rec[64 * 64];
+  if (abs_sum) {
+    const int32_t* basis = size == 4 ? &kDst4[0][0] : dct_basis(size);
+    residual_c(levels, size, 0, 0, size, qps, size == 4, use_ts, 0,
+               S->ep.bit_inc, basis, resi_rec);
+  } else {
+    memset(levels, 0, sizeof(int32_t) * size * size);
+    memset(resi_rec, 0, sizeof(int32_t) * size * size);
+  }
+
+  int layer = es_qt_layer(S, full_depth);
+  int lx, ly;
+  es_ctu_local(S, part, &lx, &ly);
+  int16_t* qr = S->qt_rec[layer][0];
+  int32_t* qc = S->qt_coeff[layer][0];
+  int ctu = fa->ctu_size;
+  for (int y = 0; y < size; y++) {
+    for (int x = 0; x < size; x++) {
+      int v = pred[y * size + x] + resi_rec[y * size + x];
+      int16_t r = (int16_t)(v < 0 ? 0 : (v > S->ep.max_val ? S->ep.max_val
+                                                           : v));
+      qr[(ly + y) * ctu + lx + x] = r;
+      qc[(ly + y) * ctu + lx + x] = levels[y * size + x];
+      S->rec_y[(int64_t)(py + y) * S->ls + px + x] = r;
+      fa->coeff_y[(int64_t)(py + y) * S->ls + px + x] = levels[y * size + x];
+    }
+  }
+  const int16_t* rec0 = S->rec_y + (int64_t)py * S->ls + px;
+  const int16_t* org0 = S->org_y + (int64_t)py * S->ls + px;
+  return es_sse(S, rec0, S->ls, org0, S->ls, size, 0);
+}
+
+// getQuadtreeTULog2MinSizeInCU (encoder view)
+static int es_min_tu_log2(EncState* S, int part) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int depth = U(fa->depth, ux, uy);
+  int log2_cb = S->log2_ctu_v - depth;
+  int part_sz = U(fa->part_size, ux, uy);
+  int is_intra = U(fa->pred_mode, ux, uy) == MODE_INTRA;
+  int intra_split = (is_intra && part_sz == SZ_NxN) ? 1 : 0;
+  int inter_split = (!is_intra && S->ep.tu_depth_inter == 1 &&
+                     part_sz != SZ_2Nx2N)
+                        ? 1
+                        : 0;
+  int max_tu_depth = is_intra ? S->ep.tu_depth_intra : S->ep.tu_depth_inter;
+  if (log2_cb <
+      S->ep.min_tr_log2 + max_tu_depth - 1 + intra_split + inter_split)
+    return S->ep.min_tr_log2;
+  int v = log2_cb - (max_tu_depth - 1 + intra_split + inter_split);
+  return v < S->ep.max_tr_log2 ? v : S->ep.max_tr_log2;
+}
+
+// xEncIntraHeader (TEncSearch.cpp:890)
+static void es_enc_intra_header(EncState* S, EncBin* e, int part,
+                                int cu_depth, int tr_depth, int luma) {
+  FrameArrays* fa = &S->fa;
+  int cu_parts = fa->parts >> (cu_depth << 1);
+  int cu_start = (part / cu_parts) * cu_parts;
+  int in_cu = part - cu_start;
+  int cux, cuy;
+  es_unit_xy(S, cu_start, &cux, &cuy);
+  int part_sz = U(fa->part_size, cux, cuy);
+  if (luma) {
+    if (in_cu == 0) {
+      if (S->ep.slice_type != SLICE_I) {
+        // inter-slice path unused in the I-only native encoder
+      }
+      we_part_size(S, e, cu_start, cu_depth);
+      if (part_sz == SZ_2Nx2N && S->ep.use_pcm &&
+          (1 << S->ep.pcm_log2_min) <= (fa->ctu_size >> cu_depth) &&
+          (fa->ctu_size >> cu_depth) <= (1 << S->ep.pcm_log2_max))
+        eb_bin_trm(e, 0);
+    }
+    if (part_sz == SZ_2Nx2N) {
+      if (in_cu == 0) we_intra_dir_luma(S, e, cu_start, 0);
+    } else {
+      int q_parts = cu_parts >> 2;
+      if (tr_depth == 0) {
+        for (int p = 0; p < 4; p++)
+          we_intra_dir_luma(S, e, cu_start + p * q_parts, 0);
+      } else if (in_cu % q_parts == 0) {
+        we_intra_dir_luma(S, e, part, 0);
+      }
+    }
+  } else {
+    if (in_cu == 0) we_intra_dir_chroma(S, e, cu_start);
+  }
+}
+
+// xEncSubdivCbfQT (TEncSearch.cpp:763)
+static void es_enc_subdiv_cbf(EncState* S, EncBin* e, int part, int cu_depth,
+                              int tr_depth, int luma, int chroma) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int full_depth = cu_depth + tr_depth;
+  int tr_mode = U(fa->tr_idx, ux, uy);
+  int subdiv = tr_mode > tr_depth ? 1 : 0;
+  int log2_tr = S->log2_ctu_v - full_depth;
+  int part_sz = U(fa->part_size, ux, uy);
+  if (U(fa->pred_mode, ux, uy) == MODE_INTRA && part_sz == SZ_NxN &&
+      tr_depth == 0) {
+  } else if (log2_tr > S->ep.max_tr_log2) {
+  } else if (log2_tr == S->ep.min_tr_log2) {
+  } else if (log2_tr == es_min_tu_log2(S, part)) {
+  } else if (luma) {
+    we_transform_subdiv(S, e, subdiv, log2_tr);
+  }
+  if (chroma && log2_tr > 2) {
+    if (tr_depth == 0 || es_cbf(S, part, 1, tr_depth - 1))
+      we_qt_cbf(S, e, part, 1, tr_depth);
+    if (tr_depth == 0 || es_cbf(S, part, 2, tr_depth - 1))
+      we_qt_cbf(S, e, part, 2, tr_depth);
+  }
+  if (subdiv) {
+    int q_parts = fa->parts >> ((full_depth + 1) << 1);
+    for (int p = 0; p < 4; p++)
+      es_enc_subdiv_cbf(S, e, part + p * q_parts, cu_depth, tr_depth + 1,
+                        luma, chroma);
+    return;
+  }
+  if (luma) we_qt_cbf(S, e, part, 0, tr_mode);
+}
+
+// xEncCoeffQT (TEncSearch.cpp:836)
+static void es_enc_coeff_qt(EncState* S, EncBin* e, int part, int cu_depth,
+                            int tr_depth, int comp) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int full_depth = cu_depth + tr_depth;
+  int tr_mode = U(fa->tr_idx, ux, uy);
+  if (tr_mode > tr_depth) {
+    int q_parts = fa->parts >> ((full_depth + 1) << 1);
+    for (int p = 0; p < 4; p++)
+      es_enc_coeff_qt(S, e, part + p * q_parts, cu_depth, tr_depth + 1,
+                      comp);
+    return;
+  }
+  int log2_tr = S->log2_ctu_v - full_depth;
+  int td = tr_depth;
+  if (comp != 0 && log2_tr == 2) {
+    td -= 1;
+    int q_div = fa->parts >> ((cu_depth + td) << 1);
+    if (part % q_div != 0) return;
+  }
+  if (!es_cbf(S, part, comp, tr_mode)) return;
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> (cu_depth + td);
+  if (comp == 0) {
+    we_coeff_nxn(S, e, part, fa->coeff_y + (int64_t)py * S->ls + px, S->ls,
+                 size, 0);
+  } else {
+    size /= 2;
+    const int32_t* plane = comp == 1 ? fa->coeff_cb : fa->coeff_cr;
+    we_coeff_nxn(S, e, part,
+                 plane + (int64_t)(py / 2) * S->cs + px / 2, S->cs, size,
+                 comp);
+  }
+}
+
+// xGetIntraBitsQT / xGetIntraBitsQTChroma
+static int64_t es_intra_bits_qt(EncState* S, int part, int cu_depth,
+                                int tr_depth, int chroma) {
+  eb_reset_bits(&S->go);
+  if (!chroma) {
+    es_enc_intra_header(S, &S->go, part, cu_depth, tr_depth, 1);
+    es_enc_subdiv_cbf(S, &S->go, part, cu_depth, tr_depth, 1, 0);
+    es_enc_coeff_qt(S, &S->go, part, cu_depth, tr_depth, 0);
+  } else {
+    es_enc_intra_header(S, &S->go, part, cu_depth, tr_depth, 0);
+    es_enc_subdiv_cbf(S, &S->go, part, cu_depth, tr_depth, 0, 1);
+    es_enc_coeff_qt(S, &S->go, part, cu_depth, tr_depth, 1);
+    es_enc_coeff_qt(S, &S->go, part, cu_depth, tr_depth, 2);
+  }
+  return eb_bits(&S->go);
+}
+
+static int64_t es_intra_bits_qt_chroma(EncState* S, int part, int cu_depth,
+                                       int tr_depth, int comp) {
+  eb_reset_bits(&S->go);
+  es_enc_coeff_qt(S, &S->go, part, cu_depth, tr_depth, comp);
+  return eb_bits(&S->go);
+}
+
+// TU-store helpers (xStoreIntraResultQT/xLoadIntraResultQT)
+static inline int es_chroma_tu_size(const EncState* S, int full_depth) {
+  int lsize = S->fa.ctu_size >> full_depth;
+  return lsize == 4 ? lsize : lsize / 2;
+}
+
+static void es_store_tu(EncState* S, int part, int full_depth, int plane,
+                        TuStore* st) {
+  int size = S->fa.ctu_size >> full_depth;
+  int layer = es_qt_layer(S, full_depth);
+  int lx, ly;
+  es_ctu_local(S, part, &lx, &ly);
+  int ctu = S->fa.ctu_size;
+  int stride = ctu;
+  if (plane != 0) {
+    size = es_chroma_tu_size(S, full_depth);
+    lx /= 2; ly /= 2;
+    stride = ctu / 2;
+  }
+  for (int y = 0; y < size; y++) {
+    memcpy(st->rec + y * size,
+           S->qt_rec[layer][plane] + (ly + y) * stride + lx,
+           sizeof(int16_t) * size);
+    memcpy(st->coeff + y * size,
+           S->qt_coeff[layer][plane] + (ly + y) * stride + lx,
+           sizeof(int32_t) * size);
+  }
+}
+
+static void es_load_tu(EncState* S, int part, int full_depth, int plane,
+                       const TuStore* st) {
+  FrameArrays* fa = &S->fa;
+  int size = fa->ctu_size >> full_depth;
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int layer = es_qt_layer(S, full_depth);
+  int lx, ly;
+  es_ctu_local(S, part, &lx, &ly);
+  int ctu = fa->ctu_size;
+  int stride = ctu;
+  int64_t pstride = S->ls;
+  int16_t* rec_plane = S->rec_y;
+  int32_t* coeff_plane = fa->coeff_y;
+  if (plane != 0) {
+    size = es_chroma_tu_size(S, full_depth);
+    px /= 2; py /= 2; lx /= 2; ly /= 2;
+    stride = ctu / 2;
+    pstride = S->cs;
+    rec_plane = plane == 1 ? S->rec_cb : S->rec_cr;
+    coeff_plane = plane == 1 ? fa->coeff_cb : fa->coeff_cr;
+  }
+  for (int y = 0; y < size; y++) {
+    memcpy(S->qt_rec[layer][plane] + (ly + y) * stride + lx,
+           st->rec + y * size, sizeof(int16_t) * size);
+    memcpy(S->qt_coeff[layer][plane] + (ly + y) * stride + lx,
+           st->coeff + y * size, sizeof(int32_t) * size);
+    memcpy(rec_plane + (int64_t)(py + y) * pstride + px, st->rec + y * size,
+           sizeof(int16_t) * size);
+    memcpy(coeff_plane + (int64_t)(py + y) * pstride + px,
+           st->coeff + y * size, sizeof(int32_t) * size);
+  }
+}
+
+static void es_qt_to_frame(EncState* S, int part, int full_depth,
+                           int plane) {
+  FrameArrays* fa = &S->fa;
+  int size = fa->ctu_size >> full_depth;
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int layer = es_qt_layer(S, full_depth);
+  int lx, ly;
+  es_ctu_local(S, part, &lx, &ly);
+  int ctu = fa->ctu_size;
+  int stride = ctu;
+  int64_t pstride = S->ls;
+  int16_t* rec_plane = S->rec_y;
+  int32_t* coeff_plane = fa->coeff_y;
+  if (plane != 0) {
+    size = es_chroma_tu_size(S, full_depth);
+    px /= 2; py /= 2; lx /= 2; ly /= 2;
+    stride = ctu / 2;
+    pstride = S->cs;
+    rec_plane = plane == 1 ? S->rec_cb : S->rec_cr;
+    coeff_plane = plane == 1 ? fa->coeff_cb : fa->coeff_cr;
+  }
+  for (int y = 0; y < size; y++) {
+    memcpy(rec_plane + (int64_t)(py + y) * pstride + px,
+           S->qt_rec[layer][plane] + (ly + y) * stride + lx,
+           sizeof(int16_t) * size);
+    memcpy(coeff_plane + (int64_t)(py + y) * pstride + px,
+           S->qt_coeff[layer][plane] + (ly + y) * stride + lx,
+           sizeof(int32_t) * size);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// xRecurIntraCodingQT (bLumaOnly=true; TEncSearch.cpp:1394)
+// ---------------------------------------------------------------------------
+static int64_t es_recur_intra_luma(EncState* S, int part, int cu_depth,
+                                   int tr_depth, int check_first,
+                                   double* out_cost) {
+  FrameArrays* fa = &S->fa;
+  int full_depth = cu_depth + tr_depth;
+  int log2_tr = S->log2_ctu_v - full_depth;
+  int check_full = log2_tr <= S->ep.max_tr_log2;
+  int check_split = log2_tr > es_min_tu_log2(S, part);
+  if (check_first && check_full) check_split = 0;
+
+  double single_cost = MAX_DOUBLE_C;
+  int64_t single_dist = 0;
+  int single_cbf = 0;
+  int best_mode_id = 0;
+
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int units = units_at_depth(fa, full_depth);
+  int check_ts = S->ep.use_ts && (fa->ctu_size >> full_depth) == 4 &&
+                 !U(fa->tq_bypass, ux, uy);
+  if (S->ep.ts_fast)
+    check_ts = check_ts && U(fa->part_size, ux, uy) == SZ_NxN;
+
+  TuStore* best_tmp = S->tu_store[full_depth][0];
+  if (check_full) {
+    if (check_ts) {
+      es_store(S, full_depth, ECI_QT_TRAFO_ROOT);
+      for (int mode_id = 0; mode_id <= 1; mode_id++) {
+        set_region<uint8_t>(fa, fa->ts_flag, ux, uy, units,
+                            (uint8_t)(mode_id != 0));
+        int d0s1l2 = mode_id == 0 ? 1 : 2;
+        int64_t dist_tmp =
+            es_intra_luma_blk(S, part, cu_depth, tr_depth, d0s1l2);
+        int cbf_tmp = es_cbf(S, part, 0, tr_depth);
+        double cost_tmp;
+        if (mode_id == 1 && cbf_tmp == 0) {
+          cost_tmp = MAX_DOUBLE_C;
+        } else {
+          int64_t bits_tmp = es_intra_bits_qt(S, part, cu_depth, tr_depth, 0);
+          cost_tmp = es_rd_cost(S, bits_tmp, dist_tmp);
+        }
+        if (cost_tmp < single_cost) {
+          single_cost = cost_tmp;
+          single_dist = dist_tmp;
+          single_cbf = cbf_tmp;
+          best_mode_id = mode_id;
+          if (mode_id == 0) {
+            es_store_tu(S, part, full_depth, 0, best_tmp);
+            es_store(S, full_depth, ECI_TEMP_BEST);
+          }
+        }
+        if (mode_id == 0) es_load(S, full_depth, ECI_QT_TRAFO_ROOT);
+      }
+      set_region<uint8_t>(fa, fa->ts_flag, ux, uy, units,
+                          (uint8_t)(best_mode_id != 0));
+      if (best_mode_id == 0) {
+        es_load_tu(S, part, full_depth, 0, best_tmp);
+        set_region<uint8_t>(fa, fa->cbf, ux, uy, units,
+                            (uint8_t)(single_cbf << tr_depth));
+        es_load(S, full_depth, ECI_TEMP_BEST);
+      }
+    } else {
+      set_region<uint8_t>(fa, fa->ts_flag, ux, uy, units, 0);
+      if (check_split) es_store(S, full_depth, ECI_QT_TRAFO_ROOT);
+      single_dist = es_intra_luma_blk(S, part, cu_depth, tr_depth, 0);
+      if (check_split) single_cbf = es_cbf(S, part, 0, tr_depth);
+      int64_t bits = es_intra_bits_qt(S, part, cu_depth, tr_depth, 0);
+      single_cost = es_rd_cost(S, bits, single_dist);
+    }
+  }
+
+  if (check_split) {
+    if (check_full) {
+      es_store(S, full_depth, ECI_QT_TRAFO_TEST);
+      es_load(S, full_depth, ECI_QT_TRAFO_ROOT);
+    } else {
+      es_store(S, full_depth, ECI_QT_TRAFO_ROOT);
+    }
+    int64_t split_dist = 0;
+    int q_parts = fa->parts >> ((full_depth + 1) << 1);
+    int split_cbf = 0;
+    int sub = part;
+    for (int i = 0; i < 4; i++) {
+      double c_;
+      split_dist +=
+          es_recur_intra_luma(S, sub, cu_depth, tr_depth + 1, check_first,
+                              &c_);
+      split_cbf |= es_cbf(S, sub, 0, tr_depth + 1);
+      sub += q_parts;
+    }
+    if (split_cbf) {
+      for (int j = 0; j < units; j++) {
+        uint8_t* row = fa->cbf + (int64_t)(uy + j) * fa->uw + ux;
+        for (int i = 0; i < units; i++)
+          row[i] |= (uint8_t)(split_cbf << tr_depth);
+      }
+    }
+    es_load(S, full_depth, ECI_QT_TRAFO_ROOT);
+    int64_t split_bits = es_intra_bits_qt(S, part, cu_depth, tr_depth, 0);
+    double split_cost = es_rd_cost(S, split_bits, split_dist);
+    if (split_cost < single_cost) {
+      *out_cost = split_cost;
+      return split_dist;
+    }
+    es_load(S, full_depth, ECI_QT_TRAFO_TEST);
+    set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, (int8_t)tr_depth);
+    set_region<uint8_t>(fa, fa->cbf, ux, uy, units,
+                        (uint8_t)(single_cbf << tr_depth));
+    set_region<uint8_t>(fa, fa->ts_flag, ux, uy, units,
+                        (uint8_t)(best_mode_id != 0));
+    es_qt_to_frame(S, part, full_depth, 0);
+  }
+  *out_cost = single_cost;
+  return single_dist;
+}
+
+// xModeBitsIntra (TEncSearch.cpp:5889)
+static int64_t es_mode_bits_intra(EncState* S, int part, int mode, int depth,
+                                  int init_tr_depth) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int units = units_at_depth(fa, depth + init_tr_depth);
+  int8_t saved[16 * 16];
+  for (int j = 0; j < units; j++)
+    memcpy(saved + j * units, fa->luma_dir + (int64_t)(uy + j) * fa->uw + ux,
+           units);
+  set_region<int8_t>(fa, fa->luma_dir, ux, uy, units, (int8_t)mode);
+  const uint8_t* curr_ctx = es_snap_ctx(S, depth, ECI_CURR_BEST);
+  S->go.ctx[S->co.intra_pred] = curr_ctx[S->co.intra_pred];
+  S->go.frac_bits = S->snap_frac[depth * ECI_NUM + ECI_CURR_BEST];
+  eb_reset_bits(&S->go);
+  we_intra_dir_luma(S, &S->go, part, 0);
+  int64_t bits = eb_bits(&S->go);
+  for (int j = 0; j < units; j++)
+    memcpy(fa->luma_dir + (int64_t)(uy + j) * fa->uw + ux, saved + j * units,
+           units);
+  return bits;
+}
+
+// xUpdateCandList (TEncSearch.cpp:5905)
+static void es_update_cand(int mode, double cost, int* cand_modes,
+                           double* cand_costs, int n) {
+  int shift = 0;
+  while (shift < n && cost < cand_costs[n - 1 - shift]) shift++;
+  if (shift) {
+    for (int i = 1; i < shift; i++) {
+      cand_modes[n - i] = cand_modes[n - 1 - i];
+      cand_costs[n - i] = cand_costs[n - 1 - i];
+    }
+    cand_modes[n - shift] = mode;
+    cand_costs[n - shift] = cost;
+  }
+}
+
+// luma PU result store/restore
+static void es_save_luma_result(EncState* S, int part, int depth,
+                                int init_tr_depth, LumaStore* st) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int units = units_at_depth(fa, depth + init_tr_depth);
+  int size = fa->ctu_size >> (depth + init_tr_depth);
+  for (int j = 0; j < units; j++) {
+    memcpy(st->tr_idx + j * units,
+           fa->tr_idx + (int64_t)(uy + j) * fa->uw + ux, units);
+    memcpy(st->cbf + j * units, fa->cbf + (int64_t)(uy + j) * fa->uw + ux,
+           units);
+    memcpy(st->ts + j * units,
+           fa->ts_flag + (int64_t)(uy + j) * fa->uw + ux, units);
+  }
+  for (int y = 0; y < size; y++) {
+    memcpy(st->coeff + y * size,
+           fa->coeff_y + (int64_t)(py + y) * S->ls + px,
+           sizeof(int32_t) * size);
+    memcpy(st->rec + y * size, S->rec_y + (int64_t)(py + y) * S->ls + px,
+           sizeof(int16_t) * size);
+  }
+}
+
+static void es_restore_luma_result(EncState* S, int part, int depth,
+                                   int init_tr_depth, const LumaStore* st) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int units = units_at_depth(fa, depth + init_tr_depth);
+  int size = fa->ctu_size >> (depth + init_tr_depth);
+  for (int j = 0; j < units; j++) {
+    memcpy(fa->tr_idx + (int64_t)(uy + j) * fa->uw + ux,
+           st->tr_idx + j * units, units);
+    memcpy(fa->cbf + (int64_t)(uy + j) * fa->uw + ux, st->cbf + j * units,
+           units);
+    memcpy(fa->ts_flag + (int64_t)(uy + j) * fa->uw + ux,
+           st->ts + j * units, units);
+  }
+  for (int y = 0; y < size; y++) {
+    memcpy(fa->coeff_y + (int64_t)(py + y) * S->ls + px,
+           st->coeff + y * size, sizeof(int32_t) * size);
+    memcpy(S->rec_y + (int64_t)(py + y) * S->ls + px, st->rec + y * size,
+           sizeof(int16_t) * size);
+  }
+}
+
+// one PU of estIntraPredQT (luma)
+static int64_t es_search_luma_pu(EncState* S, int part, int depth,
+                                 int init_tr_depth, int size_idx) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> (depth + init_tr_depth);
+  int log2 = 0; while ((1 << log2) < size) log2++;
+  int units = units_at_depth(fa, depth + init_tr_depth);
+
+  int32_t line_raw[4 * 64 + 8], line_filt[4 * 64 + 8];
+  es_adi_luma(S, px, py, size, line_raw, line_filt);
+  int num_full = kIntraModeNumFast[size_idx];
+  int cand_modes[8] = {0};
+  double cand_costs[8];
+  for (int i = 0; i < num_full; i++) cand_costs[i] = MAX_DOUBLE_C;
+
+  int32_t pred[64 * 64];
+  const int16_t* org0 = S->org_y + (int64_t)py * S->ls + px;
+  for (int mode = 0; mode < 35; mode++) {
+    const int32_t* line =
+        use_filtered_c(mode, log2, 1) ? line_filt : line_raw;
+    es_predict(line, size, 4, mode, 1, S->ep.max_val, pred);
+    int64_t sad = calc_had_c(org0, S->ls, pred, size, size, S->ep.bit_inc);
+    int64_t mode_bits = es_mode_bits_intra(S, part, mode, depth,
+                                           init_tr_depth);
+    double cost = (double)sad + (double)mode_bits * S->ep.sqrt_lambda;
+    es_update_cand(mode, cost, cand_modes, cand_costs, num_full);
+  }
+
+  // FAST_UDI_USE_MPM augmentation
+  int left_dir = DC_IDX, above_dir = DC_IDX;
+  if (left_avail(fa, ux, uy) && U(fa->pred_mode, ux - 1, uy) == MODE_INTRA)
+    left_dir = U(fa->luma_dir, ux - 1, uy);
+  if (above_avail(fa, ux, uy, 1) &&
+      U(fa->pred_mode, ux, uy - 1) == MODE_INTRA)
+    above_dir = U(fa->luma_dir, ux, uy - 1);
+  int preds[3];
+  intra_mpm(fa, ux, uy, preds);
+  int num_cand = left_dir == above_dir ? 1 : 2;
+  int rd_list[10];
+  int rd_n = num_full;
+  for (int i = 0; i < num_full; i++) rd_list[i] = cand_modes[i];
+  for (int j = 0; j < num_cand; j++) {
+    int found = 0;
+    for (int i = 0; i < rd_n; i++)
+      if (rd_list[i] == preds[j]) found = 1;
+    if (!found) rd_list[rd_n++] = preds[j];
+  }
+
+  int best_mode = 0;
+  int64_t best_dist = 0;
+  double best_cost = MAX_DOUBLE_C;
+  LumaStore* best_store = S->luma_store[depth + init_tr_depth];
+  int have_store = 0;
+  for (int mi = 0; mi < rd_n; mi++) {
+    int mode = rd_list[mi];
+    set_region<int8_t>(fa, fa->luma_dir, ux, uy, units, (int8_t)mode);
+    es_load(S, depth, ECI_CURR_BEST);
+    double cost;
+    int64_t dist = es_recur_intra_luma(S, part, depth, init_tr_depth, 1,
+                                       &cost);
+    if (cost < best_cost) {
+      best_mode = mode;
+      best_cost = cost;
+      best_dist = dist;
+      es_save_luma_result(S, part, depth, init_tr_depth, best_store);
+      have_store = 1;
+    }
+  }
+
+  set_region<int8_t>(fa, fa->luma_dir, ux, uy, units, (int8_t)best_mode);
+  es_load(S, depth, ECI_CURR_BEST);
+  double cost2;
+  int64_t dist2 = es_recur_intra_luma(S, part, depth, init_tr_depth, 0,
+                                      &cost2);
+  if (cost2 < best_cost) {
+    best_cost = cost2;
+    best_dist = dist2;
+    es_save_luma_result(S, part, depth, init_tr_depth, best_store);
+    have_store = 1;
+  }
+  (void)have_store;
+  es_restore_luma_result(S, part, depth, init_tr_depth, best_store);
+  set_region<int8_t>(fa, fa->luma_dir, ux, uy, units, (int8_t)best_mode);
+  return best_dist;
+}
+
+// estIntraPredQT (bLumaOnly=true)
+static int64_t es_est_intra_pred_qt(EncState* S, int abs_part, int depth) {
+  FrameArrays* fa = &S->fa;
+  int ux0, uy0;
+  es_unit_xy(S, abs_part, &ux0, &uy0);
+  int part_size = U(fa->part_size, ux0, uy0);
+  int num_pu = part_size == SZ_NxN ? 4 : 1;
+  int init_tr_depth = part_size == SZ_2Nx2N ? 0 : 1;
+  int q_parts = (fa->parts >> (depth << 1)) >> 2;
+  int w_ = (fa->ctu_size >> depth) >> (part_size == SZ_NxN ? 1 : 0);
+  int wb = 0; while ((1 << (wb + 1)) <= w_) wb++;
+  int size_idx = wb - 1;
+  if (size_idx < 0) size_idx = 0;
+  if (size_idx > 6) size_idx = 6;
+
+  int64_t overall = 0;
+  for (int pu = 0; pu < num_pu; pu++) {
+    int part = abs_part + pu * (part_size == SZ_NxN ? q_parts : 0);
+    overall += es_search_luma_pu(S, part, depth, init_tr_depth, size_idx);
+  }
+  if (num_pu > 1) {
+    // estIntraPredQT NxN combined-cbf OR (TEncSearch.cpp:2772)
+    int comb[3] = {0, 0, 0};
+    for (int p = 0; p < 4; p++) {
+      int part = abs_part + p * q_parts;
+      int ux, uy;
+      es_unit_xy(S, part, &ux, &uy);
+      for (int c = 0; c < 3; c++)
+        comb[c] |= (U3(fa->cbf, c, ux, uy) >> 1) & 1;
+    }
+    int depth0 = U(fa->depth, ux0, uy0);
+    int units = units_at_depth(fa, depth0);
+    for (int c = 0; c < 3; c++) {
+      if (comb[c]) {
+        for (int j = 0; j < units; j++) {
+          uint8_t* row = fa->cbf + ((int64_t)c * fa->uh + uy0 + j) * fa->uw +
+                         ux0;
+          for (int i = 0; i < units; i++) row[i] |= (uint8_t)comb[c];
+        }
+      }
+    }
+  }
+  es_load(S, depth, ECI_CURR_BEST);
+  return overall;
 }
 
 }  // extern "C"
