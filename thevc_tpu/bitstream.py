@@ -76,6 +76,11 @@ class OutputBitstream:
         self.write(1 if value else 0, 1)
 
     # -- substreams / assembly ---------------------------------------------
+    def write_bytes(self, data: bytes) -> None:
+        """Append whole bytes (stream must be byte-aligned)."""
+        assert self._num_held == 0
+        self._fifo.extend(data)
+
     def add_substream(self, sub: "OutputBitstream") -> None:
         """Append another bitstream bit-by-bit (TComOutputBitstream::addSubstream)."""
         for byte in sub._fifo:

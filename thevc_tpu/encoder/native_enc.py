@@ -1,0 +1,151 @@
+"""Native all-intra encoder glue: drives the C compressSlice/encodeSlice
+core (native/codec_core.cpp enc_*) over the CuEncoder's frame state.
+
+The Python CuEncoder remains the bit-exact reference implementation and
+the fallback for every configuration the native core does not cover
+(inter slices, scaling lists, dQP/rate control, PCM, lossless).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ..cabac import contexts as cc
+from ..params import I_SLICE
+
+
+class NativeCuEncoder:
+    """Wraps a native EncState for one slice."""
+
+    def __init__(self, handle, lib, refs):
+        self.handle = handle
+        self.lib = lib
+        self._refs = refs   # keepalive for arrays referenced by the C state
+        self._out = np.zeros(1 << 22, np.uint8)   # CTU byte sink (reused)
+
+    def compress_ctu(self, ctu_addr: int) -> int:
+        return int(self.lib.enc_compress_ctu(self.handle, ctu_addr))
+
+    def get_go_frac(self) -> int:
+        return int(self.lib.enc_get_go_frac(self.handle))
+
+    def get_slice_ctx(self):
+        ctx = np.zeros(cc.NUM_CTX, np.uint8)
+        frac = ctypes.c_uint64(0)
+        self.lib.enc_get_slice_ctx(self.handle, ctx.ctypes.data,
+                                   ctypes.byref(frac))
+        return ctx, int(frac.value)
+
+    def encode_ctu_real(self, ctu_addr: int, eng, bs) -> None:
+        """Run the real-CABAC final pass for one CTU, sharing the
+        BinEncoder engine state + OutputBitstream with Python."""
+        ctx = eng.ctx
+        low = ctypes.c_uint32(eng.low)
+        rng = ctypes.c_int32(eng.range)
+        bits_left = ctypes.c_int32(eng.bits_left)
+        num_buf = ctypes.c_int32(eng.num_buffered_bytes)
+        buf_byte = ctypes.c_int32(eng.buffered_byte)
+        out = self._out
+        cap = out.shape[0]
+        n = self.lib.enc_encode_ctu(
+            self.handle, ctu_addr, ctx.ctypes.data,
+            ctypes.byref(low), ctypes.byref(rng), ctypes.byref(bits_left),
+            ctypes.byref(num_buf), ctypes.byref(buf_byte),
+            out.ctypes.data, cap)
+        assert n <= cap, "CTU bitstream overflow"
+        eng.low = int(low.value)
+        eng.range = int(rng.value)
+        eng.bits_left = int(bits_left.value)
+        eng.num_buffered_bytes = int(num_buf.value)
+        eng.buffered_byte = int(buf_byte.value)
+        bs.write_bytes(out[:n].tobytes())
+
+    def __del__(self):
+        try:
+            self.lib.enc_destroy(self.handle)
+        except Exception:
+            pass
+
+
+def make_native_encoder(cu) -> NativeCuEncoder | None:
+    """Build the native encoder for this slice, or None if unsupported."""
+    import os
+    if os.environ.get("THEVC_NATIVE", "1") == "0":
+        return None
+    sh, sps, pps, cfg = cu.sh, cu.sps, cu.pps, cu.cfg
+    if sh.slice_type != I_SLICE:
+        return None
+    if cu.scaling is not None:
+        return None
+    if pps.use_dqp or cu.unit_qp is not None:
+        return None
+    if sps.use_pcm:
+        return None              # PCM mode decision not ported
+    if cfg.get("CUTransquantBypassFlagValue", 0):
+        return None              # lossless encode not ported
+    from .. import native
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    from ..decoder.native_parse import fill_frame_arrays
+
+    f = cu.f
+    fa = fill_frame_arrays(f)
+    ep = native.EncParams()
+    ep.slice_type = sh.slice_type
+    ep.slice_qp = sh.slice_qp
+    ep.bit_depth = sps.internal_bit_depth
+    ep.bit_inc = sps.bit_increment
+    ep.max_val = (1 << sps.internal_bit_depth) - 1
+    ep.qp_bd_offset_y = sps.qp_bd_offset_y
+    ep.qp_bd_offset_c = sps.qp_bd_offset_c
+    ep.cb_qp_off = pps.chroma_cb_qp_offset + sh.slice_qp_delta_cb
+    ep.cr_qp_off = pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr
+    ep.use_dqp = 0
+    ep.tq_bypass_enable = int(bool(pps.transquant_bypass_enable_flag))
+    ep.cu_tq_bypass_value = 0
+    ep.use_ts = int(bool(pps.use_transform_skip))
+    ep.ts_fast = int(bool(cfg.get("TransformSkipFast", 1)))
+    ep.use_rdoq = int(bool(cfg.get("RDOQ", 1)))
+    ep.sign_hide = int(bool(pps.sign_hide_flag))
+    ep.use_pcm = 0
+    ep.pcm_log2_min = sps.pcm_log2_min_size
+    ep.pcm_log2_max = sps.pcm_log2_max_size
+    ep.add_cu_depth = sps.add_cu_depth
+    ep.max_tr_log2 = sps.quadtree_tu_log2_max_size
+    ep.min_tr_log2 = sps.quadtree_tu_log2_min_size
+    ep.tu_depth_intra = sps.quadtree_tu_max_depth_intra
+    ep.tu_depth_inter = sps.quadtree_tu_max_depth_inter
+    ep.max_tr_size = sps.max_tr_size
+    ep.use_amp = int(bool(sps.use_amp))
+    ep.lambda_ = cu.rd.lambda_
+    ep.sqrt_lambda = cu.rd.sqrt_lambda
+    ep.chroma_weight = cu.rd.chroma_distortion_weight
+    ep.lambda_luma = cu.lambda_luma
+    ep.lambda_chroma = cu.lambda_chroma
+    ep.slice_end_scu = cu._slice_end_scu()
+    ep.unit_qp = -1
+
+    from .slice_encoder import enc_init_type
+    init = np.ascontiguousarray(
+        cc.make_context_states_idx(enc_init_type(sh, pps), sh.slice_qp),
+        np.uint8)
+
+    org_y = np.ascontiguousarray(cu.org_y, np.int16)
+    org_cb = np.ascontiguousarray(cu.org_cb, np.int16)
+    org_cr = np.ascontiguousarray(cu.org_cr, np.int16)
+    assert cu.rec_y.dtype == np.int16 and cu.rec_y.flags.c_contiguous
+    handle = lib.enc_create(
+        ctypes.byref(fa), ctypes.byref(ep),
+        ctypes.byref(native.ctx_offsets()),
+        ctypes.byref(native.scan_tables()),
+        org_y.ctypes.data, org_cb.ctypes.data, org_cr.ctypes.data,
+        cu.rec_y.ctypes.data, cu.rec_cb.ctypes.data, cu.rec_cr.ctypes.data,
+        cu.rec_y.shape[1], init.ctypes.data)
+    if not handle:
+        return None
+    refs = (fa, ep, init, org_y, org_cb, org_cr, cu.rec_y, cu.rec_cb,
+            cu.rec_cr, f)
+    return NativeCuEncoder(handle, lib, refs)

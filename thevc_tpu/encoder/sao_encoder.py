@@ -152,17 +152,18 @@ class SaoEncoder:
         """SAOProcess: RDO fills frame SAO arrays, then apply offsets."""
         f = self.f
         sh = self.sh
-        self._rdo_sao_unit_all(rec_y, rec_cb, rec_cr)
-
-        # store into frame arrays (decoder storage convention)
-        for comp in range(3):
-            for ctu in range(f.num_ctus):
-                u = self.units[comp][ctu]
-                f.sao_type[comp, ctu] = u.type_idx
-                f.sao_sub_type[comp, ctu] = u.sub_type
-                f.sao_offsets[comp, ctu] = u.offsets
-                f.sao_merge_left[comp, ctu] = bool(u.merge_left)
-                f.sao_merge_up[comp, ctu] = bool(u.merge_up)
+        native_done = self._rdo_native(rec_y, rec_cb, rec_cr)
+        if not native_done:
+            self._rdo_sao_unit_all(rec_y, rec_cb, rec_cr)
+            # store into frame arrays (decoder storage convention)
+            for comp in range(3):
+                for ctu in range(f.num_ctus):
+                    u = self.units[comp][ctu]
+                    f.sao_type[comp, ctu] = u.type_idx
+                    f.sao_sub_type[comp, ctu] = u.sub_type
+                    f.sao_offsets[comp, ctu] = u.offsets
+                    f.sao_merge_left[comp, ctu] = bool(u.merge_left)
+                    f.sao_merge_up[comp, ctu] = bool(u.merge_up)
 
         # TEncEntropy::setEntropyCoder:61-74 — the chroma slice flag is
         # forced 0 when the luma flag is off (and then no SAO data is
@@ -171,6 +172,53 @@ class SaoEncoder:
         sh.sao_enabled_chroma = self.bsao[1] if self.bsao[0] else False
         from ..decoder.filters import sao_frame
         return sao_frame(f, sh, self.sps, rec_y, rec_cb, rec_cr)
+
+    def _rdo_native(self, rec_y, rec_cb, rec_cr) -> bool:
+        """Run rdoSaoUnitAll in the native core; returns False when the
+        native library is unavailable (Python fallback runs instead)."""
+        import os
+        if os.environ.get("THEVC_NATIVE", "1") == "0":
+            return False
+        from .. import native
+        lib = native.get_lib()
+        if lib is None:
+            return False
+        import ctypes
+        from ..decoder.native_parse import fill_frame_arrays
+
+        f = self.f
+        depth = self.gop_depth
+        self.bsao = [True, True]
+        if depth > 0 and self.depth_sao_rate[0][depth - 1] > \
+                SAO_ENCODING_RATE:
+            self.bsao[0] = False
+        if depth > 0 and self.depth_sao_rate[1][depth - 1] > \
+                SAO_ENCODING_RATE_CHROMA:
+            self.bsao[1] = False
+
+        fa = fill_frame_arrays(f)
+        init = np.ascontiguousarray(self.go.ctx, np.uint8)  # slice-init copy
+        rec_y = np.ascontiguousarray(rec_y, np.int16)
+        rec_cb = np.ascontiguousarray(rec_cb, np.int16)
+        rec_cr = np.ascontiguousarray(rec_cr, np.int16)
+        org_y = np.ascontiguousarray(self.org_y, np.int16)
+        org_cb = np.ascontiguousarray(self.org_cb, np.int16)
+        org_cr = np.ascontiguousarray(self.org_cr, np.int16)
+        out_no_sao = np.zeros(2, np.int64)
+        lib.sao_rdo(
+            ctypes.byref(fa), ctypes.byref(native.ctx_offsets()),
+            rec_y.ctypes.data, rec_cb.ctypes.data, rec_cr.ctypes.data,
+            org_y.ctypes.data, org_cb.ctypes.data,
+            org_cr.ctypes.data,
+            rec_y.shape[1], self.sps.internal_bit_depth, self.bit_increment,
+            self.lambda_luma, self.lambda_chroma,
+            int(self.bsao[0]), int(self.bsao[1]),
+            init.ctypes.data, cc.NUM_CTX, self.go.frac_bits,
+            out_no_sao.ctypes.data)
+        n = float(f.num_ctus)
+        self.depth_sao_rate[0][depth] = int(out_no_sao[0]) / n
+        self.depth_sao_rate[1][depth] = int(out_no_sao[1]) / (n * 2)
+        return True
 
     # ==================================================================
     # statistics (calcSaoStatsCuOrg)

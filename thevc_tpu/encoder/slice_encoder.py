@@ -478,6 +478,29 @@ class PictureCompressor:
                 base, _ = cu.snap[0][CI_CURR_BEST]
                 self.dep_mem = [base.copy(), base.copy()]
 
+        # native all-intra fast path (single plain slice, no WPP/tiles/
+        # dep-slices/rate-control): the whole CTU loop incl. the counter
+        # re-encode runs in C (native/codec_core.cpp enc_compress_ctu)
+        n_tiles = (self.tiles.n_cols * self.tiles.n_rows
+                   if self.tiles is not None else 1)
+        if (self.nsub == 1 and n_tiles == 1
+                and not self.allow_dep and self.rc is None
+                and start == 0 and bounding >= f.num_ctus * parts):
+            from .native_enc import make_native_encoder
+            nat = make_native_encoder(cu)
+            if nat is not None:
+                for enc in range(f.num_ctus):
+                    ctu = int(f.ctu_order[enc])
+                    self._mark_ctu(ctu, sh, slice_idx)
+                    self.pic_total_bits += nat.compress_ctu(ctu)
+                cu.snap[0][CI_CURR_BEST] = nat.get_slice_ctx()
+                # the SAO RDO coder keeps the GoOn counter's fractional-bit
+                # residue from the end of compressSlice (startSaoEnc
+                # resetEntropy does not clear m_fracBits)
+                cu.go_on.frac_bits = nat.get_go_frac()
+                cu._native = nat      # reused by the final entropy pass
+                return
+
         tile_col = 0
         for enc in range(start // parts, (bounding + parts - 1) // parts):
             ctu = int(f.ctu_order[enc])
@@ -640,7 +663,11 @@ class PictureCompressor:
                              self._tile_of(ctu - ctus_w) == tile)
                 sao_write(w, ctu, ctu - slice_start_raster_lcu,
                           tile_ok_l, tile_ok_u)
-            cu.encode_ctu(ctu, w)
+            nat = getattr(cu, "_native", None)
+            if nat is not None:
+                nat.encode_ctu_real(ctu, eng, subs[sub])
+            else:
+                cu.encode_ctu(ctu, w)
 
             if (col == tile_lcux + 1
                     and (self.allow_dep or self.nsub > 1)

@@ -646,6 +646,8 @@ class Encoder:
             acc[4] += 1
         return psnrs
 
+    log_sink = None   # set to a list to capture per-POC lines (parallel path)
+
     def _print_poc_line(self, sh, uibits, psnrs, enc_time, list0, list1,
                         digest, digest_method, referenced) -> None:
         """Per-POC log line (TEncGOP.cpp:1690-1759 + digest print :1195)."""
@@ -667,7 +669,10 @@ class Encoder:
         if digest is not None:
             tag = ("MD5", "CRC", "Checksum")[digest_method - 1]
             line += " [%s:%s]" % (tag, ",".join(d.hex() for d in digest))
-        print(line)
+        if self.log_sink is not None:
+            self.log_sink.append(line)
+        else:
+            print(line)
 
     def print_summary(self) -> None:
         """printOutSummary (TEncGOP.cpp:1321-1355) + TEncAnalyze printOut."""
@@ -716,6 +721,91 @@ class Encoder:
         return sigma_b / ravg * f
 
     # ------------------------------------------------------------------
+    # Frame-parallel all-intra encoding.  Intra pictures are pixel-
+    # independent, so the per-frame pipeline (compressSlice RD + filters +
+    # SAO RDO + final CABAC pass — all running in the native core, which
+    # releases the GIL) is farmed out to a thread pool; the cross-frame
+    # bookkeeping (PSNR/analyze accumulation, per-POC log order, bitstream
+    # concatenation) is replayed in POC order afterwards, so the output is
+    # bit-identical to the serial path.
+    # ------------------------------------------------------------------
+    def _can_encode_parallel(self, n: int) -> bool:
+        import os
+        if n <= 1 or self.rate_ctrl is not None:
+            return False
+        if self.cfg.intra_period != 1 or self.cfg.gop_size > 1:
+            return False
+        if os.environ.get("THEVC_NATIVE", "1") == "0":
+            return False
+        if os.environ.get("THEVC_THREADS", "") == "1":
+            return False
+        from .. import native
+        return native.get_lib() is not None
+
+    def _encode_all_intra_parallel(self, frames, writer, reader, out_path):
+        import copy
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        class _RefStub:
+            """Placeholder DPB entry: RPS bookkeeping only (intra pictures
+            never read reference samples)."""
+            __slots__ = ("poc", "referenced", "is_long_term", "temporal_id")
+
+            def __init__(self, poc):
+                self.poc = poc
+                self.referenced = True
+                self.is_long_term = False
+                self.temporal_id = 0
+
+        n = len(frames)
+
+        def job(poc):
+            w = copy.copy(self)
+            w.dpb = Dpb()
+            for p in range(poc):
+                w.dpb.add(_RefStub(p))
+            w.analyze = {k: [0.0, 0.0, 0.0, 0.0, 0] for k in "aipb"}
+            w.rvm_rp = []
+            w.psnr_sums = [0.0, 0.0, 0.0]
+            w.frames_encoded = 0
+            w.total_bits = 0
+            w.log_sink = []
+            w._sao_rate_state = [list(r) for r in self._sao_rate_state]
+            data, rec = w.encode_frame(frames[poc], poc, poc == 0, 0)
+            return w, data, rec
+
+        workers = int(os.environ.get("THEVC_THREADS", "0")) or \
+            min(os.cpu_count() or 4, 16)
+        chunks = []
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            results = list(ex.map(job, range(n)))
+        for poc, (w, data, rec) in enumerate(results):
+            chunks.append(data)
+            if self.verbose:
+                for line in w.log_sink:
+                    print(line)
+            self.frames_encoded += w.frames_encoded
+            self.total_bits += w.total_bits
+            for i in range(3):
+                self.psnr_sums[i] += w.psnr_sums[i]
+            self.rvm_rp.extend(w.rvm_rp)
+            for k in "aipb":
+                for i in range(4):
+                    self.analyze[k][i] += w.analyze[k][i]
+                self.analyze[k][4] += w.analyze[k][4]
+            if writer is not None:
+                writer.write_frame(rec)
+        reader.close()
+        if writer is not None:
+            writer.close()
+        stream = b"".join(chunks)
+        if out_path:
+            with open(out_path, "wb") as fh:
+                fh.write(stream)
+        return stream
+
+    # ------------------------------------------------------------------
     def encode(self, out_path: str | None = None):
         """Drive the whole sequence per the cfg; returns bitstream bytes."""
         cfg = self.cfg
@@ -739,6 +829,10 @@ class Encoder:
                 break
             frames.append(org)
         n = len(frames)
+
+        if self._can_encode_parallel(n):
+            return self._encode_all_intra_parallel(frames, writer, reader,
+                                                   out_path)
 
         recons = {}
         first = True

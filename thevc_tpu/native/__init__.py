@@ -203,6 +203,23 @@ class SliceParams(ctypes.Structure):
         + [("col_poc", ctypes.c_int32), ("has_col", ctypes.c_int32)])
 
 
+class EncParams(ctypes.Structure):
+    _fields_ = (
+        [(n, ctypes.c_int32) for n in
+         ("slice_type", "slice_qp", "bit_depth", "bit_inc", "max_val",
+          "qp_bd_offset_y", "qp_bd_offset_c", "cb_qp_off", "cr_qp_off",
+          "use_dqp", "tq_bypass_enable", "cu_tq_bypass_value",
+          "use_ts", "ts_fast", "use_rdoq", "sign_hide",
+          "use_pcm", "pcm_log2_min", "pcm_log2_max",
+          "add_cu_depth", "max_tr_log2", "min_tr_log2", "tu_depth_intra",
+          "tu_depth_inter", "max_tr_size", "use_amp")]
+        + [(n, ctypes.c_double) for n in
+           ("lambda_", "sqrt_lambda", "chroma_weight", "lambda_luma",
+            "lambda_chroma")]
+        + [("slice_end_scu", ctypes.c_int32),
+           ("unit_qp", ctypes.c_int32)])
+
+
 def get_lib():
     """Load (building if needed) the native library, or None."""
     global _lib, _tried
@@ -244,6 +261,39 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.sao_rdo.restype = None
+        lib.sao_rdo.argtypes = [
+            ctypes.POINTER(FrameArrays), ctypes.POINTER(CtxOffsets)] + \
+            [ctypes.c_void_p] * 6 + \
+            [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+             ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+             ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+             ctypes.c_uint64, ctypes.c_void_p]
+        lib.enc_create.restype = ctypes.c_void_p
+        lib.enc_create.argtypes = [
+            ctypes.POINTER(FrameArrays), ctypes.POINTER(EncParams),
+            ctypes.POINTER(CtxOffsets), ctypes.POINTER(ScanTables),
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p]
+        lib.enc_destroy.restype = None
+        lib.enc_destroy.argtypes = [ctypes.c_void_p]
+        lib.enc_set_slice_ctx.restype = None
+        lib.enc_set_slice_ctx.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
+        lib.enc_get_go_frac.restype = ctypes.c_uint64
+        lib.enc_get_go_frac.argtypes = [ctypes.c_void_p]
+        lib.enc_get_slice_ctx.restype = None
+        lib.enc_get_slice_ctx.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.enc_compress_ctu.restype = ctypes.c_int64
+        lib.enc_compress_ctu.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.enc_encode_ctu.restype = ctypes.c_int64
+        lib.enc_encode_ctu.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
         lib.parse_slice_data.restype = ctypes.c_int
         lib.parse_slice_data.argtypes = [
             ctypes.POINTER(FrameArrays), ctypes.POINTER(SliceParams),

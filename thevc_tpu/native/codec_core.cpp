@@ -3292,10 +3292,53 @@ static void build_est_bits_c(const CtxOffsets* co, const uint8_t* states,
 // ---------------------------------------------------------------------------
 // forward transform + quant (TComTrQuant xT :1542 / xQuant :1102)
 // ---------------------------------------------------------------------------
+// 1-D forward DCT via even/odd decomposition (partialButterflyN;
+// identical integer sums as the direct matrix product)
+static void fwd_dct_1d(const int32_t* x, int size, int32_t* out) {
+  if (size == 4) {
+    int32_t e0 = x[0] + x[3], e1 = x[1] + x[2];
+    int32_t o0 = x[0] - x[3], o1 = x[1] - x[2];
+    out[0] = 64 * (e0 + e1);
+    out[2] = 64 * (e0 - e1);
+    out[1] = 83 * o0 + 36 * o1;
+    out[3] = 36 * o0 - 83 * o1;
+    return;
+  }
+  int h = size / 2;
+  int32_t E[16], O[16], EO[16];
+  for (int i = 0; i < h; i++) {
+    E[i] = x[i] + x[size - 1 - i];
+    O[i] = x[i] - x[size - 1 - i];
+  }
+  fwd_dct_1d(E, h, EO);
+  const int32_t* T;
+  switch (size) {
+    case 8: T = &kDct8[0][0]; break;
+    case 16: T = &kDct16[0][0]; break;
+    default: T = &kDct32[0][0]; break;
+  }
+  for (int m = 0; m < h; m++) out[2 * m] = EO[m];
+  for (int m = 0; m < h; m++) {
+    const int32_t* row = T + (2 * m + 1) * size;
+    int32_t acc = 0;
+    for (int n = 0; n < h; n++) acc += row[n] * O[n];
+    out[2 * m + 1] = acc;
+  }
+}
+
 // out[k][j] = (sum_n T[k][n] * in[j][n] + add) >> shift   (both passes)
 static void fwd_pass(const int32_t* x, const int32_t* t, int size, int shift,
                      int32_t* y) {
   int32_t add = 1 << (shift - 1);
+  if (t != &kDst4[0][0]) {
+    int32_t tmp[32];
+    for (int j = 0; j < size; j++) {
+      fwd_dct_1d(x + j * size, size, tmp);
+      for (int k = 0; k < size; k++)
+        y[k * size + j] = (tmp[k] + add) >> shift;
+    }
+    return;
+  }
   for (int k = 0; k < size; k++) {
     const int32_t* trow = t + k * size;
     for (int j = 0; j < size; j++) {
@@ -4073,7 +4116,8 @@ struct EncState {
   ScanTables sc;
   const int16_t *org_y, *org_cb, *org_cr;
   int16_t *rec_y, *rec_cb, *rec_cr;
-  int64_t ls, cs;                // luma/chroma plane strides
+  int64_t ls, cs;                // coeff-plane strides (padded to CTUs)
+  int64_t rls, rcs;              // rec/org plane strides (picture dims)
   int num_ctx, depths, n_layers, log2_ctu_v;
   uint8_t* snap_ctx;             // [depths][ECI_NUM][num_ctx]
   uint64_t* snap_frac;
@@ -4582,7 +4626,7 @@ static void es_adi_luma(EncState* S, int px, int py, int size,
   uint8_t flags[4 * 32 + 1];
   es_tu_flags(&S->fa, px / 4, py / 4, size / 4, flags);
   int dc = 1 << (S->ep.bit_depth - 1);
-  fill_reference_line_c(S->rec_y, S->ls, px, py, size, 4, flags, dc,
+  fill_reference_line_c(S->rec_y, S->rls, px, py, size, 4, flags, dc,
                         line_raw);
   memcpy(line_filt, line_raw, sizeof(int32_t) * (4 * size + 4));
   smooth_line_c(line_filt, size, 4);
@@ -4594,7 +4638,7 @@ static void es_adi_chroma(EncState* S, int cx, int cy, int size, int comp,
   es_tu_flags(&S->fa, cx / 2, cy / 2, size / 2, flags);
   int dc = 1 << (S->ep.bit_depth - 1);
   const int16_t* plane = comp == 1 ? S->rec_cb : S->rec_cr;
-  fill_reference_line_c(plane, S->cs, cx, cy, size, 2, flags, dc, line);
+  fill_reference_line_c(plane, S->rcs, cx, cy, size, 2, flags, dc, line);
 }
 
 // ---------------------------------------------------------------------------
@@ -4679,7 +4723,7 @@ static int64_t es_intra_luma_blk(EncState* S, int part, int cu_depth,
   for (int y = 0; y < size; y++)
     for (int x = 0; x < size; x++)
       resi[y * size + x] =
-          (int32_t)S->org_y[(int64_t)(py + y) * S->ls + px + x] -
+          (int32_t)S->org_y[(int64_t)(py + y) * S->rls + px + x] -
           pred[y * size + x];
 
   set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, (int8_t)tr_depth);
@@ -4714,13 +4758,13 @@ static int64_t es_intra_luma_blk(EncState* S, int part, int cu_depth,
                                                            : v));
       qr[(ly + y) * ctu + lx + x] = r;
       qc[(ly + y) * ctu + lx + x] = levels[y * size + x];
-      S->rec_y[(int64_t)(py + y) * S->ls + px + x] = r;
+      S->rec_y[(int64_t)(py + y) * S->rls + px + x] = r;
       fa->coeff_y[(int64_t)(py + y) * S->ls + px + x] = levels[y * size + x];
     }
   }
-  const int16_t* rec0 = S->rec_y + (int64_t)py * S->ls + px;
-  const int16_t* org0 = S->org_y + (int64_t)py * S->ls + px;
-  return es_sse(S, rec0, S->ls, org0, S->ls, size, 0);
+  const int16_t* rec0 = S->rec_y + (int64_t)py * S->rls + px;
+  const int16_t* org0 = S->org_y + (int64_t)py * S->rls + px;
+  return es_sse(S, rec0, S->rls, org0, S->rls, size, 0);
 }
 
 // getQuadtreeTULog2MinSizeInCU (encoder view)
@@ -4919,14 +4963,15 @@ static void es_load_tu(EncState* S, int part, int full_depth, int plane,
   es_ctu_local(S, part, &lx, &ly);
   int ctu = fa->ctu_size;
   int stride = ctu;
-  int64_t pstride = S->ls;
+  int64_t rstride = S->rls, cstride = S->ls;
   int16_t* rec_plane = S->rec_y;
   int32_t* coeff_plane = fa->coeff_y;
   if (plane != 0) {
     size = es_chroma_tu_size(S, full_depth);
     px /= 2; py /= 2; lx /= 2; ly /= 2;
     stride = ctu / 2;
-    pstride = S->cs;
+    rstride = S->rcs;
+    cstride = S->cs;
     rec_plane = plane == 1 ? S->rec_cb : S->rec_cr;
     coeff_plane = plane == 1 ? fa->coeff_cb : fa->coeff_cr;
   }
@@ -4935,9 +4980,9 @@ static void es_load_tu(EncState* S, int part, int full_depth, int plane,
            st->rec + y * size, sizeof(int16_t) * size);
     memcpy(S->qt_coeff[layer][plane] + (ly + y) * stride + lx,
            st->coeff + y * size, sizeof(int32_t) * size);
-    memcpy(rec_plane + (int64_t)(py + y) * pstride + px, st->rec + y * size,
+    memcpy(rec_plane + (int64_t)(py + y) * rstride + px, st->rec + y * size,
            sizeof(int16_t) * size);
-    memcpy(coeff_plane + (int64_t)(py + y) * pstride + px,
+    memcpy(coeff_plane + (int64_t)(py + y) * cstride + px,
            st->coeff + y * size, sizeof(int32_t) * size);
   }
 }
@@ -4954,22 +4999,23 @@ static void es_qt_to_frame(EncState* S, int part, int full_depth,
   es_ctu_local(S, part, &lx, &ly);
   int ctu = fa->ctu_size;
   int stride = ctu;
-  int64_t pstride = S->ls;
+  int64_t rstride = S->rls, cstride = S->ls;
   int16_t* rec_plane = S->rec_y;
   int32_t* coeff_plane = fa->coeff_y;
   if (plane != 0) {
     size = es_chroma_tu_size(S, full_depth);
     px /= 2; py /= 2; lx /= 2; ly /= 2;
     stride = ctu / 2;
-    pstride = S->cs;
+    rstride = S->rcs;
+    cstride = S->cs;
     rec_plane = plane == 1 ? S->rec_cb : S->rec_cr;
     coeff_plane = plane == 1 ? fa->coeff_cb : fa->coeff_cr;
   }
   for (int y = 0; y < size; y++) {
-    memcpy(rec_plane + (int64_t)(py + y) * pstride + px,
+    memcpy(rec_plane + (int64_t)(py + y) * rstride + px,
            S->qt_rec[layer][plane] + (ly + y) * stride + lx,
            sizeof(int16_t) * size);
-    memcpy(coeff_plane + (int64_t)(py + y) * pstride + px,
+    memcpy(coeff_plane + (int64_t)(py + y) * cstride + px,
            S->qt_coeff[layer][plane] + (ly + y) * stride + lx,
            sizeof(int32_t) * size);
   }
@@ -5154,7 +5200,7 @@ static void es_save_luma_result(EncState* S, int part, int depth,
     memcpy(st->coeff + y * size,
            fa->coeff_y + (int64_t)(py + y) * S->ls + px,
            sizeof(int32_t) * size);
-    memcpy(st->rec + y * size, S->rec_y + (int64_t)(py + y) * S->ls + px,
+    memcpy(st->rec + y * size, S->rec_y + (int64_t)(py + y) * S->rls + px,
            sizeof(int16_t) * size);
   }
 }
@@ -5178,7 +5224,7 @@ static void es_restore_luma_result(EncState* S, int part, int depth,
   for (int y = 0; y < size; y++) {
     memcpy(fa->coeff_y + (int64_t)(py + y) * S->ls + px,
            st->coeff + y * size, sizeof(int32_t) * size);
-    memcpy(S->rec_y + (int64_t)(py + y) * S->ls + px, st->rec + y * size,
+    memcpy(S->rec_y + (int64_t)(py + y) * S->rls + px, st->rec + y * size,
            sizeof(int16_t) * size);
   }
 }
@@ -5202,12 +5248,12 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   for (int i = 0; i < num_full; i++) cand_costs[i] = MAX_DOUBLE_C;
 
   int32_t pred[64 * 64];
-  const int16_t* org0 = S->org_y + (int64_t)py * S->ls + px;
+  const int16_t* org0 = S->org_y + (int64_t)py * S->rls + px;
   for (int mode = 0; mode < 35; mode++) {
     const int32_t* line =
         use_filtered_c(mode, log2, 1) ? line_filt : line_raw;
     es_predict(line, size, 4, mode, 1, S->ep.max_val, pred);
-    int64_t sad = calc_had_c(org0, S->ls, pred, size, size, S->ep.bit_inc);
+    int64_t sad = calc_had_c(org0, S->rls, pred, size, size, S->ep.bit_inc);
     int64_t mode_bits = es_mode_bits_intra(S, part, mode, depth,
                                            init_tr_depth);
     double cost = (double)sad + (double)mode_bits * S->ep.sqrt_lambda;
@@ -5316,6 +5362,1491 @@ static int64_t es_est_intra_pred_qt(EncState* S, int abs_part, int depth) {
   }
   es_load(S, depth, ECI_CURR_BEST);
   return overall;
+}
+
+// ---------------------------------------------------------------------------
+// chroma search (estIntraPredChromaQT :2806)
+// ---------------------------------------------------------------------------
+static int64_t es_intra_chroma_blk(EncState* S, int part, int cu_depth,
+                                   int tr_depth, int comp, int d0s1l2) {
+  FrameArrays* fa = &S->fa;
+  int org_tr_depth = tr_depth;
+  int full_depth = cu_depth + tr_depth;
+  int log2_tr = S->log2_ctu_v - full_depth;
+  int td = tr_depth;
+  if (log2_tr == 2) {
+    td -= 1;
+    int q_div = fa->parts >> ((cu_depth + td) << 1);
+    if (part % q_div != 0) return 0;
+  }
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int size = (fa->ctu_size >> cu_depth) >> (td + 1);
+  int px = ux * 4, py = uy * 4;
+  int cx = px / 2, cy = py / 2;
+  int use_ts = U3(fa->ts_flag, comp, ux, uy);
+
+  int cu_parts = fa->parts >> (cu_depth << 1);
+  int cu_start = (part / cu_parts) * cu_parts;
+  int cux, cuy;
+  es_unit_xy(S, cu_start, &cux, &cuy);
+  int mode = U(fa->chroma_dir, ux, uy);
+  if (mode == DM_CHROMA_IDX) mode = U(fa->luma_dir, cux, cuy);
+
+  int32_t pred_buf[32 * 32];
+  int32_t* pred;
+  if (d0s1l2 != 2) {
+    int32_t line[4 * 32 + 4];
+    es_adi_chroma(S, cx, cy, size, comp, line);
+    es_predict(line, size, 2, mode, 0, S->ep.max_val, pred_buf);
+    pred = pred_buf;
+    if (d0s1l2 == 1)
+      memcpy(S->shared_pred[comp], pred_buf, sizeof(int32_t) * size * size);
+  } else {
+    pred = S->shared_pred[comp];
+  }
+
+  const int16_t* org_plane = comp == 1 ? S->org_cb : S->org_cr;
+  int16_t* rec_plane = comp == 1 ? S->rec_cb : S->rec_cr;
+  int32_t* coeff_plane = comp == 1 ? fa->coeff_cb : fa->coeff_cr;
+
+  int32_t resi[32 * 32];
+  for (int y = 0; y < size; y++)
+    for (int x = 0; x < size; x++)
+      resi[y * size + x] =
+          (int32_t)org_plane[(int64_t)(cy + y) * S->rcs + cx + x] -
+          pred[y * size + x];
+
+  int qp_off = comp == 1 ? S->ep.cb_qp_off : S->ep.cr_qp_off;
+  int qps = es_qp_scaled_chroma(S, U(fa->qp, ux, uy), qp_off);
+  int32_t levels[32 * 32];
+  int64_t abs_sum = es_xform_quant(S, part, resi, size, qps, 0, comp,
+                                   use_ts, org_tr_depth, levels);
+
+  int units_td = units_at_depth(fa, cu_depth + td);
+  int cbf = abs_sum ? 1 : 0;
+  set_region<uint8_t>(fa, fa->cbf + (int64_t)comp * fa->uh * fa->uw, ux, uy,
+                      units_td, (uint8_t)(cbf << org_tr_depth));
+
+  int32_t resi_rec[32 * 32];
+  if (abs_sum) {
+    residual_c(levels, size, 0, 0, size, qps, 0, use_ts, 0, S->ep.bit_inc,
+               dct_basis(size), resi_rec);
+  } else {
+    memset(levels, 0, sizeof(int32_t) * size * size);
+    memset(resi_rec, 0, sizeof(int32_t) * size * size);
+  }
+
+  int layer = es_qt_layer(S, full_depth);
+  int lx, ly;
+  es_ctu_local(S, part, &lx, &ly);
+  int plane_id = comp;  // 1=cb 2=cr
+  int stride = fa->ctu_size / 2;
+  for (int y = 0; y < size; y++) {
+    for (int x = 0; x < size; x++) {
+      int v = pred[y * size + x] + resi_rec[y * size + x];
+      int16_t r = (int16_t)(v < 0 ? 0 : (v > S->ep.max_val ? S->ep.max_val
+                                                           : v));
+      S->qt_rec[layer][plane_id][(ly / 2 + y) * stride + lx / 2 + x] = r;
+      S->qt_coeff[layer][plane_id][(ly / 2 + y) * stride + lx / 2 + x] =
+          levels[y * size + x];
+      rec_plane[(int64_t)(cy + y) * S->rcs + cx + x] = r;
+      coeff_plane[(int64_t)(cy + y) * S->cs + cx + x] = levels[y * size + x];
+    }
+  }
+  return es_sse(S, rec_plane + (int64_t)cy * S->rcs + cx, S->rcs,
+                org_plane + (int64_t)cy * S->rcs + cx, S->rcs, size, 1);
+}
+
+// xRecurIntraChromaCodingQT (TEncSearch.cpp:2160)
+static int64_t es_recur_intra_chroma(EncState* S, int part, int cu_depth,
+                                     int tr_depth) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, part, &ux, &uy);
+  int full_depth = cu_depth + tr_depth;
+  int tr_mode = U(fa->tr_idx, ux, uy);
+  int64_t dist = 0;
+  if (tr_mode == tr_depth) {
+    int log2_tr = S->log2_ctu_v - full_depth;
+    int actual_td = tr_depth;
+    if (log2_tr == 2) {
+      actual_td -= 1;
+      int q_div = fa->parts >> ((cu_depth + actual_td) << 1);
+      if (part % q_div != 0) return 0;
+    }
+    int check_ts = S->ep.use_ts && log2_tr <= 3;
+    if (S->ep.ts_fast) {
+      check_ts = check_ts && log2_tr < 3;
+      if (check_ts) {
+        int n_skip = 0;
+        for (int sub = part; sub < part + 4; sub++) {
+          int sux, suy;
+          es_unit_xy(S, sub, &sux, &suy);
+          n_skip += U3(fa->ts_flag, 0, sux, suy) ? 1 : 0;
+        }
+        check_ts = check_ts && n_skip > 0;
+      }
+    }
+    int units_a = units_at_depth(fa, cu_depth + actual_td);
+    if (check_ts) {
+      es_store(S, full_depth, ECI_QT_TRAFO_ROOT);
+      for (int comp = 1; comp <= 2; comp++) {
+        double single_cost = MAX_DOUBLE_C;
+        int best_mode_id = 0;
+        int64_t single_dist_c = 0;
+        int single_cbf_c = 0;
+        TuStore* best_tmp = S->tu_store[full_depth][comp];
+        for (int mode_id = 0; mode_id <= 1; mode_id++) {
+          set_region<uint8_t>(fa,
+                              fa->ts_flag + (int64_t)comp * fa->uh * fa->uw,
+                              ux, uy, units_a, (uint8_t)(mode_id != 0));
+          int d0s1l2 = mode_id == 0 ? 1 : 2;
+          int64_t dist_tmp =
+              es_intra_chroma_blk(S, part, cu_depth, tr_depth, comp, d0s1l2);
+          int cbf_tmp = es_cbf(S, part, comp, tr_depth);
+          double cost_tmp;
+          if (mode_id == 1 && cbf_tmp == 0) {
+            cost_tmp = MAX_DOUBLE_C;
+          } else {
+            int64_t bits_tmp =
+                es_intra_bits_qt_chroma(S, part, cu_depth, tr_depth, comp);
+            cost_tmp = es_rd_cost(S, bits_tmp, dist_tmp);
+          }
+          if (cost_tmp < single_cost) {
+            single_cost = cost_tmp;
+            single_dist_c = dist_tmp;
+            best_mode_id = mode_id;
+            single_cbf_c = cbf_tmp;
+            if (mode_id == 0) {
+              es_store_tu(S, part, full_depth, comp, best_tmp);
+              es_store(S, full_depth, ECI_TEMP_BEST);
+            }
+          }
+          if (mode_id == 0) es_load(S, full_depth, ECI_QT_TRAFO_ROOT);
+        }
+        if (best_mode_id == 0) {
+          es_load_tu(S, part, full_depth, comp, best_tmp);
+          set_region<uint8_t>(fa, fa->cbf + (int64_t)comp * fa->uh * fa->uw,
+                              ux, uy, units_a,
+                              (uint8_t)(single_cbf_c << tr_depth));
+          es_load(S, full_depth, ECI_TEMP_BEST);
+        }
+        set_region<uint8_t>(fa, fa->ts_flag + (int64_t)comp * fa->uh *
+                                    fa->uw,
+                            ux, uy, units_a, (uint8_t)(best_mode_id != 0));
+        dist += single_dist_c;
+        if (comp == 1) es_store(S, full_depth, ECI_QT_TRAFO_ROOT);
+      }
+    } else {
+      set_region<uint8_t>(fa, fa->ts_flag + (int64_t)1 * fa->uh * fa->uw,
+                          ux, uy, units_a, 0);
+      set_region<uint8_t>(fa, fa->ts_flag + (int64_t)2 * fa->uh * fa->uw,
+                          ux, uy, units_a, 0);
+      dist += es_intra_chroma_blk(S, part, cu_depth, tr_depth, 1, 0);
+      dist += es_intra_chroma_blk(S, part, cu_depth, tr_depth, 2, 0);
+    }
+  } else {
+    int q_parts = fa->parts >> ((full_depth + 1) << 1);
+    int split_cbf_u = 0, split_cbf_v = 0;
+    int sub = part;
+    for (int p = 0; p < 4; p++) {
+      dist += es_recur_intra_chroma(S, sub, cu_depth, tr_depth + 1);
+      split_cbf_u |= es_cbf(S, sub, 1, tr_depth + 1);
+      split_cbf_v |= es_cbf(S, sub, 2, tr_depth + 1);
+      sub += q_parts;
+    }
+    int units = units_at_depth(fa, full_depth);
+    for (int c = 1; c <= 2; c++) {
+      int v = c == 1 ? split_cbf_u : split_cbf_v;
+      if (v) {
+        for (int j = 0; j < units; j++) {
+          uint8_t* row =
+              fa->cbf + ((int64_t)c * fa->uh + uy + j) * fa->uw + ux;
+          for (int i = 0; i < units; i++) row[i] |= (uint8_t)(v << tr_depth);
+        }
+      }
+    }
+  }
+  return dist;
+}
+
+static void es_save_chroma(EncState* S, int abs_part, int depth,
+                           ChromaStore* st) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int units = units_at_depth(fa, depth);
+  int cs_ = (fa->ctu_size >> depth) / 2;
+  for (int c = 0; c < 2; c++)
+    for (int j = 0; j < units; j++) {
+      memcpy(st->cbf[c] + j * units,
+             fa->cbf + ((int64_t)(c + 1) * fa->uh + uy + j) * fa->uw + ux,
+             units);
+      memcpy(st->ts[c] + j * units,
+             fa->ts_flag + ((int64_t)(c + 1) * fa->uh + uy + j) * fa->uw +
+                 ux,
+             units);
+    }
+  for (int y = 0; y < cs_; y++) {
+    memcpy(st->coeff_cb + y * cs_,
+           fa->coeff_cb + (int64_t)(py / 2 + y) * S->cs + px / 2,
+           sizeof(int32_t) * cs_);
+    memcpy(st->coeff_cr + y * cs_,
+           fa->coeff_cr + (int64_t)(py / 2 + y) * S->cs + px / 2,
+           sizeof(int32_t) * cs_);
+    memcpy(st->rec_cb + y * cs_,
+           S->rec_cb + (int64_t)(py / 2 + y) * S->rcs + px / 2,
+           sizeof(int16_t) * cs_);
+    memcpy(st->rec_cr + y * cs_,
+           S->rec_cr + (int64_t)(py / 2 + y) * S->rcs + px / 2,
+           sizeof(int16_t) * cs_);
+  }
+}
+
+static void es_restore_chroma(EncState* S, int abs_part, int depth,
+                              const ChromaStore* st) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int units = units_at_depth(fa, depth);
+  int cs_ = (fa->ctu_size >> depth) / 2;
+  for (int c = 0; c < 2; c++)
+    for (int j = 0; j < units; j++) {
+      memcpy(fa->cbf + ((int64_t)(c + 1) * fa->uh + uy + j) * fa->uw + ux,
+             st->cbf[c] + j * units, units);
+      memcpy(fa->ts_flag + ((int64_t)(c + 1) * fa->uh + uy + j) * fa->uw +
+                 ux,
+             st->ts[c] + j * units, units);
+    }
+  for (int y = 0; y < cs_; y++) {
+    memcpy(fa->coeff_cb + (int64_t)(py / 2 + y) * S->cs + px / 2,
+           st->coeff_cb + y * cs_, sizeof(int32_t) * cs_);
+    memcpy(fa->coeff_cr + (int64_t)(py / 2 + y) * S->cs + px / 2,
+           st->coeff_cr + y * cs_, sizeof(int32_t) * cs_);
+    memcpy(S->rec_cb + (int64_t)(py / 2 + y) * S->rcs + px / 2,
+           st->rec_cb + y * cs_, sizeof(int16_t) * cs_);
+    memcpy(S->rec_cr + (int64_t)(py / 2 + y) * S->rcs + px / 2,
+           st->rec_cr + y * cs_, sizeof(int16_t) * cs_);
+  }
+}
+
+static int64_t es_est_intra_chroma(EncState* S, int abs_part, int depth) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int units = units_at_depth(fa, depth);
+  int mode_list[5];
+  es_allowed_chroma(S, ux, uy, mode_list);
+  int best_mode = 0;
+  int64_t best_dist = 0;
+  double best_cost = MAX_DOUBLE_C;
+  ChromaStore* best_store = S->chroma_store[depth];
+  for (int mi = 0; mi < 5; mi++) {
+    int mode = mode_list[mi];
+    es_load(S, depth, ECI_CURR_BEST);
+    set_region<int8_t>(fa, fa->chroma_dir, ux, uy, units, (int8_t)mode);
+    int64_t dist = es_recur_intra_chroma(S, abs_part, depth, 0);
+    if (S->ep.use_ts) es_load(S, depth, ECI_CURR_BEST);
+    int64_t bits = es_intra_bits_qt(S, abs_part, depth, 0, 1);
+    double cost = es_rd_cost(S, bits, dist);
+    if (cost < best_cost) {
+      best_cost = cost;
+      best_dist = dist;
+      best_mode = mode;
+      es_save_chroma(S, abs_part, depth, best_store);
+    }
+  }
+  es_restore_chroma(S, abs_part, depth, best_store);
+  set_region<int8_t>(fa, fa->chroma_dir, ux, uy, units, (int8_t)best_mode);
+  es_load(S, depth, ECI_CURR_BEST);
+  return best_dist;
+}
+
+// ---------------------------------------------------------------------------
+// frame-region snapshots (stand-in for best/temp CU + YUV buffers)
+// ---------------------------------------------------------------------------
+static void es_save_region(EncState* S, int abs_part, int depth,
+                           RegionSnap* snap) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int units = fa->upr >> depth;
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  const int8_t* attrs[9] = {fa->depth, fa->pred_mode, fa->part_size,
+                            fa->luma_dir, fa->chroma_dir, fa->tr_idx,
+                            fa->qp, (int8_t*)fa->tq_bypass,
+                            (int8_t*)fa->ipcm};
+  for (int a = 0; a < 9; a++)
+    for (int j = 0; j < units; j++)
+      memcpy(snap->attrs[a] + j * units,
+             attrs[a] + (int64_t)(uy + j) * fa->uw + ux, units);
+  for (int j = 0; j < units; j++)
+    memcpy(snap->skip + j * units,
+           fa->skip + (int64_t)(uy + j) * fa->uw + ux, units);
+  for (int c = 0; c < 3; c++)
+    for (int j = 0; j < units; j++) {
+      memcpy(snap->cbf[c] + j * units,
+             fa->cbf + ((int64_t)c * fa->uh + uy + j) * fa->uw + ux, units);
+      memcpy(snap->ts[c] + j * units,
+             fa->ts_flag + ((int64_t)c * fa->uh + uy + j) * fa->uw + ux,
+             units);
+    }
+  int cs_ = size / 2;
+  for (int y = 0; y < size; y++) {
+    memcpy(snap->coeff_y + y * size,
+           fa->coeff_y + (int64_t)(py + y) * S->ls + px,
+           sizeof(int32_t) * size);
+    memcpy(snap->rec_y + y * size,
+           S->rec_y + (int64_t)(py + y) * S->rls + px,
+           sizeof(int16_t) * size);
+  }
+  for (int y = 0; y < cs_; y++) {
+    memcpy(snap->coeff_cb + y * cs_,
+           fa->coeff_cb + (int64_t)(py / 2 + y) * S->cs + px / 2,
+           sizeof(int32_t) * cs_);
+    memcpy(snap->coeff_cr + y * cs_,
+           fa->coeff_cr + (int64_t)(py / 2 + y) * S->cs + px / 2,
+           sizeof(int32_t) * cs_);
+    memcpy(snap->rec_cb + y * cs_,
+           S->rec_cb + (int64_t)(py / 2 + y) * S->rcs + px / 2,
+           sizeof(int16_t) * cs_);
+    memcpy(snap->rec_cr + y * cs_,
+           S->rec_cr + (int64_t)(py / 2 + y) * S->rcs + px / 2,
+           sizeof(int16_t) * cs_);
+  }
+  snap->bits = S->total_bits;
+  snap->dist = S->total_dist;
+  snap->cost = S->total_cost;
+}
+
+static void es_restore_region(EncState* S, int abs_part, int depth,
+                              const RegionSnap* snap) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int units = fa->upr >> depth;
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int8_t* attrs[9] = {fa->depth, fa->pred_mode, fa->part_size,
+                      fa->luma_dir, fa->chroma_dir, fa->tr_idx, fa->qp,
+                      (int8_t*)fa->tq_bypass, (int8_t*)fa->ipcm};
+  for (int a = 0; a < 9; a++)
+    for (int j = 0; j < units; j++)
+      memcpy(attrs[a] + (int64_t)(uy + j) * fa->uw + ux,
+             snap->attrs[a] + j * units, units);
+  for (int j = 0; j < units; j++)
+    memcpy(fa->skip + (int64_t)(uy + j) * fa->uw + ux,
+           snap->skip + j * units, units);
+  for (int c = 0; c < 3; c++)
+    for (int j = 0; j < units; j++) {
+      memcpy(fa->cbf + ((int64_t)c * fa->uh + uy + j) * fa->uw + ux,
+             snap->cbf[c] + j * units, units);
+      memcpy(fa->ts_flag + ((int64_t)c * fa->uh + uy + j) * fa->uw + ux,
+             snap->ts[c] + j * units, units);
+    }
+  int cs_ = size / 2;
+  for (int y = 0; y < size; y++) {
+    memcpy(fa->coeff_y + (int64_t)(py + y) * S->ls + px,
+           snap->coeff_y + y * size, sizeof(int32_t) * size);
+    memcpy(S->rec_y + (int64_t)(py + y) * S->rls + px,
+           snap->rec_y + y * size, sizeof(int16_t) * size);
+  }
+  for (int y = 0; y < cs_; y++) {
+    memcpy(fa->coeff_cb + (int64_t)(py / 2 + y) * S->cs + px / 2,
+           snap->coeff_cb + y * cs_, sizeof(int32_t) * cs_);
+    memcpy(fa->coeff_cr + (int64_t)(py / 2 + y) * S->cs + px / 2,
+           snap->coeff_cr + y * cs_, sizeof(int32_t) * cs_);
+    memcpy(S->rec_cb + (int64_t)(py / 2 + y) * S->rcs + px / 2,
+           snap->rec_cb + y * cs_, sizeof(int16_t) * cs_);
+    memcpy(S->rec_cr + (int64_t)(py / 2 + y) * S->rcs + px / 2,
+           snap->rec_cr + y * cs_, sizeof(int16_t) * cs_);
+  }
+  S->total_bits = snap->bits;
+  S->total_dist = snap->dist;
+  S->total_cost = snap->cost;
+}
+
+// ---------------------------------------------------------------------------
+// final syntax pass (xEncodeCU :1144 / finishCU :995); intra-only
+// ---------------------------------------------------------------------------
+static void es_final_transform_tree(EncState* S, int abs_part, int depth,
+                                    int tr_idx) {
+  FrameArrays* fa = &S->fa;
+  EncBin* e = S->fin;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int log2_tr = S->log2_ctu_v - depth;
+  if (tr_idx == 0) S->bak_cu_part = abs_part;
+  if (log2_tr == 2) {
+    int pn = fa->parts >> ((depth - 1) << 1);
+    if (abs_part % pn == 0) S->bak_chroma = abs_part;
+  }
+  int cu_d = U(fa->depth, ux, uy);
+  int tr_depth = depth - cu_d;
+  int part_sz = U(fa->part_size, ux, uy);
+  int tr_mode = U(fa->tr_idx, ux, uy);
+  int subdiv = tr_mode > tr_depth ? 1 : 0;
+  int is_intra = U(fa->pred_mode, ux, uy) == MODE_INTRA;
+
+  if (is_intra && part_sz == SZ_NxN && depth == cu_d) {
+  } else if (!is_intra && part_sz != SZ_2Nx2N && depth == cu_d &&
+             S->ep.tu_depth_inter == 1) {
+  } else if (log2_tr > S->ep.max_tr_log2) {
+  } else if (log2_tr == S->ep.min_tr_log2) {
+  } else if (log2_tr == es_min_tu_log2(S, abs_part)) {
+  } else {
+    we_transform_subdiv(S, e, subdiv, log2_tr);
+  }
+
+  int first_cbf = tr_depth == 0;
+  if (first_cbf || log2_tr > 2) {
+    if (first_cbf || es_cbf(S, abs_part, 1, tr_depth - 1))
+      we_qt_cbf(S, e, abs_part, 1, tr_depth);
+    if (first_cbf || es_cbf(S, abs_part, 2, tr_depth - 1))
+      we_qt_cbf(S, e, abs_part, 2, tr_depth);
+  }
+  if (subdiv) {
+    int q_parts = fa->parts >> ((depth + 1) << 1);
+    int part = abs_part;
+    for (int i = 0; i < 4; i++) {
+      es_final_transform_tree(S, part, depth + 1, tr_idx + 1);
+      part += q_parts;
+    }
+    return;
+  }
+  if (!(!is_intra && depth == cu_d && !es_cbf(S, abs_part, 1, 0) &&
+        !es_cbf(S, abs_part, 2, 0)))
+    we_qt_cbf(S, e, abs_part, 0, tr_mode);
+  int cbf_y = es_cbf(S, abs_part, 0, tr_idx);
+  int cbf_u = es_cbf(S, abs_part, 1, tr_idx);
+  int cbf_v = es_cbf(S, abs_part, 2, tr_idx);
+  if (log2_tr == 2) {
+    int pn = fa->parts >> ((depth - 1) << 1);
+    if (abs_part % pn == pn - 1) {
+      int bux, buy;
+      es_unit_xy(S, S->bak_chroma, &bux, &buy);
+      cbf_u = (U3(fa->cbf, 1, bux, buy) >> tr_idx) & 1;
+      cbf_v = (U3(fa->cbf, 2, bux, buy) >> tr_idx) & 1;
+    }
+  }
+  // dQP unsupported in the native path (gated at create)
+  int size = 1 << log2_tr;
+  int px = ux * 4, py = uy * 4;
+  if (cbf_y)
+    we_coeff_nxn(S, e, abs_part, fa->coeff_y + (int64_t)py * S->ls + px,
+                 S->ls, size, 0);
+  if (log2_tr > 2) {
+    int cs_ = size / 2;
+    if (cbf_u)
+      we_coeff_nxn(S, e, abs_part,
+                   fa->coeff_cb + (int64_t)(py / 2) * S->cs + px / 2, S->cs,
+                   cs_, 1);
+    if (cbf_v)
+      we_coeff_nxn(S, e, abs_part,
+                   fa->coeff_cr + (int64_t)(py / 2) * S->cs + px / 2, S->cs,
+                   cs_, 2);
+  } else {
+    int pn = fa->parts >> ((depth - 1) << 1);
+    if (abs_part % pn == pn - 1) {
+      int bux, buy;
+      es_unit_xy(S, S->bak_chroma, &bux, &buy);
+      int bpx = bux * 4, bpy = buy * 4;
+      if (cbf_u)
+        we_coeff_nxn(S, e, S->bak_chroma,
+                     fa->coeff_cb + (int64_t)(bpy / 2) * S->cs + bpx / 2,
+                     S->cs, size, 1);
+      if (cbf_v)
+        we_coeff_nxn(S, e, S->bak_chroma,
+                     fa->coeff_cr + (int64_t)(bpy / 2) * S->cs + bpx / 2,
+                     S->cs, size, 2);
+    }
+  }
+}
+
+static void es_finish_cu_final(EncState* S, int abs_part, int depth) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int gran = fa->ctu_size;
+  if (((px + size) % gran == 0 || (px + size) == fa->width) &&
+      ((py + size) % gran == 0 || (py + size) == fa->height)) {
+    int cur_parts = fa->parts >> (depth << 1);
+    int64_t scu = fa->ctu_inv_order[S->ctu_addr] * fa->parts + abs_part;
+    if (scu + cur_parts != S->ep.slice_end_scu) eb_bin_trm(S->fin, 0);
+  }
+}
+
+static void es_encode_cu_final(EncState* S, int abs_part, int depth) {
+  FrameArrays* fa = &S->fa;
+  EncBin* e = S->fin;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int inside = px + size <= fa->width && py + size <= fa->height;
+  int max_sig = fa->max_depth - S->ep.add_cu_depth;
+  if (inside) we_split_flag(S, e, abs_part, depth);
+  if ((depth < U(fa->depth, ux, uy) && depth < max_sig) || !inside) {
+    int q_parts = (fa->parts >> (depth << 1)) >> 2;
+    int part = abs_part;
+    for (int i = 0; i < 4; i++) {
+      int sux, suy;
+      es_unit_xy(S, part, &sux, &suy);
+      if (sux * 4 < fa->width && suy * 4 < fa->height)
+        es_encode_cu_final(S, part, depth + 1);
+      part += q_parts;
+    }
+    return;
+  }
+  if (S->ep.tq_bypass_enable) we_tq_bypass(S, e, abs_part);
+  we_part_size(S, e, abs_part, depth);
+  int part_sz = U(fa->part_size, ux, uy);
+  if (part_sz == SZ_2Nx2N && S->ep.use_pcm &&
+      (1 << S->ep.pcm_log2_min) <= size && size <= (1 << S->ep.pcm_log2_max))
+    eb_bin_trm(e, 0);
+  we_intra_dir_luma(S, e, abs_part, 1);
+  we_intra_dir_chroma(S, e, abs_part);
+  es_final_transform_tree(S, abs_part, depth, 0);
+  es_finish_cu_final(S, abs_part, depth);
+}
+
+// ---------------------------------------------------------------------------
+// xCheckRDCostIntra + xCompressCU (intra-only)
+// ---------------------------------------------------------------------------
+static void es_check_intra(EncState* S, int abs_part, int depth,
+                           int part_size, int qp, RegionSnap* best,
+                           int* have_best) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int units = fa->upr >> depth;
+  set_region<uint8_t>(fa, fa->skip, ux, uy, units, 0);
+  set_region<int8_t>(fa, fa->part_size, ux, uy, units, (int8_t)part_size);
+  set_region<int8_t>(fa, fa->pred_mode, ux, uy, units, MODE_INTRA);
+  set_region<int8_t>(fa, fa->depth, ux, uy, units, (int8_t)depth);
+  set_region<int8_t>(fa, fa->qp, ux, uy, units, (int8_t)qp);
+  set_region<uint8_t>(fa, fa->ipcm, ux, uy, units, 0);
+  set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, 0);
+  for (int c = 0; c < 3; c++) {
+    set_region<uint8_t>(fa, fa->cbf + (int64_t)c * fa->uh * fa->uw, ux, uy,
+                        units, 0);
+    set_region<uint8_t>(fa, fa->ts_flag + (int64_t)c * fa->uh * fa->uw, ux,
+                        uy, units, 0);
+  }
+  set_region<uint8_t>(fa, fa->tq_bypass, ux, uy, units,
+                      (uint8_t)(S->ep.tq_bypass_enable
+                                    ? S->ep.cu_tq_bypass_value
+                                    : 0));
+
+  int64_t dist_y = es_est_intra_pred_qt(S, abs_part, depth);
+  int64_t dist_c = es_est_intra_chroma(S, abs_part, depth);
+
+  eb_reset_bits(&S->go);
+  if (S->ep.tq_bypass_enable) we_tq_bypass(S, &S->go, abs_part);
+  we_part_size(S, &S->go, abs_part, depth);
+  we_intra_dir_luma(S, &S->go, abs_part, 1);
+  we_intra_dir_chroma(S, &S->go, abs_part);
+  if (S->ep.use_pcm && (1 << S->ep.pcm_log2_min) <= (fa->ctu_size >> depth) &&
+      (fa->ctu_size >> depth) <= (1 << S->ep.pcm_log2_max))
+    eb_bin_trm(&S->go, 0);
+  S->fin = &S->go;
+  es_final_transform_tree(S, abs_part, depth, 0);
+  int64_t bits = eb_bits(&S->go);
+  es_store(S, depth, ECI_TEMP_BEST);
+
+  int64_t dist = dist_y + dist_c;
+  double cost = es_rd_cost(S, bits, dist);
+  S->total_bits = bits;
+  S->total_dist = dist;
+  S->total_cost = cost;
+
+  if (!*have_best || cost < best->cost) {
+    es_save_region(S, abs_part, depth, best);
+    es_copy_snap(S, depth, ECI_TEMP_BEST, depth, ECI_NEXT_BEST);
+    *have_best = 1;
+  } else {
+    es_restore_region(S, abs_part, depth, best);
+  }
+}
+
+// xCompressCU (intra slice)
+static void es_compress_cu(EncState* S, int abs_part, int depth) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int inside = px + size <= fa->width && py + size <= fa->height;
+  int max_sig = fa->max_depth - S->ep.add_cu_depth;
+  int boundary = !inside;
+
+  RegionSnap* best = S->region[depth];
+  int have_best = 0;
+
+  if (inside) {
+    int qp = S->ep.unit_qp >= 0 ? S->ep.unit_qp : S->ep.slice_qp;
+    es_check_intra(S, abs_part, depth, SZ_2Nx2N, qp, best, &have_best);
+    if (depth == max_sig && size > (1 << S->ep.min_tr_log2))
+      es_check_intra(S, abs_part, depth, SZ_NxN, qp, best, &have_best);
+    // PCM mode decision is out of scope (gated at enc_create)
+
+    eb_reset_bits(&S->go);
+    we_split_flag(S, &S->go, abs_part, depth);
+    best->bits += eb_bits(&S->go);
+    best->cost = es_rd_cost(S, best->bits, best->dist);
+    S->total_bits = best->bits;
+    S->total_dist = best->dist;
+    S->total_cost = best->cost;
+  }
+
+  if (depth < max_sig) {
+    int q_parts = (fa->parts >> (depth << 1)) >> 2;
+    int64_t split_bits = 0, split_dist = 0;
+    int part = abs_part;
+    for (int i = 0; i < 4; i++) {
+      int sux, suy;
+      es_unit_xy(S, part, &sux, &suy);
+      if (sux * 4 < fa->width && suy * 4 < fa->height) {
+        if (i == 0)
+          es_copy_snap(S, depth, ECI_CURR_BEST, depth + 1, ECI_CURR_BEST);
+        else
+          es_copy_snap(S, depth + 1, ECI_NEXT_BEST, depth + 1,
+                       ECI_CURR_BEST);
+        es_compress_cu(S, part, depth + 1);
+        split_bits += S->total_bits;
+        split_dist += S->total_dist;
+      } else {
+        int su = fa->upr >> (depth + 1);
+        set_region<int8_t>(fa, fa->depth, sux, suy, su,
+                           (int8_t)(depth + 1));
+        set_region<int8_t>(fa, fa->pred_mode, sux, suy, su, MODE_NONE);
+      }
+      part += q_parts;
+    }
+    if (!boundary) {
+      eb_reset_bits(&S->go);
+      we_split_flag(S, &S->go, abs_part, depth);
+      split_bits += eb_bits(&S->go);
+    }
+    double split_cost = es_rd_cost(S, split_bits, split_dist);
+    es_copy_snap(S, depth + 1, ECI_NEXT_BEST, depth, ECI_TEMP_BEST);
+    if (!have_best || split_cost < best->cost) {
+      S->total_bits = split_bits;
+      S->total_dist = split_dist;
+      S->total_cost = split_cost;
+      es_save_region(S, abs_part, depth, best);
+      es_copy_snap(S, depth, ECI_TEMP_BEST, depth, ECI_NEXT_BEST);
+    } else {
+      es_restore_region(S, abs_part, depth, best);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// entry points (ctypes API)
+// ---------------------------------------------------------------------------
+void* enc_create(const FrameArrays* fa, const EncParams* ep,
+                 const CtxOffsets* co, const ScanTables* sc,
+                 const int16_t* org_y, const int16_t* org_cb,
+                 const int16_t* org_cr, int16_t* rec_y, int16_t* rec_cb,
+                 int16_t* rec_cr, int64_t rec_luma_stride,
+                 const uint8_t* init_ctx) {
+  EncState* S = new EncState();
+  memset(S, 0, sizeof(EncState));
+  S->fa = *fa;
+  S->ep = *ep;
+  S->co = *co;
+  S->sc = *sc;
+  S->org_y = org_y; S->org_cb = org_cb; S->org_cr = org_cr;
+  S->rec_y = rec_y; S->rec_cb = rec_cb; S->rec_cr = rec_cr;
+  S->ls = (int64_t)fa->uw * 4;
+  S->cs = (int64_t)fa->uw * 2;
+  S->rls = rec_luma_stride;
+  S->rcs = rec_luma_stride / 2;
+  S->num_ctx = co->num_ctx;
+  S->depths = fa->max_depth + 2;
+  S->log2_ctu_v = convert_to_bit(fa->ctu_size) + 2;
+  S->snap_ctx = new uint8_t[(int64_t)S->depths * ECI_NUM * S->num_ctx];
+  S->snap_frac = new uint64_t[S->depths * ECI_NUM];
+  for (int d = 0; d < S->depths; d++)
+    for (int ci = 0; ci < ECI_NUM; ci++) {
+      memcpy(S->snap_ctx + ((int64_t)d * ECI_NUM + ci) * S->num_ctx,
+             init_ctx, S->num_ctx);
+      S->snap_frac[d * ECI_NUM + ci] = 0;
+    }
+  S->go_ctx = new uint8_t[S->num_ctx];
+  memcpy(S->go_ctx, init_ctx, S->num_ctx);
+  S->go.mode = 0;
+  S->go.ctx = S->go_ctx;
+  S->go.frac_bits = 0;
+  S->go.bit_count = 0;
+  int ctu = fa->ctu_size;
+  for (int l = 0; l < 8; l++) {
+    S->qt_rec[l][0] = new int16_t[ctu * ctu]();
+    S->qt_coeff[l][0] = new int32_t[ctu * ctu]();
+    for (int pl = 1; pl < 3; pl++) {
+      S->qt_rec[l][pl] = new int16_t[(ctu / 2) * (ctu / 2)]();
+      S->qt_coeff[l][pl] = new int32_t[(ctu / 2) * (ctu / 2)]();
+    }
+    S->region[l] = new RegionSnap();
+    S->luma_store[l] = new LumaStore();
+    S->chroma_store[l] = new ChromaStore();
+    for (int pl = 0; pl < 3; pl++) S->tu_store[l][pl] = new TuStore();
+  }
+  return S;
+}
+
+void enc_destroy(void* handle) {
+  EncState* S = (EncState*)handle;
+  delete[] S->snap_ctx;
+  delete[] S->snap_frac;
+  delete[] S->go_ctx;
+  for (int l = 0; l < 8; l++) {
+    for (int pl = 0; pl < 3; pl++) {
+      delete[] S->qt_rec[l][pl];
+      delete[] S->qt_coeff[l][pl];
+      delete S->tu_store[l][pl];
+    }
+    delete S->region[l];
+    delete S->luma_store[l];
+    delete S->chroma_store[l];
+  }
+  delete S;
+}
+
+// set/get the slice-level RD context chain ([0][CI_CURR_BEST])
+void enc_set_slice_ctx(void* handle, const uint8_t* ctx, uint64_t frac) {
+  EncState* S = (EncState*)handle;
+  memcpy(es_snap_ctx(S, 0, ECI_CURR_BEST), ctx, S->num_ctx);
+  S->snap_frac[ECI_CURR_BEST] = frac;
+}
+
+uint64_t enc_get_go_frac(void* handle) {
+  return ((EncState*)handle)->go.frac_bits;
+}
+
+void enc_get_slice_ctx(void* handle, uint8_t* ctx, uint64_t* frac) {
+  EncState* S = (EncState*)handle;
+  memcpy(ctx, es_snap_ctx(S, 0, ECI_CURR_BEST), S->num_ctx);
+  *frac = S->snap_frac[ECI_CURR_BEST];
+}
+
+// compressCU for one CTU + the compress-pass counter re-encode that
+// advances the slice context chain (compress_slice loop body)
+int64_t enc_compress_ctu(void* handle, int32_t ctu_addr) {
+  EncState* S = (EncState*)handle;
+  FrameArrays* fa = &S->fa;
+  S->ctu_addr = ctu_addr;
+  S->total_bits = 0;
+  S->total_dist = 0;
+  S->total_cost = 0.0;
+  // initCU: reset the CTU region
+  int upr = fa->upr;
+  int cx = ctu_addr % fa->ctus_w, cy = ctu_addr / fa->ctus_w;
+  int qp = S->ep.unit_qp >= 0 ? S->ep.unit_qp : S->ep.slice_qp;
+  for (int j = 0; j < upr; j++) {
+    int64_t row = (int64_t)(cy * upr + j) * fa->uw + cx * upr;
+    for (int i = 0; i < upr; i++) {
+      fa->depth[row + i] = 0;
+      fa->tr_idx[row + i] = 0;
+      fa->qp[row + i] = (int8_t)qp;
+      fa->pred_mode[row + i] = MODE_NONE;
+      fa->part_size[row + i] = 15;
+      fa->skip[row + i] = 0;
+      fa->ipcm[row + i] = 0;
+      fa->tq_bypass[row + i] = 0;
+      fa->merge_flag[row + i] = 0;
+      fa->merge_idx[row + i] = 0;
+      fa->inter_dir[row + i] = 0;
+      for (int c = 0; c < 3; c++) {
+        fa->cbf[(int64_t)c * fa->uh * fa->uw + row + i] = 0;
+        fa->ts_flag[(int64_t)c * fa->uh * fa->uw + row + i] = 0;
+      }
+      for (int l = 0; l < 2; l++) {
+        int64_t li = (int64_t)l * fa->uh * fa->uw + row + i;
+        fa->mv[li * 2] = 0;
+        fa->mv[li * 2 + 1] = 0;
+        fa->mvd[li * 2] = 0;
+        fa->mvd[li * 2 + 1] = 0;
+        fa->ref_idx[li] = -1;
+        fa->mvp_idx[li] = 0;
+      }
+    }
+  }
+  es_compress_cu(S, 0, 0);
+
+  // final-pass re-encode with the counter: advances [0][CI_CURR_BEST]
+  EncBin eng;
+  memset(&eng, 0, sizeof(eng));
+  uint8_t ctx_buf[512];
+  memcpy(ctx_buf, es_snap_ctx(S, 0, ECI_CURR_BEST), S->num_ctx);
+  eng.mode = 0;
+  eng.ctx = ctx_buf;
+  eng.frac_bits = S->snap_frac[ECI_CURR_BEST];
+  S->fin = &eng;
+  es_encode_cu_final(S, 0, 0);
+  memcpy(es_snap_ctx(S, 0, ECI_CURR_BEST), ctx_buf, S->num_ctx);
+  S->snap_frac[ECI_CURR_BEST] = eng.frac_bits;
+  return S->total_bits;
+}
+
+// real-CABAC final pass for one CTU; engine state + byte sink shared with
+// the Python OutputBitstream/BinEncoder around the call
+int64_t enc_encode_ctu(void* handle, int32_t ctu_addr, uint8_t* ctx,
+                       uint32_t* low, int32_t* range, int32_t* bits_left,
+                       int32_t* num_buffered, int32_t* buffered_byte,
+                       uint8_t* out, int64_t out_cap) {
+  EncState* S = (EncState*)handle;
+  EncBin eng;
+  memset(&eng, 0, sizeof(eng));
+  eng.mode = 1;
+  eng.ctx = ctx;
+  eng.low = *low;
+  eng.range = *range;
+  eng.bits_left = *bits_left;
+  eng.num_buffered_bytes = *num_buffered;
+  eng.buffered_byte = *buffered_byte;
+  eng.out = out;
+  eng.out_cap = out_cap;
+  S->ctu_addr = ctu_addr;
+  S->fin = &eng;
+  es_encode_cu_final(S, 0, 0);
+  *low = eng.low;
+  *range = eng.range;
+  *bits_left = eng.bits_left;
+  *num_buffered = eng.num_buffered_bytes;
+  *buffered_byte = eng.buffered_byte;
+  return eng.out_len;
+}
+
+// ===========================================================================
+// SAO parameter estimation — LCU-based RDO
+// (TEncSampleAdaptiveOffset.cpp: rdoSaoUnitAll :1466, calcSaoStatsCuOrg
+// :859, saoComponentParamDist :1897, sao2ChromaParamDist :2064,
+// estSaoTypeDist :1808, estIterOffset :1858; mirrors encoder/sao_encoder.py)
+// ===========================================================================
+static const int kSaoEoTable[5] = {1, 2, 0, 3, 4};
+
+struct SaoUnitC {
+  int type_idx, sub_type, merge_left, merge_up, length;
+  int offsets[4];
+};
+static void sao_unit_reset(SaoUnitC* u) {
+  u->type_idx = -1;
+  u->sub_type = 0;
+  u->merge_left = 0;
+  u->merge_up = 0;
+  u->length = 0;
+  for (int i = 0; i < 4; i++) u->offsets[i] = 0;
+}
+
+struct SaoCtx {
+  const FrameArrays* fa;
+  const CtxOffsets* co;
+  const int16_t* rec[3];
+  const int16_t* org[3];
+  int64_t stride[3];
+  int bit_depth, bit_increment, sao_bit_increase, offset_th, shift, bo_shift;
+  double lambda_luma, lambda_chroma;
+  int bsao[2];
+  SaoUnitC* units[3];          // [num_ctus] each
+  int64_t count[3][5][33];
+  int64_t offset_org[3][5][33];
+  int64_t offset[3][5][33];
+  // coder chains
+  uint8_t* go_ctx;
+  EncBin go;
+  uint8_t curr_ctx[512], temp_ctx[512];
+  uint64_t curr_frac, temp_frac;
+  int num_ctx;
+};
+
+static void sao_load_curr(SaoCtx* C) {
+  memcpy(C->go.ctx, C->curr_ctx, C->num_ctx);
+  C->go.frac_bits = C->curr_frac;
+}
+static void sao_load_temp(SaoCtx* C) {
+  memcpy(C->go.ctx, C->temp_ctx, C->num_ctx);
+  C->go.frac_bits = C->temp_frac;
+}
+static void sao_snap_temp(SaoCtx* C) {
+  memcpy(C->temp_ctx, C->go.ctx, C->num_ctx);
+  C->temp_frac = C->go.frac_bits;
+}
+static void sao_snap_curr(SaoCtx* C) {
+  memcpy(C->curr_ctx, C->go.ctx, C->num_ctx);
+  C->curr_frac = C->go.frac_bits;
+}
+
+// codeSaoMaxUvlc (bypass truncated unary)
+static void sao_max_uvlc_w(SaoCtx* C, int value, int max_symbol) {
+  if (max_symbol == 0) return;
+  if (value == 0) { eb_bin_ep(&C->go, 0); return; }
+  eb_bin_ep(&C->go, 1);
+  int i = 1;
+  while (i < value) {
+    eb_bin_ep(&C->go, 1);
+    i++;
+    if (i == max_symbol) break;
+  }
+  if (i < max_symbol) eb_bin_ep(&C->go, 0);
+}
+
+// encodeSaoOffset (mirrors SbacWriter.code_sao_offset)
+static void sao_code_unit(SaoCtx* C, const SaoUnitC* u, int comp) {
+  EncBin* e = &C->go;
+  int type_idx = u->type_idx;
+  if (comp == 2) {
+    if (type_idx < 0) return;
+  } else {
+    if (type_idx < 0) {
+      eb_bin(e, 0, C->co->sao_type);
+      return;
+    }
+    eb_bin(e, 1, C->co->sao_type);
+    eb_bin_ep(e, type_idx == 4 ? 0 : 1);
+  }
+  int offset_th = C->offset_th;
+  if (type_idx == 4) {
+    for (int i = 0; i < 4; i++) {
+      int a = u->offsets[i] < 0 ? -u->offsets[i] : u->offsets[i];
+      sao_max_uvlc_w(C, a, offset_th - 1);
+    }
+    for (int i = 0; i < 4; i++)
+      if (u->offsets[i] != 0) eb_bin_ep(e, u->offsets[i] < 0 ? 1 : 0);
+    eb_bins_ep(e, (uint32_t)u->sub_type, 5);
+  } else {
+    sao_max_uvlc_w(C, u->offsets[0], offset_th - 1);
+    sao_max_uvlc_w(C, u->offsets[1], offset_th - 1);
+    sao_max_uvlc_w(C, -u->offsets[2], offset_th - 1);
+    sao_max_uvlc_w(C, -u->offsets[3], offset_th - 1);
+    if (comp != 2) eb_bins_ep(e, (uint32_t)u->sub_type, 2);
+  }
+}
+
+// calcSaoStatsCuOrg
+static void sao_calc_stats(SaoCtx* C, int ctu, int comp) {
+  const FrameArrays* fa = C->fa;
+  int chroma = comp != 0;
+  int lcu = fa->ctu_size >> (chroma ? 1 : 0);
+  int pic_w = fa->width >> (chroma ? 1 : 0);
+  int pic_h = fa->height >> (chroma ? 1 : 0);
+  int rx = ctu % fa->ctus_w, ry = ctu / fa->ctus_w;
+  int lx = rx * lcu, ty = ry * lcu;
+  int rpel = lx + lcu < pic_w ? lx + lcu : pic_w;
+  int bpel = ty + lcu < pic_h ? ty + lcu : pic_h;
+  int width = rpel - lx, height = bpel - ty;
+  int skip_n = chroma ? 2 : 4;
+  int skip_r = chroma ? 3 : 5;
+  int64_t(*cnt)[33] = C->count[comp];
+  int64_t(*sums)[33] = C->offset_org[comp];
+  memset(cnt, 0, sizeof(int64_t) * 5 * 33);
+  memset(sums, 0, sizeof(int64_t) * 5 * 33);
+  const int16_t* rec = C->rec[comp];
+  const int16_t* org = C->org[comp];
+  int64_t st = C->stride[comp];
+
+  // BO
+  int end_x = rpel == pic_w ? width : width - skip_r;
+  int end_y = bpel == pic_h ? height : height - skip_n;
+  for (int y = 0; y < end_y; y++) {
+    const int16_t* rrow = rec + (int64_t)(ty + y) * st + lx;
+    const int16_t* orow = org + (int64_t)(ty + y) * st + lx;
+    for (int x = 0; x < end_x; x++) {
+      int cls = 1 + (rrow[x] >> C->bo_shift);
+      sums[4][cls] += orow[x] - rrow[x];
+      cnt[4][cls]++;
+    }
+  }
+#define SGN(a) ((a) > 0 ? 1 : ((a) < 0 ? -1 : 0))
+  // EO_0 (horizontal)
+  {
+    int xs = lx == 0 ? 1 : 0;
+    int xe = rpel == pic_w ? width - 1 : width - skip_r;
+    int ye = height - skip_n;
+    for (int y = 0; y < ye; y++) {
+      const int16_t* rrow = rec + (int64_t)(ty + y) * st + lx;
+      const int16_t* orow = org + (int64_t)(ty + y) * st + lx;
+      for (int x = xs; x < xe; x++) {
+        int et = SGN(rrow[x] - rrow[x - 1]) + SGN(rrow[x] - rrow[x + 1]) + 2;
+        int cls = kSaoEoTable[et];
+        sums[0][cls] += orow[x] - rrow[x];
+        cnt[0][cls]++;
+      }
+    }
+  }
+  // EO_1 (vertical)
+  {
+    int ys = ty == 0 ? 1 : 0;
+    int ye = bpel == pic_h ? height - 1 : height - skip_n;
+    int xe = rpel == pic_w ? width : width - skip_r;
+    for (int y = ys; y < ye; y++) {
+      const int16_t* rrow = rec + (int64_t)(ty + y) * st + lx;
+      const int16_t* up = rrow - st;
+      const int16_t* dn = rrow + st;
+      const int16_t* orow = org + (int64_t)(ty + y) * st + lx;
+      for (int x = 0; x < xe; x++) {
+        int et = SGN(rrow[x] - up[x]) + SGN(rrow[x] - dn[x]) + 2;
+        int cls = kSaoEoTable[et];
+        sums[1][cls] += orow[x] - rrow[x];
+        cnt[1][cls]++;
+      }
+    }
+  }
+  // EO_2 (135) + EO_3 (45)
+  {
+    int xs = lx == 0 ? 1 : 0;
+    int xe = rpel == pic_w ? width - 1 : width - skip_r;
+    int ys = ty == 0 ? 1 : 0;
+    int ye = bpel == pic_h ? height - 1 : height - skip_n;
+    for (int y = ys; y < ye; y++) {
+      const int16_t* rrow = rec + (int64_t)(ty + y) * st + lx;
+      const int16_t* up = rrow - st;
+      const int16_t* dn = rrow + st;
+      const int16_t* orow = org + (int64_t)(ty + y) * st + lx;
+      for (int x = xs; x < xe; x++) {
+        int d = orow[x] - rrow[x];
+        int et2 = SGN(rrow[x] - up[x - 1]) + SGN(rrow[x] - dn[x + 1]) + 2;
+        sums[2][kSaoEoTable[et2]] += d;
+        cnt[2][kSaoEoTable[et2]]++;
+        int et3 = SGN(rrow[x] - up[x + 1]) + SGN(rrow[x] - dn[x - 1]) + 2;
+        sums[3][kSaoEoTable[et3]] += d;
+        cnt[3][kSaoEoTable[et3]]++;
+      }
+    }
+  }
+#undef SGN
+}
+
+static inline int64_t sao_est_dist(int64_t count, int64_t offset,
+                                   int64_t offset_org, int shift) {
+  return (count * offset * offset - offset_org * offset * 2) >> shift;
+}
+
+static inline int sao_round_ibdi(double x, int bit_increment) {
+  if (bit_increment > 0) {
+    int64_t ix = (int64_t)x;
+    if (x > 0) return (int)((ix + (1 << (bit_increment - 1))) /
+                            (1 << bit_increment));
+    return (int)((ix - (1 << (bit_increment - 1))) / (1 << bit_increment));
+  }
+  return x >= 0 ? (int)(x + 0.5) : -(int)(-x + 0.5);
+}
+
+static int sao_est_iter_offset(SaoCtx* C, int type_idx, int class_idx,
+                               double lam, int offset_input, int64_t count,
+                               int64_t offset_org, int64_t* dist_bo,
+                               double* cost_bo) {
+  int iter_offset = offset_input;
+  int offset_output = 0;
+  double temp_min_cost = lam;
+  while (iter_offset != 0) {
+    int a = iter_offset < 0 ? -iter_offset : iter_offset;
+    int temp_rate = type_idx == 4 ? a + 2 : a + 1;
+    if (a == C->offset_th - 1) temp_rate -= 1;
+    int64_t temp_offset = (int64_t)iter_offset << C->sao_bit_increase;
+    int64_t temp_dist = sao_est_dist(count, temp_offset, offset_org,
+                                     C->shift);
+    double temp_cost = (double)temp_dist + lam * (double)temp_rate;
+    if (temp_cost < temp_min_cost) {
+      temp_min_cost = temp_cost;
+      offset_output = iter_offset;
+      if (type_idx == 4) {
+        dist_bo[class_idx - 1] = temp_dist;
+        cost_bo[class_idx - 1] = temp_cost;
+      }
+    }
+    iter_offset = iter_offset > 0 ? iter_offset - 1 : iter_offset + 1;
+  }
+  return offset_output;
+}
+
+static int64_t sao_est_type_dist(SaoCtx* C, int comp, int type_idx,
+                                 double lam, int64_t* dist_bo,
+                                 double* cost_bo) {
+  int64_t est_dist = 0;
+  int n = type_idx < 4 ? 5 : 33;
+  for (int class_idx = 1; class_idx < n; class_idx++) {
+    if (type_idx == 4) {
+      dist_bo[class_idx - 1] = 0;
+      cost_bo[class_idx - 1] = lam;
+    }
+    int64_t cnt = C->count[comp][type_idx][class_idx];
+    if (cnt) {
+      double num =
+          (double)(C->offset_org[comp][type_idx][class_idx]
+                   << C->bit_increment);
+      double den = (double)(cnt << C->sao_bit_increase);
+      int off = sao_round_ibdi(num / den, C->bit_increment);
+      if (off < -C->offset_th + 1) off = -C->offset_th + 1;
+      if (off > C->offset_th - 1) off = C->offset_th - 1;
+      if (type_idx < 4) {
+        if (off < 0 && class_idx < 3) off = 0;
+        if (off > 0 && class_idx >= 3) off = 0;
+      }
+      off = sao_est_iter_offset(C, type_idx, class_idx, lam, off, cnt,
+                                C->offset_org[comp][type_idx][class_idx],
+                                dist_bo, cost_bo);
+      C->offset[comp][type_idx][class_idx] = off;
+    } else {
+      C->offset_org[comp][type_idx][class_idx] = 0;
+      C->offset[comp][type_idx][class_idx] = 0;
+    }
+    if (type_idx != 4) {
+      est_dist += sao_est_dist(
+          C->count[comp][type_idx][class_idx],
+          C->offset[comp][type_idx][class_idx] << C->sao_bit_increase,
+          C->offset_org[comp][type_idx][class_idx], C->shift);
+    }
+  }
+  return est_dist;
+}
+
+static void sao_component_param_dist(SaoCtx* C, int allow_l, int allow_u,
+                                     int ctu, int comp, double lam,
+                                     SaoUnitC merge_units[2],
+                                     double comp_distortion[3]) {
+  const FrameArrays* fa = C->fa;
+  SaoUnitC* best_unit = &C->units[comp][ctu];
+  sao_unit_reset(best_unit);
+  sao_unit_reset(&merge_units[0]);
+  sao_unit_reset(&merge_units[1]);
+
+  int64_t dist_bo[32];
+  double cost_bo[32];
+  double best_rd_bo = MAX_DOUBLE_C;
+  int best_class_bo = 0;
+
+  SaoUnitC rdo;
+  sao_unit_reset(&rdo);
+  sao_load_temp(C);
+  eb_reset_bits(&C->go);
+  sao_code_unit(C, &rdo, comp);
+  double cost_best = (double)eb_bits(&C->go) * lam;
+  *best_unit = rdo;
+  int64_t best_dist = 0;
+
+  for (int type_idx = 0; type_idx < 5; type_idx++) {
+    int64_t est_dist = sao_est_type_dist(C, comp, type_idx, lam, dist_bo,
+                                         cost_bo);
+    if (type_idx == 4) {
+      for (int i = 0; i <= 32 - 4; i++) {
+        double cur = 0.0;
+        cur += cost_bo[i];
+        cur += cost_bo[i + 1];
+        cur += cost_bo[i + 2];
+        cur += cost_bo[i + 3];
+        if (cur < best_rd_bo) {
+          best_rd_bo = cur;
+          best_class_bo = i;
+        }
+      }
+      est_dist = dist_bo[best_class_bo] + dist_bo[best_class_bo + 1] +
+                 dist_bo[best_class_bo + 2] + dist_bo[best_class_bo + 3];
+    }
+    sao_unit_reset(&rdo);
+    rdo.length = 4;
+    rdo.type_idx = type_idx;
+    rdo.sub_type = type_idx == 4 ? best_class_bo : type_idx;
+    for (int ci = 0; ci < 4; ci++)
+      rdo.offsets[ci] =
+          (int)C->offset[comp][type_idx]
+                        [ci + (type_idx == 4 ? best_class_bo : 0) + 1];
+    sao_load_temp(C);
+    eb_reset_bits(&C->go);
+    sao_code_unit(C, &rdo, comp);
+    int64_t est_rate = eb_bits(&C->go);
+    double cost = (double)est_dist + lam * (double)est_rate;
+    if (cost < cost_best) {
+      cost_best = cost;
+      *best_unit = rdo;
+      best_dist = est_dist;
+    }
+  }
+  comp_distortion[0] += (double)best_dist / lam;
+  sao_load_temp(C);
+  sao_code_unit(C, best_unit, comp);
+  sao_snap_temp(C);
+
+  for (int idx_neighbor = 0; idx_neighbor < 2; idx_neighbor++) {
+    const SaoUnitC* nb = 0;
+    if (allow_l && idx_neighbor == 0 && ctu % fa->ctus_w > 0)
+      nb = &C->units[comp][ctu - 1];
+    else if (allow_u && idx_neighbor == 1 && ctu >= fa->ctus_w)
+      nb = &C->units[comp][ctu - fa->ctus_w];
+    if (!nb) continue;
+    int64_t est_dist = 0;
+    if (nb->type_idx >= 0) {
+      int band = nb->type_idx == 4 ? nb->sub_type : 0;
+      for (int ci = 0; ci < 4; ci++)
+        est_dist += sao_est_dist(
+            C->count[comp][nb->type_idx][ci + band + 1], nb->offsets[ci],
+            C->offset_org[comp][nb->type_idx][ci + band + 1], C->shift);
+    }
+    merge_units[idx_neighbor] = *nb;
+    merge_units[idx_neighbor].merge_up = idx_neighbor;
+    merge_units[idx_neighbor].merge_left = 1 - idx_neighbor;
+    comp_distortion[idx_neighbor + 1] += (double)est_dist / lam;
+  }
+}
+
+static void sao_chroma2_param_dist(SaoCtx* C, int allow_l, int allow_u,
+                                   int ctu, double lam,
+                                   SaoUnitC merge_cb[2], SaoUnitC merge_cr[2],
+                                   double distortion[3]) {
+  const FrameArrays* fa = C->fa;
+  SaoUnitC* best[2] = {&C->units[1][ctu], &C->units[2][ctu]};
+  sao_unit_reset(best[0]);
+  sao_unit_reset(best[1]);
+  SaoUnitC* merge_param[2][2] = {{&merge_cb[0], &merge_cb[1]},
+                                 {&merge_cr[0], &merge_cr[1]}};
+  for (int i = 0; i < 2; i++) {
+    sao_unit_reset(&merge_cb[i]);
+    sao_unit_reset(&merge_cr[i]);
+  }
+  int64_t dist_bo[32];
+  double cost_bo[32];
+  int best_class_bo[2] = {0, 0};
+  int64_t est_dist[2] = {0, 0};
+
+  SaoUnitC rdo[2];
+  sao_unit_reset(&rdo[0]);
+  sao_unit_reset(&rdo[1]);
+  sao_load_temp(C);
+  eb_reset_bits(&C->go);
+  sao_code_unit(C, &rdo[0], 1);
+  sao_code_unit(C, &rdo[1], 2);
+  double cost_best = (double)eb_bits(&C->go) * lam;
+  *best[0] = rdo[0];
+  *best[1] = rdo[1];
+  int64_t best_dist = 0;
+
+  for (int type_idx = 0; type_idx < 5; type_idx++) {
+    if (type_idx == 4) {
+      for (int ci = 0; ci < 2; ci++) {
+        double best_rd_bo = MAX_DOUBLE_C;
+        est_dist[ci] =
+            sao_est_type_dist(C, ci + 1, type_idx, lam, dist_bo, cost_bo);
+        for (int i = 0; i <= 32 - 4; i++) {
+          double cur = 0.0;
+          cur += cost_bo[i];
+          cur += cost_bo[i + 1];
+          cur += cost_bo[i + 2];
+          cur += cost_bo[i + 3];
+          if (cur < best_rd_bo) {
+            best_rd_bo = cur;
+            best_class_bo[ci] = i;
+          }
+        }
+        est_dist[ci] = dist_bo[best_class_bo[ci]] +
+                       dist_bo[best_class_bo[ci] + 1] +
+                       dist_bo[best_class_bo[ci] + 2] +
+                       dist_bo[best_class_bo[ci] + 3];
+      }
+    } else {
+      est_dist[0] = sao_est_type_dist(C, 1, type_idx, lam, dist_bo, cost_bo);
+      est_dist[1] = sao_est_type_dist(C, 2, type_idx, lam, dist_bo, cost_bo);
+    }
+    sao_load_temp(C);
+    eb_reset_bits(&C->go);
+    for (int ci = 0; ci < 2; ci++) {
+      sao_unit_reset(&rdo[ci]);
+      rdo[ci].length = 4;
+      rdo[ci].type_idx = type_idx;
+      rdo[ci].sub_type = type_idx == 4 ? best_class_bo[ci] : type_idx;
+      for (int k = 0; k < 4; k++)
+        rdo[ci].offsets[k] =
+            (int)C->offset[ci + 1][type_idx]
+                          [k + (type_idx == 4 ? best_class_bo[ci] : 0) + 1];
+      sao_code_unit(C, &rdo[ci], ci + 1);
+    }
+    int64_t est_rate = eb_bits(&C->go);
+    double cost = (double)(est_dist[0] + est_dist[1]) +
+                  lam * (double)est_rate;
+    if (cost < cost_best) {
+      cost_best = cost;
+      *best[0] = rdo[0];
+      *best[1] = rdo[1];
+      best_dist = est_dist[0] + est_dist[1];
+    }
+  }
+  distortion[0] += (double)best_dist / lam;
+  sao_load_temp(C);
+  sao_code_unit(C, best[0], 1);
+  sao_code_unit(C, best[1], 2);
+  sao_snap_temp(C);
+
+  for (int idx_neighbor = 0; idx_neighbor < 2; idx_neighbor++) {
+    for (int ci = 0; ci < 2; ci++) {
+      const SaoUnitC* nb = 0;
+      if (allow_l && idx_neighbor == 0 && ctu % fa->ctus_w > 0)
+        nb = &C->units[ci + 1][ctu - 1];
+      else if (allow_u && idx_neighbor == 1 && ctu >= fa->ctus_w)
+        nb = &C->units[ci + 1][ctu - fa->ctus_w];
+      if (!nb) continue;
+      int64_t dist_c = 0;
+      if (nb->type_idx >= 0) {
+        int band = nb->type_idx == 4 ? nb->sub_type : 0;
+        for (int k = 0; k < 4; k++)
+          dist_c += sao_est_dist(
+              C->count[ci + 1][nb->type_idx][k + band + 1], nb->offsets[k],
+              C->offset_org[ci + 1][nb->type_idx][k + band + 1], C->shift);
+      }
+      *merge_param[ci][idx_neighbor] = *nb;
+      merge_param[ci][idx_neighbor]->merge_up = idx_neighbor;
+      merge_param[ci][idx_neighbor]->merge_left = 1 - idx_neighbor;
+      distortion[idx_neighbor + 1] += (double)dist_c / lam;
+    }
+  }
+}
+
+// rdoSaoUnitAll; writes the chosen params into fa->sao_* and returns
+// num_no_sao counts via out_no_sao[2]
+void sao_rdo(const FrameArrays* fa, const CtxOffsets* co,
+             const int16_t* rec_y, const int16_t* rec_cb,
+             const int16_t* rec_cr, const int16_t* org_y,
+             const int16_t* org_cb, const int16_t* org_cr,
+             int64_t luma_stride, int32_t bit_depth, int32_t bit_increment,
+             double lambda_luma, double lambda_chroma, int32_t bsao0,
+             int32_t bsao1, const uint8_t* init_ctx, int32_t num_ctx,
+             uint64_t init_frac, int64_t* out_no_sao) {
+  SaoCtx* C = new SaoCtx();
+  memset(C, 0, sizeof(SaoCtx));
+  C->fa = fa;
+  C->co = co;
+  C->rec[0] = rec_y; C->rec[1] = rec_cb; C->rec[2] = rec_cr;
+  C->org[0] = org_y; C->org[1] = org_cb; C->org[2] = org_cr;
+  C->stride[0] = luma_stride;
+  C->stride[1] = C->stride[2] = luma_stride / 2;
+  C->bit_depth = bit_depth;
+  C->bit_increment = bit_increment;
+  C->sao_bit_increase = bit_depth - (bit_depth < 10 ? bit_depth : 10);
+  int th = bit_depth - 5 < 5 ? bit_depth - 5 : 5;
+  C->offset_th = 1 << th;
+  C->shift = bit_increment << 1;
+  C->bo_shift = bit_depth - 5;
+  C->lambda_luma = lambda_luma;
+  C->lambda_chroma = lambda_chroma;
+  C->bsao[0] = bsao0;
+  C->bsao[1] = bsao1;
+  C->num_ctx = num_ctx;
+  for (int c = 0; c < 3; c++) {
+    C->units[c] = new SaoUnitC[fa->num_ctus];
+    for (int i = 0; i < fa->num_ctus; i++) sao_unit_reset(&C->units[c][i]);
+  }
+  C->go_ctx = new uint8_t[num_ctx];
+  memcpy(C->go_ctx, init_ctx, num_ctx);
+  C->go.mode = 0;
+  C->go.ctx = C->go_ctx;
+  C->go.frac_bits = init_frac & 32767;
+  memcpy(C->curr_ctx, init_ctx, num_ctx);
+  memcpy(C->temp_ctx, init_ctx, num_ctx);
+  C->curr_frac = C->temp_frac = C->go.frac_bits;
+
+  int64_t num_no_sao[2] = {0, 0};
+  int upr = fa->upr;
+  for (int ctu = 0; ctu < fa->num_ctus; ctu++) {
+    int rx = ctu % fa->ctus_w, ry = ctu / fa->ctus_w;
+    // tile/slice merge allowances from the per-unit maps
+    int64_t ui = ((int64_t)ry * upr) * fa->uw + rx * upr;
+    int allow_l = 0, allow_u = 0;
+    if (rx != 0) {
+      int64_t li = ui - upr;
+      allow_l = fa->tile_idx[li] == fa->tile_idx[ui] &&
+                fa->slice_idx_arr[li] == fa->slice_idx_arr[ui];
+    }
+    if (ry != 0) {
+      int64_t uu = ui - (int64_t)upr * fa->uw;
+      allow_u = fa->tile_idx[uu] == fa->tile_idx[ui] &&
+                fa->slice_idx_arr[uu] == fa->slice_idx_arr[ui];
+    }
+
+    double comp_distortion[3] = {0.0, 0.0, 0.0};
+    sao_load_curr(C);
+    if (allow_l) eb_bin(&C->go, 0, co->sao_merge);
+    if (allow_u) eb_bin(&C->go, 0, co->sao_merge);
+    sao_snap_temp(C);
+
+    memset(C->count, 0, sizeof(C->count));
+    memset(C->offset_org, 0, sizeof(C->offset_org));
+    for (int comp = 0; comp < 3; comp++) {
+      SaoUnitC* u = &C->units[comp][ctu];
+      u->type_idx = -1;
+      u->merge_up = 0;
+      u->merge_left = 0;
+      u->sub_type = 0;
+      if ((comp == 0 && C->bsao[0]) || (comp > 0 && C->bsao[1]))
+        sao_calc_stats(C, ctu, comp);
+    }
+
+    SaoUnitC merge_units[3][2];
+    sao_component_param_dist(C, allow_l, allow_u, ctu, 0, C->lambda_luma,
+                             merge_units[0], comp_distortion);
+    sao_chroma2_param_dist(C, allow_l, allow_u, ctu, C->lambda_chroma,
+                           merge_units[1], merge_units[2], comp_distortion);
+
+    if (C->bsao[0] || C->bsao[1]) {
+      sao_load_curr(C);
+      eb_reset_bits(&C->go);
+      if (allow_l) eb_bin(&C->go, 0, co->sao_merge);
+      if (allow_u) eb_bin(&C->go, 0, co->sao_merge);
+      for (int comp = 0; comp < 3; comp++)
+        if ((comp == 0 && C->bsao[0]) || (comp > 0 && C->bsao[1]))
+          sao_code_unit(C, &C->units[comp][ctu], comp);
+      int64_t rate = eb_bits(&C->go);
+      double best_cost = comp_distortion[0] + (double)rate;
+      sao_snap_temp(C);
+
+      for (int merge_up = 0; merge_up < 2; merge_up++) {
+        if (!((allow_l && merge_up == 0) || (allow_u && merge_up == 1)))
+          continue;
+        sao_load_curr(C);
+        eb_reset_bits(&C->go);
+        if (allow_l) eb_bin(&C->go, 1 - merge_up, co->sao_merge);
+        if (allow_u && merge_up == 1) eb_bin(&C->go, 1, co->sao_merge);
+        rate = eb_bits(&C->go);
+        double merge_cost = comp_distortion[merge_up + 1] + (double)rate;
+        if (merge_cost < best_cost) {
+          best_cost = merge_cost;
+          sao_snap_temp(C);
+          for (int comp = 0; comp < 3; comp++) {
+            merge_units[comp][merge_up].merge_left = 1 - merge_up;
+            merge_units[comp][merge_up].merge_up = merge_up;
+            if ((comp == 0 && C->bsao[0]) || (comp > 0 && C->bsao[1]))
+              C->units[comp][ctu] = merge_units[comp][merge_up];
+          }
+        }
+      }
+      if (C->units[0][ctu].type_idx == -1) num_no_sao[0] += 1;
+      if (C->units[1][ctu].type_idx == -1) num_no_sao[1] += 2;
+      sao_load_temp(C);
+      sao_snap_curr(C);
+    }
+  }
+
+  // store into the frame SAO arrays (decoder storage convention)
+  for (int comp = 0; comp < 3; comp++) {
+    for (int ctu = 0; ctu < fa->num_ctus; ctu++) {
+      const SaoUnitC* u = &C->units[comp][ctu];
+      int64_t ci = (int64_t)comp * fa->num_ctus + ctu;
+      fa->sao_type[ci] = (int8_t)u->type_idx;
+      fa->sao_sub_type[ci] = (int8_t)u->sub_type;
+      for (int k = 0; k < 4; k++) fa->sao_offsets[ci * 4 + k] = u->offsets[k];
+      fa->sao_merge_left[ci] = (uint8_t)(u->merge_left != 0);
+      fa->sao_merge_up[ci] = (uint8_t)(u->merge_up != 0);
+    }
+  }
+  out_no_sao[0] = num_no_sao[0];
+  out_no_sao[1] = num_no_sao[1];
+  for (int c = 0; c < 3; c++) delete[] C->units[c];
+  delete[] C->go_ctx;
+  delete C;
 }
 
 }  // extern "C"
