@@ -23,15 +23,13 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     data = open(args.bitstream, "rb").read()
-    dec = Decoder(max_temporal_layer=args.MaxTemporalLayer)
+    # TDecTop.cpp:738 isRandomAccessSkipPicture: -s skips decoding of the
+    # first N pictures (and leading pictures before the random-access point)
+    dec = Decoder(max_temporal_layer=args.MaxTemporalLayer,
+                  skip_frames=args.SkipFrames)
     t0 = time.time()
     pics = dec.decode_stream(data)
     dt = time.time() - t0
-
-    # TAppDecTop.cpp:144-155: -s skips output of the first N decoded pictures
-    skip = args.SkipFrames
-    if skip:
-        pics = pics[skip:]
 
     writer = None
     # TAppDecTop.cpp:182: output bit depth defaults to the internal depth

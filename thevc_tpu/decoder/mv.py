@@ -65,6 +65,9 @@ class MvCtx:
         self.pps = pps
         self.lists = [list0, list1]
         self.ref_pocs = [[p.poc for p in list0], [p.poc for p in list1]]
+        # long-term flags at list-construction time (TComDataCU.cpp:3725,3835)
+        self.ref_is_lt = [[p.is_long_term for p in list0],
+                          [p.is_long_term for p in list1]]
         self.col_pic = col_pic
         self.check_ldc = check_ldc
         self.is_b = sh.slice_type == 0
@@ -319,6 +322,11 @@ class MvCtx:
         col_ref_poc = int(col.ref_poc[col_list, uy, ux])
         col_mv = (int(col.mv[col_list, uy, ux, 0]),
                   int(col.mv[col_list, uy, ux, 1]))
+        # either ref long-term => use the colocated MV unscaled
+        # (TComDataCU.cpp:3835-3841)
+        if self.ref_is_lt[ref_list][target_ref_idx] or \
+                bool(col.ref_is_lt[col_list, uy, ux]):
+            return col_mv
         cur_poc = self.sh.poc
         cur_ref_poc = self.ref_pocs[ref_list][target_ref_idx]
         scale = dist_scale_factor(cur_poc, cur_ref_poc, col.poc, col_ref_poc)
@@ -473,6 +481,12 @@ class MvCtx:
         for lst in (ref_list, 1 - ref_list):
             nref, nmv = self._motion(n, lst)
             if nref >= 0:
+                # either ref long-term => candidate used unscaled
+                # (TComDataCU.cpp:3725-3738)
+                if self.ref_is_lt[ref_list][ref_idx] or \
+                        self.ref_is_lt[lst][nref]:
+                    cands.append(nmv)
+                    return True
                 neib_ref_poc = self.ref_pocs[lst][nref]
                 scale = dist_scale_factor(cur_poc, cur_ref_poc,
                                           cur_poc, neib_ref_poc)

@@ -19,12 +19,14 @@ class Picture:
     """A decoded picture in the DPB with its colocated-motion snapshot."""
 
     def __init__(self, poc: int, planes, frame, sh, ref_pocs, margin: int,
-                 ref_poc: np.ndarray | None = None):
+                 ref_poc: np.ndarray | None = None,
+                 ref_is_lt: np.ndarray | None = None):
         self.poc = poc
         self.rec_y, self.rec_cb, self.rec_cr = planes
         self.referenced = True
         self.is_long_term = False
         self.is_used_as_long_term = False
+        self.check_lt_msb = False
         self.needed_for_output = True
         self.margin = margin
         self._pad = None
@@ -45,6 +47,12 @@ class Picture:
             for lst in range(2):
                 for idx, poc_ref in enumerate(ref_pocs[lst]):
                     self.ref_poc[lst][frame.ref_idx[lst] == idx] = poc_ref
+        # per-unit "reference picture was long-term" snapshot; TMVP reads
+        # getIsUsedAsLongTerm of the colocated slice's ref (TComDataCU.cpp:3836)
+        if ref_is_lt is not None:
+            self.ref_is_lt = ref_is_lt.copy()
+        else:
+            self.ref_is_lt = np.zeros(frame.ref_idx.shape, bool)
 
     def compress_motion(self) -> None:
         """TComCUMvField::compress with scale 4: each 16-part group (4x4
@@ -61,6 +69,8 @@ class Picture:
         for lst in range(2):
             h, w = self.ref_poc[lst].shape
             self.ref_poc[lst][:, :] = self.ref_poc[lst][
+                (np.arange(h) & ~3)[:, None], (np.arange(w) & ~3)[None, :]]
+            self.ref_is_lt[lst][:, :] = self.ref_is_lt[lst][
                 (np.arange(h) & ~3)[:, None], (np.arange(w) & ~3)[None, :]]
 
     def padded(self):
@@ -89,53 +99,138 @@ class Dpb:
                 return p
         raise KeyError(f"reference POC {poc} not in DPB")
 
-    def apply_rps(self, rps, cur_poc: int) -> None:
-        """applyReferencePictureSet: mark pictures not in the RPS unused."""
+    def get_long_term(self, poc: int, bits_for_poc: int) -> Picture:
+        """xGetLongTermRefPic (TComSlice.cpp:300): first picture whose POC
+        LSB matches; prefer it if long-term, otherwise it still wins (HM
+        falls back to the matching short-term picture, or the first DPB
+        picture when nothing matches)."""
+        mask = (1 << bits_for_poc) - 1
+        st_pic = self.pics[0] if self.pics else None
         for p in self.pics:
-            if p.poc == cur_poc:
-                continue
+            if (p.poc & mask) == (poc & mask):
+                return p   # HM breaks at the first LSB match either way
+        if st_pic is None:
+            raise KeyError(f"long-term reference POC {poc} not in DPB")
+        return st_pic
+
+    def apply_rps(self, rps, cur_poc: int, bits_for_poc: int = 16) -> None:
+        """applyReferencePictureSet (TComSlice.cpp:859): mark pictures not
+        in the RPS unused; long-term entries match by full POC when
+        check_lt_msb else by POC LSB."""
+        mask = (1 << bits_for_poc) - 1
+        for p in self.pics:
             in_rps = False
             if rps is not None:
                 n_st = rps.num_negative_pics + rps.num_positive_pics
                 for i in range(n_st):
-                    if p.poc == cur_poc + rps.delta_poc[i]:
+                    if not p.is_long_term and \
+                            p.poc == cur_poc + rps.delta_poc[i]:
                         in_rps = True
+                        p.is_long_term = False
+                        p.is_used_as_long_term = False
                 for i in range(n_st, n_st + rps.num_longterm_pics):
-                    if p.poc == rps.poc[i]:
+                    if p.is_long_term and (
+                            p.poc == rps.poc[i] if rps.check_lt_msb[i]
+                            else (p.poc & mask) == (rps.poc[i] & mask)):
                         in_rps = True
-            if not in_rps:
+            if p.poc != cur_poc and not in_rps:
                 p.referenced = False
+                p.is_long_term = False
 
     def idr_flush(self) -> None:
         for p in self.pics:
             p.referenced = False
 
 
-def build_ref_lists(sh, dpb: Dpb):
-    """setRefPicList for short-term-only RPS (long-term raises)."""
+def check_all_ref_pics_available(sh, dpb: Dpb, poc_random_access: int,
+                                 bits_for_poc: int) -> int:
+    """checkThatAllRefPicsAreAvailable (TComSlice.cpp:917).
+
+    Returns lostPoc+1 when a used reference is missing, -2 when only
+    unused references were removed, 0 when all are present.  Also performs
+    HM's side effect of long-term-marking a short-term picture that
+    matches a long-term entry by POC LSB."""
+    rps = sh.rps
+    if rps is None:
+        return 0
+    mask = (1 << bits_for_poc) - 1
+    lost = removed = 0
+    poc_lost = 0
+    n_st = rps.num_negative_pics + rps.num_positive_pics
+    for i in range(n_st, n_st + rps.num_longterm_pics):
+        avail = False
+        for p in dpb.pics:
+            if p.is_long_term and p.referenced and (
+                    p.poc == rps.poc[i] if rps.check_lt_msb[i]
+                    else (p.poc & mask) == (rps.poc[i] & mask)):
+                avail = True
+        if not avail:   # fall back to the short terms (and mark them LT)
+            for p in dpb.pics:
+                if p.referenced and (p.poc & mask) == \
+                        ((sh.poc + rps.delta_poc[i]) & mask):
+                    avail = True
+                    p.is_long_term = True
+                    p.is_used_as_long_term = True
+                    break
+        if not avail and sh.poc + rps.delta_poc[i] >= poc_random_access:
+            if not rps.used[i]:
+                removed = 1
+            else:
+                lost = 1
+                poc_lost = sh.poc + rps.delta_poc[i]
+    for i in range(n_st):
+        avail = any(not p.is_long_term and p.referenced
+                    and p.poc == sh.poc + rps.delta_poc[i]
+                    for p in dpb.pics)
+        if not avail and sh.poc + rps.delta_poc[i] >= poc_random_access:
+            if not rps.used[i]:
+                removed = 1
+            else:
+                lost = 1
+                poc_lost = sh.poc + rps.delta_poc[i]
+    if lost:
+        return poc_lost + 1
+    return -2 if removed else 0
+
+
+def build_ref_lists(sh, dpb: Dpb, bits_for_poc: int = 16):
+    """setRefPicList (TComSlice.cpp:402) incl. long-term pictures."""
     if sh.is_intra:
         return [], []
     rps = sh.rps
-    if rps.num_longterm_pics:
-        raise NotImplementedError("long-term references")
-    st_curr0, st_curr1 = [], []
+    st_curr0, st_curr1, lt_curr = [], [], []
     n_neg = rps.num_negative_pics
     for i in range(n_neg):
         if rps.used[i]:
-            st_curr0.append(dpb.get(sh.poc + rps.delta_poc[i]))
+            p = dpb.get(sh.poc + rps.delta_poc[i])
+            p.is_long_term = False
+            p.is_used_as_long_term = False
+            p.check_lt_msb = False
+            st_curr0.append(p)
     for i in range(n_neg, n_neg + rps.num_positive_pics):
         if rps.used[i]:
-            st_curr1.append(dpb.get(sh.poc + rps.delta_poc[i]))
-
-    num_temp = len(st_curr0) + len(st_curr1)
+            p = dpb.get(sh.poc + rps.delta_poc[i])
+            p.is_long_term = False
+            p.is_used_as_long_term = False
+            p.check_lt_msb = False
+            st_curr1.append(p)
+    n_st = n_neg + rps.num_positive_pics
+    for i in range(n_st + rps.num_longterm_pics - 1, n_st - 1, -1):
+        p = dpb.get_long_term(rps.poc[i], bits_for_poc)
+        if rps.used[i]:
+            p.is_long_term = True
+            p.is_used_as_long_term = True
+            lt_curr.append(p)
+        p.check_lt_msb = bool(rps.check_lt_msb[i])
+    num_temp = len(st_curr0) + len(st_curr1) + len(lt_curr)
     n0 = max(num_temp, sh.num_ref_idx[0])
     temp0 = []
     while len(temp0) < n0:
-        for p in st_curr0 + st_curr1:
+        for p in st_curr0 + st_curr1 + lt_curr:
             if len(temp0) >= n0:
                 break
             temp0.append(p)
-        if not (st_curr0 or st_curr1):
+        if not (st_curr0 or st_curr1 or lt_curr):
             break
     list0 = []
     for idx in range(sh.num_ref_idx[0]):
@@ -149,11 +244,11 @@ def build_ref_lists(sh, dpb: Dpb):
         n1 = max(num_temp, sh.num_ref_idx[1])
         temp1 = []
         while len(temp1) < n1:
-            for p in st_curr1 + st_curr0:
+            for p in st_curr1 + st_curr0 + lt_curr:
                 if len(temp1) >= n1:
                     break
                 temp1.append(p)
-            if not (st_curr0 or st_curr1):
+            if not (st_curr0 or st_curr1 or lt_curr):
                 break
         for idx in range(sh.num_ref_idx[1]):
             if sh.ref_pic_list_modification_flag[1]:

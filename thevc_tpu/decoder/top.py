@@ -33,7 +33,10 @@ from .filters import deblock_frame, sao_frame
 from .inter import InterPredictor
 from .mv import MvCtx
 from .recon import reconstruct_picture
-from .refpic import Dpb, Picture, build_ref_lists, check_ldc
+from .refpic import (Dpb, Picture, build_ref_lists,
+                     check_all_ref_pics_available, check_ldc)
+
+_MAX_INT = 2 ** 31 - 1
 
 
 @dataclass
@@ -72,7 +75,8 @@ class _PicCtx:
 class Decoder:
     """Sequential host decoder driving batched reconstruction ops."""
 
-    def __init__(self, max_temporal_layer: int = -1) -> None:
+    def __init__(self, max_temporal_layer: int = -1,
+                 skip_frames: int = 0) -> None:
         self.vps_map: Dict[int, Vps] = {}
         self.sps_map: Dict[int, Sps] = {}
         self.pps_map: Dict[int, Pps] = {}
@@ -85,6 +89,13 @@ class Decoder:
         # TAppDecTop.cpp:144-155: NALs above this temporal layer are dropped
         # before decode (-1 = decode all layers).
         self.max_temporal_layer = max_temporal_layer
+        # random-access / broken-link state (TDecTop.cpp:55-58)
+        self.skip_frames = skip_frames
+        self.poc_random_access = _MAX_INT
+        self.poc_cra = 0
+        self.prev_rap_is_bla = False
+        self._skip_poc: Optional[int] = None   # picture being skipped
+        self._warned_ra = False
 
     def decode_stream(self, data: bytes):
         """Decode a whole Annex-B stream, returning pictures in POC order."""
@@ -142,6 +153,8 @@ class Decoder:
             # dependent slice segment: inherit everything but the segment
             # address from the previous slice (TDecTop copySliceInfo)
             if prev_sh is None:
+                if self._skip_poc is not None:
+                    return        # parent slice was skipped
                 raise ValueError("dependent slice without preceding slice")
             dep_start = sh.dependent_slice_start_cu_addr
             merged = copy.copy(prev_sh)
@@ -162,13 +175,46 @@ class Decoder:
             self._finish_picture()
         self.prev_poc = sh.poc
 
+        if not sh.dependent_slice and self.cur is None:
+            # skip checks run per regular slice while no picture is open
+            # (TDecTop.cpp:420-431)
+            if self._random_access_skip(sh, unit.nal_type) or \
+                    self._bla_skip(sh, unit.nal_type):
+                self._skip_poc = sh.poc
+                return
+            self._skip_poc = None
+        elif self._skip_poc is not None and self.cur is None:
+            if sh.poc == self._skip_poc:
+                return
+            self._skip_poc = None
+
+        # lost-reference detection + concealment (TDecTop.cpp:392-397)
+        if not sh.is_intra:
+            while True:
+                lost = check_all_ref_pics_available(
+                    sh, self.dpb, self.poc_random_access, sps.bits_for_poc)
+                if lost <= 0:
+                    break
+                self._create_lost_picture(lost - 1, sps, pps)
+
         if self.cur is None:
             # first slice of a picture: DPB bookkeeping + picture alloc
             # (TDecTop::xDecodeSlice "if (m_bFirstSliceInPicture)")
             if unit.nal_type == nal_mod.NAL_UNIT_CODED_SLICE_IDR:
                 self.dpb.idr_flush()
             else:
-                self.dpb.apply_rps(sh.rps, sh.poc)
+                self.dpb.apply_rps(sh.rps, sh.poc, sps.bits_for_poc)
+            # checkCRA state updates (TComSlice.cpp:595, asserts elided)
+            if unit.nal_type == nal_mod.NAL_UNIT_CODED_SLICE_IDR:
+                self.prev_rap_is_bla = False
+            elif unit.nal_type in (nal_mod.NAL_UNIT_CODED_SLICE_CRA,
+                                   nal_mod.NAL_UNIT_CODED_SLICE_CRANT):
+                self.poc_cra = sh.poc
+                self.prev_rap_is_bla = False
+            elif unit.nal_type in (nal_mod.NAL_UNIT_CODED_SLICE_BLA,
+                                   nal_mod.NAL_UNIT_CODED_SLICE_BLANT):
+                self.poc_cra = sh.poc
+                self.prev_rap_is_bla = True
             f = FrameModel(sps, pps)
             f.init_tiles(TileInfo(f.ctus_w, f.ctus_h, pps))
             self.cur = _PicCtx(f, sps, pps, self.pending_sei)
@@ -194,7 +240,7 @@ class Decoder:
         inter_pred = None
         mvctx = None
         if not sh.is_intra:
-            list0, list1 = build_ref_lists(sh, self.dpb)
+            list0, list1 = build_ref_lists(sh, self.dpb, sps.bits_for_poc)
             col_pic = None
             if sh.tmvp_enabled:
                 col_list = list1 if (sh.slice_type == 0 and sh.col_dir) \
@@ -233,6 +279,70 @@ class Decoder:
         cur.slices.append(run)
 
     # ------------------------------------------------------------------
+    def _random_access_skip(self, sh, nal_type: int) -> bool:
+        """isRandomAccessSkipPicture (TDecTop.cpp:738): -s counting and
+        leading-picture drop before the first random-access point."""
+        if self.skip_frames:
+            self.skip_frames -= 1
+            return True
+        if self.poc_random_access == _MAX_INT:
+            if nal_type in (nal_mod.NAL_UNIT_CODED_SLICE_CRA,
+                            nal_mod.NAL_UNIT_CODED_SLICE_CRANT,
+                            nal_mod.NAL_UNIT_CODED_SLICE_BLA,
+                            nal_mod.NAL_UNIT_CODED_SLICE_BLANT):
+                self.poc_random_access = sh.poc
+            elif nal_type == nal_mod.NAL_UNIT_CODED_SLICE_IDR:
+                self.poc_random_access = 0
+            else:
+                if not self._warned_ra:
+                    print("\nWarning: this is not a valid random access "
+                          "point and the data is discarded until the "
+                          "first CRA picture")
+                    self._warned_ra = True
+                return True
+        elif sh.poc < self.poc_random_access and \
+                nal_type == nal_mod.NAL_UNIT_CODED_SLICE_TFD:
+            return True
+        return False
+
+    def _bla_skip(self, sh, nal_type: int) -> bool:
+        """isSkipPictureForBLA (TDecTop.cpp:715): TFD pictures that follow
+        a BLA in decoding order but precede it in output order."""
+        return (self.prev_rap_is_bla and sh.poc < self.poc_cra
+                and nal_type == nal_mod.NAL_UNIT_CODED_SLICE_TFD)
+
+    def _create_lost_picture(self, lost_poc: int, sps: Sps, pps: Pps) -> None:
+        """xCreateLostPicture (TDecTop.cpp:217): conceal a missing reference
+        by cloning the reconstruction of the closest-POC DPB picture."""
+        print(f"\ninserting lost poc : {lost_poc}")
+        closest = None
+        best = _MAX_INT
+        for p in self.dpb.pics:
+            d = abs(p.poc - lost_poc)
+            if 0 < d < best and p.poc != self.prev_poc:
+                best, closest = d, p
+        f = FrameModel(sps, pps)   # zero motion, ref_idx=-1, no pred modes
+        if closest is not None:
+            print(f"copying picture {closest.poc} to {lost_poc} "
+                  f"({self.prev_poc})")
+            planes = (closest.rec_y.copy(), closest.rec_cb.copy(),
+                      closest.rec_cr.copy())
+        else:
+            w = sps.pic_width_in_luma_samples
+            h = sps.pic_height_in_luma_samples
+            planes = (np.zeros((h, w), np.int16),
+                      np.zeros((h // 2, w // 2), np.int16),
+                      np.zeros((h // 2, w // 2), np.int16))
+        pic = Picture(lost_poc, planes, f, None, [[], []],
+                      margin=sps.max_cu_width + 16)
+        pic.referenced = True
+        self.dpb.add(pic)
+        self.pictures.append(DecodedPicture(
+            lost_poc, YuvFrame(*planes), output=True))
+        if self.poc_random_access == _MAX_INT:
+            self.poc_random_access = lost_poc
+
+    # ------------------------------------------------------------------
     def _finish_picture(self) -> None:
         """Reconstruct, filter, and store the accumulated picture
         (TDecTop::executeDeblockAndAlf / TDecGop::filterPicture)."""
@@ -252,7 +362,7 @@ class Decoder:
             rec_y, rec_cb, rec_cr, scaling=self._active_scaling(sps, pps))
 
         # per-unit reference POC map for deblock BS + the DPB motion snapshot
-        ref_poc = self._resolve_ref_pocs(cur)
+        ref_poc, ref_is_lt = self._resolve_ref_pocs(cur)
         any_inter = any(not run.sh.is_intra for run in cur.slices)
         deblock_frame(f, sh0, sps, pps, rec_y, rec_cb, rec_cr,
                       ref_poc if any_inter else None)
@@ -262,7 +372,8 @@ class Decoder:
         ref_pocs0 = [[p.poc for p in cur.slices[0].list0],
                      [p.poc for p in cur.slices[0].list1]]
         dpb_pic = Picture(sh0.poc, (rec_y, rec_cb, rec_cr), f, sh0, ref_pocs0,
-                          margin=sps.max_cu_width + 16, ref_poc=ref_poc)
+                          margin=sps.max_cu_width + 16, ref_poc=ref_poc,
+                          ref_is_lt=ref_is_lt)
         if any_inter:      # all-intra motion fields are zero already
             dpb_pic.compress_motion()
         self.dpb.add(dpb_pic)
@@ -305,12 +416,14 @@ class Decoder:
         return active
 
     @staticmethod
-    def _resolve_ref_pocs(cur: _PicCtx) -> np.ndarray:
-        """Per-unit [2, uh, uw] reference POC from each unit's slice's
-        reference lists (ref lists are per-slice in the reference)."""
+    def _resolve_ref_pocs(cur: _PicCtx):
+        """Per-unit [2, uh, uw] reference POC + long-term flag from each
+        unit's slice's reference lists (ref lists are per-slice in the
+        reference)."""
         f = cur.f
         NULLP = -(2 ** 30)
         ref_poc = np.full(f.ref_idx.shape, NULLP, np.int64)
+        ref_is_lt = np.zeros(f.ref_idx.shape, bool)
         for si, run in enumerate(cur.slices):
             if run.sh.is_intra:
                 continue
@@ -319,7 +432,9 @@ class Decoder:
                 for idx, p in enumerate(lst_pics):
                     m = mask & (f.ref_idx[lst] == idx)
                     ref_poc[lst][m] = p.poc
-        return ref_poc
+                    if p.is_used_as_long_term:
+                        ref_is_lt[lst][m] = True
+        return ref_poc, ref_is_lt
 
     @staticmethod
     def _regular_idx(cur: _PicCtx, slice_pos: int) -> int:

@@ -239,6 +239,43 @@ def _nal_unit_type(cfg: EncoderCfg, poc: int) -> int:
     return nal_mod.NAL_UNIT_CODED_SLICE
 
 
+def arrange_longterm_pictures_in_rps(sh, sps: Sps, dpb: Dpb) -> None:
+    """arrangeLongtermPicturesInRPS (TEncGOP.cpp:1849): sort LT entries in
+    decreasing POC-LSB (ties: decreasing MSB), decide MSB-present flags, and
+    fill the slice-header write fields."""
+    rps = sh.rps
+    if not rps.num_longterm_pics:
+        return
+    offset = rps.num_negative_pics + rps.num_positive_pics
+    max_lsb = 1 << sps.bits_for_poc
+    ents = []   # (poc, lsb, used)
+    for i in range(rps.num_pics - 1, offset - 1, -1):
+        ents.append([rps.poc[i], rps.poc[i] % max_lsb, rps.used[i]])
+    # decreasing LSB, then decreasing MSB (stable double bubble in reference)
+    ents.sort(key=lambda e: (-e[1], -(e[0] - e[1])))
+    # MSB present iff another referenced DPB picture shares the LSB
+    msb_present = []
+    for poc, lsb, _ in ents:
+        msb_present.append(any(
+            p.poc % max_lsb == lsb and p.referenced and p.poc != poc
+            for p in dpb.pics))
+    need = rps.num_pics
+    rps.poc_lsb_lt = [0] * need
+    rps.delta_poc_msb_present = [False] * need
+    rps.delta_poc_msb_cycle = [0] * need
+    curr_lsb = sh.poc % max_lsb
+    curr_msb = sh.poc - curr_lsb
+    for ctr, i in enumerate(range(rps.num_pics - 1, offset - 1, -1)):
+        poc, lsb, used = ents[ctr]
+        rps.poc[i] = poc
+        rps.delta_poc[i] = poc - sh.poc
+        rps.used[i] = used
+        rps.poc_lsb_lt[i] = lsb
+        rps.delta_poc_msb_cycle[i] = (curr_msb - (poc - lsb)) // max_lsb
+        rps.delta_poc_msb_present[i] = msb_present[ctr]
+        assert rps.delta_poc_msb_cycle[i] >= 0
+
+
 def _generate_combined_list(sh, list0, list1) -> None:
     """TComSlice::generateCombinedList (TComSlice.cpp:339): interleave
     L0/L1 by index, skipping POC duplicates, and record the idx maps used
@@ -381,7 +418,10 @@ class Encoder:
                            for p in self.dpb.pics):
                     raise NotImplementedError(
                         "explicit slice-header RPS (missing ref %d)" % want)
-            self.dpb.apply_rps(sh.rps, poc)
+            self.dpb.apply_rps(sh.rps, poc, sps.bits_for_poc)
+
+        if sps.long_term_refs_present and sh.rps is not None:
+            arrange_longterm_pictures_in_rps(sh, sps, self.dpb)
 
         list0: list = []
         list1: list = []
@@ -390,7 +430,7 @@ class Encoder:
             active = min(ge.num_ref_pics_active, n_pics) if ge else n_pics
             sh.num_ref_idx[0] = active
             sh.num_ref_idx[1] = active if sh.slice_type == 0 else 0
-            list0, list1 = build_ref_lists(sh, self.dpb)
+            list0, list1 = build_ref_lists(sh, self.dpb, sps.bits_for_poc)
             if sh.slice_type == 0 and sh.num_ref_idx[1] == 0:
                 sh.slice_type = P_SLICE
             if sh.slice_type == 0:

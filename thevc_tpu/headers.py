@@ -40,6 +40,7 @@ def parse_short_term_rps(bs: InputBitstream, sps: Sps,
             delta_idx_minus1 = bs.read_ue()
         else:
             delta_idx_minus1 = 0
+        rps.delta_ridx_minus1 = delta_idx_minus1
         r_idx = idx - 1 - delta_idx_minus1
         assert 0 <= r_idx <= idx - 1
         rps_ref = sps.rps_list[r_idx]
@@ -96,8 +97,9 @@ def write_short_term_rps(bs: OutputBitstream, rps: ReferencePictureSet,
     bs.write_flag(rps.inter_rps_prediction)
     if rps.inter_rps_prediction:
         if idx == num_sps_rps:
-            raise NotImplementedError("slice-header inter-RPS write")
-        bs.write(0 if rps.delta_rps < 0 else 0, 0)  # placeholder, see below
+            # explicit slice-header RPS predicts from an SPS RPS
+            # (TEncCavlc.cpp:189, J0234_INTER_RPS_SIMPL)
+            bs.write_ue(rps.delta_ridx_minus1)
         sign = 1 if rps.delta_rps < 0 else 0
         bs.write(sign, 1)
         bs.write_ue(abs(rps.delta_rps) - 1)
@@ -853,7 +855,27 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps,
             bs.write_flag(True)
             bs.write_ue(sh.rps_idx)
         if sps.long_term_refs_present:
-            raise NotImplementedError("long-term ref write (later round)")
+            # TEncCavlc.cpp:646-682 (LT entries pre-arranged by
+            # arrange_longterm_pictures_in_rps)
+            rps = sh.rps
+            bs.write_ue(rps.num_longterm_pics)
+            prev_delta_msb = prev_lsb = 0
+            offset = rps.num_negative_pics + rps.num_positive_pics
+            for i in range(rps.num_pics - 1, offset - 1, -1):
+                bs.write(rps.poc_lsb_lt[i], sps.bits_for_poc)
+                bs.write_flag(rps.delta_poc_msb_present[i])
+                if rps.delta_poc_msb_present[i]:
+                    delta_flag = (i == rps.num_pics - 1
+                                  or rps.poc_lsb_lt[i] != prev_lsb)
+                    if delta_flag:
+                        bs.write_ue(rps.delta_poc_msb_cycle[i])
+                    else:
+                        diff = rps.delta_poc_msb_cycle[i] - prev_delta_msb
+                        assert diff >= 0
+                        bs.write_ue(diff)
+                    prev_lsb = rps.poc_lsb_lt[i]
+                    prev_delta_msb = rps.delta_poc_msb_cycle[i]
+                bs.write_flag(bool(rps.used[i]))
 
     if sps.use_sao:
         bs.write_flag(sh.sao_enabled)

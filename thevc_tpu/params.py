@@ -38,11 +38,17 @@ class ReferencePictureSet:
     used: List[bool] = field(default_factory=list)
     poc: List[int] = field(default_factory=list)         # absolute POCs (LT)
     check_lt_msb: List[bool] = field(default_factory=list)
+    # long-term write fields, filled by arrange_longterm_pictures_in_rps
+    # (TEncGOP.cpp:1849; written by TEncCavlc.cpp:646-682)
+    poc_lsb_lt: List[int] = field(default_factory=list)
+    delta_poc_msb_present: List[bool] = field(default_factory=list)
+    delta_poc_msb_cycle: List[int] = field(default_factory=list)
     inter_rps_prediction: bool = False
     # inter-RPS bookkeeping (encoder side)
     delta_rps: int = 0
     num_ref_idc: int = 0
     ref_idc: List[int] = field(default_factory=list)
+    delta_ridx_minus1: int = 0   # slice-header inter-RPS prediction index
 
     @property
     def num_pics(self) -> int:
