@@ -295,3 +295,86 @@ def test_encoder_rate_control_byte_exact(oracle, tmp_path, cfg, kbps, name):
                   "-o", "/dev/null", "--SEIpictureDigest=1",
                   "--RateControl=1", f"--TargetBitrate={kbps}"])
     assert out.read_bytes() == ref_bin.read_bytes()
+
+
+@pytest.fixture(scope="session")
+def noise_clip():
+    """High-entropy clip: PCM wins the RD race at low QP."""
+    TESTDATA.mkdir(exist_ok=True)
+    clip = TESTDATA / "noise_96x80.yuv"
+    if not clip.exists():
+        import numpy as np
+        rng = np.random.RandomState(7)
+        w, h = 96, 80
+        with open(clip, "wb") as fh:
+            fh.write(rng.randint(0, 256, (h, w), np.uint8).tobytes())
+            fh.write(rng.randint(0, 256, (h // 2, w // 2), np.uint8).tobytes())
+            fh.write(rng.randint(0, 256, (h // 2, w // 2), np.uint8).tobytes())
+    return clip
+
+
+def test_intra_encode_pcm_byte_exact(oracle, noise_clip, tmp_path):
+    """PCM mode decision + burst-IPCM write (xCheckIntraPCM TEncCu.cpp:1469,
+    codeIPCMInfo TEncSbac.cpp:1008): byte-exact vs HM on content where PCM
+    is actually selected, and digest-exact self-decode."""
+    hm_bin = TESTDATA / "enc_pcm_noise_96x80.bin"
+    if not hm_bin.exists():
+        _oracle_encode(noise_clip, hm_bin, 96, 80, 1,
+                       ["-q", "0", "--PCMEnabledFlag=1"])
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(noise_clip), "-b", str(my_bin),
+                  "-wdt", "96", "-hgt", "80", "-f", "1", "-fr", "30",
+                  "-q", "0", "--PCMEnabledFlag=1", "--SEIpictureDigest=1"])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+    # the stream must actually contain PCM CUs, and self-decode digest-OK
+    import thevc_tpu.decoder.cu_parser as cp
+    import thevc_tpu.decoder.native_parse as npx
+    from thevc_tpu.decoder.top import Decoder
+    n_pcm = [0]
+    orig_ipcm = cp.SliceDataParser._parse_ipcm
+    orig_native = npx.parse_slice_native
+
+    def counting_ipcm(self, abs_part, depth):
+        orig_ipcm(self, abs_part, depth)
+        ux, uy = self._unit_xy(abs_part)
+        if self.f.ipcm[uy, ux]:
+            n_pcm[0] += 1
+
+    cp.SliceDataParser._parse_ipcm = counting_ipcm
+    npx.parse_slice_native = lambda *a, **k: (False, None)
+    try:
+        pics = Decoder().decode_stream(my_bin.read_bytes())
+    finally:
+        cp.SliceDataParser._parse_ipcm = orig_ipcm
+        npx.parse_slice_native = orig_native
+    assert all(p.digest_ok for p in pics)
+    assert n_pcm[0] > 0
+
+
+@pytest.mark.parametrize("cfg,frames,name", [
+    ("encoder_intra_main.cfg", 1, "intra"),
+    ("encoder_lowdelay_P_main.cfg", 3, "ldp"),
+])
+def test_lossless_encode_byte_exact(oracle, test_clip_small, tmp_path,
+                                    cfg, frames, name):
+    """CU transquant bypass encode (TComTrQuant.cpp:1388 bypass,
+    TEncSearch.cpp:4629/4990 lossless RD rules, TEncCu.cpp:1269 merge
+    iteration): byte-exact vs HM."""
+    opts = ["--LosslessCuEnabled=1", "--TransquantBypassEnableFlag=1",
+            "--CUTransquantBypassFlagValue=1"]
+    hm_bin = TESTDATA / f"enc_lossless_{name}.bin"
+    if not hm_bin.exists():
+        cmd = [str(ORACLE_BIN / "TAppEncoder"),
+               "-c", f"/root/reference/cfg/{cfg}",
+               "-i", str(test_clip_small), "-wdt", "176", "-hgt", "144",
+               "-f", str(frames), "-fr", "30", "-b", str(hm_bin),
+               "-o", "/dev/null", "--SEIpictureDigest=1", *opts]
+        subprocess.run(cmd, check=True, capture_output=True)
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", f"/root/reference/cfg/{cfg}",
+                  "-i", str(test_clip_small), "-b", str(my_bin),
+                  "-wdt", "176", "-hgt", "144", "-f", str(frames),
+                  "-fr", "30", "--SEIpictureDigest=1", *opts])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()

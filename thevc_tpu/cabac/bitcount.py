@@ -46,7 +46,31 @@ class CounterEncoder:
         self.bit_count += n
 
     def write_align_zero(self) -> None:
-        self.bit_count += 0  # alignment cost is counted by callers if needed
+        self.bit_count += 0  # TComBitCounter::writeAlignZero is a no-op
+
+    # PCM (counter semantics of TEncBinCABAC.cpp:129-168: finish() moves
+    # whole fractional bits to the bit counter, alignment costs nothing)
+    def encode_num_subseq_ipcm(self, n: int) -> None:
+        self.bit_count += self.frac_bits >> 15   # finish()
+        self.frac_bits &= 32767
+        self.write(0, 1)   # stop bit
+        self.write(0, 1)   # numSubseqIPCM flag
+        if n > 0:
+            code_last = n < 3
+            while n > 1:
+                self.write(0, 1)
+                n -= 1
+            if code_last:
+                self.write(0, 1)
+
+    def encode_pcm_align_bits(self) -> None:
+        pass
+
+    def write_pcm_code(self, code: int, length: int) -> None:
+        self.write(code, length)
+
+    def reset_bac(self) -> None:
+        pass
 
     def reset_bits(self) -> None:
         self.bit_count = 0

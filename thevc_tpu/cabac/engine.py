@@ -122,6 +122,30 @@ class BinEncoder:
         self.bs.write_align_zero()
         self.start()
 
+    # -- PCM (TEncBinCABAC.cpp:129-168) --------------------------------------
+    def encode_num_subseq_ipcm(self, n: int) -> None:
+        """finish + stop bit + unary burst count (encodeNumSubseqIPCM)."""
+        self.finish()
+        self.bs.write(1, 1)   # stop bit
+        self.bs.write(1 if n else 0, 1)
+        if n > 0:
+            code_last = n < 3
+            while n > 1:
+                self.bs.write(1, 1)
+                n -= 1
+            if code_last:
+                self.bs.write(0, 1)
+
+    def encode_pcm_align_bits(self) -> None:
+        self.bs.write_align_zero()
+
+    def write_pcm_code(self, code: int, length: int) -> None:
+        self.bs.write(code, length)
+
+    def reset_bac(self) -> None:
+        """TEncBinCABAC::resetBac — restart arithmetic coding after PCM."""
+        self.start()
+
     @property
     def num_written_bits(self) -> int:
         return (self.bs.num_bits + 8 * self.num_buffered_bytes

@@ -296,7 +296,9 @@ class CuEncoder:
                                              best)
             if sps.use_pcm and (1 << sps.pcm_log2_min_size) <= size \
                     <= (1 << sps.pcm_log2_max_size):
-                raw_bits = self.bit_depth * size * size * 3 // 2
+                # g_uiBitDepth is the 8-bit base depth, not the internal
+                # depth (TEncCu.cpp:725, TComRom.cpp:445)
+                raw_bits = 8 * size * size * 3 // 2
                 if (best["bits"] > raw_bits
                         or best["cost"] > self.rd.calc_rd_cost(raw_bits, 0)):
                     best = self._check_intra_pcm(abs_part, depth, best)
@@ -431,7 +433,88 @@ class CuEncoder:
         return best
 
     def _check_intra_pcm(self, abs_part, depth, best):
-        raise NotImplementedError("PCM mode decision (later round)")
+        """xCheckIntraPCM (TEncCu.cpp:1469) + IPCMSearch
+        (TEncSearch.cpp:2988): lossless PCM candidate with distortion 0 and
+        raw-sample bits."""
+        f = self.f
+        sps = self.sps
+        ux, uy = self._unit_xy(abs_part)
+        units = f.units_per_row >> depth
+        reg = (slice(uy, uy + units), slice(ux, ux + units))
+        qp = self.sh.slice_qp if self.unit_qp is None else self.unit_qp
+        f.skip[reg] = False
+        f.ipcm[reg] = True
+        f.part_size_arr[reg] = SIZE_2Nx2N
+        f.pred_mode[reg] = MODE_INTRA
+        f.depth[reg] = depth
+        f.qp[reg] = qp
+        f.tr_idx[reg] = 0
+        f.cbf[:, reg[0], reg[1]] = 0
+        f.ts_flag[:, reg[0], reg[1]] = False
+        f.luma_dir[reg] = DC_IDX          # initEstData (TComDataCU.cpp:476)
+        f.chroma_dir[reg] = 0
+        f.merge_flag[reg] = False
+        f.merge_idx[reg] = 0
+        f.inter_dir[reg] = 0
+        f.mv[:, reg[0], reg[1]] = 0
+        f.mvd[:, reg[0], reg[1]] = 0
+        f.ref_idx[:, reg[0], reg[1]] = -1
+        f.mvp_idx[:, reg[0], reg[1]] = 0
+        tqb = (bool(self.cfg.get("CUTransquantBypassFlagValue", 0))
+               if self.pps.transquant_bypass_enable_flag else False)
+        f.tq_bypass[reg] = tqb
+
+        # xEncPCM: samples = org >> (internal - pcm depth); recon = back-shift
+        px, py = ux * 4, uy * 4
+        size = f.ctu_size >> depth
+        if not hasattr(f, "pcm_y"):
+            f.pcm_y = np.zeros((f.frame_units_h * 4, f.frame_units_w * 4),
+                               np.int16)
+            f.pcm_cb = np.zeros((f.frame_units_h * 2, f.frame_units_w * 2),
+                                np.int16)
+            f.pcm_cr = np.zeros((f.frame_units_h * 2, f.frame_units_w * 2),
+                                np.int16)
+        sh_l = sps.internal_bit_depth - sps.pcm_bit_depth_luma
+        sh_c = sps.internal_bit_depth - sps.pcm_bit_depth_chroma
+        ly, lx = slice(py, py + size), slice(px, px + size)
+        cy, cx = slice(py // 2, (py + size) // 2), \
+            slice(px // 2, (px + size) // 2)
+        f.pcm_y[ly, lx] = self.org_y[ly, lx] >> sh_l
+        f.pcm_cb[cy, cx] = self.org_cb[cy, cx] >> sh_c
+        f.pcm_cr[cy, cx] = self.org_cr[cy, cx] >> sh_c
+        self.rec_y[ly, lx] = f.pcm_y[ly, lx] << sh_l
+        self.rec_cb[cy, cx] = f.pcm_cb[cy, cx] << sh_c
+        self.rec_cr[cy, cx] = f.pcm_cr[cy, cx] << sh_c
+
+        # bit count (xCheckIntraPCM syntax list, RD/bRD=true IPCM info:
+        # pcm_flag + numSubseqIPCM(0) + align(0 bits) + raw samples)
+        self._load(depth, CI_CURR_BEST)
+        self.go_on.reset_bits()
+        w = self.w
+        if self.pps.transquant_bypass_enable_flag:
+            w.code_tq_bypass(abs_part)
+        if self.sh.slice_type != I_SLICE:
+            w.code_skip_flag(abs_part)
+            w.code_pred_mode(abs_part)
+        w.code_part_size(abs_part, depth)
+        w.code_terminating_bit(1)
+        self.go_on.encode_num_subseq_ipcm(0)
+        self.go_on.encode_pcm_align_bits()
+        w.code_pcm_samples(abs_part, depth)
+        self.go_on.reset_bac()
+        bits = self.go_on.num_written_bits
+        self._store(depth, CI_TEMP_BEST)
+
+        dist = 0
+        cost = self.rd.calc_rd_cost(bits, dist)
+        self.total_bits, self.total_dist, self.total_cost = bits, dist, cost
+
+        if best is None or cost < best["cost"]:
+            new_best = self._save_region(abs_part, depth)
+            self._copy_snap(depth, CI_TEMP_BEST, depth, CI_NEXT_BEST)
+            return new_best
+        self._restore_region(abs_part, depth, best)
+        return best
 
     # ==================================================================
     # Inter mode checks (xCheckRDCostMerge2Nx2N / xCheckRDCostInter /
@@ -483,7 +566,11 @@ class CuEncoder:
             px, py, size, SIZE_2Nx2N, 0)
         cand_buffer = [0] * n_valid
         best_is_skip = False
-        for no_resi in (0, 1):
+        # lossless CUs never try the forced-no-residual merge pass
+        # (TEncCu.cpp:1267-1275)
+        no_resi_range = (0,) if (self.pps.transquant_bypass_enable_flag
+                                 and f.tq_bypass[uy, ux]) else (0, 1)
+        for no_resi in no_resi_range:
             for cand in range(n_valid):
                 if no_resi == 1 and cand_buffer[cand] == 1:
                     continue
@@ -992,10 +1079,13 @@ class CuEncoder:
         f.cbf[0, uy:uy + units, ux:ux + units] = cbf << tr_depth
 
         if abs_sum:
-            deq = self._dequant(levels, qps, size, 0, True)
-            if use_ts:
+            if f.tq_bypass[uy, ux]:
+                resi_rec = levels      # invtransformNxN bypass
+            elif use_ts:
+                deq = self._dequant(levels, qps, size, 0, True)
                 resi_rec = tops.transform_skip_inv(deq[None], self.bit_inc)[0]
             else:
+                deq = self._dequant(levels, qps, size, 0, True)
                 resi_rec = tops.inverse_transform(
                     deq[None], use_dst=(size == 4),
                     bit_increment=self.bit_inc)[0]
@@ -1024,6 +1114,12 @@ class CuEncoder:
     def _xform_quant(self, part, resi, size, qps, is_luma, comp, use_ts,
                      cbf_tr_depth, is_intra=True):
         """transformNxN: forward transform + RDOQ/quant (+ SBH)."""
+        ux, uy = self._unit_xy(part)
+        if self.f.tq_bypass[uy, ux]:
+            # lossless CU: coefficients carry the raw residual
+            # (TComTrQuant.cpp:1388-1400)
+            levels = resi.astype(np.int32)
+            return levels, int(np.abs(levels).sum())
         per, rem = qps // 6, qps % 6
         scan_idx = self.w._scan_idx(part, size, is_luma)
         if scan_idx == rom.SCAN_ZIGZAG:
@@ -1494,10 +1590,13 @@ class CuEncoder:
         f.cbf[comp, uy:uy + units_td, ux:ux + units_td] = cbf << org_tr_depth
 
         if abs_sum:
-            deq = self._dequant(levels, qps, size, comp, True)
-            if use_ts:
+            if f.tq_bypass[uy, ux]:
+                resi_rec = levels      # invtransformNxN bypass
+            elif use_ts:
+                deq = self._dequant(levels, qps, size, comp, True)
                 resi_rec = tops.transform_skip_inv(deq[None], self.bit_inc)[0]
             else:
+                deq = self._dequant(levels, qps, size, comp, True)
                 resi_rec = tops.inverse_transform(
                     deq[None], use_dst=False, bit_increment=self.bit_inc)[0]
         else:
@@ -1545,7 +1644,14 @@ class CuEncoder:
         inside = (px + size <= f.width) and (py + size <= f.height)
         max_sig_depth = f.max_depth - self.sps.add_cu_depth
         ux, uy = self._unit_xy(abs_part)
-        if inside:
+        # burst IPCM state (TEncCu.cpp:1154-1157): a burst member's split/
+        # skip/pred/part-size syntax is covered by the burst count
+        last_suc = num_suc = 0
+        if self.sps.use_pcm:
+            last_suc = self._check_last_cu_suc_ipcm(abs_part)
+            num_suc = self._count_num_suc_ipcm(abs_part)
+        burst_member = last_suc and bool(f.ipcm[uy, ux])
+        if inside and not burst_member:
             w.code_split_flag(abs_part, depth)
         if (depth < int(f.depth[uy, ux]) and depth < max_sig_depth) \
                 or not inside:
@@ -1561,24 +1667,39 @@ class CuEncoder:
             return
         if size >= self._min_cu_dqp_size and self.pps.use_dqp:
             w.dqp_flag = True
-        if self.pps.transquant_bypass_enable_flag:
-            w.code_tq_bypass(abs_part)
+        if not burst_member:
+            if self.pps.transquant_bypass_enable_flag:
+                w.code_tq_bypass(abs_part)
+            if self.sh.slice_type != I_SLICE:
+                w.code_skip_flag(abs_part)
         if self.sh.slice_type != I_SLICE:
-            w.code_skip_flag(abs_part)
             if f.skip[uy, ux]:
                 w.code_merge_index(abs_part)
                 self._finish_cu_final(abs_part, depth)
                 return
-            w.code_pred_mode(abs_part)
-        w.code_part_size(abs_part, depth)
+            if not burst_member:
+                w.code_pred_mode(abs_part)
+        if not burst_member:
+            w.code_part_size(abs_part, depth)
         part_sz = int(f.part_size_arr[uy, ux])
         is_intra = f.pred_mode[uy, ux] == MODE_INTRA
         if is_intra and part_sz == SIZE_2Nx2N and self.sps.use_pcm and \
                 (1 << self.sps.pcm_log2_min_size) <= size <= \
                 (1 << self.sps.pcm_log2_max_size):
-            w.code_terminating_bit(1 if f.ipcm[uy, ux] else 0)
-            if f.ipcm[uy, ux]:
-                raise NotImplementedError("PCM write (later round)")
+            # codeIPCMInfo (TEncSbac.cpp:1008) with burst semantics
+            ipcm_flag = bool(f.ipcm[uy, ux])
+            first = ipcm_flag and not last_suc
+            if not ipcm_flag or first:
+                w.code_terminating_bit(1 if ipcm_flag else 0)
+                if first:
+                    w.e.encode_num_subseq_ipcm(num_suc - 1)
+                    w.e.encode_pcm_align_bits()
+            if ipcm_flag:
+                w.code_pcm_samples(abs_part, depth)
+                if num_suc == 1:          # last burst member restarts CABAC
+                    w.e.reset_bac()
+                self._finish_cu_final(abs_part, depth, num_suc_ipcm=num_suc)
+                return
         if is_intra:
             w.code_intra_dir_luma(abs_part, multiple=True)
             w.code_intra_dir_chroma(abs_part)
@@ -1595,6 +1716,71 @@ class CuEncoder:
                 return
         self._final_transform_tree(abs_part, depth, 0)
         self._finish_cu_final(abs_part, depth)
+
+    def _last_valid_part_idx(self, abs_part: int) -> int:
+        """TComDataCU::getLastValidPartIdx (TComDataCU.cpp:1834)."""
+        f = self.f
+        last = abs_part - 1
+        while last >= 0:
+            lux, luy = self._unit_xy(last)
+            if f.pred_mode[luy, lux] != 15:    # MODE_NONE
+                break
+            d = int(f.depth[luy, lux])
+            last -= f.parts_per_ctu >> (d << 1)
+        return last
+
+    def _check_last_cu_suc_ipcm(self, abs_part: int) -> bool:
+        """TEncCu::checkLastCUSucIPCM (TEncCu.cpp:1606): previous sibling
+        at the same depth in the same slice is IPCM."""
+        f = self.f
+        ux, uy = self._unit_xy(abs_part)
+        cur_depth = int(f.depth[uy, ux])
+        shift = (f.max_depth - cur_depth) << 1
+        start_part = (abs_part & (0x03 << shift)) >> shift
+        scu_base = int(f.ctu_inv_order[self.ctu_addr]) * f.parts_per_ctu
+        if self.sh.dependent_slice_start_cu_addr == scu_base + abs_part:
+            return False
+        if cur_depth > 0 and start_part > 0:
+            last = self._last_valid_part_idx(abs_part)
+            if last >= 0:
+                lux, luy = self._unit_xy(last)
+                if (scu_base + last >= self.sh.slice_cur_start_cu_addr
+                        and int(f.depth[luy, lux]) == cur_depth
+                        and bool(f.ipcm[luy, lux])):
+                    return True
+        return False
+
+    def _count_num_suc_ipcm(self, abs_part: int) -> int:
+        """TEncCu::countNumSucIPCM (TEncCu.cpp:1645): length of the run of
+        same-depth IPCM siblings starting at abs_part."""
+        f = self.f
+        ux, uy = self._unit_xy(abs_part)
+        if not f.ipcm[uy, ux]:
+            return 0
+        cur_depth = int(f.depth[uy, ux])
+        if cur_depth == 0:
+            return 1
+        q_parts = (f.parts_per_ctu >> ((cur_depth - 1) << 1)) >> 2
+        shift = (f.max_depth - cur_depth) << 1
+        start_part = (abs_part & (0x03 << shift)) >> shift
+        scu_base = int(f.ctu_inv_order[self.ctu_addr]) * f.parts_per_ctu
+        dep_start = self.sh.dependent_slice_start_cu_addr
+        dep_end = self.sh.dependent_slice_end_cu_addr
+        n = 0
+        part = abs_part
+        for _ in range(start_part, 4):
+            px, py = self._pel_xy(part)
+            in_slice = (scu_base + part + q_parts > dep_start
+                        and scu_base + part < dep_end)
+            if in_slice and px < f.width and py < f.height:
+                pux, puy = self._unit_xy(part)
+                if int(f.depth[puy, pux]) == cur_depth and \
+                        f.ipcm[puy, pux]:
+                    n += 1
+                else:
+                    break
+            part += q_parts
+        return n
 
     def _final_code_pu_wise(self, abs_part: int, depth: int) -> None:
         """TEncEntropy::encodePUWise for the final pass."""
@@ -1622,12 +1808,16 @@ class CuEncoder:
                             w.code_mvp_idx(part, lst)
             part += pu_off
 
-    def _finish_cu_final(self, abs_part: int, depth: int) -> None:
+    def _finish_cu_final(self, abs_part: int, depth: int,
+                         num_suc_ipcm: int = 0) -> None:
         f = self.f
         w = self._final_writer
         px, py = self._pel_xy(abs_part)
         size = f.ctu_size >> depth
         gran = f.ctu_size  # REMOVE_FGS: slice granularity = CTU
+        if num_suc_ipcm > 1:
+            return   # mid-burst: terminate handled at the last member
+                     # (TEncCu.cpp:1039)
         if (((px + size) % gran == 0 or (px + size) == f.width) and
                 ((py + size) % gran == 0 or (py + size) == f.height)):
             cur_parts = f.parts_per_ctu >> (depth << 1)

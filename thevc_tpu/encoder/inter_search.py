@@ -1155,11 +1155,14 @@ def encode_res_and_calc_rd(self, abs_part, depth, skip_res):
     acc = {"cost": 0.0, "bits": 0, "dist": 0, "zero_dist": 0}
     self._est_residual_qt(abs_part, depth, depth, acc, acc)
 
-    # zero-residual alternative (TU_ZERO_CBF_RDO)
+    # zero-residual alternative (TU_ZERO_CBF_RDO); disabled for lossless
+    # CUs (TEncSearch.cpp:4629-4632)
     cu.go_on.reset_bits()
     cu.w.code_qt_root_cbf_zero()
     zero_bits = cu.go_on.num_written_bits
     zero_cost = cu.rd.calc_rd_cost(zero_bits, acc["zero_dist"])
+    if f.tq_bypass[uy, ux]:
+        zero_cost = acc["cost"] + 1
     if zero_cost < acc["cost"]:
         acc["cost"] = zero_cost
         acc["bits"] = 0
@@ -1439,25 +1442,31 @@ def _est_residual_qt(self, abs_part, cu_depth, full_depth, acc, zacc):
             zacc["zero_dist"] += dist_y
         resi_rec_y = None
         if abs_sum_y:
-            deq = cu._dequant(coeff_y, qps_y, size, 0, False)
-            resi_rec_y = tops.inverse_transform(
-                deq[None], use_dst=False, bit_increment=self.bit_inc)[0]
-            nz_dist_y = cu.rd.dist_part(resi_rec_y, resi_y)
-            single_cost_y = cu.rd.calc_rd_cost(bits_y, nz_dist_y)
-            cu.go_on.reset_bits()
-            w.code_qt_cbf_zero(0, tr_mode)
-            null_bits_y = cu.go_on.num_written_bits
-            null_cost_y = cu.rd.calc_rd_cost(null_bits_y, dist_y)
-            if null_cost_y < single_cost_y:
-                abs_sum_y = 0
-                coeff_y = np.zeros_like(coeff_y)
-                resi_rec_y = None
-                if check_ts_y:
-                    min_cost[0] = null_cost_y
+            if f.tq_bypass[uy, ux]:
+                resi_rec_y = coeff_y      # invtransformNxN bypass
             else:
-                dist_y = nz_dist_y
-                if check_ts_y:
-                    min_cost[0] = single_cost_y
+                deq = cu._dequant(coeff_y, qps_y, size, 0, False)
+                resi_rec_y = tops.inverse_transform(
+                    deq[None], use_dst=False, bit_increment=self.bit_inc)[0]
+            nz_dist_y = cu.rd.dist_part(resi_rec_y, resi_y)
+            if f.tq_bypass[uy, ux]:
+                dist_y = nz_dist_y    # lossless: never zero the residual
+            else:                     # (TEncSearch.cpp:4990-4994)
+                single_cost_y = cu.rd.calc_rd_cost(bits_y, nz_dist_y)
+                cu.go_on.reset_bits()
+                w.code_qt_cbf_zero(0, tr_mode)
+                null_bits_y = cu.go_on.num_written_bits
+                null_cost_y = cu.rd.calc_rd_cost(null_bits_y, dist_y)
+                if null_cost_y < single_cost_y:
+                    abs_sum_y = 0
+                    coeff_y = np.zeros_like(coeff_y)
+                    resi_rec_y = None
+                    if check_ts_y:
+                        min_cost[0] = null_cost_y
+                else:
+                    dist_y = nz_dist_y
+                    if check_ts_y:
+                        min_cost[0] = single_cost_y
         elif check_ts_y:
             cu.go_on.reset_bits()
             w.code_qt_cbf_zero(0, tr_mode)
@@ -1474,25 +1483,32 @@ def _est_residual_qt(self, abs_part, cu_depth, full_depth, acc, zacc):
             if zacc is not None:
                 zacc["zero_dist"] += dist_u
             if abs_sum_u:
-                deq = cu._dequant(coeff_u, qps_u, size_c, 1, False)
-                resi_rec_u = tops.inverse_transform(
-                    deq[None], use_dst=False, bit_increment=self.bit_inc)[0]
-                nz = cu.rd.dist_part(resi_rec_u, resi_u, True)
-                sc = cu.rd.calc_rd_cost(bits_u, nz)
-                cu.go_on.reset_bits()
-                w.code_qt_cbf_zero(1, tr_mode)
-                nb = cu.go_on.num_written_bits
-                nc = cu.rd.calc_rd_cost(nb, dist_u)
-                if nc < sc:
-                    abs_sum_u = 0
-                    coeff_u = np.zeros_like(coeff_u)
-                    resi_rec_u = None
-                    if check_ts_uv:
-                        min_cost[1] = nc
+                if f.tq_bypass[uy, ux]:
+                    resi_rec_u = coeff_u      # invtransformNxN bypass
                 else:
-                    dist_u = nz
-                    if check_ts_uv:
-                        min_cost[1] = sc
+                    deq = cu._dequant(coeff_u, qps_u, size_c, 1, False)
+                    resi_rec_u = tops.inverse_transform(
+                        deq[None], use_dst=False,
+                        bit_increment=self.bit_inc)[0]
+                nz = cu.rd.dist_part(resi_rec_u, resi_u, True)
+                if f.tq_bypass[uy, ux]:
+                    dist_u = nz       # lossless (TEncSearch.cpp:5096)
+                else:
+                    sc = cu.rd.calc_rd_cost(bits_u, nz)
+                    cu.go_on.reset_bits()
+                    w.code_qt_cbf_zero(1, tr_mode)
+                    nb = cu.go_on.num_written_bits
+                    nc = cu.rd.calc_rd_cost(nb, dist_u)
+                    if nc < sc:
+                        abs_sum_u = 0
+                        coeff_u = np.zeros_like(coeff_u)
+                        resi_rec_u = None
+                        if check_ts_uv:
+                            min_cost[1] = nc
+                    else:
+                        dist_u = nz
+                        if check_ts_uv:
+                            min_cost[1] = sc
             elif check_ts_uv:
                 cu.go_on.reset_bits()
                 w.code_qt_cbf_zero(1, tr_mode_c)
@@ -1506,16 +1522,25 @@ def _est_residual_qt(self, abs_part, cu_depth, full_depth, acc, zacc):
             if zacc is not None:
                 zacc["zero_dist"] += dist_v
             if abs_sum_v:
-                deq = cu._dequant(coeff_v, qps_v, size_c, 2, False)
-                resi_rec_v = tops.inverse_transform(
-                    deq[None], use_dst=False, bit_increment=self.bit_inc)[0]
+                if f.tq_bypass[uy, ux]:
+                    resi_rec_v = coeff_v      # invtransformNxN bypass
+                else:
+                    deq = cu._dequant(coeff_v, qps_v, size_c, 2, False)
+                    resi_rec_v = tops.inverse_transform(
+                        deq[None], use_dst=False,
+                        bit_increment=self.bit_inc)[0]
                 nz = cu.rd.dist_part(resi_rec_v, resi_v, True)
-                sc = cu.rd.calc_rd_cost(bits_v, nz)
-                cu.go_on.reset_bits()
-                w.code_qt_cbf_zero(2, tr_mode)
-                nb = cu.go_on.num_written_bits
-                nc = cu.rd.calc_rd_cost(nb, dist_v)
-                if nc < sc:
+                if f.tq_bypass[uy, ux]:
+                    dist_v = nz       # lossless (TEncSearch.cpp:5197)
+                    _ll_skip_v = True
+                else:
+                    _ll_skip_v = False
+                    sc = cu.rd.calc_rd_cost(bits_v, nz)
+                    cu.go_on.reset_bits()
+                    w.code_qt_cbf_zero(2, tr_mode)
+                    nb = cu.go_on.num_written_bits
+                    nc = cu.rd.calc_rd_cost(nb, dist_v)
+                if not _ll_skip_v and nc < sc:
                     abs_sum_v = 0
                     coeff_v = np.zeros_like(coeff_v)
                     resi_rec_v = None

@@ -380,6 +380,24 @@ class SbacWriter:
     def code_terminating_bit(self, is_last: int) -> None:
         self.e.encode_bin_trm(is_last)
 
+    def code_pcm_samples(self, abs_part: int, depth: int) -> None:
+        """Raw PCM sample writes (TEncSbac::codeIPCMInfo sample loops).
+
+        Samples are read from the frame's PCM stores (filled by the mode
+        decision as org >> (internal - pcm depth))."""
+        f, sps = self.f, self.sps
+        px, py = self._pel_xy(abs_part)
+        size = f.ctu_size >> depth
+        sb_l = sps.pcm_bit_depth_luma
+        sb_c = sps.pcm_bit_depth_chroma
+        for y in range(py, py + size):
+            for x in range(px, px + size):
+                self.e.write_pcm_code(int(f.pcm_y[y, x]), sb_l)
+        for plane in (f.pcm_cb, f.pcm_cr):
+            for y in range(py // 2, (py + size) // 2):
+                for x in range(px // 2, (px + size) // 2):
+                    self.e.write_pcm_code(int(plane[y, x]), sb_c)
+
     # ------------------------------------------------------------------
     # coefficient coding (codeCoeffNxN)
     # ------------------------------------------------------------------
