@@ -1,0 +1,130 @@
+"""Utility apps: annexBbytecount, bit-depth converter, bitrate targeting.
+
+Behavioral reference: source/App/utils/annexBbytecount.cpp,
+convert_NtoMbit_YCbCr.cpp, BitrateTargeting/{ExtractBitrates,
+GuessLambdaModifiers}.cpp.
+"""
+
+import io
+import subprocess
+
+import numpy as np
+import pytest
+
+from conftest import TESTDATA
+
+from thevc_tpu.apps.annexb_bytecount import AnnexBStats, scan_nal_units
+from thevc_tpu.apps.bitrate_targeting import (
+    extract_bitrates_for_temporal_layers, guess_lambda_modifier,
+    guess_lambda_modifiers, parse_metalog)
+
+
+# ---------------------------------------------------------------------------
+# annexb_bytecount: the reference's own self-test vectors
+# (annexBbytecount.cpp:14-37: {leading, zero_byte, startcode, payload,
+#  trailing}, data)
+# ---------------------------------------------------------------------------
+
+_SELFTEST = [
+    ((0, 0, 3, 0, 0), bytes([0, 0, 1])),
+    ((0, 1, 3, 0, 0), bytes([0, 0, 0, 1])),
+    ((2, 1, 3, 0, 0), bytes([0, 0, 0, 0, 0, 1])),
+    ((0, 0, 3, 1, 0), bytes([0, 0, 1, 2])),
+    ((0, 0, 3, 2, 0), bytes([0, 0, 1, 2, 0])),
+    ((0, 0, 3, 3, 0), bytes([0, 0, 1, 2, 0, 0])),
+    ((0, 0, 3, 1, 3), bytes([0, 0, 1, 2, 0, 0, 0])),
+    ((0, 0, 3, 1, 0), bytes([0, 0, 1, 2, 0, 0, 1, 3])),
+    ((0, 0, 3, 1, 0), bytes([0, 0, 1, 2, 0, 0, 0, 1, 3])),
+    ((0, 0, 3, 1, 1), bytes([0, 0, 1, 2, 0, 0, 0, 0, 1, 3])),
+]
+
+
+@pytest.mark.parametrize("expected,data", _SELFTEST)
+def test_annexb_stats_selftest(expected, data):
+    _, st = next(scan_nal_units(data))
+    got = (st.leading_zero, st.zero_byte, st.start_code, st.nal_bytes,
+           st.trailing_zero)
+    assert got == expected
+
+
+def test_annexb_totals_match_file_size(golden_intra_stream):
+    data = golden_intra_stream["bin"].read_bytes()
+    total = AnnexBStats()
+    n = 0
+    for _, st in scan_nal_units(data):
+        total += st
+        n += 1
+    assert n >= 4   # VPS/SPS/PPS + slices (+SEI)
+    assert (total.leading_zero + total.zero_byte + total.start_code
+            + total.nal_bytes + total.trailing_zero) == len(data)
+
+
+# ---------------------------------------------------------------------------
+# convert_bitdepth round trip
+# ---------------------------------------------------------------------------
+
+def test_convert_bitdepth_roundtrip(tmp_path):
+    from thevc_tpu.apps.convert_bitdepth import main as conv_main
+    rng = np.random.RandomState(3)
+    w, h = 16, 8
+    src = tmp_path / "in8.yuv"
+    with open(src, "wb") as fh:
+        fh.write(rng.randint(0, 256, h * w * 3 // 2, np.uint8).tobytes())
+    up = tmp_path / "out10.yuv"
+    down = tmp_path / "back8.yuv"
+    conv_main(["-i", str(src), "-o", str(up), "--SourceWidth", str(w),
+               "--SourceHeight", str(h), "--InputBitDepth", "8",
+               "--OutputBitDepth", "10"])
+    assert up.stat().st_size == src.stat().st_size * 2
+    conv_main(["-i", str(up), "-o", str(down), "--SourceWidth", str(w),
+               "--SourceHeight", str(h), "--InputBitDepth", "10",
+               "--OutputBitDepth", "8"])
+    assert down.read_bytes() == src.read_bytes()
+
+
+# ---------------------------------------------------------------------------
+# bitrate targeting
+# ---------------------------------------------------------------------------
+
+def test_extract_bitrates_from_encoder_log(oracle, test_clip_small):
+    """Parses real per-POC log lines (non-I lines, averaged per nQP)."""
+    out = subprocess.run(
+        [str(TESTDATA.parent / ".oracle" / "bin" / "TAppEncoder"),
+         "-c", "/root/reference/cfg/encoder_lowdelay_P_main.cfg",
+         "-i", str(test_clip_small), "-wdt", "176", "-hgt", "144",
+         "-f", "5", "-fr", "30", "-b", "/dev/null", "-o", "/dev/null"],
+        check=True, capture_output=True, text=True)
+    rates = extract_bitrates_for_temporal_layers(out.stdout.splitlines())
+    assert len(rates) >= 2          # LDP GOP uses several nQP offsets
+    assert all(r > 0 for r in rates)
+
+
+def test_guess_lambda_modifier_math():
+    # one point: proportional increment with adjustment 0.5
+    # extrapolated = 1.0 * 200/100 = 2.0 -> preliminary = 1.5
+    # intra dampening: log(1 + 0.5) = 0.4055 -> 1.4055
+    lm = guess_lambda_modifier(0.5, 200.0, [(1.0, 100.0)], 1.0)
+    import math
+    assert lm == pytest.approx(1.0 * (1.0 + math.log(1.5)))
+    # two points: secant through them
+    # polated = 1.0 + (1.0-2.0)/(100-180)*(140-100) = 1.5
+    lm2 = guess_lambda_modifier(0.5, 140.0, [(2.0, 180.0), (1.0, 100.0)],
+                                1.0)
+    assert lm2 == pytest.approx(1.0 * (1.0 + math.log(1.5)))
+    # moving down: negative branch of the intra dampening
+    lm3 = guess_lambda_modifier(0.5, 50.0, [(1.0, 100.0)], 1.0)
+    assert lm3 == pytest.approx(1.0 * (1.0 - math.log(1.25)))
+
+
+def test_guess_lambda_modifiers_metalog_roundtrip():
+    metalog = parse_metalog(io.StringIO(
+        "-LM0 1.0 -LM1 1.0;100 300\n"
+        "-LM0 1.2 -LM1 0.9;120 280\n"))
+    assert metalog == [([1.0, 1.0], [100.0, 300.0]),
+                       ([1.2, 0.9], [120.0, 280.0])]
+    result = guess_lambda_modifiers(0.5, [150.0, 250.0], metalog)
+    assert len(result) == 2 and all(v > 0 for v in result)
+    # first layer wants more bits -> larger lambda-modifier guess
+    assert result[0] > 1.2
+    # second layer wants fewer bits -> smaller guess
+    assert result[1] < 0.9
