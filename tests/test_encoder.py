@@ -172,6 +172,15 @@ def test_encoder_lowdelay_b_byte_exact(oracle, small_clip, tmp_path):
               "--WaveFrontSynchro=1"]),
     ("tiles_slices", ["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
                       "--SliceMode=1", "--SliceArgument=1"]),
+    # byte-budget slices (end discovered dynamically in finishCU,
+    # TEncCu.cpp:1065-1070 + TEncSlice.cpp:922)
+    ("bytes", ["--SliceMode=2", "--SliceArgument=120"]),
+    # tiles-in-slice (TEncSlice.cpp:1428-1448 tile increment)
+    ("tslice", ["--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1",
+                "--SliceMode=3", "--SliceArgument=1"]),
+    # bin-budget dependent slices (TEncCu.cpp:1077, mid-CTU encode abort
+    # + the MPM left-neighbor dependent-slice restriction)
+    ("depbins", ["--DependentSliceMode=2", "--DependentSliceArgument=1200"]),
 ])
 def test_encode_partitioned_byte_exact(oracle, small_clip, tmp_path,
                                        name, extra):
@@ -377,4 +386,27 @@ def test_lossless_encode_byte_exact(oracle, test_clip_small, tmp_path,
                   "-i", str(test_clip_small), "-b", str(my_bin),
                   "-wdt", "176", "-hgt", "144", "-f", str(frames),
                   "-fr", "30", "--SEIpictureDigest=1", *opts])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+
+def test_encoder_auto_inter_rps_byte_exact(oracle, test_clip_small, tmp_path):
+    """InterRPSPrediction=2 (AUTO_INTER_RPS, TEncTop.cpp:699-730): refIdc
+    derived automatically from the previous RPS; byte-exact vs HM."""
+    import re
+    cfg_in = open("/root/reference/cfg/encoder_lowdelay_P_main.cfg").read()
+    cfg_auto = re.sub(r"1      -1       5         [01 ]+", "2      -1",
+                      cfg_in)
+    cfg_path = tmp_path / "ldp_auto.cfg"
+    cfg_path.write_text(cfg_auto)
+    hm_bin = TESTDATA / "enc_auto_rps.bin"
+    if not hm_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"), "-c", str(cfg_path),
+             "-i", str(test_clip_small), "-wdt", "176", "-hgt", "144",
+             "-f", "5", "-fr", "30", "-b", str(hm_bin), "-o", "/dev/null",
+             "--SEIpictureDigest=1"], check=True, capture_output=True)
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", str(cfg_path), "-i", str(test_clip_small),
+                  "-b", str(my_bin), "-wdt", "176", "-hgt", "144",
+                  "-f", "5", "-fr", "30", "--SEIpictureDigest=1"])
     assert my_bin.read_bytes() == hm_bin.read_bytes()

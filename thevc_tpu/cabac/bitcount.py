@@ -20,26 +20,31 @@ from .tables import ENTROPY_BITS, NEXT_STATE
 class CounterEncoder:
     """Drop-in for engine.BinEncoder that counts fractional bits."""
 
-    __slots__ = ("ctx", "frac_bits", "bit_count")
+    __slots__ = ("ctx", "frac_bits", "bit_count", "bins_coded")
 
     def __init__(self, ctx: np.ndarray | None = None):
         self.ctx = ctx
         self.frac_bits = 0
         self.bit_count = 0        # whole bits written via write() (unused in RD)
+        self.bins_coded = 0       # getBinsCoded (dependent-slice mode 2)
 
     def encode_bin(self, bin_val: int, ctx_idx: int) -> None:
         state = self.ctx[ctx_idx]
         self.frac_bits += int(ENTROPY_BITS[state ^ bin_val])
         self.ctx[ctx_idx] = NEXT_STATE[state, bin_val]
+        self.bins_coded += 1
 
     def encode_bin_ep(self, bin_val: int) -> None:
         self.frac_bits += 32768
+        self.bins_coded += 1
 
     def encode_bins_ep(self, bin_vals: int, num_bins: int) -> None:
         self.frac_bits += 32768 * num_bins
+        self.bins_coded += num_bins
 
     def encode_bin_trm(self, bin_val: int) -> None:
         self.frac_bits += int(ENTROPY_BITS[126 ^ bin_val])
+        self.bins_coded += 1
 
     def write(self, bits: int, n: int) -> None:
         """PCM passthrough / finish()-style whole-bit writes."""

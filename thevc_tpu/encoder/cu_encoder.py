@@ -698,9 +698,14 @@ class CuEncoder:
                 f.cbf[c, uy:uy + units, ux:ux + units] |= comb[c]
 
     def _left_above_luma_dirs(self, ux: int, uy: int):
-        """Left/above intra dirs exactly as getIntraDirLumaPredictor."""
+        """Left/above intra dirs exactly as getIntraDirLumaPredictor
+        (incl. the left neighbor's dependent-slice restriction,
+        TComDataCU.cpp:1936 / getPULeft default args)."""
         f = self.f
         n = f.left_unit(ux, uy)
+        if n is not None and f.unit_order(n[0], n[1]) < \
+                int(f.dep_slice_start[uy, ux]):
+            n = None
         left = int(f.luma_dir[n[1], n[0]]) if (
             n is not None and f.pred_mode[n[1], n[0]] == MODE_INTRA) else DC_IDX
         n = f.above_unit(ux, uy, planar_at_ctu_boundary=True)
@@ -1651,17 +1656,31 @@ class CuEncoder:
             last_suc = self._check_last_cu_suc_ipcm(abs_part)
             num_suc = self._count_num_suc_ipcm(abs_part)
         burst_member = last_suc and bool(f.ipcm[uy, ux])
-        if inside and not burst_member:
+        # dependent-slice range gates (TEncCu::xEncodeCU:1165-1191): a
+        # byte/bin-budget violation updates the end address mid-CTU, and
+        # the remaining CUs must not be encoded
+        sh = self.sh
+        scu_base = int(f.ctu_inv_order[self.ctu_addr]) * f.parts_per_ctu
+        cur_parts = f.parts_per_ctu >> (depth << 1)
+        slice_start_inside = (
+            sh.dependent_slice_start_cu_addr > scu_base + abs_part
+            and sh.dependent_slice_start_cu_addr <
+            scu_base + abs_part + cur_parts)
+        if inside and not slice_start_inside and not burst_member:
             w.code_split_flag(abs_part, depth)
         if (depth < int(f.depth[uy, ux]) and depth < max_sig_depth) \
-                or not inside:
+                or not inside or slice_start_inside:
             if size == self._min_cu_dqp_size and self.pps.use_dqp:
                 w.dqp_flag = True
             q_parts = (f.parts_per_ctu >> (depth << 1)) >> 2
             part = abs_part
             for i in range(4):
                 spx, spy = self._pel_xy(part)
-                if spx < f.width and spy < f.height:
+                in_slice = (scu_base + part + q_parts >
+                            sh.dependent_slice_start_cu_addr
+                            and scu_base + part <
+                            sh.dependent_slice_end_cu_addr)
+                if in_slice and spx < f.width and spy < f.height:
                     self._encode_cu_final(part, depth + 1)
                 part += q_parts
             return
@@ -1811,15 +1830,15 @@ class CuEncoder:
     def _finish_cu_final(self, abs_part: int, depth: int,
                          num_suc_ipcm: int = 0) -> None:
         f = self.f
+        sh = self.sh
         w = self._final_writer
         px, py = self._pel_xy(abs_part)
         size = f.ctu_size >> depth
         gran = f.ctu_size  # REMOVE_FGS: slice granularity = CTU
-        if num_suc_ipcm > 1:
-            return   # mid-burst: terminate handled at the last member
-                     # (TEncCu.cpp:1039)
-        if (((px + size) % gran == 0 or (px + size) == f.width) and
-                ((py + size) % gran == 0 or (py + size) == f.height)):
+        gran_boundary = (
+            ((px + size) % gran == 0 or (px + size) == f.width) and
+            ((py + size) % gran == 0 or (py + size) == f.height))
+        if gran_boundary and num_suc_ipcm <= 1:
             cur_parts = f.parts_per_ctu >> (depth << 1)
             # pcCU->getSCUAddr() is in encode (tile-scan) order
             scu = int(f.ctu_inv_order[self.ctu_addr]) * f.parts_per_ctu \
@@ -1827,6 +1846,35 @@ class CuEncoder:
             terminate = (scu + cur_parts == self._slice_end_scu())
             if not terminate:
                 w.code_terminating_bit(0)
+
+        # byte/bin-constrained slice-end recording (TEncCu.cpp:1047-1106);
+        # active only during the counting compress pass (finalized=False,
+        # engine is the fractional-bit counter = m_pcBitCounter non-null)
+        eng = w.e
+        counting = isinstance(eng, CounterEncoder)
+        written = eng.num_written_bits if counting else 0
+        if not sh.finalized and counting:
+            parts = f.parts_per_ctu
+            scu_abs = int(f.ctu_inv_order[self.ctu_addr]) * parts + abs_part
+            gran_end = (scu_abs // parts) * parts
+            if gran_end <= sh.dependent_slice_start_cu_addr:
+                gran_end += max(parts, parts >> (depth << 1))
+            if self.cfg.get("SliceMode", 0) == 2 and \
+                    sh.slice_bits + written > \
+                    (self.cfg.get("SliceArgument", 0) << 3):
+                sh.dependent_slice_end_cu_addr = gran_end
+                sh.slice_cur_end_cu_addr = gran_end
+                return
+            if self.cfg.get("DependentSliceMode", 0) == 2 and \
+                    sh.dependent_slice_counter + eng.bins_coded > \
+                    self.cfg.get("DependentSliceArgument", 0):
+                sh.dependent_slice_end_cu_addr = gran_end
+                return
+        if gran_boundary and counting:
+            sh.slice_bits += written
+            sh.dependent_slice_counter += eng.bins_coded
+            eng.bins_coded = 0
+            eng.reset_bits()   # TEncSbac::resetBits: count=0, frac&=32767
 
     def _slice_end_scu(self) -> int:
         """finishCU's real-end-address computation (TEncCu.cpp:1000):

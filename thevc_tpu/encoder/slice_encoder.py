@@ -144,7 +144,11 @@ def make_cu_encoder(cfg, sps, pps, sh, frame: FrameModel, org_planes,
     rd.chroma_distortion_weight = weight
     enc_cfg = {"RDOQ": cfg.use_rdoq,
                "TransformSkipFast": cfg.use_transform_skip_fast,
-               "CUTransquantBypassFlagValue": cfg.cu_transquant_bypass_flag_value}
+               "CUTransquantBypassFlagValue": cfg.cu_transquant_bypass_flag_value,
+               "SliceMode": cfg.slice_mode,
+               "SliceArgument": cfg.slice_argument,
+               "DependentSliceMode": cfg.dependent_slice_mode,
+               "DependentSliceArgument": cfg.dependent_slice_argument}
     return CuEncoder(frame, sh, sps, pps, org_planes, rec_planes, rd,
                      lam, lam_chroma, enc_cfg)
 
@@ -269,9 +273,24 @@ def _real_start_address(f, scu_enc: int) -> int:
         if external < f.num_ctus else f.num_ctus * parts
 
 
+def _tiles_increment(f, tiles, start_scu: int, n_arg: int) -> int:
+    """Tiles-in-slice SCU increment (TEncSlice.cpp:1428-1448): sum of the
+    sizes of n_arg tiles starting at the tile containing start_scu."""
+    parts = f.parts_per_ctu
+    n_tiles = tiles.n_cols * tiles.n_rows
+    lcu_enc = start_scu // parts
+    tile_idx = int(tiles.tile_idx_map[int(f.ctu_order[lcu_enc])])
+    inc = 0
+    for k in range(n_arg):
+        if tile_idx + k < n_tiles:
+            inc += int(tiles.widths[tile_idx + k]) \
+                * int(tiles.heights[tile_idx + k]) * parts
+    return inc
+
+
 def determine_bounds(cfg, f, sh, encode_pass: bool):
     """xDetermineStartAndBoundingCUAddr (TEncSlice.cpp:1402) for slice
-    modes 0/1 and dependent-slice modes 0/1.  Updates the slice header's
+    modes 0-3 and dependent-slice modes 0-3.  Updates the slice header's
     end addresses, next_slice/next_dependent_slice flags (compress pass),
     and returns (start, bounding) in encode-order SCUs."""
     parts = f.parts_per_ctu
@@ -282,8 +301,13 @@ def determine_bounds(cfg, f, sh, encode_pass: bool):
     start_slice = sh.slice_cur_start_cu_addr
     if cfg.slice_mode == 1:
         bound_slice = min(start_slice + cfg.slice_argument * parts, num_scus)
-    elif cfg.slice_mode != 0:
-        raise NotImplementedError(f"SliceMode={cfg.slice_mode}")
+    elif cfg.slice_mode == 2:
+        # byte budget: end discovered dynamically during compression
+        # (finishCU); the final pass re-uses the recorded end address
+        bound_slice = sh.slice_cur_end_cu_addr if encode_pass else num_scus
+    elif cfg.slice_mode == 3:
+        bound_slice = min(start_slice + _tiles_increment(
+            f, tiles, start_slice, cfg.slice_argument), num_scus)
     else:
         bound_slice = num_scus
     if not encode_pass:
@@ -315,9 +339,13 @@ def determine_bounds(cfg, f, sh, encode_pass: bool):
     if cfg.dependent_slice_mode == 1:
         bound_dep = min(start_dep + cfg.dependent_slice_argument * parts,
                         num_scus)
-    elif cfg.dependent_slice_mode != 0:
-        raise NotImplementedError(
-            f"DependentSliceMode={cfg.dependent_slice_mode}")
+    elif cfg.dependent_slice_mode == 2:
+        # bin budget: end discovered dynamically (finishCU)
+        bound_dep = sh.dependent_slice_end_cu_addr if encode_pass \
+            else num_scus
+    elif cfg.dependent_slice_mode == 3:
+        bound_dep = min(start_dep + _tiles_increment(
+            f, tiles, start_dep, cfg.dependent_slice_argument), num_scus)
     else:
         bound_dep = num_scus
     if bound_dep > bound_slice:
@@ -334,9 +362,11 @@ def determine_bounds(cfg, f, sh, encode_pass: bool):
     bounding = min(bound_slice, bound_dep)
 
     if not encode_pass:
+        # the known-boundary mode combinations (TEncSlice.cpp:1674-1682)
+        sm, dm = cfg.slice_mode, cfg.dependent_slice_mode
         deterministic = (
-            (cfg.slice_mode in (0, 1) and cfg.dependent_slice_mode in (0, 1)
-             and (cfg.slice_mode or cfg.dependent_slice_mode))
+            (sm in (0, 1, 3) and dm in (0, 1) and (sm or dm))
+            or (dm == 3 and sm == 0)
             or tile_boundary)
         if deterministic:
             sh.next_slice = bound_slice <= bound_dep
@@ -446,6 +476,8 @@ class PictureCompressor:
         """CTU loop of TEncSlice::compressSlice over [start, bounding)."""
         cu, f = self.cu, self.f
         cu.sh = sh          # finishCU's slice-end checks read the segment
+        sh.dependent_slice_counter = 0   # TEncSlice.cpp:657
+        sh.finalized = False
         parts = self.parts
         ctus_w = f.ctus_w
         slice_start_raster_lcu = _scu_enc_to_raster(
@@ -485,6 +517,8 @@ class PictureCompressor:
                    if self.tiles is not None else 1)
         if (self.nsub == 1 and n_tiles == 1
                 and not self.allow_dep and self.rc is None
+                and self.cfg.slice_mode != 2
+                and self.cfg.dependent_slice_mode != 2
                 and start == 0 and bounding >= f.num_ctus * parts):
             from .native_enc import make_native_encoder
             nat = make_native_encoder(cu)
@@ -547,6 +581,21 @@ class PictureCompressor:
             w = SbacWriter(f, sh, cu.sps, cu.pps, eng)
             cu.encode_ctu(ctu, w)
             cu.snap[0][CI_CURR_BEST] = (eng.ctx, eng.frac_bits)
+
+            # byte/bin budget exceeded: end the segment at the boundary
+            # recorded by finishCU (TEncSlice.cpp:922-931)
+            if self.cfg.slice_mode == 2 and \
+                    sh.slice_bits + eng.num_written_bits > \
+                    (self.cfg.slice_argument << 3):
+                sh.next_slice = True
+                break
+            if self.cfg.dependent_slice_mode == 2 and \
+                    sh.dependent_slice_counter + eng.bins_coded > \
+                    self.cfg.dependent_slice_argument and \
+                    sh.slice_cur_end_cu_addr != \
+                    sh.dependent_slice_end_cu_addr:
+                sh.next_dependent_slice = True
+                break
 
             self.pic_total_bits += cu.total_bits
             if self.rc is not None:

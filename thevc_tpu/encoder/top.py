@@ -126,7 +126,28 @@ def derive_params(cfg: EncoderCfg):
             rps.num_negative_pics = len(neg)
             rps.num_positive_pics = len(pos)
         elif ge.inter_rps_prediction == 2:
-            raise NotImplementedError("AUTO inter RPS (mode 2)")
+            # automatic refIdc derivation from the previous RPS
+            # (TEncTop.cpp:699-730, AUTO_INTER_RPS)
+            ref_rps = sps.rps_list[i - 1]
+            delta_rps = cfg.gop_list[i - 1].poc - ge.poc
+            n_ref = ref_rps.num_negative_pics + ref_rps.num_positive_pics
+            rps.delta_rps = delta_rps
+            rps.num_ref_idc = n_ref + 1
+            rps.ref_idc = [0] * (n_ref + 1)
+            n_cur = rps.num_negative_pics + rps.num_positive_pics
+            count = 0
+            for j in range(n_ref + 1):
+                ref_d = ref_rps.delta_poc[j] if j < n_ref else 0
+                for k in range(n_cur):
+                    if rps.delta_poc[k] == ref_d + delta_rps:
+                        rps.ref_idc[j] = 1 if rps.used[k] else 2
+                        count += 1
+                        break
+            if count != n_cur:
+                print("Warning: Unable fully predict all delta POCs using "
+                      "the reference RPS index given in the config file.  "
+                      "Setting Inter RPS to false for this RPS.")
+                rps.inter_rps_prediction = False
         sps.rps_list.append(rps)
 
     pps = Pps()
@@ -237,6 +258,37 @@ def _nal_unit_type(cfg: EncoderCfg, poc: int) -> int:
         if cfg.decoding_refresh_type == 2:
             return nal_mod.NAL_UNIT_CODED_SLICE_IDR
     return nal_mod.NAL_UNIT_CODED_SLICE
+
+
+class _FrameSource:
+    """On-demand, GOP-windowed original-frame access (one-GOP buffering per
+    the reference TEncTop.cpp:374-405, instead of whole-sequence RAM)."""
+
+    def __init__(self, reader, base: int):
+        import threading
+        self.reader = reader
+        self.base = base
+        self.cache: dict = {}
+        self.lock = threading.Lock()
+
+    def __getitem__(self, idx: int):
+        with self.lock:
+            f = self.cache.get(idx)
+            if f is None:
+                f = self.reader.read_frame_at(idx, self.base)
+                if f is None:
+                    raise IndexError(idx)
+                self.cache[idx] = f
+            return f
+
+    def drop(self, idx: int) -> None:
+        with self.lock:
+            self.cache.pop(idx, None)
+
+    def evict_below(self, idx: int) -> None:
+        with self.lock:
+            for k in [k for k in self.cache if k < idx]:
+                del self.cache[k]
 
 
 def arrange_longterm_pictures_in_rps(sh, sps: Sps, dpb: Dpb) -> None:
@@ -533,6 +585,7 @@ class Encoder:
                     sh.slice_cur_start_cu_addr = start_slice_var
                     sh.dependent_slice_start_cu_addr = start_slice_var
                     sh.dependent_slice = False
+                    sh.slice_bits = 0          # TEncGOP.cpp:609
                     n_regular += 1
                 if start_dep_var < start_slice_var:
                     start_dep_var = start_slice_var
@@ -597,6 +650,7 @@ class Encoder:
             start_field = seg.dependent_slice_start_cu_addr \
                 if seg.dependent_slice else seg.slice_cur_start_cu_addr
             seg.write_lcu_address = int(f.ctu_order[start_field // parts])
+            seg.finalized = True               # TEncGOP.cpp:889
             seg_subs, tile_locs = pc.encode_slice(seg, sao_write)
             seg.num_entry_point_offsets = 0
             seg.entry_point_offsets = []
@@ -798,7 +852,7 @@ class Encoder:
                 self.is_long_term = False
                 self.temporal_id = 0
 
-        n = len(frames)
+        n = frames.count
 
         def job(poc):
             w = copy.copy(self)
@@ -813,6 +867,7 @@ class Encoder:
             w.log_sink = []
             w._sao_rate_state = [list(r) for r in self._sao_rate_state]
             data, rec = w.encode_frame(frames[poc], poc, poc == 0, 0)
+            frames.drop(poc)
             return w, data, rec
 
         workers = int(os.environ.get("THEVC_THREADS", "0")) or \
@@ -861,14 +916,13 @@ class Encoder:
         n = cfg.frames_to_be_encoded
         gop_size = max(cfg.gop_size, 1)
 
-        # read all input frames up front (encoder buffers one GOP at a time)
-        frames = []
-        while n <= 0 or len(frames) < n:
-            org = reader.read_frame()
-            if org is None:
-                break
-            frames.append(org)
-        n = len(frames)
+        # GOP-windowed frame source: frames are read on demand and evicted
+        # once their GOP is done (the reference buffers one GOP,
+        # TEncTop.cpp:374-405, rather than the whole sequence)
+        avail = reader.num_frames_remaining()
+        n = avail if n <= 0 else min(n, avail)
+        frames = _FrameSource(reader, cfg.frame_skip)
+        frames.count = n
 
         if self._can_encode_parallel(n):
             return self._encode_all_intra_parallel(frames, writer, reader,
@@ -884,6 +938,7 @@ class Encoder:
             if self.rate_ctrl is not None:   # TEncGOP.cpp:1228-1231
                 self.rate_ctrl.update_gop_status()
         nxt = 1
+        next_write = 0
         while nxt < n:
             batch = min(gop_size, n - nxt)
             poc_last = nxt + batch - 1
@@ -896,10 +951,17 @@ class Encoder:
                 chunks.append(data)
                 recons[poc] = rec
             nxt += batch
+            frames.evict_below(nxt)
+            # stream POC-contiguous recon out and free the buffers
+            while next_write in recons and next_write < nxt:
+                if writer is not None:
+                    writer.write_frame(recons[next_write])
+                del recons[next_write]
+                next_write += 1
             if self.rate_ctrl is not None:
                 self.rate_ctrl.update_gop_status()
-        if writer is not None:
-            for poc in sorted(recons):
+        for poc in sorted(recons):
+            if writer is not None:
                 writer.write_frame(recons[poc])
         reader.close()
         if writer is not None:

@@ -52,6 +52,19 @@ class YuvReader:
         if n:
             self._fd.seek(self._frame_bytes * n, 1)
 
+    def num_frames_remaining(self) -> int:
+        """Frames available from the current position (by file size)."""
+        import os
+        pos = self._fd.tell()
+        end = os.fstat(self._fd.fileno()).st_size
+        return max(0, (end - pos) // self._frame_bytes)
+
+    def read_frame_at(self, idx: int, base: int = 0) -> Optional[YuvFrame]:
+        """Random-access read of frame base+idx (seek; position-independent,
+        used by the GOP-windowed frame source)."""
+        self._fd.seek(self._frame_bytes * (base + idx), 0)
+        return self.read_frame()
+
     def read_frame(self) -> Optional[YuvFrame]:
         data = self._fd.read(self._frame_bytes)
         if len(data) < self._frame_bytes:

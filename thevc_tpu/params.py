@@ -191,6 +191,11 @@ class SliceHeader:
     """Per-slice state (subset of TComSlice relevant to parsing/recon)."""
     nal_unit_type: int = 0
     temporal_id: int = 0
+    # byte/bin-constrained segmentation state (TComSlice m_uiSliceBits /
+    # m_uiDependentSliceCounter / m_bFinalized)
+    slice_bits: int = 0
+    dependent_slice_counter: int = 0
+    finalized: bool = False
     first_slice_in_pic: bool = True
     pps_id: int = 0
     dependent_slice: bool = False

@@ -379,7 +379,28 @@ def parse_args(argv: List[str]) -> EncoderCfg:
             i += 2
             continue
         raise ValueError(f"unhandled argument: {arg}")
+    check_parameters(cfg)
     return cfg
+
+
+def check_parameters(cfg: "EncoderCfg") -> None:
+    """Subset of TAppEncCfg::xCheckParameter (TAppEncCfg.cpp:551-580)
+    covering the partitioning-mode combinations."""
+    if not 0 <= cfg.slice_mode <= 3:
+        raise ValueError("SliceMode exceeds supported range (0 to 3)")
+    if cfg.slice_mode != 0 and cfg.slice_argument < 1:
+        raise ValueError("SliceArgument should be larger than or equal to 1")
+    if not 0 <= cfg.dependent_slice_mode <= 2:
+        raise ValueError("DependentSliceMode exceeds supported range (0 to 2)")
+    if cfg.dependent_slice_mode != 0 and cfg.dependent_slice_argument < 1:
+        raise ValueError(
+            "DependentSliceArgument should be larger than or equal to 1")
+    tile_flag = cfg.num_tile_columns_minus1 > 0 or cfg.num_tile_rows_minus1 > 0
+    if tile_flag and cfg.dependent_slice_mode:
+        raise ValueError("Tile and Dependent Slice can not be applied "
+                         "together")
+    if tile_flag and cfg.wavefront_synchro:
+        raise ValueError("Tile and Wavefront can not be applied together")
 
 
 def expand_gop(cfg) -> int:
