@@ -3034,6 +3034,20 @@ void build_edge_maps(const FrameArrays* fa, int32_t direction,
 // ===========================================================================
 
 static const double MAX_DOUBLE_C = 1.7e308;
+
+// ---- lightweight section profiling (THEVC_PROF) ----
+#if defined(__x86_64__)
+#include <x86intrin.h>
+static inline uint64_t prof_tsc() { return __rdtsc(); }
+#else
+static inline uint64_t prof_tsc() { return 0; }
+#endif
+static uint64_t g_prof[16];
+#define PROF_BEGIN(i) uint64_t _pt##i = prof_tsc()
+#define PROF_END(i)   g_prof[i] += prof_tsc() - _pt##i
+extern "C" void get_prof(uint64_t* out) {
+  for (int i = 0; i < 16; i++) { out[i] = g_prof[i]; g_prof[i] = 0; }
+}
 enum { ECI_CURR_BEST = 0, ECI_NEXT_BEST, ECI_TEMP_BEST, ECI_QT_TRAFO_TEST,
        ECI_QT_TRAFO_ROOT, ECI_NUM };
 
@@ -3359,12 +3373,122 @@ static const int32_t* dct_basis(int size) {
   }
 }
 
+#if defined(__AVX2__)
+// Vector 4x4/8x8 forward transforms.  Integer butterflies and exact
+// (x + add) >> shift rounding identical to the scalar partial-butterfly
+// path (gcc's >> on int32 is arithmetic, like the scalar code relies on).
+static inline void transpose8x8_epi32(__m256i r[8]);
+
+static inline void transpose4x4_epi32(__m128i r[4]) {
+  __m128i t0 = _mm_unpacklo_epi32(r[0], r[1]);
+  __m128i t1 = _mm_unpackhi_epi32(r[0], r[1]);
+  __m128i t2 = _mm_unpacklo_epi32(r[2], r[3]);
+  __m128i t3 = _mm_unpackhi_epi32(r[2], r[3]);
+  r[0] = _mm_unpacklo_epi64(t0, t2); r[1] = _mm_unpackhi_epi64(t0, t2);
+  r[2] = _mm_unpacklo_epi64(t1, t3); r[3] = _mm_unpackhi_epi64(t1, t3);
+}
+
+static inline __m128i rs4(__m128i v, __m128i add, int shift) {
+  return _mm_srai_epi32(_mm_add_epi32(v, add), shift);
+}
+
+// one DCT4 pass over 4 column vectors (c[n] holds x[j][n] for j lanes)
+static inline void dct4_pass(__m128i c[4], int shift) {
+  __m128i add = _mm_set1_epi32(1 << (shift - 1));
+  __m128i e0 = _mm_add_epi32(c[0], c[3]), e1 = _mm_add_epi32(c[1], c[2]);
+  __m128i o0 = _mm_sub_epi32(c[0], c[3]), o1 = _mm_sub_epi32(c[1], c[2]);
+  __m128i k64 = _mm_set1_epi32(64), k83 = _mm_set1_epi32(83),
+          k36 = _mm_set1_epi32(36);
+  c[0] = rs4(_mm_mullo_epi32(k64, _mm_add_epi32(e0, e1)), add, shift);
+  c[2] = rs4(_mm_mullo_epi32(k64, _mm_sub_epi32(e0, e1)), add, shift);
+  c[1] = rs4(_mm_add_epi32(_mm_mullo_epi32(k83, o0),
+                           _mm_mullo_epi32(k36, o1)), add, shift);
+  c[3] = rs4(_mm_sub_epi32(_mm_mullo_epi32(k36, o0),
+                           _mm_mullo_epi32(k83, o1)), add, shift);
+}
+
+static inline void dst4_pass(__m128i c[4], int shift) {
+  __m128i add = _mm_set1_epi32(1 << (shift - 1));
+  __m128i out[4];
+  for (int k = 0; k < 4; k++) {
+    const int32_t* row = &kDst4[k][0];
+    __m128i acc = _mm_mullo_epi32(_mm_set1_epi32(row[0]), c[0]);
+    acc = _mm_add_epi32(acc, _mm_mullo_epi32(_mm_set1_epi32(row[1]), c[1]));
+    acc = _mm_add_epi32(acc, _mm_mullo_epi32(_mm_set1_epi32(row[2]), c[2]));
+    acc = _mm_add_epi32(acc, _mm_mullo_epi32(_mm_set1_epi32(row[3]), c[3]));
+    out[k] = rs4(acc, add, shift);
+  }
+  c[0] = out[0]; c[1] = out[1]; c[2] = out[2]; c[3] = out[3];
+}
+
+static inline __m256i rs8(__m256i v, __m256i add, int shift) {
+  return _mm256_srai_epi32(_mm256_add_epi32(v, add), shift);
+}
+
+static inline __m256i mul8(int k, __m256i v) {
+  return _mm256_mullo_epi32(_mm256_set1_epi32(k), v);
+}
+
+// one DCT8 pass over 8 column vectors
+static inline void dct8_pass(__m256i c[8], int shift) {
+  __m256i add = _mm256_set1_epi32(1 << (shift - 1));
+  __m256i e0 = _mm256_add_epi32(c[0], c[7]), o0 = _mm256_sub_epi32(c[0], c[7]);
+  __m256i e1 = _mm256_add_epi32(c[1], c[6]), o1 = _mm256_sub_epi32(c[1], c[6]);
+  __m256i e2 = _mm256_add_epi32(c[2], c[5]), o2 = _mm256_sub_epi32(c[2], c[5]);
+  __m256i e3 = _mm256_add_epi32(c[3], c[4]), o3 = _mm256_sub_epi32(c[3], c[4]);
+  __m256i ee0 = _mm256_add_epi32(e0, e3), eo0 = _mm256_sub_epi32(e0, e3);
+  __m256i ee1 = _mm256_add_epi32(e1, e2), eo1 = _mm256_sub_epi32(e1, e2);
+  c[0] = rs8(mul8(64, _mm256_add_epi32(ee0, ee1)), add, shift);
+  c[4] = rs8(mul8(64, _mm256_sub_epi32(ee0, ee1)), add, shift);
+  c[2] = rs8(_mm256_add_epi32(mul8(83, eo0), mul8(36, eo1)), add, shift);
+  c[6] = rs8(_mm256_sub_epi32(mul8(36, eo0), mul8(83, eo1)), add, shift);
+  c[1] = rs8(_mm256_add_epi32(_mm256_add_epi32(mul8(89, o0), mul8(75, o1)),
+                              _mm256_add_epi32(mul8(50, o2), mul8(18, o3))),
+             add, shift);
+  c[3] = rs8(_mm256_sub_epi32(_mm256_sub_epi32(mul8(75, o0), mul8(18, o1)),
+                              _mm256_add_epi32(mul8(89, o2), mul8(50, o3))),
+             add, shift);
+  c[5] = rs8(_mm256_add_epi32(_mm256_sub_epi32(mul8(50, o0), mul8(89, o1)),
+                              _mm256_add_epi32(mul8(18, o2), mul8(75, o3))),
+             add, shift);
+  c[7] = rs8(_mm256_add_epi32(_mm256_sub_epi32(mul8(18, o0), mul8(50, o1)),
+                              _mm256_sub_epi32(mul8(75, o2), mul8(89, o3))),
+             add, shift);
+}
+#endif  // __AVX2__
+
 static void forward_transform_c(const int32_t* resi, int size, int use_dst,
                                 int bit_inc, int32_t* coeff,
                                 int32_t* scratch) {
   int log2 = 0; while ((1 << log2) < size) log2++;
   int shift1 = log2 - 1 + bit_inc;
   int shift2 = log2 + 6;
+#if defined(__AVX2__)
+  if (size == 4) {
+    __m128i c[4];
+    for (int j = 0; j < 4; j++)
+      c[j] = _mm_loadu_si128((const __m128i*)(resi + j * 4));
+    transpose4x4_epi32(c);
+    if (use_dst) dst4_pass(c, shift1); else dct4_pass(c, shift1);
+    transpose4x4_epi32(c);
+    if (use_dst) dst4_pass(c, shift2); else dct4_pass(c, shift2);
+    for (int k = 0; k < 4; k++)
+      _mm_storeu_si128((__m128i*)(coeff + k * 4), c[k]);
+    return;
+  }
+  if (size == 8) {
+    __m256i c[8];
+    for (int j = 0; j < 8; j++)
+      c[j] = _mm256_loadu_si256((const __m256i*)(resi + j * 8));
+    transpose8x8_epi32(c);
+    dct8_pass(c, shift1);
+    transpose8x8_epi32(c);
+    dct8_pass(c, shift2);
+    for (int k = 0; k < 8; k++)
+      _mm256_storeu_si256((__m256i*)(coeff + k * 8), c[k]);
+    return;
+  }
+#endif
   const int32_t* t = (use_dst && size == 4) ? &kDst4[0][0] : dct_basis(size);
   fwd_pass(resi, t, size, shift1, scratch);
   fwd_pass(scratch, t, size, shift2, coeff);
@@ -3459,6 +3583,76 @@ static void sbh_hdq_c(int32_t* q, const int32_t* src, const int32_t* du,
 // ---------------------------------------------------------------------------
 // Hadamard SATD (TComRdCost xCalcHADs4x4 :1684 / xCalcHADs8x8 :1778)
 // ---------------------------------------------------------------------------
+#if defined(__AVX2__)
+// AVX2 8x8 Hadamard SATD.  The butterflies are exact integer adds, so the
+// pass order / transposition does not change the abs-sum: bit-identical to
+// the scalar xCalcHADs8x8.
+static inline void had8_butterfly(__m256i r[8]) {
+  __m256i a0 = _mm256_add_epi32(r[0], r[4]), s0 = _mm256_sub_epi32(r[0], r[4]);
+  __m256i a1 = _mm256_add_epi32(r[1], r[5]), s1 = _mm256_sub_epi32(r[1], r[5]);
+  __m256i a2 = _mm256_add_epi32(r[2], r[6]), s2 = _mm256_sub_epi32(r[2], r[6]);
+  __m256i a3 = _mm256_add_epi32(r[3], r[7]), s3 = _mm256_sub_epi32(r[3], r[7]);
+  __m256i b0 = _mm256_add_epi32(a0, a2), b2 = _mm256_sub_epi32(a0, a2);
+  __m256i b1 = _mm256_add_epi32(a1, a3), b3 = _mm256_sub_epi32(a1, a3);
+  __m256i b4 = _mm256_add_epi32(s0, s2), b6 = _mm256_sub_epi32(s0, s2);
+  __m256i b5 = _mm256_add_epi32(s1, s3), b7 = _mm256_sub_epi32(s1, s3);
+  r[0] = _mm256_add_epi32(b0, b1); r[1] = _mm256_sub_epi32(b0, b1);
+  r[2] = _mm256_add_epi32(b2, b3); r[3] = _mm256_sub_epi32(b2, b3);
+  r[4] = _mm256_add_epi32(b4, b5); r[5] = _mm256_sub_epi32(b4, b5);
+  r[6] = _mm256_add_epi32(b6, b7); r[7] = _mm256_sub_epi32(b6, b7);
+}
+
+static inline void transpose8x8_epi32(__m256i r[8]) {
+  __m256i t0 = _mm256_unpacklo_epi32(r[0], r[1]);
+  __m256i t1 = _mm256_unpackhi_epi32(r[0], r[1]);
+  __m256i t2 = _mm256_unpacklo_epi32(r[2], r[3]);
+  __m256i t3 = _mm256_unpackhi_epi32(r[2], r[3]);
+  __m256i t4 = _mm256_unpacklo_epi32(r[4], r[5]);
+  __m256i t5 = _mm256_unpackhi_epi32(r[4], r[5]);
+  __m256i t6 = _mm256_unpacklo_epi32(r[6], r[7]);
+  __m256i t7 = _mm256_unpackhi_epi32(r[6], r[7]);
+  __m256i u0 = _mm256_unpacklo_epi64(t0, t2);
+  __m256i u1 = _mm256_unpackhi_epi64(t0, t2);
+  __m256i u2 = _mm256_unpacklo_epi64(t1, t3);
+  __m256i u3 = _mm256_unpackhi_epi64(t1, t3);
+  __m256i u4 = _mm256_unpacklo_epi64(t4, t6);
+  __m256i u5 = _mm256_unpackhi_epi64(t4, t6);
+  __m256i u6 = _mm256_unpacklo_epi64(t5, t7);
+  __m256i u7 = _mm256_unpackhi_epi64(t5, t7);
+  r[0] = _mm256_permute2x128_si256(u0, u4, 0x20);
+  r[1] = _mm256_permute2x128_si256(u1, u5, 0x20);
+  r[2] = _mm256_permute2x128_si256(u2, u6, 0x20);
+  r[3] = _mm256_permute2x128_si256(u3, u7, 0x20);
+  r[4] = _mm256_permute2x128_si256(u0, u4, 0x31);
+  r[5] = _mm256_permute2x128_si256(u1, u5, 0x31);
+  r[6] = _mm256_permute2x128_si256(u2, u6, 0x31);
+  r[7] = _mm256_permute2x128_si256(u3, u7, 0x31);
+}
+
+static int64_t had8x8(const int16_t* org, int64_t so, const int32_t* cur,
+                      int64_t sc) {
+  __m256i r[8];
+  for (int j = 0; j < 8; j++) {
+    __m256i o = _mm256_cvtepi16_epi32(
+        _mm_loadu_si128((const __m128i*)(org + j * so)));
+    __m256i c = _mm256_loadu_si256((const __m256i*)(cur + j * sc));
+    r[j] = _mm256_sub_epi32(o, c);
+  }
+  had8_butterfly(r);          // vertical pass (across rows, per column lane)
+  transpose8x8_epi32(r);
+  had8_butterfly(r);          // horizontal pass
+  __m256i acc = _mm256_setzero_si256();
+  for (int j = 0; j < 8; j++)
+    acc = _mm256_add_epi32(acc, _mm256_abs_epi32(r[j]));
+  __m128i lo = _mm256_castsi256_si128(acc);
+  __m128i hi = _mm256_extracti128_si256(acc, 1);
+  __m128i s = _mm_add_epi32(lo, hi);
+  s = _mm_add_epi32(s, _mm_shuffle_epi32(s, 0x4E));
+  s = _mm_add_epi32(s, _mm_shuffle_epi32(s, 0xB1));
+  int64_t sad = (int32_t)_mm_cvtsi128_si32(s);
+  return (sad + 2) >> 2;
+}
+#else
 static int64_t had8x8(const int16_t* org, int64_t so, const int32_t* cur,
                       int64_t sc) {
   int32_t diff[64], m1[8][8], m2[8][8], m3[8][8];
@@ -3524,6 +3718,7 @@ static int64_t had8x8(const int16_t* org, int64_t so, const int32_t* cur,
       sad += m2[j][i] < 0 ? -m2[j][i] : m2[j][i];
   return (sad + 2) >> 2;
 }
+#endif  // __AVX2__
 
 static int64_t had4x4(const int16_t* org, int64_t so, const int32_t* cur,
                       int64_t sc) {
@@ -4179,7 +4374,7 @@ static inline double es_rd_cost(const EncState* S, int64_t bits,
 }
 
 // getDistPart DF_SSE (+ WEIGHTED_CHROMA_DISTORTION)
-static int64_t es_sse(const EncState* S, const int16_t* rec, int64_t sr,
+static int64_t es_sse_impl(const EncState* S, const int16_t* rec, int64_t sr,
                       const int16_t* org, int64_t so, int size,
                       int weighted) {
   int64_t sse = 0;
@@ -4194,6 +4389,15 @@ static int64_t es_sse(const EncState* S, const int16_t* rec, int64_t sr,
 }
 
 // coder snapshot plumbing
+static int64_t es_sse(const EncState* S, const int16_t* rec, int64_t sr,
+                      const int16_t* org, int64_t so, int size,
+                      int weighted) {
+  PROF_BEGIN(11);
+  int64_t r = es_sse_impl(S, rec, sr, org, so, size, weighted);
+  PROF_END(11);
+  return r;
+}
+
 static inline uint8_t* es_snap_ctx(EncState* S, int depth, int ci) {
   return S->snap_ctx + ((int64_t)depth * ECI_NUM + ci) * S->num_ctx;
 }
@@ -4651,22 +4855,30 @@ static int64_t es_xform_quant(EncState* S, int abs_part, const int32_t* resi,
   int per = qps / 6, rem = qps % 6;
   int scan_idx = es_scan_idx(S, abs_part, size, is_luma);
   int32_t coeff_t[32 * 32], scratch[32 * 32];
-  if (use_ts)
+  if (use_ts) {
     transform_skip_fwd_c(resi, size, S->ep.bit_inc, coeff_t);
-  else
+  } else {
+    PROF_BEGIN(8);
     forward_transform_c(resi, size, is_luma && size == 4, S->ep.bit_inc,
                         coeff_t, scratch);
+    PROF_END(8);
+  }
   int lg = convert_to_bit(size);
   const int32_t* scan = S->sc.scan[scan_idx][lg];
   const int32_t* scan_cg = S->sc.cg[scan_idx][lg];
   int use_rdoq = S->ep.use_rdoq && !(S->ep.ts_fast && use_ts);
   if (use_rdoq) {
     EstBitsC eb;
+    PROF_BEGIN(14);
     build_est_bits_c(&S->co, S->go.ctx, size, is_luma, &eb);
+    PROF_END(14);
     double lam = is_luma ? S->ep.lambda_luma : S->ep.lambda_chroma;
-    return rdoq_c(coeff_t, size, per, rem, lam, is_luma, 1, scan_idx, &eb,
+PROF_BEGIN(5);
+    int64_t _rq =     rdoq_c(coeff_t, size, per, rem, lam, is_luma, 1, scan_idx, &eb,
                   cbf_tr_depth, S->ep.sign_hide, S->ep.bit_inc, scan,
                   scan_cg, levels);
+    PROF_END(5);
+    return _rq;
   }
   int32_t delta_u[32 * 32];
   quant_c(coeff_t, size, qps, S->ep.slice_type == SLICE_I, S->ep.bit_inc,
@@ -4899,7 +5111,7 @@ static void es_enc_coeff_qt(EncState* S, EncBin* e, int part, int cu_depth,
 }
 
 // xGetIntraBitsQT / xGetIntraBitsQTChroma
-static int64_t es_intra_bits_qt(EncState* S, int part, int cu_depth,
+static int64_t es_intra_bits_qt_impl(EncState* S, int part, int cu_depth,
                                 int tr_depth, int chroma) {
   eb_reset_bits(&S->go);
   if (!chroma) {
@@ -4913,6 +5125,14 @@ static int64_t es_intra_bits_qt(EncState* S, int part, int cu_depth,
     es_enc_coeff_qt(S, &S->go, part, cu_depth, tr_depth, 2);
   }
   return eb_bits(&S->go);
+}
+
+static int64_t es_intra_bits_qt(EncState* S, int part, int cu_depth,
+                                int tr_depth, int chroma) {
+  PROF_BEGIN(10);
+  int64_t r = es_intra_bits_qt_impl(S, part, cu_depth, tr_depth, chroma);
+  PROF_END(10);
+  return r;
 }
 
 static int64_t es_intra_bits_qt_chroma(EncState* S, int part, int cu_depth,
@@ -5241,7 +5461,9 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   int units = units_at_depth(fa, depth + init_tr_depth);
 
   int32_t line_raw[4 * 64 + 8], line_filt[4 * 64 + 8];
+  PROF_BEGIN(13);
   es_adi_luma(S, px, py, size, line_raw, line_filt);
+  PROF_END(13);
   int num_full = kIntraModeNumFast[size_idx];
   int cand_modes[8] = {0};
   double cand_costs[8];
@@ -5249,13 +5471,33 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
 
   int32_t pred[64 * 64];
   const int16_t* org0 = S->org_y + (int64_t)py * S->rls + px;
+  // xModeBitsIntra takes only three distinct values per PU (mpm idx 0 /
+  // mpm idx 1-2 / non-mpm: prev flag ctx bin + 1, 2 or 5 EP bins), so
+  // evaluate each class once and map the 35 modes onto them
+  PROF_BEGIN(3);
+  int mpm[3];
+  intra_mpm(fa, ux, uy, mpm);
+  int non_mpm = 0;
+  while (non_mpm == mpm[0] || non_mpm == mpm[1] || non_mpm == mpm[2])
+    non_mpm++;
+  int64_t bits_mpm0 = es_mode_bits_intra(S, part, mpm[0], depth,
+                                         init_tr_depth);
+  int64_t bits_mpm12 = es_mode_bits_intra(S, part, mpm[1], depth,
+                                          init_tr_depth);
+  int64_t bits_other = es_mode_bits_intra(S, part, non_mpm, depth,
+                                          init_tr_depth);
+  PROF_END(3);
   for (int mode = 0; mode < 35; mode++) {
     const int32_t* line =
         use_filtered_c(mode, log2, 1) ? line_filt : line_raw;
+    PROF_BEGIN(1);
     es_predict(line, size, 4, mode, 1, S->ep.max_val, pred);
+    PROF_END(1);
+    PROF_BEGIN(2);
     int64_t sad = calc_had_c(org0, S->rls, pred, size, size, S->ep.bit_inc);
-    int64_t mode_bits = es_mode_bits_intra(S, part, mode, depth,
-                                           init_tr_depth);
+    PROF_END(2);
+    int64_t mode_bits = mode == mpm[0] ? bits_mpm0
+        : (mode == mpm[1] || mode == mpm[2]) ? bits_mpm12 : bits_other;
     double cost = (double)sad + (double)mode_bits * S->ep.sqrt_lambda;
     es_update_cand(mode, cost, cand_modes, cand_costs, num_full);
   }
@@ -5290,8 +5532,10 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
     set_region<int8_t>(fa, fa->luma_dir, ux, uy, units, (int8_t)mode);
     es_load(S, depth, ECI_CURR_BEST);
     double cost;
+    PROF_BEGIN(4);
     int64_t dist = es_recur_intra_luma(S, part, depth, init_tr_depth, 1,
                                        &cost);
+    PROF_END(4);
     if (cost < best_cost) {
       best_mode = mode;
       best_cost = cost;
@@ -5304,8 +5548,10 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   set_region<int8_t>(fa, fa->luma_dir, ux, uy, units, (int8_t)best_mode);
   es_load(S, depth, ECI_CURR_BEST);
   double cost2;
+  PROF_BEGIN(15);
   int64_t dist2 = es_recur_intra_luma(S, part, depth, init_tr_depth, 0,
                                       &cost2);
+  PROF_END(15);
   if (cost2 < best_cost) {
     best_cost = cost2;
     best_dist = dist2;
@@ -5668,7 +5914,7 @@ static int64_t es_est_intra_chroma(EncState* S, int abs_part, int depth) {
 // ---------------------------------------------------------------------------
 // frame-region snapshots (stand-in for best/temp CU + YUV buffers)
 // ---------------------------------------------------------------------------
-static void es_save_region(EncState* S, int abs_part, int depth,
+static void es_save_region_impl(EncState* S, int abs_part, int depth,
                            RegionSnap* snap) {
   FrameArrays* fa = &S->fa;
   int ux, uy;
@@ -5723,7 +5969,7 @@ static void es_save_region(EncState* S, int abs_part, int depth,
   snap->cost = S->total_cost;
 }
 
-static void es_restore_region(EncState* S, int abs_part, int depth,
+static void es_restore_region_impl(EncState* S, int abs_part, int depth,
                               const RegionSnap* snap) {
   FrameArrays* fa = &S->fa;
   int ux, uy;
@@ -5773,6 +6019,19 @@ static void es_restore_region(EncState* S, int abs_part, int depth,
 // ---------------------------------------------------------------------------
 // final syntax pass (xEncodeCU :1144 / finishCU :995); intra-only
 // ---------------------------------------------------------------------------
+static void es_save_region(EncState* S, int abs_part, int depth,
+                           RegionSnap* snap) {
+  PROF_BEGIN(9);
+  es_save_region_impl(S, abs_part, depth, snap);
+  PROF_END(9);
+}
+static void es_restore_region(EncState* S, int abs_part, int depth,
+                              const RegionSnap* snap) {
+  PROF_BEGIN(9);
+  es_restore_region_impl(S, abs_part, depth, snap);
+  PROF_END(9);
+}
+
 static void es_final_transform_tree(EncState* S, int abs_part, int depth,
                                     int tr_idx) {
   FrameArrays* fa = &S->fa;
@@ -5945,7 +6204,9 @@ static void es_check_intra(EncState* S, int abs_part, int depth,
                                     : 0));
 
   int64_t dist_y = es_est_intra_pred_qt(S, abs_part, depth);
+  PROF_BEGIN(6);
   int64_t dist_c = es_est_intra_chroma(S, abs_part, depth);
+  PROF_END(6);
 
   eb_reset_bits(&S->go);
   if (S->ep.tq_bypass_enable) we_tq_bypass(S, &S->go, abs_part);
@@ -5956,7 +6217,9 @@ static void es_check_intra(EncState* S, int abs_part, int depth,
       (fa->ctu_size >> depth) <= (1 << S->ep.pcm_log2_max))
     eb_bin_trm(&S->go, 0);
   S->fin = &S->go;
+  PROF_BEGIN(12);
   es_final_transform_tree(S, abs_part, depth, 0);
+  PROF_END(12);
   int64_t bits = eb_bits(&S->go);
   es_store(S, depth, ECI_TEMP_BEST);
 
@@ -6190,7 +6453,7 @@ int64_t enc_compress_ctu(void* handle, int32_t ctu_addr) {
   eng.ctx = ctx_buf;
   eng.frac_bits = S->snap_frac[ECI_CURR_BEST];
   S->fin = &eng;
-  es_encode_cu_final(S, 0, 0);
+  PROF_BEGIN(7); es_encode_cu_final(S, 0, 0); PROF_END(7);
   memcpy(es_snap_ctx(S, 0, ECI_CURR_BEST), ctx_buf, S->num_ctx);
   S->snap_frac[ECI_CURR_BEST] = eng.frac_bits;
   return S->total_bits;
