@@ -13,6 +13,9 @@
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
 
 #include <cstdint>
+#if defined(__x86_64__)
+#include <x86intrin.h>
+#endif
 #include <cstring>
 #include <cmath>
 #include <cfloat>
@@ -605,8 +608,30 @@ static void angular_c(const int32_t* line, int size, int unit, int mode,
     }
   }
   if (mode_hor) {
+#if defined(__AVX2__)
+    for (int i = 0; i < size; i += 4)
+      for (int j = 0; j < size; j += 4) {
+        __m128i r0 = _mm_loadu_si128((const __m128i*)(tmp + (i + 0) * size + j));
+        __m128i r1 = _mm_loadu_si128((const __m128i*)(tmp + (i + 1) * size + j));
+        __m128i r2 = _mm_loadu_si128((const __m128i*)(tmp + (i + 2) * size + j));
+        __m128i r3 = _mm_loadu_si128((const __m128i*)(tmp + (i + 3) * size + j));
+        __m128i t0 = _mm_unpacklo_epi32(r0, r1);
+        __m128i t1 = _mm_unpackhi_epi32(r0, r1);
+        __m128i t2 = _mm_unpacklo_epi32(r2, r3);
+        __m128i t3 = _mm_unpackhi_epi32(r2, r3);
+        _mm_storeu_si128((__m128i*)(pred + (j + 0) * size + i),
+                         _mm_unpacklo_epi64(t0, t2));
+        _mm_storeu_si128((__m128i*)(pred + (j + 1) * size + i),
+                         _mm_unpackhi_epi64(t0, t2));
+        _mm_storeu_si128((__m128i*)(pred + (j + 2) * size + i),
+                         _mm_unpacklo_epi64(t1, t3));
+        _mm_storeu_si128((__m128i*)(pred + (j + 3) * size + i),
+                         _mm_unpackhi_epi64(t1, t3));
+      }
+#else
     for (int k = 0; k < size; k++)
       for (int l = 0; l < size; l++) pred[l * size + k] = tmp[k * size + l];
+#endif
   } else {
     memcpy(pred, tmp, sizeof(int32_t) * size * size);
   }
@@ -3037,7 +3062,6 @@ static const double MAX_DOUBLE_C = 1.7e308;
 
 // ---- lightweight section profiling (THEVC_PROF) ----
 #if defined(__x86_64__)
-#include <x86intrin.h>
 static inline uint64_t prof_tsc() { return __rdtsc(); }
 #else
 static inline uint64_t prof_tsc() { return 0; }
@@ -3720,6 +3744,40 @@ static int64_t had8x8(const int16_t* org, int64_t so, const int32_t* cur,
 }
 #endif  // __AVX2__
 
+#if defined(__AVX2__)
+// 4x4 Hadamard SATD: abs-sum is invariant to the per-output sign flips and
+// lane order of xCalcHADs4x4's butterfly, so the plain vector Hadamard is
+// bit-identical.
+static inline void transpose4x4_epi32(__m128i r[4]);
+static inline void had4_butterfly(__m128i r[4]) {
+  __m128i a = _mm_add_epi32(r[0], r[3]), e = _mm_sub_epi32(r[0], r[3]);
+  __m128i b = _mm_add_epi32(r[1], r[2]), c = _mm_sub_epi32(r[1], r[2]);
+  r[0] = _mm_add_epi32(a, b); r[1] = _mm_sub_epi32(a, b);
+  r[2] = _mm_add_epi32(c, e); r[3] = _mm_sub_epi32(c, e);
+}
+
+static int64_t had4x4(const int16_t* org, int64_t so, const int32_t* cur,
+                      int64_t sc) {
+  __m128i r[4];
+  for (int j = 0; j < 4; j++) {
+    __m128i o = _mm_cvtepi16_epi32(
+        _mm_loadl_epi64((const __m128i*)(org + j * so)));
+    __m128i c = _mm_loadu_si128((const __m128i*)(cur + j * sc));
+    r[j] = _mm_sub_epi32(o, c);
+  }
+  had4_butterfly(r);
+  transpose4x4_epi32(r);
+  had4_butterfly(r);
+  __m128i acc = _mm_add_epi32(_mm_add_epi32(_mm_abs_epi32(r[0]),
+                                            _mm_abs_epi32(r[1])),
+                              _mm_add_epi32(_mm_abs_epi32(r[2]),
+                                            _mm_abs_epi32(r[3])));
+  acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0x4E));
+  acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0xB1));
+  int64_t sad = (int32_t)_mm_cvtsi128_si32(acc);
+  return (sad + 1) >> 1;
+}
+#else
 static int64_t had4x4(const int16_t* org, int64_t so, const int32_t* cur,
                       int64_t sc) {
   int32_t diff[16], m[16], d[16];
@@ -3794,6 +3852,7 @@ static int64_t had4x4(const int16_t* org, int64_t so, const int32_t* cur,
   for (int i = 0; i < 16; i++) sad += d[i] < 0 ? -d[i] : d[i];
   return (sad + 1) >> 1;
 }
+#endif  // __AVX2__
 
 // xGetHADs over one size x size block (pred in int32, org int16)
 static int64_t calc_had_c(const int16_t* org, int64_t so, const int32_t* cur,
@@ -3949,7 +4008,7 @@ static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
   int64_t uiQ = kQuantScales[qp_rem];
   int tshift = 15 - (8 + bit_inc) - log2;
   int qbits = 14 + qp_per + tshift;
-  double err_scale = (double)(1 << 15) * pow(2.0, -2.0 * tshift) /
+  double err_scale = ldexp((double)(1 << 15), -2 * tshift) /
                      (double)uiQ / (double)uiQ / (double)(1 << (2 * bit_inc));
   memset(dst, 0, sizeof(int32_t) * max_coeff);
   double cost_coeff[32 * 32], cost_sig[32 * 32], cost_coeff0[32 * 32];
@@ -4066,6 +4125,8 @@ static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
         }
       } else {
         base_cost += cost_coeff0[scan_pos];
+        cost_sig[scan_pos] = 0.0;
+        cost_coeff[scan_pos] = 0.0;
       }
       rd_sig_cost += cost_sig[scan_pos];
       if (pos_in_cg == 0) rd_sig_cost0 = cost_sig[scan_pos];
@@ -4325,6 +4386,8 @@ struct EncState {
   int16_t* qt_rec[8][3];
   int32_t* qt_coeff[8][3];
   int32_t shared_pred[3][64 * 64];
+  int32_t* presel_pred;          // [35][64*64] presel predictions
+  int presel_part, presel_size;  // cache key (-1 = invalid)
   RegionSnap* region[8];         // best per depth
   LumaStore* luma_store[8];
   ChromaStore* chroma_store[8];
@@ -4379,6 +4442,44 @@ static int64_t es_sse_impl(const EncState* S, const int16_t* rec, int64_t sr,
                       int weighted) {
   int64_t sse = 0;
   int sh = S->ep.bit_inc << 1;
+#if defined(__AVX2__)
+  if (sh == 0 && size >= 16) {
+    // |d| <= max_val so d*d pairs fit int32 via madd; row sums fit int32
+    __m256i accv = _mm256_setzero_si256();
+    for (int y = 0; y < size; y++) {
+      for (int x = 0; x < size; x += 16) {
+        __m256i o = _mm256_loadu_si256((const __m256i*)(org + y * so + x));
+        __m256i r = _mm256_loadu_si256((const __m256i*)(rec + y * sr + x));
+        __m256i d = _mm256_sub_epi16(o, r);
+        __m256i m = _mm256_madd_epi16(d, d);
+        accv = _mm256_add_epi64(
+            accv, _mm256_cvtepi32_epi64(_mm256_castsi256_si128(m)));
+        accv = _mm256_add_epi64(
+            accv, _mm256_cvtepi32_epi64(_mm256_extracti128_si256(m, 1)));
+      }
+    }
+    int64_t tmp[4];
+    _mm256_storeu_si256((__m256i*)tmp, accv);
+    sse = tmp[0] + tmp[1] + tmp[2] + tmp[3];
+    if (weighted) return (int64_t)(S->ep.chroma_weight * (double)sse);
+    return sse;
+  }
+  if (sh == 0 && size == 8) {
+    __m256i accv = _mm256_setzero_si256();
+    for (int y = 0; y < 8; y++) {
+      __m128i o = _mm_loadu_si128((const __m128i*)(org + y * so));
+      __m128i r = _mm_loadu_si128((const __m128i*)(rec + y * sr));
+      __m128i d = _mm_sub_epi16(o, r);
+      accv = _mm256_add_epi64(
+          accv, _mm256_cvtepi32_epi64(_mm_madd_epi16(d, d)));
+    }
+    int64_t tmp[4];
+    _mm256_storeu_si256((__m256i*)tmp, accv);
+    sse = tmp[0] + tmp[1] + tmp[2] + tmp[3];
+    if (weighted) return (int64_t)(S->ep.chroma_weight * (double)sse);
+    return sse;
+  }
+#endif
   for (int y = 0; y < size; y++)
     for (int x = 0; x < size; x++) {
       int64_t d = (int64_t)org[y * so + x] - rec[y * sr + x];
@@ -4918,15 +5019,21 @@ static int64_t es_intra_luma_blk(EncState* S, int part, int cu_depth,
   int32_t pred_buf[64 * 64];
   int32_t* pred;
   if (d0s1l2 != 2) {
-    int32_t line_raw[4 * 64 + 8], line_filt[4 * 64 + 8];
-    es_adi_luma(S, px, py, size, line_raw, line_filt);
-    int log2 = 0; while ((1 << log2) < size) log2++;
-    const int32_t* line =
-        use_filtered_c(mode, log2, 1) ? line_filt : line_raw;
-    es_predict(line, size, 4, mode, 1, S->ep.max_val, pred_buf);
-    pred = pred_buf;
+    if (S->presel_part == part && S->presel_size == size) {
+      // the 35-mode preselection already predicted this PU at this size
+      // (reference samples lie outside the PU, unchanged by its recon)
+      pred = S->presel_pred + (int64_t)mode * 64 * 64;
+    } else {
+      int32_t line_raw[4 * 64 + 8], line_filt[4 * 64 + 8];
+      es_adi_luma(S, px, py, size, line_raw, line_filt);
+      int log2 = 0; while ((1 << log2) < size) log2++;
+      const int32_t* line =
+          use_filtered_c(mode, log2, 1) ? line_filt : line_raw;
+      es_predict(line, size, 4, mode, 1, S->ep.max_val, pred_buf);
+      pred = pred_buf;
+    }
     if (d0s1l2 == 1)
-      memcpy(S->shared_pred[0], pred_buf, sizeof(int32_t) * size * size);
+      memcpy(S->shared_pred[0], pred, sizeof(int32_t) * size * size);
   } else {
     pred = S->shared_pred[0];
   }
@@ -5469,8 +5576,9 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   double cand_costs[8];
   for (int i = 0; i < num_full; i++) cand_costs[i] = MAX_DOUBLE_C;
 
-  int32_t pred[64 * 64];
   const int16_t* org0 = S->org_y + (int64_t)py * S->rls + px;
+  S->presel_part = part;
+  S->presel_size = size;
   // xModeBitsIntra takes only three distinct values per PU (mpm idx 0 /
   // mpm idx 1-2 / non-mpm: prev flag ctx bin + 1, 2 or 5 EP bins), so
   // evaluate each class once and map the 35 modes onto them
@@ -5490,6 +5598,7 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   for (int mode = 0; mode < 35; mode++) {
     const int32_t* line =
         use_filtered_c(mode, log2, 1) ? line_filt : line_raw;
+    int32_t* pred = S->presel_pred + (int64_t)mode * 64 * 64;
     PROF_BEGIN(1);
     es_predict(line, size, 4, mode, 1, S->ep.max_val, pred);
     PROF_END(1);
@@ -6335,6 +6444,9 @@ void* enc_create(const FrameArrays* fa, const EncParams* ep,
   S->num_ctx = co->num_ctx;
   S->depths = fa->max_depth + 2;
   S->log2_ctu_v = convert_to_bit(fa->ctu_size) + 2;
+  S->presel_pred = new int32_t[35 * 64 * 64];
+  S->presel_part = -1;
+  S->presel_size = -1;
   S->snap_ctx = new uint8_t[(int64_t)S->depths * ECI_NUM * S->num_ctx];
   S->snap_frac = new uint64_t[S->depths * ECI_NUM];
   for (int d = 0; d < S->depths; d++)
@@ -6367,6 +6479,7 @@ void* enc_create(const FrameArrays* fa, const EncParams* ep,
 
 void enc_destroy(void* handle) {
   EncState* S = (EncState*)handle;
+  delete[] S->presel_pred;
   delete[] S->snap_ctx;
   delete[] S->snap_frac;
   delete[] S->go_ctx;
