@@ -231,3 +231,28 @@ def test_longterm_slice_header_roundtrip(oracle, test_clip_small):
     got = sorted((rps2.poc[i], rps2.used[i])
                  for i in range(n_st2, n_st2 + 2))
     assert got == [(0, True), (1, False)]
+
+
+def test_parallel_all_intra_decode(golden_intra_stream, oracle, test_clip,
+                                   monkeypatch):
+    """Picture-parallel all-intra decode path produces identical output to
+    the serial decoder (incl. multi-slice pictures grouped by
+    first_slice_in_pic_flag)."""
+    import os
+    import numpy as np
+    streams = [golden_intra_stream["bin"]]
+    multi = TESTDATA / "part_slices.bin"   # 2 slices/picture, intra
+    if multi.exists():
+        streams.append(multi)
+    for path in streams:
+        data = path.read_bytes()
+        monkeypatch.setattr(os, "cpu_count", lambda: 4)
+        par = Decoder().decode_stream(data)
+        monkeypatch.setattr(os, "cpu_count", lambda: 1)
+        ser = Decoder().decode_stream(data)
+        assert [p.poc for p in par] == [p.poc for p in ser]
+        assert all(p.digest_ok for p in par)
+        for a, b in zip(par, ser):
+            assert np.array_equal(a.frame.y, b.frame.y)
+            assert np.array_equal(a.frame.cb, b.frame.cb)
+            assert np.array_equal(a.frame.cr, b.frame.cr)

@@ -99,9 +99,70 @@ class Decoder:
 
     def decode_stream(self, data: bytes):
         """Decode a whole Annex-B stream, returning pictures in POC order."""
-        for unit in nal_mod.iter_annexb_nals(data):
+        units = list(nal_mod.iter_annexb_nals(data))
+        parallel = self._parallel_all_intra(units)
+        if parallel is not None:
+            return parallel
+        for unit in units:
             self.decode_nal(unit)
         self.flush()
+        return [p for p in sorted(self.pictures, key=lambda p: p.poc)
+                if p.output]
+
+    def _parallel_all_intra(self, units):
+        """Picture-parallel decode for IDR-only streams: every access unit
+        is self-contained, so pictures decode concurrently (the native
+        parse/recon releases the GIL).  Returns None when not applicable."""
+        import os
+        if self.max_temporal_layer >= 0 or self.skip_frames:
+            return None
+        workers = os.cpu_count() or 1
+        if workers <= 1 or os.environ.get("THEVC_THREADS", "") == "1":
+            return None
+        param_units = []
+        aus: list = []          # each: list of units (SEIs + slices of 1 AU)
+        cur: list = []
+        cur_has_slice = False
+        for u in units:
+            if nal_mod.is_slice_nal(u.nal_type):
+                if u.nal_type != nal_mod.NAL_UNIT_CODED_SLICE_IDR:
+                    return None
+                # first_slice_in_pic_flag is the first RBSP bit
+                if cur_has_slice and u.rbsp and (u.rbsp[0] & 0x80):
+                    aus.append(cur)
+                    cur = []
+                cur.append(u)
+                cur_has_slice = True
+            elif u.nal_type == nal_mod.NAL_UNIT_SEI:
+                if cur_has_slice:
+                    aus.append(cur)
+                    cur = []
+                    cur_has_slice = False
+                cur.append(u)
+            else:
+                param_units.append(u)
+        if cur_has_slice:
+            aus.append(cur)
+        elif cur:
+            return None        # trailing SEI without a slice: keep serial
+        if len(aus) <= 1:
+            return None
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def job(au):
+            d = Decoder()
+            for u in param_units:
+                d.decode_nal(u)
+            for u in au:
+                d.decode_nal(u)
+            d.flush()
+            return d.pictures
+
+        with ThreadPoolExecutor(max_workers=min(workers, 16)) as ex:
+            results = list(ex.map(job, aus))
+        for pics in results:
+            self.pictures.extend(pics)
         return [p for p in sorted(self.pictures, key=lambda p: p.poc)
                 if p.output]
 
