@@ -4014,12 +4014,9 @@ static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
   double cost_coeff[32 * 32], cost_sig[32 * 32], cost_coeff0[32 * 32];
   int64_t rate_inc_up[32 * 32], rate_inc_down[32 * 32],
       sig_rate_delta[32 * 32], delta_u[32 * 32];
-  memset(cost_coeff, 0, sizeof(double) * max_coeff);
-  memset(cost_sig, 0, sizeof(double) * max_coeff);
-  memset(rate_inc_up, 0, sizeof(int64_t) * max_coeff);
-  memset(rate_inc_down, 0, sizeof(int64_t) * max_coeff);
-  memset(sig_rate_delta, 0, sizeof(int64_t) * max_coeff);
-  memset(delta_u, 0, sizeof(int64_t) * max_coeff);
+  // no per-call clears: every array slot the later phases read is
+  // written by the main scan loop (positions above the last significant
+  // coefficient write their zeros inline below)
   int num_blk_side = width >> 2;
   double cost_cg_sig[64];
   int32_t sig_cg[64];
@@ -4069,6 +4066,7 @@ static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
                               &cost_sig[scan_pos], level_double,
                               max_abs_level, 0, ctx_one, ctx_abs, go_rice,
                               c1_idx, c2_idx, qbits, err_scale, 1, lam, eb);
+          sig_rate_delta[blk_pos] = 0;
         } else {
           int pos_y = blk_pos >> log2;
           int pos_x = blk_pos - (pos_y << log2);
@@ -4127,6 +4125,10 @@ static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
         base_cost += cost_coeff0[scan_pos];
         cost_sig[scan_pos] = 0.0;
         cost_coeff[scan_pos] = 0.0;
+        sig_rate_delta[blk_pos] = 0;
+        rate_inc_up[blk_pos] = 0;
+        rate_inc_down[blk_pos] = 0;
+        delta_u[blk_pos] = 0;
       }
       rd_sig_cost += cost_sig[scan_pos];
       if (pos_in_cg == 0) rd_sig_cost0 = cost_sig[scan_pos];
@@ -4387,6 +4389,9 @@ struct EncState {
   int32_t* qt_coeff[8][3];
   int32_t shared_pred[3][64 * 64];
   int32_t* presel_pred;          // [35][64*64] presel predictions
+  EstBitsC eb_cache[4][2];        // [log2-2][is_luma] est-bit tables
+  uint8_t* eb_ctx_snap[4][2];     // ctx snapshot each table was built from
+  int eb_valid[4][2];
   int presel_part, presel_size;  // cache key (-1 = invalid)
   RegionSnap* region[8];         // best per depth
   LumaStore* luma_store[8];
@@ -4969,9 +4974,17 @@ static int64_t es_xform_quant(EncState* S, int abs_part, const int32_t* resi,
   const int32_t* scan_cg = S->sc.cg[scan_idx][lg];
   int use_rdoq = S->ep.use_rdoq && !(S->ep.ts_fast && use_ts);
   if (use_rdoq) {
-    EstBitsC eb;
+    // est-bit tables are a pure function of (ctx states, size, is_luma);
+    // RD candidate loops reload identical ctx, so cache per (size, comp)
+    int li = lg, ci = is_luma ? 1 : 0;
+    EstBitsC& eb = S->eb_cache[li][ci];
     PROF_BEGIN(14);
-    build_est_bits_c(&S->co, S->go.ctx, size, is_luma, &eb);
+    if (!S->eb_valid[li][ci] ||
+        memcmp(S->eb_ctx_snap[li][ci], S->go.ctx, S->num_ctx) != 0) {
+      build_est_bits_c(&S->co, S->go.ctx, size, is_luma, &eb);
+      memcpy(S->eb_ctx_snap[li][ci], S->go.ctx, S->num_ctx);
+      S->eb_valid[li][ci] = 1;
+    }
     PROF_END(14);
     double lam = is_luma ? S->ep.lambda_luma : S->ep.lambda_chroma;
 PROF_BEGIN(5);
@@ -5070,6 +5083,33 @@ static int64_t es_intra_luma_blk(EncState* S, int part, int cu_depth,
   int16_t* qr = S->qt_rec[layer][0];
   int32_t* qc = S->qt_coeff[layer][0];
   int ctu = fa->ctu_size;
+#if defined(__AVX2__)
+  if ((size & 7) == 0) {
+    __m256i vmax = _mm256_set1_epi32(S->ep.max_val);
+    __m256i vzero = _mm256_setzero_si256();
+    for (int y = 0; y < size; y++) {
+      int16_t* qrr = qr + (ly + y) * ctu + lx;
+      int32_t* qcr = qc + (ly + y) * ctu + lx;
+      int16_t* rr = S->rec_y + (int64_t)(py + y) * S->rls + px;
+      int32_t* cr = fa->coeff_y + (int64_t)(py + y) * S->ls + px;
+      for (int x = 0; x < size; x += 8) {
+        __m256i pv = _mm256_loadu_si256((const __m256i*)(pred + y * size + x));
+        __m256i rv = _mm256_loadu_si256(
+            (const __m256i*)(resi_rec + y * size + x));
+        __m256i v = _mm256_min_epi32(
+            _mm256_max_epi32(_mm256_add_epi32(pv, rv), vzero), vmax);
+        __m128i p16 = _mm_packs_epi32(_mm256_castsi256_si128(v),
+                                      _mm256_extracti128_si256(v, 1));
+        _mm_storeu_si128((__m128i*)(qrr + x), p16);
+        _mm_storeu_si128((__m128i*)(rr + x), p16);
+        __m256i lv = _mm256_loadu_si256(
+            (const __m256i*)(levels + y * size + x));
+        _mm256_storeu_si256((__m256i*)(qcr + x), lv);
+        _mm256_storeu_si256((__m256i*)(cr + x), lv);
+      }
+    }
+  } else
+#endif
   for (int y = 0; y < size; y++) {
     for (int x = 0; x < size; x++) {
       int v = pred[y * size + x] + resi_rec[y * size + x];
@@ -6445,6 +6485,11 @@ void* enc_create(const FrameArrays* fa, const EncParams* ep,
   S->depths = fa->max_depth + 2;
   S->log2_ctu_v = convert_to_bit(fa->ctu_size) + 2;
   S->presel_pred = new int32_t[35 * 64 * 64];
+  for (int l = 0; l < 4; l++)
+    for (int c = 0; c < 2; c++) {
+      S->eb_ctx_snap[l][c] = new uint8_t[256];
+      S->eb_valid[l][c] = 0;
+    }
   S->presel_part = -1;
   S->presel_size = -1;
   S->snap_ctx = new uint8_t[(int64_t)S->depths * ECI_NUM * S->num_ctx];
@@ -6480,6 +6525,8 @@ void* enc_create(const FrameArrays* fa, const EncParams* ep,
 void enc_destroy(void* handle) {
   EncState* S = (EncState*)handle;
   delete[] S->presel_pred;
+  for (int l = 0; l < 4; l++)
+    for (int c = 0; c < 2; c++) delete[] S->eb_ctx_snap[l][c];
   delete[] S->snap_ctx;
   delete[] S->snap_frac;
   delete[] S->go_ctx;
