@@ -651,6 +651,77 @@ static void dc_filter_c(const int32_t* line, int size, int unit,
 }
 
 // inverse quant + inverse transform (TComTrQuant.cpp:1272, :417-802)
+
+#if defined(__AVX2__)
+static inline void transpose8x8_epi32(__m256i r[8]);
+static inline void transpose4x4_epi32(__m128i r[4]);
+
+static inline __m256i imul8(int k, __m256i v) {
+  return _mm256_mullo_epi32(_mm256_set1_epi32(k), v);
+}
+
+static inline __m256i iclip16_8(__m256i v, __m256i add, int shift) {
+  v = _mm256_srai_epi32(_mm256_add_epi32(v, add), shift);
+  v = _mm256_max_epi32(v, _mm256_set1_epi32(-32768));
+  return _mm256_min_epi32(v, _mm256_set1_epi32(32767));
+}
+
+static inline __m128i iclip16_4(__m128i v, __m128i add, int shift) {
+  v = _mm_srai_epi32(_mm_add_epi32(v, add), shift);
+  v = _mm_max_epi32(v, _mm_set1_epi32(-32768));
+  return _mm_min_epi32(v, _mm_set1_epi32(32767));
+}
+
+// one inverse DCT8 pass: c[n] = coefficient row n (lanes = columns);
+// outputs out[k] = output column k (lanes = rows)
+static inline void idct8_pass(const __m256i c[8], int shift, __m256i out[8]) {
+  __m256i add = _mm256_set1_epi32(1 << (shift - 1));
+  __m256i o0 = _mm256_add_epi32(
+      _mm256_add_epi32(imul8(89, c[1]), imul8(75, c[3])),
+      _mm256_add_epi32(imul8(50, c[5]), imul8(18, c[7])));
+  __m256i o1 = _mm256_sub_epi32(
+      _mm256_sub_epi32(imul8(75, c[1]), imul8(18, c[3])),
+      _mm256_add_epi32(imul8(89, c[5]), imul8(50, c[7])));
+  __m256i o2 = _mm256_add_epi32(
+      _mm256_sub_epi32(imul8(50, c[1]), imul8(89, c[3])),
+      _mm256_add_epi32(imul8(18, c[5]), imul8(75, c[7])));
+  __m256i o3 = _mm256_add_epi32(
+      _mm256_sub_epi32(imul8(18, c[1]), imul8(50, c[3])),
+      _mm256_sub_epi32(imul8(75, c[5]), imul8(89, c[7])));
+  __m256i ee0 = _mm256_add_epi32(imul8(64, c[0]), imul8(64, c[4]));
+  __m256i ee1 = _mm256_sub_epi32(imul8(64, c[0]), imul8(64, c[4]));
+  __m256i eo0 = _mm256_add_epi32(imul8(83, c[2]), imul8(36, c[6]));
+  __m256i eo1 = _mm256_sub_epi32(imul8(36, c[2]), imul8(83, c[6]));
+  __m256i e0 = _mm256_add_epi32(ee0, eo0), e3 = _mm256_sub_epi32(ee0, eo0);
+  __m256i e1 = _mm256_add_epi32(ee1, eo1), e2 = _mm256_sub_epi32(ee1, eo1);
+  out[0] = iclip16_8(_mm256_add_epi32(e0, o0), add, shift);
+  out[7] = iclip16_8(_mm256_sub_epi32(e0, o0), add, shift);
+  out[1] = iclip16_8(_mm256_add_epi32(e1, o1), add, shift);
+  out[6] = iclip16_8(_mm256_sub_epi32(e1, o1), add, shift);
+  out[2] = iclip16_8(_mm256_add_epi32(e2, o2), add, shift);
+  out[5] = iclip16_8(_mm256_sub_epi32(e2, o2), add, shift);
+  out[3] = iclip16_8(_mm256_add_epi32(e3, o3), add, shift);
+  out[4] = iclip16_8(_mm256_sub_epi32(e3, o3), add, shift);
+}
+
+static inline __m128i mul4(int k, __m128i v) {
+  return _mm_mullo_epi32(_mm_set1_epi32(k), v);
+}
+
+// one inverse pass for a 4x4 basis (DCT4 or DST4): generic T^T multiply
+static inline void inv4_pass(const __m128i c[4], const int32_t* T, int shift,
+                             __m128i out[4]) {
+  __m128i add = _mm_set1_epi32(1 << (shift - 1));
+  for (int k = 0; k < 4; k++) {
+    __m128i acc = mul4(T[0 * 4 + k], c[0]);
+    acc = _mm_add_epi32(acc, mul4(T[1 * 4 + k], c[1]));
+    acc = _mm_add_epi32(acc, mul4(T[2 * 4 + k], c[2]));
+    acc = _mm_add_epi32(acc, mul4(T[3 * 4 + k], c[3]));
+    out[k] = iclip16_4(acc, add, shift);
+  }
+}
+#endif  // __AVX2__
+
 static void residual_c(const int32_t* coeff, int cstride, int x, int y,
                        int size, int qp_scaled, int use_dst, int ts, int byp,
                        int bit_inc, const int32_t* basis, int32_t* resi) {
@@ -690,6 +761,34 @@ static void residual_c(const int32_t* coeff, int cstride, int x, int y,
     }
     return;
   }
+#if defined(__AVX2__)
+  if (size == 8) {
+    __m256i c[8], m[8], o[8];
+    for (int n = 0; n < 8; n++)
+      c[n] = _mm256_loadu_si256((const __m256i*)(deq + n * 8));
+    int shift2x = 12 - bit_inc;
+    idct8_pass(c, 7, m);
+    transpose8x8_epi32(m);
+    idct8_pass(m, shift2x, o);
+    transpose8x8_epi32(o);
+    for (int j = 0; j < 8; j++)
+      _mm256_storeu_si256((__m256i*)(resi + j * 8), o[j]);
+    return;
+  }
+  if (size == 4) {
+    __m128i c[4], m[4], o[4];
+    for (int n = 0; n < 4; n++)
+      c[n] = _mm_loadu_si128((const __m128i*)(deq + n * 4));
+    int shift2x = 12 - bit_inc;
+    inv4_pass(c, basis, 7, m);
+    transpose4x4_epi32(m);
+    inv4_pass(m, basis, shift2x, o);
+    transpose4x4_epi32(o);
+    for (int j = 0; j < 4; j++)
+      _mm_storeu_si128((__m128i*)(resi + j * 4), o[j]);
+    return;
+  }
+#endif
   // pass 1: y1[j][k] = clip16((sum_n T[n][k] * deq[n][j] + 64) >> 7)
   // accumulate k-contiguous (vectorizes) and skip all-zero input rows —
   // the coefficient block is sparse at typical QPs.  Same integer sums as

@@ -401,6 +401,11 @@ def check_parameters(cfg: "EncoderCfg") -> None:
                          "together")
     if tile_flag and cfg.wavefront_synchro:
         raise ValueError("Tile and Wavefront can not be applied together")
+    if (cfg.use_weighted_pred or cfg.use_weighted_bipred) and \
+            (cfg.slice_mode == 2 or cfg.dependent_slice_mode == 2):
+        # TEncSlice.cpp:699-704 exits at runtime; rejected up front here
+        raise ValueError("Weighted Prediction is not supported with slice "
+                         "mode determined by max number of bins")
 
 
 def expand_gop(cfg) -> int:
