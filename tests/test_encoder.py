@@ -410,3 +410,33 @@ def test_encoder_auto_inter_rps_byte_exact(oracle, test_clip_small, tmp_path):
                   "-b", str(my_bin), "-wdt", "176", "-hgt", "144",
                   "-f", "5", "-fr", "30", "--SEIpictureDigest=1"])
     assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+
+@pytest.mark.parametrize("cfg,frames,extra,name", [
+    ("encoder_intra_main.cfg", 2,
+     ["--AdaptiveQP=1"], "aq_intra"),
+    ("encoder_intra_main.cfg", 1,
+     ["--AdaptiveQP=1", "--MaxQPAdaptationRange=4"], "aq_r4"),
+    ("encoder_lowdelay_P_main.cfg", 3,
+     ["--AdaptiveQP=1"], "aq_ldp"),
+])
+def test_encoder_adaptive_qp_byte_exact(oracle, test_clip_small, tmp_path,
+                                        cfg, frames, extra, name):
+    """AdaptiveQP (TEncPreanalyzer xPreanalyze + TEncCu::xComputeQP psycho-
+    visual offsets + xCheckDQP dQP-bit RDO and no-cbf QP inheritance):
+    byte-exact vs HM."""
+    hm_bin = TESTDATA / f"enc_{name}.bin"
+    if not hm_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"), "-c",
+             f"/root/reference/cfg/{cfg}",
+             "-i", str(test_clip_small), "-wdt", "176", "-hgt", "144",
+             "-f", str(frames), "-fr", "30", "-b", str(hm_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1", *extra],
+            check=True, capture_output=True)
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", f"/root/reference/cfg/{cfg}",
+                  "-i", str(test_clip_small), "-b", str(my_bin),
+                  "-wdt", "176", "-hgt", "144", "-f", str(frames),
+                  "-fr", "30", "--SEIpictureDigest=1", *extra])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()

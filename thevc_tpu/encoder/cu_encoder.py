@@ -350,7 +350,8 @@ class CuEncoder:
                 self.go_on.reset_bits()
                 self.w.code_split_flag(abs_part, depth)
                 split_bits += self.go_on.num_written_bits
-            split_cost = self.rd.calc_rd_cost(split_bits, split_dist)
+            split_bits, split_cost = self._check_dqp_split(
+                abs_part, depth, split_bits, split_dist)
 
             self._copy_snap(depth + 1, CI_NEXT_BEST, depth, CI_TEMP_BEST)
 
@@ -423,6 +424,8 @@ class CuEncoder:
         dist = dist_y + dist_c
         cost = self.rd.calc_rd_cost(bits, dist)
         self.total_bits, self.total_dist, self.total_cost = bits, dist, cost
+        self._check_dqp_rd(abs_part, depth)
+        cost = self.total_cost
 
         # xCheckBestMode
         if best is None or cost < best["cost"]:
@@ -508,6 +511,8 @@ class CuEncoder:
         dist = 0
         cost = self.rd.calc_rd_cost(bits, dist)
         self.total_bits, self.total_dist, self.total_cost = bits, dist, cost
+        self._check_dqp_rd(abs_part, depth)
+        cost = self.total_cost
 
         if best is None or cost < best["cost"]:
             new_best = self._save_region(abs_part, depth)
@@ -546,9 +551,82 @@ class CuEncoder:
         f.tq_bypass[reg] = tqb
         return reg
 
+    def _check_dqp_rd(self, abs_part: int, depth: int) -> None:
+        """xCheckDQP (TEncCu.cpp:1575): when the candidate in the frame
+        region has coded coefficients, add the dQP bits to its totals
+        (RDO_WITHOUT_DQP_BITS=0); otherwise reset its QP to the reference
+        QP.  Run on every mode candidate before the best compare."""
+        f = self.f
+        if not (self.pps.use_dqp and
+                (f.ctu_size >> depth) >= self._min_cu_dqp_size):
+            return
+        ux, uy = self._unit_xy(abs_part)
+        if (int(f.cbf[0, uy, ux]) | int(f.cbf[1, uy, ux]) |
+                int(f.cbf[2, uy, ux])):
+            self.go_on.reset_bits()
+            self.w.code_delta_qp(abs_part)
+            self.total_bits += self.go_on.num_written_bits
+            self.total_cost = self.rd.calc_rd_cost(self.total_bits,
+                                                   self.total_dist)
+        else:
+            units = f.units_per_row >> depth
+            f.qp[uy:uy + units, ux:ux + units] = self.w._ref_qp(abs_part)
+
+    def _set_qp_subcus(self, qp: int, abs_part: int, depth: int,
+                       found: list) -> None:
+        """setQPSubCUs (TComDataCU.cpp:2159): reset leading no-cbf CUs
+        to qp until the first CU with coded coefficients."""
+        f = self.f
+        if found[0]:
+            return
+        ux, uy = self._unit_xy(abs_part)
+        if int(f.depth[uy, ux]) > depth:
+            q_parts = (f.parts_per_ctu >> (depth << 1)) >> 2
+            for i in range(4):
+                self._set_qp_subcus(qp, abs_part + i * q_parts, depth + 1,
+                                    found)
+        else:
+            if (int(f.cbf[0, uy, ux]) | int(f.cbf[1, uy, ux]) |
+                    int(f.cbf[2, uy, ux])):
+                found[0] = True
+            else:
+                units = f.units_per_row >> depth
+                f.qp[uy:uy + units, ux:ux + units] = qp
+
+    def _check_dqp_split(self, abs_part: int, depth: int, split_bits: int,
+                         split_dist: int):
+        """The split candidate's dQP handling (TEncCu.cpp:889-932);
+        dependent-slice starts are CTU-aligned under REMOVE_FGS so the
+        target part is always 0.  Returns updated (split_bits, cost)."""
+        f = self.f
+        split_cost = self.rd.calc_rd_cost(split_bits, split_dist)
+        if not (self.pps.use_dqp and
+                (f.ctu_size >> depth) == self._min_cu_dqp_size):
+            return split_bits, split_cost
+        ux, uy = self._unit_xy(abs_part)
+        units = f.units_per_row >> depth
+        reg_cbf = (f.cbf[0, uy:uy + units, ux:ux + units] |
+                   f.cbf[1, uy:uy + units, ux:ux + units] |
+                   f.cbf[2, uy:uy + units, ux:ux + units])
+        if reg_cbf.any():
+            self.go_on.reset_bits()
+            self.w.code_delta_qp(abs_part)
+            split_bits += self.go_on.num_written_bits
+            split_cost = self.rd.calc_rd_cost(split_bits, split_dist)
+            found = [False]
+            self._set_qp_subcus(self.w._ref_qp(abs_part), abs_part, depth,
+                                found)
+            assert found[0]
+        else:
+            f.qp[uy:uy + units, ux:ux + units] = self.w._ref_qp(abs_part)
+        return split_bits, split_cost
+
     def _best_update(self, abs_part, depth, bits, dist, cost, best):
-        """xCheckBestMode."""
+        """xCheckBestMode (preceded by xCheckDQP as in every
+        xCheckRDCost* caller)."""
         self.total_bits, self.total_dist, self.total_cost = bits, dist, cost
+        self._check_dqp_rd(abs_part, depth)
+        cost = self.total_cost
         if best is None or cost < best["cost"]:
             new_best = self._save_region(abs_part, depth)
             self._copy_snap(depth, CI_TEMP_BEST, depth, CI_NEXT_BEST)
@@ -1151,9 +1229,15 @@ class CuEncoder:
                 eb, cbf_tr_depth, self.pps.sign_hide_flag, self.bit_inc,
                 quant_tab=quant_tab, err_tab=err_tab)
             return levels.reshape(size, size), abs_sum
+        # ADAPTIVE_QP_SELECTION (compiled in the reference): the plain
+        # quantizer's shift uses the slice base QP's per, the scale table
+        # the CU QP's rem (TComTrQuant.cpp:1162-1232)
+        base_qps = tops.qp_scaled(self.sh.slice_qp, True,
+                                  self.sps.qp_bd_offset_y) if is_luma else \
+            tops.qp_scaled(self.sh.slice_qp, False, self.sps.qp_bd_offset_c)
         if quant_tab is not None:
             levels, du0 = scaling_mod.quant_with_list(
-                coeff_t, quant_tab, per, size.bit_length() - 1,
+                coeff_t, quant_tab, base_qps // 6, size.bit_length() - 1,
                 self.sh.slice_type == I_SLICE, self.bit_inc)
             abs_sum = int(np.abs(levels).sum())
             if self.pps.sign_hide_flag and abs_sum >= 2:
@@ -1161,7 +1245,8 @@ class CuEncoder:
                                                scan_idx, size)
             return levels, abs_sum
         lv, du = tops.quant(coeff_t[None], qps,
-                            self.sh.slice_type == I_SLICE, self.bit_inc)
+                            self.sh.slice_type == I_SLICE, self.bit_inc,
+                            qp_base=base_qps)
         levels = lv[0]
         # xQuant returns the PRE-sign-bit-hiding absolute sum (uiAcSum is
         # accumulated before signBitHidingHDQ runs)

@@ -335,6 +335,59 @@ class SbacWriter:
             self.e.encode_bin_ep(1 if dqp < 0 else 0)
         self.coded_qp = qp
 
+    def _last_coded_qp(self, abs_part: int) -> int:
+        """getLastCodedQP (TComDataCU.cpp:1846): previous valid part's QP
+        within the CTU, else the predecessor CTU's (same tile, not a WPP
+        row start), else the slice QP — all from the frame arrays."""
+        f = self.f
+        sh = self.sh
+        parts = f.parts_per_ctu
+        mask = ~((1 << ((f.max_depth - self.pps.max_cu_dqp_depth) << 1)) - 1)
+        last = (abs_part & mask) - 1
+        # getLastValidPartIdx: walk back over MODE_NONE parts
+        cx = (self.ctu_addr % f.ctus_w) * f.units_per_row
+        cy = (self.ctu_addr // f.ctus_w) * f.units_per_row
+        while last >= 0:
+            r = int(f.z2r[last])
+            lux = cx + r % f.units_per_row
+            luy = cy + r // f.units_per_row
+            if f.pred_mode[luy, lux] != 15:   # MODE_NONE
+                break
+            d = int(f.depth[luy, lux])
+            last -= parts >> (d << 1)
+        scu_base = int(f.ctu_inv_order[self.ctu_addr]) * parts
+        start = max(getattr(sh, "slice_cur_start_cu_addr", 0),
+                    getattr(sh, "dependent_slice_start_cu_addr", 0))
+        if scu_base + last < start:
+            return sh.slice_qp
+        if last >= 0:
+            r = int(f.z2r[last])
+            return int(f.qp[cy + r // f.units_per_row,
+                            cx + r % f.units_per_row])
+        enc_order = int(f.ctu_inv_order[self.ctu_addr])
+        if enc_order > 0:
+            prev = int(f.ctu_order[enc_order - 1])
+            same_tile = (f.tiles is None or
+                         int(f.tiles.tile_idx_map[prev]) ==
+                         int(f.tiles.tile_idx_map[self.ctu_addr]))
+            wpp_row_start = (self.pps.tiles_or_entropy_coding_sync_idc == 2
+                             and self.ctu_addr % f.ctus_w == 0)
+            if same_tile and not wpp_row_start:
+                # previous CTU's last valid part
+                pcx = (prev % f.ctus_w) * f.units_per_row
+                pcy = (prev // f.ctus_w) * f.units_per_row
+                pl = parts - 1
+                while pl >= 0:
+                    r = int(f.z2r[pl])
+                    lux = pcx + r % f.units_per_row
+                    luy = pcy + r // f.units_per_row
+                    if f.pred_mode[luy, lux] != 15:
+                        return int(f.qp[luy, lux])
+                    d = int(f.depth[luy, lux])
+                    pl -= parts >> (d << 1)
+                return sh.slice_qp
+        return sh.slice_qp
+
     def _ref_qp(self, abs_part: int) -> int:
         f = self.f
         ux, uy = self._unit_xy(abs_part)
@@ -346,7 +399,7 @@ class SbacWriter:
             lqp = int(f.qp[left[1], left[0]])
         if above is not None and above[0] // upr == ux // upr and above[1] // upr == uy // upr:
             aqp = int(f.qp[above[1], above[0]])
-        last = self.coded_qp
+        last = self._last_coded_qp(abs_part)
         l = lqp if lqp is not None else last
         a = aqp if aqp is not None else last
         return (l + a + 1) >> 1

@@ -399,6 +399,7 @@ class PictureCompressor:
                         if self.tiles is not None else 1)
         self.n_tile_cols = self.tiles.n_cols if self.tiles is not None else 1
         self.wpp = pps.tiles_or_entropy_coding_sync_idc == 2
+        self.aq = None          # AdaptiveQP layers (preanalyzer.AqLayer)
         self.allow_dep = (pps.dependent_slices_enabled_flag
                           and not pps.cabac_independent_flag)
         sh = cu.sh
@@ -572,6 +573,15 @@ class PictureCompressor:
                                      self.rc.get_unit_qp(),
                                      self.rc.gop_id())
                 cu.unit_qp = max(0, min(51, self.rc.get_unit_qp()))
+            elif self.aq is not None:
+                # xComputeQP (TEncCu.cpp:1113): per-CTU psycho-visual QP
+                # (MaxCuDQPDepth=0, so the offset is depth-invariant)
+                from .preanalyzer import compute_qp_offset
+                off = compute_qp_offset(
+                    self.aq, 0, col * f.ctu_size, lin * f.ctu_size,
+                    self.cfg.qp_adaptation_range)
+                cu.unit_qp = max(-cu.sps.qp_bd_offset_y,
+                                 min(51, sh.slice_qp + off))
 
             cu.compress_ctu(ctu)
             # final-pass re-encode advancing [0][CI_CURR_BEST]

@@ -562,6 +562,13 @@ class Encoder:
         import copy as _copy
         pc = se.PictureCompressor(cu, cfg)
         pc.rc = self.rate_ctrl
+        if cfg.use_adaptive_qp:
+            if pps.max_cu_dqp_depth > 0:
+                raise NotImplementedError(
+                    "AdaptiveQP with MaxCuDQPDepth>0 (per-depth offsets)")
+            from .preanalyzer import preanalyze
+            pc.aq = preanalyze(org.y, sps.max_cu_width,
+                               pps.max_cu_dqp_depth + 1)
         real_end = se.real_end_address(f)
         sh.slice_cur_start_cu_addr = 0
         sh.dependent_slice_start_cu_addr = 0

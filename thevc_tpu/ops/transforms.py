@@ -140,15 +140,21 @@ def dequant(qcoeff: np.ndarray, qp, bit_increment: int = 0) -> np.ndarray:
 
 
 def quant(coeff: np.ndarray, qp: int, is_intra_slice: bool,
-          bit_increment: int = 0):
+          bit_increment: int = 0, qp_base: int | None = None):
     """Non-RDOQ quantization (xQuant scalar path, flat matrix).
 
     Returns (levels int32 [N,s,s], delta_u int32 [N,s,s]) — delta_u feeds
-    sign-bit hiding.  qp is the scaled QP.
+    sign-bit hiding.  qp is the scaled QP.  qp_base: scaled slice base QP —
+    under ADAPTIVE_QP_SELECTION (compiled into the reference) the shift
+    uses the slice base QP's per while the scale table uses the CU QP's
+    rem (TComTrQuant.cpp:1162-1232); they only differ when per-CU QPs are
+    active (AdaptiveQP / LCU rate control).
     """
     size = coeff.shape[-1]
     log2 = size.bit_length() - 1
     per, rem = qp // 6, qp % 6
+    if qp_base is not None:
+        per = qp_base // 6
     transform_shift = MAX_TR_DYNAMIC_RANGE - (8 + bit_increment) - log2
     qbits = QUANT_SHIFT + per + transform_shift
     add = (171 if is_intra_slice else 85) << (qbits - 9)
