@@ -440,3 +440,30 @@ def test_encoder_adaptive_qp_byte_exact(oracle, test_clip_small, tmp_path,
                   "-wdt", "176", "-hgt", "144", "-f", str(frames),
                   "-fr", "30", "--SEIpictureDigest=1", *extra])
     assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+
+@pytest.mark.parametrize("cfg,frames,name", [
+    ("encoder_intra_main.cfg", 2, "saoqt_intra"),
+    ("encoder_lowdelay_P_main.cfg", 3, "saoqt_ldp"),
+])
+def test_encoder_sao_quadtree_byte_exact(oracle, test_clip_small, tmp_path,
+                                         cfg, frames, name):
+    """Picture-based (quadtree) SAO RDO, SAOLcuBasedOptimization=0
+    (TEncSampleAdaptiveOffset runQuadTreeDecision/rdoSaoOnePart +
+    assignSaoUnitSyntax/convertQT2SaoUnit): byte-exact vs HM."""
+    extra = ["--SAOLcuBasedOptimization=0"]
+    hm_bin = TESTDATA / f"enc_{name}.bin"
+    if not hm_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"), "-c",
+             f"/root/reference/cfg/{cfg}",
+             "-i", str(test_clip_small), "-wdt", "176", "-hgt", "144",
+             "-f", str(frames), "-fr", "30", "-b", str(hm_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1", *extra],
+            check=True, capture_output=True)
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", f"/root/reference/cfg/{cfg}",
+                  "-i", str(test_clip_small), "-b", str(my_bin),
+                  "-wdt", "176", "-hgt", "144", "-f", str(frames),
+                  "-fr", "30", "--SEIpictureDigest=1", *extra])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()

@@ -89,6 +89,51 @@ class SaoUnit:
         self.length = other.length
 
 
+_QT_CUM_PARTS = (1, 5, 21, 85, 341)   # m_aiNumCulPartsLevel
+
+
+class _QtPart:
+    """SAOQTPart: one node of the picture-based SAO quadtree."""
+    __slots__ = ("idx", "level", "scx", "ecx", "scy", "ecy", "up", "down",
+                 "best_type", "length", "sub_type", "offsets", "split",
+                 "processed", "min_cost", "min_dist", "min_rate")
+
+    def __init__(self, idx, level, scx, ecx, scy, ecy, up):
+        self.idx = idx
+        self.level = level
+        self.scx, self.ecx, self.scy, self.ecy = scx, ecx, scy, ecy
+        self.up = up
+        self.down = [-1, -1, -1, -1]
+        self.best_type = -1
+        self.length = 0
+        self.sub_type = 0
+        self.offsets = [0, 0, 0, 0]
+        self.split = False
+        self.processed = False
+        self.min_cost = MAX_DOUBLE
+        self.min_dist = 0
+        self.min_rate = 0
+
+
+class _QtLcuUnit:
+    """SaoLcuParam fields used by the QT→LCU conversion.  Initial merge
+    flags follow resetLcuPart (TComSampleAdaptiveOffset.cpp:1241-1248):
+    mergeUp defaults to 1 — in the one-unit case assignSaoUnitSyntax never
+    touches them, so every non-first-row CTU is written as a merge-up."""
+    __slots__ = ("part_idx", "part_tmp", "merge_left", "merge_up",
+                 "type_idx", "length", "sub_type", "offsets")
+
+    def __init__(self):
+        self.part_idx = 0
+        self.part_tmp = 0
+        self.merge_left = 0
+        self.merge_up = 1
+        self.type_idx = -1
+        self.length = 0
+        self.sub_type = 0
+        self.offsets = [0, 0, 0, 0]
+
+
 class SaoEncoder:
     """TEncSampleAdaptiveOffset equivalent for the LCU-based RDO path."""
 
@@ -152,7 +197,11 @@ class SaoEncoder:
         """SAOProcess: RDO fills frame SAO arrays, then apply offsets."""
         f = self.f
         sh = self.sh
-        native_done = self._rdo_native(rec_y, rec_cb, rec_cr)
+        if getattr(self.cfg, "sao_lcu_based_optimization", 1) == 0:
+            self._rdo_quadtree(rec_y)       # fills frame arrays directly
+            native_done = True
+        else:
+            native_done = self._rdo_native(rec_y, rec_cb, rec_cr)
         if not native_done:
             self._rdo_sao_unit_all(rec_y, rec_cb, rec_cr)
             # store into frame arrays (decoder storage convention)
@@ -223,9 +272,12 @@ class SaoEncoder:
     # ==================================================================
     # statistics (calcSaoStatsCuOrg)
     # ==================================================================
-    def _calc_stats_cu(self, ctu: int, comp: int, rec, org):
+    def _calc_stats_cu(self, ctu: int, comp: int, rec, org,
+                       lcu_skip: bool = True):
         """Fill self.count/offset_org[comp] for one CTU (numpy-vectorized,
-        same truncation/skip geometry as the reference)."""
+        same truncation/skip geometry as the reference).  lcu_skip=False is
+        the picture-based mode: m_saoLcuBasedOptimization==0 zeroes both
+        numSkipLine and numSkipLineRight (calcSaoStatsCuOrg :886-898)."""
         f = self.f
         chroma = comp != 0
         lcu = f.ctu_size >> (1 if chroma else 0)
@@ -237,8 +289,8 @@ class SaoEncoder:
         bpel = min(ty + lcu, pic_h)
         width = rpel - lx
         height = bpel - ty
-        skip_n = 2 if chroma else 4
-        skip_r = 3 if chroma else 5
+        skip_n = (2 if chroma else 4) if lcu_skip else 0
+        skip_r = (3 if chroma else 5) if lcu_skip else 0
 
         cnt = self.count[comp]
         sums = self.offset_org[comp]
@@ -663,6 +715,301 @@ class SaoEncoder:
         n = float(f.num_ctus)
         self.depth_sao_rate[0][depth] = num_no_sao[0] / n
         self.depth_sao_rate[1][depth] = num_no_sao[1] / (n * 2)
+
+    # ==================================================================
+    # picture-based (quadtree) RDO — SAOLcuBasedOptimization=0
+    # (TEncSampleAdaptiveOffset.cpp: SAOProcess :1280-1296 QT branch,
+    #  rdoSaoOnePart :112, runQuadTreeDecision :282, disablePartTree :262,
+    #  getSaoStats :1127, assignSaoUnitSyntax :1403, checkMerge :1343;
+    #  TComSampleAdaptiveOffset.cpp: initSAOParam :305, convertQT2SaoUnit
+    #  :1267, convertOnePart2SaoUnit :1293.  Under SAO_TYPE_SHARING the
+    #  quadtree mode runs luma only — chroma SAO is disabled entirely.)
+    # ==================================================================
+
+    def _build_part_tree(self):
+        """initSAOParam: quadtree over the CTU grid, breadth-first part
+        indices with level offsets _QT_CUM_PARTS; max split level =
+        min(floor(log2(ctus_h)), floor(log2(ctus_w)), SAO_MAX_DEPTH=4)."""
+        f = self.f
+        max_lvl = min(f.ctus_h.bit_length() - 1, f.ctus_w.bit_length() - 1, 4)
+        parts = [None] * _QT_CUM_PARTS[max_lvl]
+
+        def init(level, row, col, parent, scx, ecx, scy, ecy):
+            idx = ((_QT_CUM_PARTS[level - 1] if level else 0)
+                   + row * (1 << level) + col)
+            p = _QtPart(idx, level, scx, ecx, scy, ecy, parent)
+            parts[idx] = p
+            if level != max_lvl:
+                nl = (ecx - scx + 1) >> 1
+                nt = (ecy - scy + 1) >> 1
+                subs = ((scx, scx + nl - 1, scy, scy + nt - 1, 0, 0),
+                        (scx + nl, ecx, scy, scy + nt - 1, 0, 1),
+                        (scx, scx + nl - 1, scy + nt, ecy, 1, 0),
+                        (scx + nl, ecx, scy + nt, ecy, 1, 1))
+                for i, (sx, ex, sy, ey, dr, dc) in enumerate(subs):
+                    p.down[i] = init(level + 1, (row << 1) + dr,
+                                     (col << 1) + dc, idx, sx, ex, sy, ey)
+            return idx
+
+        init(0, 0, 0, -1, 0, f.ctus_w - 1, 0, f.ctus_h - 1)
+        return parts, max_lvl
+
+    def _qt_get_stats(self, parts, max_lvl, rec_y):
+        """getSaoStats: per-LCU stats accumulated into leaf parts, then
+        summed bottom-up into every ancestor level."""
+        f = self.f
+        n = len(parts)
+        cnt_p = np.zeros((n, N_TYPES, N_CLASSES), np.int64)
+        org_p = np.zeros((n, N_TYPES, N_CLASSES), np.int64)
+        leaf_start = _QT_CUM_PARTS[max_lvl - 1] if max_lvl else 0
+        for pi in range(leaf_start, len(parts)):
+            p = parts[pi]
+            for ly in range(p.scy, p.ecy + 1):
+                for lx in range(p.scx, p.ecx + 1):
+                    self._calc_stats_cu(ly * f.ctus_w + lx, 0, rec_y,
+                                        self.org_y, lcu_skip=False)
+                    cnt_p[pi] += self.count[0]
+                    org_p[pi] += self.offset_org[0]
+        for lvl in range(max_lvl - 1, -1, -1):
+            start = _QT_CUM_PARTS[lvl - 1] if lvl else 0
+            for pi in range(start, _QT_CUM_PARTS[lvl]):
+                for ci in parts[pi].down:
+                    cnt_p[pi] += cnt_p[ci]
+                    org_p[pi] += org_p[ci]
+        return cnt_p, org_p
+
+    def _qt_rdo_one_part(self, parts, pi, lam, snaps):
+        """rdoSaoOnePart: best type (incl. off) for one part.  Context
+        snapshots index (depth, 0=CI_CURR_BEST / 1=CI_NEXT_BEST /
+        2=CI_TEMP_BEST), mirroring the shared RD-snapshot grid."""
+        p = parts[pi]
+        d = p.level
+        dist_bo = [0] * (N_CLASSES - 1)
+        cost_bo = [0.0] * (N_CLASSES - 1)
+        best_rd_bo = MAX_DOUBLE
+        best_class_bo = 0
+        dist_org = 0
+        cost_part_best = MAX_DOUBLE
+        type_part_best = -1
+        dist_t = [0] * N_TYPES
+        rate_t = [0] * N_TYPES
+        # encodeSaoOffset(&rdo, iPartIdx) passes the PART index where a
+        # component index is expected — part 2 therefore rates like Cr
+        # (no type bits).  Reference quirk, kept for exactness.
+        comp_quirk = 2 if pi == 2 else 0
+        e = self.w.e
+        for type_idx in range(-1, N_TYPES):
+            self._load(snaps[(d, 0)])
+            self.go.reset_bits()
+            # codeSaoTypeIdx(typeIdx+1)
+            if type_idx < 0:
+                e.encode_bin(0, cc.O_SAO_TYPE)
+            else:
+                e.encode_bin(1, cc.O_SAO_TYPE)
+                e.encode_bin_ep(1 if type_idx + 1 <= 4 else 0)
+            if type_idx >= 0:
+                est_dist = self._est_sao_type_dist(pi, type_idx, lam,
+                                                   dist_bo, cost_bo)
+                if type_idx == 4:
+                    for i in range(BO_CLASSES - BO_LEN + 1):
+                        cur = _fsum4(cost_bo, i)
+                        if cur < best_rd_bo:
+                            best_rd_bo = cur
+                            best_class_bo = i
+                    est_dist = sum(
+                        dist_bo[best_class_bo:best_class_bo + BO_LEN])
+                u = SaoUnit()
+                u.type_idx = type_idx
+                u.sub_type = best_class_bo if type_idx == 4 else 0
+                u.length = 4
+                u.offsets = [
+                    int(self.offset[pi][type_idx]
+                        [ci + u.sub_type + 1]) for ci in range(4)]
+                self._load(snaps[(d, 0)])
+                self.go.reset_bits()
+                self._code_unit(u, comp_quirk)
+                dist_t[type_idx] = est_dist
+                rate_t[type_idx] = self.go.num_written_bits
+                cost = float(est_dist) + lam * float(rate_t[type_idx])
+                if cost < cost_part_best:
+                    dist_org = 0
+                    cost_part_best = cost
+                    type_part_best = type_idx
+                    snaps[(d, 2)] = self._snap()
+            else:
+                if dist_org < cost_part_best:
+                    cost_part_best = float(dist_org) + \
+                        self.go.num_written_bits * lam
+                    type_part_best = -1
+                    snaps[(d, 2)] = self._snap()
+        p.processed = True
+        p.split = False
+        p.min_dist = dist_t[type_part_best] if type_part_best >= 0 \
+            else dist_org
+        p.min_rate = rate_t[type_part_best] if type_part_best >= 0 else 0
+        p.min_cost = p.min_dist + lam * p.min_rate
+        p.best_type = type_part_best
+        if p.best_type != -1:
+            p.length = 4
+            min_index = 0
+            if p.best_type == 4:
+                p.sub_type = best_class_bo
+                min_index = best_class_bo
+            p.offsets = [int(self.offset[pi][p.best_type][min_index + i + 1])
+                         for i in range(4)]
+        else:
+            p.length = 0
+
+    def _qt_disable_tree(self, parts, pi, max_lvl):
+        p = parts[pi]
+        p.split = False
+        p.length = 0
+        p.best_type = -1
+        if p.level < max_lvl:
+            for c in p.down:
+                self._qt_disable_tree(parts, c, max_lvl)
+
+    def _qt_run_decision(self, parts, pi, max_lvl, lam, snaps):
+        """runQuadTreeDecision: bottom-up split-vs-merge RD, returning the
+        subtree cost (dCostFinal)."""
+        p = parts[pi]
+        d = p.level
+        if not p.processed:
+            self._qt_rdo_one_part(parts, pi, lam, snaps)
+        if d < max_lvl:
+            cost_not_split = lam + p.min_cost
+            cost_split = lam
+            for i in range(4):
+                snaps[(d + 1, 0)] = snaps[(d, 0)] if i == 0 \
+                    else snaps[(d + 1, 1)]
+                cost_split += self._qt_run_decision(parts, p.down[i],
+                                                    max_lvl, lam, snaps)
+                snaps[(d + 1, 1)] = snaps[(d + 1, 2)]
+            if cost_split < cost_not_split:
+                p.split = True
+                p.length = 0
+                p.best_type = -1
+                snaps[(d, 1)] = snaps[(d + 1, 1)]
+                return cost_split
+            p.split = False
+            for c in p.down:
+                self._qt_disable_tree(parts, c, max_lvl)
+            snaps[(d, 1)] = snaps[(d, 2)]
+            return cost_not_split
+        return p.min_cost
+
+    def _qt_convert(self, parts, pi, max_lvl, lcu):
+        """convertQT2SaoUnit + convertOnePart2SaoUnit."""
+        f = self.f
+        p = parts[pi]
+        if not p.split:
+            for y in range(p.scy, p.ecy + 1):
+                for x in range(p.scx, p.ecx + 1):
+                    u = lcu[y * f.ctus_w + x]
+                    u.part_tmp = pi
+                    u.type_idx = p.best_type
+                    u.sub_type = p.sub_type
+                    if p.best_type != -1:
+                        u.length = p.length
+                        u.offsets = list(p.offsets)
+                    else:
+                        u.length = 0
+                        u.offsets = [0, 0, 0, 0]
+            return
+        if p.level < max_lvl:
+            for c in p.down:
+                self._qt_convert(parts, c, max_lvl, lcu)
+
+    @staticmethod
+    def _qt_check_merge(cur, chk, direction):
+        """checkMerge: fold identical-parameter neighbors across part
+        boundaries into merges."""
+        if cur.part_idx == chk.part_idx:
+            return
+        if cur.type_idx != -1:
+            if cur.type_idx == chk.type_idx:
+                diff = sum(cur.offsets[i] != chk.offsets[i]
+                           for i in range(cur.length))
+                diff += cur.sub_type != chk.sub_type
+                if diff == 0:
+                    cur.part_idx = chk.part_idx
+                    cur.merge_up, cur.merge_left = \
+                        (1, 0) if direction == 1 else (0, 1)
+        elif cur.type_idx == chk.type_idx:
+            cur.part_idx = chk.part_idx
+            cur.merge_up, cur.merge_left = \
+                (1, 0) if direction == 1 else (0, 1)
+
+    def _rdo_quadtree(self, rec_y):
+        """SAOProcess, picture-based branch: luma quadtree decision, then
+        QT→LCU conversion and merge-syntax assignment into frame arrays."""
+        f = self.f
+        self.bsao = [True, False]
+        parts, max_lvl = self._build_part_tree()
+        cnt_p, org_p = self._qt_get_stats(parts, max_lvl, rec_y)
+        saved = (self.count, self.offset_org, self.offset)
+        self.count, self.offset_org = cnt_p, org_p
+        self.offset = np.zeros_like(cnt_p)
+        snaps = {(0, 0): self.curr_best, (0, 1): self.curr_best}
+        cost_final = self._qt_run_decision(parts, 0, max_lvl,
+                                           self.lambda_luma, snaps)
+        self.count, self.offset_org, self.offset = saved
+        self.bsao[0] = cost_final < 0
+
+        f.sao_type[:] = -1
+        f.sao_sub_type[:] = 0
+        f.sao_offsets[:] = 0
+        f.sao_merge_left[:] = False
+        f.sao_merge_up[:] = False
+        if not self.bsao[0]:
+            return
+
+        lcu = [_QtLcuUnit() for _ in range(f.num_ctus)]
+        self._qt_convert(parts, 0, max_lvl, lcu)
+        if parts[0].split:
+            # assignSaoUnitSyntax, split case: compact part ids + merges
+            idx_count = -1
+            lcu[0].merge_up = 0
+            lcu[0].merge_left = 0
+            for j in range(f.ctus_h):
+                for i in range(f.ctus_w):
+                    addr = i + j * f.ctus_w
+                    addr_left = -1 if addr % f.ctus_w == 0 else addr - 1
+                    addr_up = -1 if addr < f.ctus_w else addr - f.ctus_w
+                    idx = lcu[addr].part_tmp
+                    idx_left = -1 if addr_left == -1 \
+                        else lcu[addr_left].part_tmp
+                    idx_up = -1 if addr_up == -1 else lcu[addr_up].part_tmp
+                    if idx != idx_left and idx != idx_up:
+                        lcu[addr].merge_up = 0
+                        idx_count += 1
+                        lcu[addr].merge_left = 0
+                        lcu[addr].part_idx = idx_count
+                    elif idx == idx_left:
+                        lcu[addr].merge_up = 1
+                        lcu[addr].merge_left = 1
+                        lcu[addr].part_idx = lcu[addr_left].part_idx
+                    elif idx == idx_up:
+                        lcu[addr].merge_up = 1
+                        lcu[addr].merge_left = 0
+                        lcu[addr].part_idx = lcu[addr_up].part_idx
+                    if addr_up != -1:
+                        self._qt_check_merge(lcu[addr], lcu[addr_up], 1)
+                    if addr_left != -1:
+                        self._qt_check_merge(lcu[addr], lcu[addr_left], 0)
+
+        for addr in range(f.num_ctus):
+            u = lcu[addr]
+            t = u.type_idx
+            f.sao_type[0, addr] = t
+            # final-pass encodeSaoOffset overwrites subTypeIdx with the EO
+            # class for luma (TEncEntropy.cpp:787); mirror it here so both
+            # the writer and the SAO apply read the same value
+            f.sao_sub_type[0, addr] = u.sub_type if t == 4 \
+                else (t if t >= 0 else 0)
+            f.sao_offsets[0, addr] = u.offsets
+            f.sao_merge_left[0, addr] = bool(u.merge_left)
+            f.sao_merge_up[0, addr] = bool(u.merge_up)
 
     # ==================================================================
     # encodeSlice-side writer (TEncSlice.cpp:1241-1332)
