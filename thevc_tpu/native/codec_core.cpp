@@ -4110,6 +4110,31 @@ static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
   double err_scale = ldexp((double)(1 << 15), -2 * tshift) /
                      (double)uiQ / (double)uiQ / (double)(1 << (2 * bit_inc));
   memset(dst, 0, sizeof(int32_t) * max_coeff);
+
+  // precompute |c|*Q (fits 31 bits: |c|<=2^15, Q<2^15, so the int32 cap
+  // in the reference never triggers), the rounded level, and the uncoded
+  // error cost per raster position — all data-parallel (autovectorized);
+  // the sequential scan loop below then only does the rate logic.  The
+  // scan-order double accumulation is untouched (bit-exact RD costs).
+  int32_t ld_arr[32 * 32];
+  int32_t ma_arr[32 * 32];
+  double c0_arr[32 * 32];
+  int32_t pre_max = 0;
+  for (int i = 0; i < max_coeff; i++) {
+    int32_t a = src[i] < 0 ? -src[i] : src[i];
+    int32_t ld = (int32_t)(a * (int32_t)uiQ);
+    ld_arr[i] = ld;
+    if (ld > pre_max) pre_max = ld;
+  }
+  // all-zero early out: every candidate level rounds to 0, so the block
+  // is uncoded regardless of the RD walk (dst already zeroed)
+  if (((int64_t)pre_max + (1ll << (qbits - 1))) >> qbits == 0) return 0;
+  for (int i = 0; i < max_coeff; i++) {
+    ma_arr[i] = (int32_t)(((int64_t)ld_arr[i] + (1ll << (qbits - 1))) >>
+                          qbits);
+    double err = (double)ld_arr[i];
+    c0_arr[i] = err * err * err_scale;
+  }
   double cost_coeff[32 * 32], cost_sig[32 * 32], cost_coeff0[32 * 32];
   int64_t rate_inc_up[32 * 32], rate_inc_down[32 * 32],
       sig_rate_delta[32 * 32], delta_u[32 * 32];
@@ -4139,15 +4164,9 @@ static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
     for (int pos_in_cg = 15; pos_in_cg >= 0; pos_in_cg--) {
       int scan_pos = cg_scan_pos * 16 + pos_in_cg;
       int blk_pos = scan[scan_pos];
-      int64_t level_double = src[blk_pos];
-      if (level_double < 0) level_double = -level_double;
-      level_double *= uiQ;
-      int64_t cap = 2147483647ll - (1ll << (qbits - 1));
-      if (level_double > cap) level_double = cap;
-      int max_abs_level = (int)((level_double + (1ll << (qbits - 1))) >>
-                                qbits);
-      double err = (double)level_double;
-      cost_coeff0[scan_pos] = err * err * err_scale;
+      int64_t level_double = ld_arr[blk_pos];
+      int max_abs_level = ma_arr[blk_pos];
+      cost_coeff0[scan_pos] = c0_arr[blk_pos];
       block_uncoded_cost += cost_coeff0[scan_pos];
       dst[blk_pos] = max_abs_level;
 
@@ -5695,6 +5714,70 @@ static void es_restore_luma_result(EncState* S, int part, int depth,
   }
 }
 
+// Final best-mode pass (HHI_RQT_INTRA_SPEEDUP, TEncSearch.cpp:2674-2722).
+// When the root TU is directly codable, the no-split evaluation of the
+// final pass deterministically reproduces the mode loop's winning
+// candidate — same entry context (ECI_CURR_BEST), same luma_dir region,
+// same reference pixels — so its cost/dist/artifacts and the post-eval
+// context are reused from the loop; only the residual-quadtree split
+// alternative runs fresh.
+static int64_t es_final_intra_luma(EncState* S, int part, int cu_depth,
+                                   int init_tr_depth, double best_cost,
+                                   int64_t best_dist, LumaStore* best_store,
+                                   const uint8_t* ctx_after,
+                                   uint64_t frac_after, double* out_cost) {
+  FrameArrays* fa = &S->fa;
+  int full_depth = cu_depth + init_tr_depth;
+  int log2_tr = S->log2_ctu_v - full_depth;
+  if (log2_tr > S->ep.max_tr_log2) {
+    // root TU larger than the max transform: the mode loop ran with the
+    // forced split but suppressed deeper splits (check_first), so the
+    // final pass can genuinely improve — run it in full
+    return es_recur_intra_luma(S, part, cu_depth, init_tr_depth, 0,
+                               out_cost);
+  }
+  (void)best_store;
+  int check_split = log2_tr > es_min_tu_log2(S, part);
+  if (check_split) {
+    int ux, uy;
+    es_unit_xy(S, part, &ux, &uy);
+    int units = units_at_depth(fa, full_depth);
+    es_store(S, full_depth, ECI_QT_TRAFO_ROOT);
+    int64_t split_dist = 0;
+    int split_cbf = 0;
+    int q_parts = fa->parts >> ((full_depth + 1) << 1);
+    int sub = part;
+    for (int i = 0; i < 4; i++) {
+      double c_;
+      split_dist += es_recur_intra_luma(S, sub, cu_depth, init_tr_depth + 1,
+                                        0, &c_);
+      split_cbf |= es_cbf(S, sub, 0, init_tr_depth + 1);
+      sub += q_parts;
+    }
+    if (split_cbf) {
+      for (int j = 0; j < units; j++) {
+        uint8_t* row = fa->cbf + (int64_t)(uy + j) * fa->uw + ux;
+        for (int i = 0; i < units; i++)
+          row[i] |= (uint8_t)(split_cbf << init_tr_depth);
+      }
+    }
+    es_load(S, full_depth, ECI_QT_TRAFO_ROOT);
+    int64_t split_bits = es_intra_bits_qt(S, part, cu_depth, init_tr_depth,
+                                          0);
+    double split_cost = es_rd_cost(S, split_bits, split_dist);
+    if (split_cost < best_cost) {
+      *out_cost = split_cost;
+      return split_dist;
+    }
+  }
+  // no-split wins (cost equal to the loop's winner): the caller restores
+  // the stored artifacts; only the context must be the post-eval state
+  memcpy(S->go.ctx, ctx_after, S->num_ctx);
+  S->go.frac_bits = frac_after;
+  *out_cost = best_cost;
+  return best_dist;
+}
+
 // one PU of estIntraPredQT (luma)
 static int64_t es_search_luma_pu(EncState* S, int part, int depth,
                                  int init_tr_depth, int size_idx) {
@@ -5775,6 +5858,8 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   double best_cost = MAX_DOUBLE_C;
   LumaStore* best_store = S->luma_store[depth + init_tr_depth];
   int have_store = 0;
+  uint8_t best_ctx_after[512];
+  uint64_t best_frac_after = 0;
   for (int mi = 0; mi < rd_n; mi++) {
     int mode = rd_list[mi];
     set_region<int8_t>(fa, fa->luma_dir, ux, uy, units, (int8_t)mode);
@@ -5790,6 +5875,8 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
       best_dist = dist;
       es_save_luma_result(S, part, depth, init_tr_depth, best_store);
       have_store = 1;
+      memcpy(best_ctx_after, S->go.ctx, S->num_ctx);
+      best_frac_after = S->go.frac_bits;
     }
   }
 
@@ -5797,7 +5884,9 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   es_load(S, depth, ECI_CURR_BEST);
   double cost2;
   PROF_BEGIN(15);
-  int64_t dist2 = es_recur_intra_luma(S, part, depth, init_tr_depth, 0,
+  int64_t dist2 = es_final_intra_luma(S, part, depth, init_tr_depth,
+                                      best_cost, best_dist, best_store,
+                                      best_ctx_after, best_frac_after,
                                       &cost2);
   PROF_END(15);
   if (cost2 < best_cost) {
