@@ -128,3 +128,43 @@ def test_guess_lambda_modifiers_metalog_roundtrip():
     assert result[0] > 1.2
     # second layer wants fewer bits -> smaller guess
     assert result[1] < 0.9
+
+
+def test_encoder_decoder_symbol_trace_roundtrip(tmp_path, monkeypatch):
+    """ENC_DEC_TRACE parity (TComRom.h:195-226): the encoder's final-pass
+    symbol trace and the decoder's parse trace of the same stream must be
+    line-identical, so diffing them localizes the first divergent syntax
+    element without an oracle."""
+    import thevc_tpu.decoder.cu_parser as cp
+    import thevc_tpu.encoder.sbac_writer as sw
+    from thevc_tpu.apps.encoder import main as encoder_main
+    from thevc_tpu.decoder.top import Decoder
+
+    monkeypatch.setenv("THEVC_NATIVE", "0")
+    bin_path = tmp_path / "tr.bin"
+    enc_tr = tmp_path / "enc_trace.txt"
+    dec_tr = tmp_path / "dec_trace.txt"
+
+    sw.TRACE = open(enc_tr, "w")
+    try:
+        encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                      "-i", "testdata/clip_96x80_9f.yuv", "-b",
+                      str(bin_path), "-wdt", "96", "-hgt", "80", "-f", "1",
+                      "-fr", "30", "--SEIpictureDigest=1"])
+    finally:
+        sw.TRACE.close()
+        sw.TRACE = None
+
+    cp.TRACE = open(dec_tr, "w")
+    try:
+        Decoder().decode_stream(bin_path.read_bytes())
+    finally:
+        cp.TRACE.close()
+        cp.TRACE = None
+
+    keep = ("TRACE", "parseCoeffNxN")
+    enc_lines = [ln for ln in enc_tr.read_text().splitlines()
+                 if any(k in ln for k in keep)]
+    dec_lines = [ln for ln in dec_tr.read_text().splitlines()
+                 if any(k in ln for k in keep)]
+    assert enc_lines and enc_lines == dec_lines

@@ -23,6 +23,26 @@ from ..params import I_SLICE, Pps, SliceHeader, Sps
 
 TREEDBG = None
 
+# Optional encoder-side syntax trace (the ENC_DEC_TRACE counterpart of
+# decoder/cu_parser.TRACE, TComRom.h:195-226): set sbac_writer.TRACE to a
+# writable file and run with THEVC_NATIVE=0 — the symbol lines use the
+# same formats as the decoder's, so encode/decode traces of the same
+# stream diff clean and the first divergent syntax element localizes an
+# encoder bug without a decode step.
+TRACE = None
+
+
+def _trace(msg: str) -> None:
+    if TRACE is not None:
+        TRACE.write(msg + "\n")
+
+
+def _tracing(engine) -> bool:
+    """Trace only the final arithmetic pass, not the RD counter passes
+    (HM's trace is likewise gated to the real bitstream coder)."""
+    return TRACE is not None and not hasattr(engine, "frac_bits")
+
+
 SBH_THRESHOLD = 4
 C1FLAG_NUMBER = 8
 COEF_REMAIN_BIN_REDUCTION = 3
@@ -561,7 +581,29 @@ class SbacWriter:
         pos_last = int(scan[scan_pos_last])
         last_y = pos_last >> log2
         last_x = pos_last - (last_y << log2)
+        if _tracing(e):
+            etype = 0 if comp == 0 else comp + 1
+            # depth follows the luma transform-tree walk: chroma blocks
+            # sit one level up at half the luma width, except 4x4 chroma
+            # coded at the luma 4x4 leaf (last part of the split group)
+            if comp == 0:
+                luma_w = width
+            else:
+                _ux, _uy = self._unit_xy(abs_part)
+                _lw = self.f.ctu_size >> (int(self.f.depth[_uy, _ux]) +
+                                          int(self.f.tr_idx[_uy, _ux]))
+                luma_w = 4 if (width == 4 and _lw == 4) else width * 2
+            _trace(f"parseCoeffNxN()\teType={etype}\twidth={width}"
+                   f"\theight={width}\tdepth="
+                   f"{self.f.ctu_size.bit_length() - luma_w.bit_length()}"
+                   f"\tabspartidx={abs_part}")
         self._code_last_xy(last_x, last_y, width, not is_luma, scan_idx)
+        if _tracing(e):
+            # the parser numbers the diagonal scan 0 (SCAN_ZIGZAG slot,
+            # REMOVE_ZIGZAG_SCAN) — match it so traces diff clean
+            _trace(f"SCANTRACE "
+                   f"scan={0 if scan_idx == rom.SCAN_DIAG else scan_idx} "
+                   f"lastX={last_x} lastY={last_y}")
 
         sig_base = cc.O_SIG + (0 if is_luma else cc.NUM_SIG_FLAG_CTX_LUMA)
         cg_base = cc.O_SIG_CG + (0 if is_luma else 2)
@@ -596,6 +638,8 @@ class SbacWriter:
                 flag = int(sig_cg[cg_blk_pos] != 0)
                 ctx = self._sig_cg_ctx(sig_cg, cg_pos_x, cg_pos_y, width)
                 e.encode_bin(flag, cg_base + ctx)
+                if _tracing(e):
+                    _trace(f"CGTRACE set={subset} ctx={ctx} flag={flag}")
 
             if sig_cg[cg_blk_pos]:
                 pattern = self._calc_pattern_sig_ctx(sig_cg, cg_pos_x,
@@ -609,6 +653,9 @@ class SbacWriter:
                         ctx = self._sig_ctx_inc(pattern, scan_idx, xx, yy,
                                                 block_type, comp)
                         e.encode_bin(sig, sig_base + ctx)
+                        if _tracing(e):
+                            _trace(f"SIGTRACE pos={i_scan_pos_sig} "
+                                   f"ctx={ctx} sig={sig}")
                     if sig:
                         abs_coeff.append(abs(int(flat[blk])))
                         coeff_signs = 2 * coeff_signs + (1 if flat[blk] < 0 else 0)
@@ -632,6 +679,8 @@ class SbacWriter:
                 for idx in range(num_c1):
                     sym = 1 if abs_coeff[idx] > 1 else 0
                     e.encode_bin(sym, one_base + c1)
+                    if _tracing(e):
+                        _trace(f"C1TRACE c1={c1} bin={sym}")
                     if sym:
                         c1 = 0
                         if first_c2_idx == -1:
@@ -654,6 +703,9 @@ class SbacWriter:
                         if abs_coeff[idx] >= base_level:
                             self._write_coef_remain_exgolomb(
                                 abs_coeff[idx] - base_level, go_rice)
+                            if _tracing(e):
+                                _trace(f"GRTRACE rice={go_rice} "
+                                       f"level={abs_coeff[idx] - base_level}")
                             if abs_coeff[idx] > 3 * (1 << go_rice):
                                 go_rice = min(go_rice + 1, 4)
                         if abs_coeff[idx] >= 2:
