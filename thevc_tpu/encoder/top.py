@@ -10,6 +10,7 @@ TAppEncCfg.cpp xCheckParameter derivations.
 from __future__ import annotations
 
 import math
+import os
 import time
 
 import numpy as np
@@ -703,6 +704,14 @@ class Encoder:
 
         data, _sizes = nal_mod.write_annexb(au)
         # AU size excluding start codes and SEI NALs (TEncGOP.cpp:1655)
+        if os.environ.get("THEVC_VERBOSE_RATE"):
+            # VERBOSE_RATE per-NAL byte print (TEncGOP.cpp:1557-1665)
+            for (t, tid, rbsp) in au:
+                name = {1: "SLICE", 2: "TFD", 3: "TLA", 4: "CRA", 6: "BLA",
+                        8: "IDR", 25: "VPS", 26: "SPS", 27: "PPS",
+                        31: "SEI"}.get(t, "UNKNOWN")
+                print("*** %6s numBytesInNALunit: %u"
+                      % (name, len(nal_mod.write_nal(t, tid, rbsp))))
         uibits = sum(
             len(nal_mod.write_nal(t, tid, rbsp)) * 8
             for (t, tid, rbsp) in au if t != nal_mod.NAL_UNIT_SEI)
