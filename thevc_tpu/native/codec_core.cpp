@@ -4135,6 +4135,20 @@ static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
     double err = (double)ld_arr[i];
     c0_arr[i] = err * err * err_scale;
   }
+  // per-CG any-nonzero flags (indexed by CG raster position)
+  uint8_t cg_nz[64];
+  {
+    int nbs = width >> 2;
+    if (nbs == 0) nbs = 1;
+    for (int cy = 0; cy * 4 < width; cy++)
+      for (int cx = 0; cx * 4 < width; cx++) {
+        int32_t any = 0;
+        for (int yy = 0; yy < 4 && cy * 4 + yy < width; yy++)
+          for (int xx = 0; xx < 4 && cx * 4 + xx < width; xx++)
+            any |= ma_arr[(cy * 4 + yy) * width + cx * 4 + xx];
+        cg_nz[cy * nbs + cx] = any != 0;
+      }
+  }
   double cost_coeff[32 * 32], cost_sig[32 * 32], cost_coeff0[32 * 32];
   int64_t rate_inc_up[32 * 32], rate_inc_down[32 * 32],
       sig_rate_delta[32 * 32], delta_u[32 * 32];
@@ -4161,6 +4175,43 @@ static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
     double rd_coded_leveland_dist = 0.0, rd_uncoded_dist = 0.0;
     int rd_nnz_before_pos0 = 0;
     int pattern = calc_pattern(sig_cg, cg_pos_x, cg_pos_y, width);
+    if (last_scan_pos >= 0 && !cg_nz[cg_blk_pos]) {
+      // all-zero coeff group below the last position: every level is 0,
+      // so only the significance costs and the SBH bookkeeping arrays
+      // are produced — identical values, no level search
+      int ctx_one_z = 4 * ctx_set + c1;
+      int64_t riu = eb->greater_one[ctx_one_z][0];
+      int sh_du = qbits - 8;
+      for (int pos_in_cg = 15; pos_in_cg >= 0; pos_in_cg--) {
+        int scan_pos = cg_scan_pos * 16 + pos_in_cg;
+        int blk_pos = scan[scan_pos];
+        double c0 = c0_arr[blk_pos];
+        cost_coeff0[scan_pos] = c0;
+        block_uncoded_cost += c0;
+        int pos_y = blk_pos >> log2;
+        int pos_x = blk_pos - (pos_y << log2);
+        int ctx_sig = sig_ctx_inc(pattern, scan_idx, pos_x, pos_y, log2,
+                                  comp);
+        double cs = lam * (double)eb->sig[ctx_sig][0];
+        cost_sig[scan_pos] = cs;
+        cost_coeff[scan_pos] = c0 + cs;
+        sig_rate_delta[blk_pos] = eb->sig[ctx_sig][1] - eb->sig[ctx_sig][0];
+        delta_u[blk_pos] = (int64_t)ld_arr[blk_pos] >> sh_du;
+        rate_inc_up[blk_pos] = riu;
+        base_cost += cost_coeff[scan_pos];
+        rd_sig_cost += cs;
+        if (pos_in_cg == 0) rd_sig_cost0 = cs;
+      }
+      if (cg_scan_pos > 0) {  // subset-boundary context-set reset
+        c2 = 0;
+        go_rice = 0;
+        c1_idx = 0;
+        c2_idx = 0;
+        ctx_set = (cg_scan_pos == 1 || !is_luma) ? 0 : 2;
+        if (c1 == 0) ctx_set++;
+        c1 = 1;
+      }
+    } else
     for (int pos_in_cg = 15; pos_in_cg >= 0; pos_in_cg--) {
       int scan_pos = cg_scan_pos * 16 + pos_in_cg;
       int blk_pos = scan[scan_pos];
