@@ -467,3 +467,32 @@ def test_encoder_sao_quadtree_byte_exact(oracle, test_clip_small, tmp_path,
                   "-wdt", "176", "-hgt", "144", "-f", str(frames),
                   "-fr", "30", "--SEIpictureDigest=1", *extra])
     assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+
+def test_encoder_checkpoint_resume_byte_exact(test_clip_small, tmp_path):
+    """Checkpoint/resume: all cross-frame encoder state is explicit and
+    serializable (SURVEY.md section 5), so an encode split at a GOP-aligned
+    checkpoint and resumed in a fresh process produces the identical
+    bitstream and recon as the uninterrupted run."""
+    clip = TESTDATA / "clip_96x80_9f.yuv"
+    cfg = "/root/reference/cfg/encoder_lowdelay_P_main.cfg"
+    base = ["-c", cfg, "-i", str(clip), "-wdt", "96", "-hgt", "80",
+            "-fr", "30", "--SEIpictureDigest=1"]
+
+    full_bin = tmp_path / "full.bin"
+    full_rec = tmp_path / "full.yuv"
+    encoder_main(base + ["-f", "9", "-b", str(full_bin), "-o",
+                         str(full_rec)])
+
+    ck = tmp_path / "state.pkl"
+    j_bin = tmp_path / "joined.bin"
+    j_rec = tmp_path / "joined.yuv"
+    encoder_main(base + ["-f", "5", "-b", str(j_bin), "-o", str(j_rec),
+                         "--CheckpointFile=" + str(ck),
+                         "--CheckpointEvery=1"])
+    assert ck.exists()
+    encoder_main(base + ["-f", "9", "-b", str(j_bin), "-o", str(j_rec),
+                         "--ResumeFile=" + str(ck)])
+
+    assert j_bin.read_bytes() == full_bin.read_bytes()
+    assert j_rec.read_bytes() == full_rec.read_bytes()

@@ -917,6 +917,51 @@ class Encoder:
         return stream
 
     # ------------------------------------------------------------------
+    # checkpoint / resume: every piece of cross-frame encoder state (DPB
+    # with recon+motion snapshots, rate-control models, SAO encoding-choice
+    # rates, CRA/IDR bookkeeping, summary accumulators) is held in explicit
+    # serializable fields, so a checkpoint is a plain pickle and a resumed
+    # encode continues the bitstream byte-exactly (the reference keeps no
+    # such machinery — SURVEY.md section 5)
+    def save_checkpoint(self, path: str, nxt: int, next_write: int) -> None:
+        import pickle
+        state = dict(
+            version=1,
+            nxt=nxt,
+            next_write=next_write,
+            frames_encoded=self.frames_encoded,
+            analyze=self.analyze,
+            rvm_rp=self.rvm_rp,
+            sao_rate_state=self._sao_rate_state,
+            dpb=self.dpb,
+            last_idr=self.last_idr,
+            rate_ctrl=self.rate_ctrl,
+            poc_cra=self.poc_cra,
+            refresh_pending=self.refresh_pending,
+            enc_cabac_table_idx=self.pps.enc_cabac_table_idx,
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(state, fh)
+        os.replace(tmp, path)
+
+    def load_checkpoint(self, path: str):
+        import pickle
+        with open(path, "rb") as fh:
+            st = pickle.load(fh)
+        self.frames_encoded = st["frames_encoded"]
+        self.analyze = st["analyze"]
+        self.rvm_rp = st["rvm_rp"]
+        self._sao_rate_state = st["sao_rate_state"]
+        self.dpb = st["dpb"]
+        self.last_idr = st["last_idr"]
+        self.rate_ctrl = st["rate_ctrl"]
+        self.poc_cra = st["poc_cra"]
+        self.refresh_pending = st["refresh_pending"]
+        self.pps.enc_cabac_table_idx = st["enc_cabac_table_idx"]
+        return st["nxt"], st["next_write"]
+
+    # ------------------------------------------------------------------
     def encode(self, out_path: str | None = None):
         """Drive the whole sequence per the cfg; returns bitstream bytes."""
         cfg = self.cfg
@@ -927,8 +972,15 @@ class Encoder:
         writer = None
         if cfg.recon_file:
             out_bd = cfg.output_bit_depth or internal_bd
-            writer = YuvWriter(cfg.recon_file, out_bd, internal_bd)
+            writer = YuvWriter(cfg.recon_file, out_bd, internal_bd,
+                               append=bool(cfg.resume_file))
         chunks = []
+        # with checkpointing active the stream is flushed to disk at each
+        # checkpoint so the on-disk prefix always corresponds to the saved
+        # state; a resumed run appends its continuation
+        out_fh = None
+        if out_path and (cfg.checkpoint_file or cfg.resume_file):
+            out_fh = open(out_path, "ab" if cfg.resume_file else "wb")
         n = cfg.frames_to_be_encoded
         gop_size = max(cfg.gop_size, 1)
 
@@ -946,15 +998,26 @@ class Encoder:
 
         recons = {}
         first = True
-        if n > 0:
+        nxt = 1
+        next_write = 0
+        gops_done = 0
+        if cfg.resume_file:
+            nxt, next_write = self.load_checkpoint(cfg.resume_file)
+            first = False
+            if writer is not None:
+                # drop any recon frames written after the checkpoint by the
+                # interrupted run, then continue appending
+                out_bd = cfg.output_bit_depth or internal_bd
+                fbytes = (cfg.source_width * cfg.source_height * 3 // 2 *
+                          (2 if out_bd > 8 else 1))
+                writer._fd.truncate(next_write * fbytes)
+        elif n > 0:
             data, rec = self.encode_frame(frames[0], 0, True, 0)
             first = False
             chunks.append(data)
             recons[0] = rec
             if self.rate_ctrl is not None:   # TEncGOP.cpp:1228-1231
                 self.rate_ctrl.update_gop_status()
-        nxt = 1
-        next_write = 0
         while nxt < n:
             batch = min(gop_size, n - nxt)
             poc_last = nxt + batch - 1
@@ -976,6 +1039,17 @@ class Encoder:
                 next_write += 1
             if self.rate_ctrl is not None:
                 self.rate_ctrl.update_gop_status()
+            gops_done += 1
+            if cfg.checkpoint_file and cfg.checkpoint_every > 0 and \
+                    gops_done % cfg.checkpoint_every == 0:
+                if out_fh is not None:
+                    for c in chunks:
+                        out_fh.write(c)
+                    out_fh.flush()
+                    chunks.clear()
+                if writer is not None:
+                    writer._fd.flush()
+                self.save_checkpoint(cfg.checkpoint_file, nxt, next_write)
         for poc in sorted(recons):
             if writer is not None:
                 writer.write_frame(recons[poc])
@@ -983,7 +1057,10 @@ class Encoder:
         if writer is not None:
             writer.close()
         stream = b"".join(chunks)
-        if out_path:
+        if out_fh is not None:
+            out_fh.write(stream)
+            out_fh.close()
+        elif out_path:
             with open(out_path, "wb") as fh:
                 fh.write(stream)
         return stream

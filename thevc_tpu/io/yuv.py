@@ -91,11 +91,11 @@ class YuvReader:
 
 class YuvWriter:
     def __init__(self, path: str, file_bit_depth: int = 8,
-                 internal_bit_depth: int = 8) -> None:
+                 internal_bit_depth: int = 8, append: bool = False) -> None:
         self.file_bit_depth = file_bit_depth
         self.internal_bit_depth = internal_bit_depth
         self._shift = internal_bit_depth - file_bit_depth
-        self._fd = open(path, "wb")
+        self._fd = open(path, "ab" if append else "wb")
 
     def write_frame(self, frame: YuvFrame) -> None:
         is16 = self.file_bit_depth > 8

@@ -76,6 +76,9 @@ _OPTIONS = {
     "InputFile": ("input_file", str), "i": ("input_file", str),
     "BitstreamFile": ("bitstream_file", str), "b": ("bitstream_file", str),
     "ReconFile": ("recon_file", str), "o": ("recon_file", str),
+    "CheckpointFile": ("checkpoint_file", str),
+    "CheckpointEvery": ("checkpoint_every", int),
+    "ResumeFile": ("resume_file", str),
     "SourceWidth": ("source_width", int), "wdt": ("source_width", int),
     "SourceHeight": ("source_height", int), "hgt": ("source_height", int),
     "InputBitDepth": ("input_bit_depth", int),
@@ -183,6 +186,11 @@ class EncoderCfg:
     input_file: str = ""
     bitstream_file: str = ""
     recon_file: str = ""
+    # checkpoint/resume (no reference counterpart; all cross-frame encoder
+    # state lives in an explicit serializable set — SURVEY.md section 5)
+    checkpoint_file: str = ""
+    checkpoint_every: int = 0
+    resume_file: str = ""
     source_width: int = 0
     source_height: int = 0
     input_bit_depth: int = 8
