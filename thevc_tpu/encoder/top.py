@@ -1010,7 +1010,10 @@ class Encoder:
                 out_bd = cfg.output_bit_depth or internal_bd
                 fbytes = (cfg.source_width * cfg.source_height * 3 // 2 *
                           (2 if out_bd > 8 else 1))
-                writer._fd.truncate(next_write * fbytes)
+                try:
+                    writer._fd.truncate(next_write * fbytes)
+                except OSError:
+                    pass          # /dev/null, pipes: nothing to truncate
         elif n > 0:
             data, rec = self.encode_frame(frames[0], 0, True, 0)
             first = False
