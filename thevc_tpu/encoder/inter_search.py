@@ -15,9 +15,10 @@ xEncodeResidualQT :5674, xSetResidualQTData :5787, xAddSymbolBitsInter
 :5937) and TComRdCost motion-cost fixed point (TComRdCost.h:185-210).
 
 Host-side this is the sequential RD driver; the SAD/SATD sweeps and the
-separable interpolation are batched numpy (ops.jx mirrors on device) —
-each candidate position is an independent reduction, which is exactly the
-shape the TPU kernels consume.
+separable interpolation are batched numpy (ops.jx mirrors the SSE/SATD
+reductions on device; interpolation stays host-side) — each candidate
+position is an independent reduction, which is exactly the shape the TPU
+kernels consume.
 """
 
 from __future__ import annotations
