@@ -14,13 +14,13 @@ from tests.conftest import ORACLE_BIN, TESTDATA, REPO
 from thevc_tpu.apps.encoder import main as encoder_main
 
 
-def _oracle_encode(clip, out_bin, w, h, frames, extra):
+def _oracle_encode(clip, out_bin, w, h, frames, extra, digest=1):
     cmd = [str(ORACLE_BIN / "TAppEncoder"),
            "-c", "/root/reference/cfg/encoder_intra_main.cfg",
            "-i", str(clip), "-wdt", str(w), "-hgt", str(h),
            "-f", str(frames), "-fr", "30",
            "-b", str(out_bin), "-o", "/dev/null",
-           "--SEIpictureDigest=1", *extra]
+           f"--SEIpictureDigest={digest}", *extra]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -92,6 +92,23 @@ def test_intra_encode_10bit_byte_exact(oracle, small_clip, tmp_path):
                   "-wdt", "96", "-hgt", "80", "-f", "1", "-fr", "30",
                   "-q", "27", "--SAO=0", "--InternalBitDepth=10",
                   "--SEIpictureDigest=1"])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+
+@pytest.mark.parametrize("dig", [2, 3])
+def test_intra_encode_crc_checksum_digest_byte_exact(oracle, small_clip,
+                                                     tmp_path, dig):
+    """CRC (bottom-fed CRC-16/CCITT long division, TComPicYuvMD5.cpp:86)
+    and checksum decoded-picture-hash SEIs: byte-exact vs HM."""
+    hm_bin = TESTDATA / f"enc_intra_dig{dig}_96x80.bin"
+    if not hm_bin.exists():
+        _oracle_encode(small_clip, hm_bin, 96, 80, 1, ["-q", "32"],
+                       digest=dig)
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(small_clip), "-b", str(my_bin),
+                  "-wdt", "96", "-hgt", "80", "-f", "1", "-fr", "30",
+                  "-q", "32", f"--SEIpictureDigest={dig}"])
     assert my_bin.read_bytes() == hm_bin.read_bytes()
 
 

@@ -37,14 +37,18 @@ def calc_crc(planes, bit_depth: int) -> List[bytes]:
         flat = plane.astype(np.int64).ravel()
         # build the bit string lazily in chunks to keep memory bounded
         table = _crc_table()
+        # compCRC feeds data at the REGISTER BOTTOM (crc = ((crc<<1)+bit)
+        # ^ (msb*0x1021)), which is long division of init<<n + M(x); the
+        # byte-wise equivalent is crc = (((crc&0xff)<<8) ^ T[crc>>8]) ^ b
+        # with T[t] = (t*x^16) mod G — NOT the usual top-fed table step.
         if bit_depth == 8:
             data = flat.astype(np.uint8).tobytes()
             for b in data:
-                crc = ((crc << 8) & 0xFFFF) ^ table[((crc >> 8) ^ b) & 0xFF]
+                crc = (((crc & 0xFF) << 8) ^ table[crc >> 8]) ^ b
         elif bit_depth == 16:
             data = flat.astype(">u2").tobytes()
             for b in data:
-                crc = ((crc << 8) & 0xFFFF) ^ table[((crc >> 8) ^ b) & 0xFF]
+                crc = (((crc & 0xFF) << 8) ^ table[crc >> 8]) ^ b
         else:
             # bit-at-a-time for non-power-of-two depths (10-bit).  NB the
             # reference's bit selection is `dataMsbIdx - (bitIdx & dataMsbIdx)`
@@ -60,8 +64,8 @@ def calc_crc(planes, bit_depth: int) -> List[bytes]:
                     crc = (((crc << 1) + bit) & 0xFFFF) ^ (msb * 0x1021)
         if bit_depth in (8, 16):
             # flush 16 zero bits via table
-            crc = ((crc << 8) & 0xFFFF) ^ table[(crc >> 8) & 0xFF]
-            crc = ((crc << 8) & 0xFFFF) ^ table[(crc >> 8) & 0xFF]
+            crc = ((crc & 0xFF) << 8) ^ table[crc >> 8]
+            crc = ((crc & 0xFF) << 8) ^ table[crc >> 8]
         else:
             for _ in range(16):
                 msb = (crc >> 15) & 1
