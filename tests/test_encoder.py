@@ -486,6 +486,27 @@ def test_encoder_sao_quadtree_byte_exact(oracle, test_clip_small, tmp_path,
     assert my_bin.read_bytes() == hm_bin.read_bytes()
 
 
+@pytest.mark.parametrize("extra,name", [
+    (["--SAOLcuBasedOptimization=0"], "saoqt10"),
+    (["--AdaptiveQP=1"], "aq10"),
+])
+def test_encoder_10bit_tool_byte_exact(oracle, small_clip, tmp_path, extra,
+                                       name):
+    """IBDI (InternalBitDepth=10) interaction with quadtree SAO (xRoundIbdi2
+    rounding, offset threshold) and AdaptiveQP: byte-exact vs HM."""
+    clip = TESTDATA / "clip_96x80_9f.yuv"
+    hm_bin = TESTDATA / f"enc_{name}_96x80.bin"
+    if not hm_bin.exists():
+        _oracle_encode(clip, hm_bin, 96, 80, 2,
+                       ["--InternalBitDepth=10", *extra])
+    my_bin = tmp_path / "my.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(clip), "-b", str(my_bin),
+                  "-wdt", "96", "-hgt", "80", "-f", "2", "-fr", "30",
+                  "--InternalBitDepth=10", "--SEIpictureDigest=1", *extra])
+    assert my_bin.read_bytes() == hm_bin.read_bytes()
+
+
 def test_encoder_checkpoint_resume_byte_exact(test_clip_small, tmp_path):
     """Checkpoint/resume: all cross-frame encoder state is explicit and
     serializable (SURVEY.md section 5), so an encode split at a GOP-aligned
