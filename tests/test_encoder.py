@@ -213,6 +213,92 @@ def test_encode_partitioned_byte_exact(oracle, small_clip, tmp_path,
     assert my_bin.read_bytes() == hm_bin.read_bytes()
 
 
+def test_encoder_midstream_cra_tfd_byte_exact(oracle, small_clip, tmp_path):
+    """Mid-stream CRA: leading pictures get TFD NAL typing (TEncGOP.cpp:
+    1745-1756) and the CRA refresh marking (TComSlice::decodingRefresh-
+    Marking :646) unreferences pre-CRA pictures.  IntraPeriod=8 over 9
+    frames puts a CRA at POC 8 with 7 TFD leading pictures."""
+    clip = TESTDATA / "clip_96x80_9f.yuv"
+    if not clip.exists():
+        subprocess.run(
+            ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
+             "--width", "96", "--height", "80", "--frames", "9"],
+            check=True)
+    ref_bin = TESTDATA / "tfd_ra9_ip8_ref.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", "/root/reference/cfg/encoder_randomaccess_main.cfg",
+             "-i", str(clip), "-wdt", "96", "-hgt", "80",
+             "-f", "9", "-fr", "30", "--IntraPeriod=8", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1"],
+            check=True, capture_output=True)
+    out = tmp_path / "tfd9.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_randomaccess_main.cfg",
+                  "-i", str(clip), "-wdt", "96", "-hgt", "80",
+                  "-f", "9", "-fr", "30", "--IntraPeriod=8", "-b", str(out),
+                  "-o", "/dev/null", "--SEIpictureDigest=1"])
+    assert out.read_bytes() == ref_bin.read_bytes()
+    from thevc_tpu.nal import iter_annexb_nals
+    types = [n.nal_type for n in iter_annexb_nals(out.read_bytes())
+             if n.nal_type < 25]
+    assert types == [8, 4] + [2] * 7  # IDR, CRA, 7x TFD
+
+
+@pytest.mark.slow
+def test_encoder_two_intra_periods_byte_exact(oracle, tmp_path):
+    """Two full intra periods: the second CRA triggers the pending refresh
+    marking and the trailing GOP's RPSs reference unreferenced pictures,
+    forcing explicit slice-header RPSs (TComSlice::createExplicitReference-
+    PictureSetFromReference :1052) with inter-RPS prediction."""
+    clip = TESTDATA / "clip_96x80_24f.yuv"
+    if not clip.exists():
+        subprocess.run(
+            ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
+             "--width", "96", "--height", "80", "--frames", "24"],
+            check=True)
+    ref_bin = TESTDATA / "tfd_ra_ip16f24_ref.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", "/root/reference/cfg/encoder_randomaccess_main.cfg",
+             "-i", str(clip), "-wdt", "96", "-hgt", "80",
+             "-f", "24", "-fr", "30", "--IntraPeriod=16", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1"],
+            check=True, capture_output=True)
+    out = tmp_path / "tfd24.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_randomaccess_main.cfg",
+                  "-i", str(clip), "-wdt", "96", "-hgt", "80",
+                  "-f", "24", "-fr", "30", "--IntraPeriod=16",
+                  "-b", str(out), "-o", "/dev/null", "--SEIpictureDigest=1"])
+    assert out.read_bytes() == ref_bin.read_bytes()
+
+
+def test_encoder_temporal_layers_tla_byte_exact(oracle, tmp_path):
+    """2-temporal-layer low-delay GOP: every TId-1 picture is a temporal
+    switching point and is typed TLA (TEncGOP.cpp:299-305,
+    TComSlice::isTemporalLayerSwitchingPoint :838)."""
+    clip = TESTDATA / "clip_96x80_9f.yuv"
+    cfg = str(REPO / "tests" / "cfg" / "encoder_lowdelay_tlayers.cfg")
+    ref_bin = TESTDATA / "tla_ld5_ref.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"), "-c", cfg,
+             "-i", str(clip), "-wdt", "96", "-hgt", "80",
+             "-f", "5", "-fr", "30", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1"],
+            check=True, capture_output=True)
+    out = tmp_path / "tla5.bin"
+    encoder_main(["-c", cfg, "-i", str(clip), "-wdt", "96", "-hgt", "80",
+                  "-f", "5", "-fr", "30", "-b", str(out),
+                  "-o", "/dev/null", "--SEIpictureDigest=1"])
+    assert out.read_bytes() == ref_bin.read_bytes()
+    from thevc_tpu.nal import iter_annexb_nals
+    types = [(n.nal_type, n.temporal_id)
+             for n in iter_annexb_nals(out.read_bytes()) if n.nal_type < 25]
+    assert types == [(8, 0), (3, 1), (1, 0), (3, 1), (1, 0)]
+
+
 def test_encoder_randomaccess_byte_exact(oracle, small_clip, tmp_path):
     """Random-access hierarchical-B GOP (GOPSize=8, CRA refresh): byte-exact
     (TEncGOP::getNalUnitType, bi-pred iteration, colDir alternation)."""

@@ -249,8 +249,12 @@ def derive_params(cfg: EncoderCfg):
     return vps, sps, pps
 
 
-def _nal_unit_type(cfg: EncoderCfg, poc: int) -> int:
-    """getNalUnitType (TEncGOP.cpp:1728), no CRA leading-pic handling."""
+def _nal_unit_type(cfg: EncoderCfg, poc: int, poc_cra: int) -> int:
+    """getNalUnitType (TEncGOP.cpp:1728) incl. CRA leading-pic TFD typing.
+
+    Every picture with POC below the last CRA's POC is a leading picture
+    of that CRA and is marked TFD (TEncGOP.cpp:1745-1756) because the
+    encoder references across the CRA when coding it."""
     if poc == 0:
         return nal_mod.NAL_UNIT_CODED_SLICE_IDR
     if cfg.intra_period > 0 and poc % cfg.intra_period == 0:
@@ -258,7 +262,57 @@ def _nal_unit_type(cfg: EncoderCfg, poc: int) -> int:
             return nal_mod.NAL_UNIT_CODED_SLICE_CRA
         if cfg.decoding_refresh_type == 2:
             return nal_mod.NAL_UNIT_CODED_SLICE_IDR
+    if poc_cra > 0 and poc < poc_cra:
+        return nal_mod.NAL_UNIT_CODED_SLICE_TFD
     return nal_mod.NAL_UNIT_CODED_SLICE
+
+
+def _create_explicit_rps(sh, sps, dpb) -> None:
+    """createExplicitReferencePictureSetFromReference (TComSlice.cpp:1052).
+
+    Restrict the selected SPS RPS to the pictures still referenced in the
+    DPB and attach it to the slice as an explicit slice-header RPS
+    (rps_idx = -1), keeping the reference's inter-RPS prediction: the new
+    RPS predicts from the same SPS reference RPS, re-indexed for the
+    slice-level position (deltaRIdxMinus1 += numRPS - rpsIdx)."""
+    ref = sh.rps
+    new = ReferencePictureSet()
+    new.delta_poc = []
+    new.used = []
+    n_neg = n_pos = 0
+    for i in range(ref.num_negative_pics + ref.num_positive_pics):
+        for p in dpb.pics:
+            if p.poc == sh.poc + ref.delta_poc[i] and p.referenced:
+                new.delta_poc.append(ref.delta_poc[i])
+                new.used.append(ref.used[i])
+                if ref.delta_poc[i] < 0:
+                    n_neg += 1
+                else:
+                    n_pos += 1
+    new.num_negative_pics = n_neg
+    new.num_positive_pics = n_pos
+    if not ref.inter_rps_prediction:
+        new.inter_rps_prediction = False
+        new.num_ref_idc = 0
+    else:
+        r_idx = sh.rps_idx - ref.delta_ridx_minus1 - 1
+        ref_rps = sps.rps_list[r_idx]
+        n_ref = ref_rps.num_negative_pics + ref_rps.num_positive_pics
+        new.ref_idc = []
+        for i in range(n_ref + 1):
+            d = ref_rps.delta_poc[i] if i != n_ref else 0
+            idc = 0
+            for j in range(len(new.delta_poc)):
+                if d + ref.delta_rps == new.delta_poc[j]:
+                    idc = 1 if new.used[j] else 2
+            new.ref_idc.append(idc)
+        new.inter_rps_prediction = True
+        new.num_ref_idc = n_ref + 1
+        new.delta_rps = ref.delta_rps
+        new.delta_ridx_minus1 = (ref.delta_ridx_minus1
+                                 + len(sps.rps_list) - sh.rps_idx)
+    sh.rps = new
+    sh.rps_idx = -1
 
 
 class _FrameSource:
@@ -400,7 +454,7 @@ class Encoder:
         t_start = time.time()
         cfg = self.cfg
         sps, pps = self.sps, self.pps
-        nal_type = _nal_unit_type(cfg, poc)
+        nal_type = _nal_unit_type(cfg, poc, self.poc_cra)
         if nal_type == nal_mod.NAL_UNIT_CODED_SLICE_IDR:
             self.last_idr = poc
         sh, lam, weight, lam_chroma = se.init_enc_slice(
@@ -434,18 +488,22 @@ class Encoder:
             if close_right > -1 and right_qp < left_qp:
                 col_dir = 0
 
-        # decodingRefreshMarking + RPS selection
+        # decodingRefreshMarking (TComSlice.cpp:646) + RPS selection
         if nal_type == nal_mod.NAL_UNIT_CODED_SLICE_IDR:
             self.dpb.idr_flush()
-            self.poc_cra = poc
-        elif nal_type == nal_mod.NAL_UNIT_CODED_SLICE_CRA:
-            self.refresh_pending = True
-            self.poc_cra = poc
-        elif self.refresh_pending and poc > self.poc_cra:
-            for p in self.dpb.pics:
-                if p.poc != self.poc_cra and p.poc < self.poc_cra:
-                    p.referenced = False
-            self.refresh_pending = False
+            # (only BLA/BLANT set pocCRA here in the reference; IDR does
+            # not — TComSlice.cpp:662-665)
+        else:
+            if self.refresh_pending and poc > self.poc_cra:
+                # CRA reference marking pending: every picture except the
+                # CRA itself becomes unreferenced (TComSlice.cpp:670-679)
+                for p in self.dpb.pics:
+                    if p.poc != poc and p.poc != self.poc_cra:
+                        p.referenced = False
+                self.refresh_pending = False
+            if nal_type == nal_mod.NAL_UNIT_CODED_SLICE_CRA:
+                self.refresh_pending = True
+                self.poc_cra = poc
 
         if not sh.is_intra or nal_type != nal_mod.NAL_UNIT_CODED_SLICE_IDR:
             sh.rps_idx = gop_id
@@ -462,16 +520,27 @@ class Encoder:
                     if poc == eg.poc:
                         sh.rps_idx = extra
             sh.rps = sps.rps_list[sh.rps_idx]
-            # availability check (no explicit slice RPS expected for the
-            # standard configurations thanks to the startup extra RPSs)
-            for i in range(sh.rps.num_negative_pics
-                           + sh.rps.num_positive_pics):
-                want = poc + sh.rps.delta_poc[i]
-                if not any(p.poc == want and p.referenced
-                           for p in self.dpb.pics):
-                    raise NotImplementedError(
-                        "explicit slice-header RPS (missing ref %d)" % want)
+            # checkThatAllRefPicsAreAvailable (TComSlice.cpp:917): when a
+            # short-term entry was unreferenced by the CRA refresh marking,
+            # write an explicit slice-header RPS restricted to the
+            # available pictures (createExplicitReferencePictureSetFrom-
+            # Reference, TComSlice.cpp:1052)
+            n_st = sh.rps.num_negative_pics + sh.rps.num_positive_pics
+            if any(not any(p.poc == poc + sh.rps.delta_poc[i]
+                           and p.referenced for p in self.dpb.pics)
+                   for i in range(n_st)):
+                _create_explicit_rps(sh, sps, self.dpb)
             self.dpb.apply_rps(sh.rps, poc, sps.bits_for_poc)
+            # TLA typing at temporal switching points (TEncGOP.cpp:299-305,
+            # TComSlice::isTemporalLayerSwitchingPoint TComSlice.cpp:838)
+            if sh.temporal_id > 0:
+                switching = all(
+                    getattr(p, "temporal_id", 0) < sh.temporal_id
+                    for p in self.dpb.pics
+                    if p.referenced and p.poc != poc)
+                if switching or sps.temporal_id_nesting_flag:
+                    nal_type = nal_mod.NAL_UNIT_CODED_SLICE_TLA
+                    sh.nal_unit_type = nal_type
 
         if sps.long_term_refs_present and sh.rps is not None:
             arrange_longterm_pictures_in_rps(sh, sps, self.dpb)
