@@ -213,6 +213,74 @@ def test_encode_partitioned_byte_exact(oracle, small_clip, tmp_path,
     assert my_bin.read_bytes() == hm_bin.read_bytes()
 
 
+@pytest.mark.parametrize("extra,name", [
+    (["--LambdaModifier0=1.4"], "lm0"),
+    (["-LM1", "0.7"], "lm1"),
+    (["--RecalculateQPAccordingToLambda=1"], "recalc"),
+])
+def test_encoder_lambda_modifier_byte_exact(oracle, tmp_path, extra, name):
+    """LambdaModifier0-7 / RecalculateQPAccordingToLambda
+    (TAppEncCfg.cpp:219-226/:327, TEncSlice.cpp:313-316/:352-357)."""
+    clip = TESTDATA / "clip_96x80_9f.yuv"
+    cfg = ("/root/reference/cfg/encoder_lowdelay_main.cfg" if name != "lm1"
+           else str(REPO / "tests" / "cfg" / "encoder_lowdelay_tlayers.cfg"))
+    ref_bin = TESTDATA / f"lm_{name}_ref.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"), "-c", cfg,
+             "-i", str(clip), "-wdt", "96", "-hgt", "80",
+             "-f", "4", "-fr", "30", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1", *extra],
+            check=True, capture_output=True)
+    out = tmp_path / "lm.bin"
+    encoder_main(["-c", cfg, "-i", str(clip), "-wdt", "96", "-hgt", "80",
+                  "-f", "4", "-fr", "30", "-b", str(out),
+                  "-o", "/dev/null", "--SEIpictureDigest=1", *extra])
+    assert out.read_bytes() == ref_bin.read_bytes()
+
+
+@pytest.mark.parametrize("mode,w,h,extra", [
+    (1, 92, 76, []),
+    (2, 92, 76, ["--HorizontalPadding=4", "--VerticalPadding=4"]),
+    (3, 96, 80, ["--CropLeft=8", "--CropRight=8",
+                 "--CropTop=4", "--CropBottom=4"]),
+])
+def test_encoder_cropping_modes_byte_exact(oracle, tmp_path, mode, w, h,
+                                           extra):
+    """CroppingMode 1 (auto-pad to min CU), 2 (explicit pad), 3 (crop):
+    source padding by edge extension, SPS cropping window, cropped recon
+    output (TAppEncCfg.cpp:365-393, TVideoIOYuv read/write)."""
+    clip = TESTDATA / f"clip_{w}x{h}_2f.yuv"
+    if not clip.exists():
+        subprocess.run(
+            ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
+             "--width", str(w), "--height", str(h), "--frames", "2"],
+            check=True)
+    args = ["-wdt", str(w), "-hgt", str(h), "-f", "2", "-fr", "30",
+            "--SEIpictureDigest=1", f"--CroppingMode={mode}", *extra]
+    cfg = "/root/reference/cfg/encoder_intra_main.cfg"
+    ref_bin = tmp_path / "crop_ref.bin"
+    ref_rec = tmp_path / "crop_ref.yuv"
+    subprocess.run(
+        [str(ORACLE_BIN / "TAppEncoder"), "-c", cfg, "-i", str(clip),
+         "-b", str(ref_bin), "-o", str(ref_rec), *args],
+        check=True, capture_output=True)
+    out = tmp_path / "crop_my.bin"
+    rec = tmp_path / "crop_my.yuv"
+    encoder_main(["-c", cfg, "-i", str(clip), "-b", str(out),
+                  "-o", str(rec), *args])
+    assert out.read_bytes() == ref_bin.read_bytes()
+    assert rec.read_bytes() == ref_rec.read_bytes()
+    # decoder side: our decoder applies the SPS cropping window on output
+    from thevc_tpu.apps.decoder import main as decoder_main
+    dec_ref = tmp_path / "dec_ref.yuv"
+    dec_my = tmp_path / "dec_my.yuv"
+    subprocess.run([str(ORACLE_BIN / "TAppDecoder"), "-b", str(out),
+                    "-o", str(dec_ref)], check=True, capture_output=True)
+    decoder_main(["-b", str(out), "-o", str(dec_my)])
+    assert dec_my.read_bytes() == dec_ref.read_bytes()
+
+
 def test_encoder_midstream_cra_tfd_byte_exact(oracle, small_clip, tmp_path):
     """Mid-stream CRA: leading pictures get TFD NAL typing (TEncGOP.cpp:
     1745-1756) and the CRA refresh marking (TComSlice::decodingRefresh-

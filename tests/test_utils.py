@@ -99,6 +99,45 @@ def test_extract_bitrates_from_encoder_log(oracle, test_clip_small):
     assert all(r > 0 for r in rates)
 
 
+def test_bitrate_targeting_loop_end_to_end(oracle, tmp_path):
+    """The full targetBitrates.sh loop against OUR encoder: encode,
+    ExtractBitrates from the log, GuessLambdaModifiers, re-encode with the
+    guessed -LMn flags (now consumed by the encoder), and check the
+    per-layer rates moved toward the targets
+    (GuessLambdaModifiers.cpp:397, targetBitrates.sh)."""
+    import contextlib
+
+    from thevc_tpu.apps.bitrate_targeting import guess_lambda_modifiers
+    from thevc_tpu.apps.encoder import main as encoder_main
+
+    clip = TESTDATA / "clip_96x80_9f.yuv"
+    cfg = str(TESTDATA.parent / "tests" / "cfg"
+              / "encoder_lowdelay_tlayers.cfg")
+
+    def encode(lm_args):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            encoder_main(["-c", cfg, "-i", str(clip),
+                          "-wdt", "96", "-hgt", "80", "-f", "7",
+                          "-fr", "30", "-b", str(tmp_path / "t.bin"),
+                          "-o", "/dev/null", *lm_args])
+        return extract_bitrates_for_temporal_layers(
+            buf.getvalue().splitlines())
+
+    rates0 = encode([])
+    assert len(rates0) == 2
+    targets = [r * 0.7 for r in rates0]
+    lms = guess_lambda_modifiers(0.5, targets,
+                                 [([1.0] * len(rates0), rates0)])
+    lm_args = []
+    for i, lm in enumerate(lms):
+        lm_args += [f"-LM{i}", repr(lm)]
+    rates1 = encode(lm_args)
+    # fewer target bits -> larger lambda -> lower measured rates
+    assert all(l > 1.0 for l in lms)
+    assert all(r1 < r0 for r1, r0 in zip(rates1, rates0))
+
+
 def test_guess_lambda_modifier_math():
     # one point: proportional increment with adjustment 0.5
     # extrapolated = 1.0 * 200/100 = 2.0 -> preliminary = 1.5

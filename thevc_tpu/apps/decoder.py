@@ -34,8 +34,13 @@ def main(argv=None) -> int:
     writer = None
     # TAppDecTop.cpp:182: output bit depth defaults to the internal depth
     internal_bd = 8
+    crop = (0, 0, 0, 0)
     for sps in dec.sps_map.values():
         internal_bd = sps.internal_bit_depth
+        if sps.pic_cropping_flag:
+            # SPS cropping window applied on output (TAppDecTop.cpp:195)
+            crop = (sps.pic_crop_left_offset, sps.pic_crop_right_offset,
+                    sps.pic_crop_top_offset, sps.pic_crop_bottom_offset)
     for pic in pics:
         digest_msg = ""
         if pic.digest_ok is not None:
@@ -46,7 +51,8 @@ def main(argv=None) -> int:
         if args.recon:
             if writer is None:
                 out_bd = args.OutputBitDepth or internal_bd
-                writer = YuvWriter(args.recon, out_bd, internal_bd)
+                writer = YuvWriter(args.recon, out_bd, internal_bd,
+                                   crop=crop)
             writer.write_frame(pic.frame)
     if writer:
         writer.close()

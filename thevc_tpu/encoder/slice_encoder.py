@@ -86,10 +86,22 @@ def init_enc_slice(cfg, sps, pps, poc: int, gop_id: int, nal_type: int,
         lam *= 0.95
     iqp = max(-sps.qp_bd_offset_y, min(51, int(math.floor(dqp + 0.5))))
 
-    # WEIGHTED_CHROMA_DISTORTION weight (TEncSlice.cpp:320-328)
+    # LambdaModifier per temporal layer (TEncSlice.cpp:313-316)
+    if slice_type != I_SLICE:
+        lam *= cfg.lambda_modifier[ge.temporal_id if ge is not None else 0]
+
+    # WEIGHTED_CHROMA_DISTORTION weight (TEncSlice.cpp:320-328); uses the
+    # pre-recalculation QP even when RecalculateQPAccordingToLambda is on
     weight = 1.0
     if iqp >= 0:
         weight = math.pow(2.0, (iqp - int(rom.CHROMA_SCALE[iqp])) / 3.0)
+
+    # RECALCULATE_QP_ACCORDING_LAMBDA (TEncSlice.cpp:352-357,
+    # xGetQPValueAccordingToLambda :1710)
+    if cfg.recalculate_qp_according_to_lambda:
+        dqp_recal = 4.2005 * math.log(lam) + 13.7122
+        iqp = max(-sps.qp_bd_offset_y,
+                  min(51, int(math.floor(dqp_recal + 0.5))))
 
     sh = SliceHeader(nal_unit_type=nal_type, temporal_id=0,
                      slice_type=slice_type, poc=poc, slice_qp=iqp)
@@ -125,6 +137,10 @@ def rc_lambda_recalc(cu: CuEncoder, cfg, sh, change_qp: int,
         lam *= max(2.0, min(4.0, qp_temp / 6.0))
     if not cfg.use_had_me:
         lam *= 0.95
+    if sh.slice_type != I_SLICE:
+        # NB the reference indexes the modifier by DEPTH here, unlike
+        # initEncSlice's temporal-layer index (TEncSlice.cpp:474-477)
+        lam *= cfg.lambda_modifier[sh.gop_depth]
     qp = max(-sps.qp_bd_offset_y,
              min(51, int(math.floor(change_qp + 0.5))))
     weight = 1.0

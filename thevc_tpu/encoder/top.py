@@ -47,6 +47,13 @@ def derive_params(cfg: EncoderCfg):
     sps = Sps()
     sps.pic_width_in_luma_samples = cfg.source_width
     sps.pic_height_in_luma_samples = cfg.source_height
+    # cropping window (TEncTop::xInitSPS, TEncTop.cpp:467-474)
+    sps.pic_cropping_flag = cfg.cropping_mode != 0
+    if sps.pic_cropping_flag:
+        sps.pic_crop_left_offset = cfg.crop_left
+        sps.pic_crop_right_offset = cfg.crop_right
+        sps.pic_crop_top_offset = cfg.crop_top
+        sps.pic_crop_bottom_offset = cfg.crop_bottom
     sps.max_cu_width = cfg.max_cu_width
     sps.max_cu_height = cfg.max_cu_height
     # g_uiAddCUDepth derivation (TAppEncCfg.cpp:928-933)
@@ -803,7 +810,14 @@ class Encoder:
         # maxval = 255 << (bitDepth - 8) (TEncGOP.cpp:1648)
         maxval = 255 << (self.sps.internal_bit_depth - 8)
         psnrs = []
+        px, py = self.cfg.pad_x, self.cfg.pad_y
         for i, (o, r) in enumerate(zip((org.y, org.cb, org.cr), rec)):
+            if px or py:
+                # PSNR excludes the source padding (TEncGOP.cpp:1601-1602)
+                d = 1 if i == 0 else 2
+                h, w = o.shape
+                o = o[: h - py // d, : w - px // d]
+                r = r[: h - py // d, : w - px // d]
             d = o.astype(np.int64) - r.astype(np.int64)
             sse = float(np.sum(d * d))
             if sse == 0.0:
@@ -1036,13 +1050,16 @@ class Encoder:
         cfg = self.cfg
         internal_bd = self.sps.internal_bit_depth
         reader = YuvReader(cfg.input_file, cfg.source_width, cfg.source_height,
-                           cfg.input_bit_depth, internal_bd)
+                           cfg.input_bit_depth, internal_bd,
+                           pad_x=cfg.pad_x, pad_y=cfg.pad_y)
         reader.skip_frames(cfg.frame_skip)
         writer = None
         if cfg.recon_file:
             out_bd = cfg.output_bit_depth or internal_bd
             writer = YuvWriter(cfg.recon_file, out_bd, internal_bd,
-                               append=bool(cfg.resume_file))
+                               append=bool(cfg.resume_file),
+                               crop=(cfg.crop_left, cfg.crop_right,
+                                     cfg.crop_top, cfg.crop_bottom))
         chunks = []
         # with checkpointing active the stream is flushed to disk at each
         # checkpoint so the on-disk prefix always corresponds to the saved

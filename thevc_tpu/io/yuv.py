@@ -38,15 +38,22 @@ class YuvFrame:
 
 class YuvReader:
     def __init__(self, path: str, width: int, height: int,
-                 file_bit_depth: int = 8, internal_bit_depth: int = 8) -> None:
+                 file_bit_depth: int = 8, internal_bit_depth: int = 8,
+                 pad_x: int = 0, pad_y: int = 0) -> None:
+        """width/height are the CODED (padded) dimensions; the file holds
+        (width-pad_x) x (height-pad_y) frames that are edge-extended on
+        read (TVideoIOYuv::read aiPad, readPlane pad_x/pad_y)."""
         self.width = width
         self.height = height
+        self.pad_x = pad_x
+        self.pad_y = pad_y
         self.file_bit_depth = file_bit_depth
         self.internal_bit_depth = internal_bit_depth
         self._shift = internal_bit_depth - file_bit_depth
         self._fd = open(path, "rb")
         self._wordsize = 2 if file_bit_depth > 8 else 1
-        self._frame_bytes = self._wordsize * width * height * 3 // 2
+        self._frame_bytes = (self._wordsize * (width - pad_x)
+                             * (height - pad_y) * 3 // 2)
 
     def skip_frames(self, n: int) -> None:
         if n:
@@ -71,10 +78,17 @@ class YuvReader:
             return None
         dtype = "<u2" if self._wordsize == 2 else np.uint8
         raw = np.frombuffer(data, dtype=dtype)
-        w, h = self.width, self.height
+        w, h = self.width - self.pad_x, self.height - self.pad_y
         y = raw[: w * h].reshape(h, w).astype(np.int16)
         cb = raw[w * h: w * h + w * h // 4].reshape(h // 2, w // 2).astype(np.int16)
         cr = raw[w * h + w * h // 4:].reshape(h // 2, w // 2).astype(np.int16)
+        if self.pad_x or self.pad_y:
+            # edge-extension padding (readPlane, TVideoIOYuv.cpp:273-284)
+            y = np.pad(y, ((0, self.pad_y), (0, self.pad_x)), mode="edge")
+            cb = np.pad(cb, ((0, self.pad_y // 2), (0, self.pad_x // 2)),
+                        mode="edge")
+            cr = np.pad(cr, ((0, self.pad_y // 2), (0, self.pad_x // 2)),
+                        mode="edge")
         if self._shift > 0:
             y, cb, cr = (p << self._shift for p in (y, cb, cr))
         elif self._shift < 0:
@@ -91,15 +105,28 @@ class YuvReader:
 
 class YuvWriter:
     def __init__(self, path: str, file_bit_depth: int = 8,
-                 internal_bit_depth: int = 8, append: bool = False) -> None:
+                 internal_bit_depth: int = 8, append: bool = False,
+                 crop: Tuple[int, int, int, int] = (0, 0, 0, 0)) -> None:
+        """crop = (left, right, top, bottom) in luma samples, removed on
+        write (TVideoIOYuv::write cropLeft..cropBottom; chroma halved).
+
+        NB the reference writes the TOP-LEFT (w-l-r)x(h-t-b) window — its
+        planeOffset for left/top cropping is commented out
+        (TVideoIOYuv.cpp:446 `Int planeOffset = 0; //cropLeft + ...`)."""
         self.file_bit_depth = file_bit_depth
         self.internal_bit_depth = internal_bit_depth
         self._shift = internal_bit_depth - file_bit_depth
+        self.crop = crop
         self._fd = open(path, "ab" if append else "wb")
 
     def write_frame(self, frame: YuvFrame) -> None:
         is16 = self.file_bit_depth > 8
-        for plane in frame.planes():
+        cl, cr_, ct, cb = self.crop
+        for i, plane in enumerate(frame.planes()):
+            if cl or cr_ or ct or cb:
+                d = 1 if i == 0 else 2
+                h, w = plane.shape
+                plane = plane[: h - (ct + cb) // d, : w - (cl + cr_) // d]
             p = plane.astype(np.int32)
             if self._shift > 0:
                 off = 1 << (self._shift - 1)

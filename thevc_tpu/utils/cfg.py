@@ -177,6 +177,12 @@ _OPTIONS = {
     "CroppingMode": ("cropping_mode", int),
     "HorizontalPadding": ("pad_x", int), "pdx": ("pad_x", int),
     "VerticalPadding": ("pad_y", int), "pdy": ("pad_y", int),
+    "CropLeft": ("crop_left", int),
+    "CropRight": ("crop_right", int),
+    "CropTop": ("crop_top", int),
+    "CropBottom": ("crop_bottom", int),
+    "RecalculateQPAccordingToLambda":
+        ("recalculate_qp_according_to_lambda", int),
 }
 
 
@@ -283,6 +289,16 @@ class EncoderCfg:
     cropping_mode: int = 0
     pad_x: int = 0
     pad_y: int = 0
+    crop_left: int = 0
+    crop_right: int = 0
+    crop_top: int = 0
+    crop_bottom: int = 0
+    # LambdaModifier0-7 (-LM0..-LM7, TAppEncCfg.cpp:219-226), indexed by
+    # temporal layer in initEncSlice (TEncSlice.cpp:315) and by depth in
+    # xLamdaRecalculation (TEncSlice.cpp:476)
+    lambda_modifier: List[float] = field(
+        default_factory=lambda: [1.0] * 8)
+    recalculate_qp_according_to_lambda: int = 0
     gop_list: List[GopEntry] = field(default_factory=list)
     extras: Dict[str, str] = field(default_factory=dict)
 
@@ -328,6 +344,13 @@ class EncoderCfg:
         if key == "MaxCUSize" or key == "s":
             self.max_cu_width = self.max_cu_height = int(value)
             return
+        if (key.startswith("LambdaModifier") and key[14:].isdigit()) or \
+                (key.startswith("LM") and key[2:].isdigit()):
+            idx = int(key[14:] if key.startswith("LambdaModifier")
+                      else key[2:])
+            if 0 <= idx < 8:
+                self.lambda_modifier[idx] = float(value)
+                return
         if key.startswith("Frame") and key[5:].isdigit():
             idx = int(key[5:]) - 1
             while len(self.gop_list) <= idx:
@@ -393,7 +416,39 @@ def parse_args(argv: List[str]) -> EncoderCfg:
 
 def check_parameters(cfg: "EncoderCfg") -> None:
     """Subset of TAppEncCfg::xCheckParameter (TAppEncCfg.cpp:551-580)
-    covering the partitioning-mode combinations."""
+    covering the partitioning-mode combinations, plus the cropping-mode
+    source-size derivation (TAppEncCfg.cpp:365-393)."""
+    if cfg.cropping_mode == 0:
+        cfg.crop_left = cfg.crop_right = cfg.crop_top = cfg.crop_bottom = 0
+        cfg.pad_x = cfg.pad_y = 0
+    elif cfg.cropping_mode == 1:
+        # automatic padding to the minimum CU size
+        min_cu = cfg.max_cu_height >> (cfg.max_partition_depth - 1)
+        cfg.crop_left = cfg.crop_top = 0
+        cfg.pad_x = cfg.pad_y = 0
+        if cfg.source_width % min_cu:
+            cfg.pad_x = cfg.crop_right = \
+                (cfg.source_width // min_cu + 1) * min_cu - cfg.source_width
+            cfg.source_width += cfg.crop_right
+        else:
+            cfg.crop_right = 0
+        if cfg.source_height % min_cu:
+            cfg.pad_y = cfg.crop_bottom = \
+                (cfg.source_height // min_cu + 1) * min_cu - cfg.source_height
+            cfg.source_height += cfg.crop_bottom
+        else:
+            cfg.crop_bottom = 0
+        if cfg.pad_x % 2 or cfg.pad_y % 2:   # 4:2:0 crop units
+            raise ValueError("picture size not a multiple of the chroma "
+                             "subsampling after padding")
+    elif cfg.cropping_mode == 2:
+        cfg.source_width += cfg.pad_x
+        cfg.source_height += cfg.pad_y
+        cfg.crop_right = cfg.pad_x
+        cfg.crop_bottom = cfg.pad_y
+        cfg.crop_left = cfg.crop_top = 0
+    elif cfg.cropping_mode == 3:
+        cfg.pad_x = cfg.pad_y = 0
     if not 0 <= cfg.slice_mode <= 3:
         raise ValueError("SliceMode exceeds supported range (0 to 3)")
     if cfg.slice_mode != 0 and cfg.slice_argument < 1:
