@@ -161,31 +161,8 @@ def deblock_frame(f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
     from .. import native
     lib = native.get_lib()
     for direction in (0, 1):
-        if lib is not None:
-            from .native_parse import fill_frame_arrays
-            import ctypes
-            fa = fill_frame_arrays(f)
-            uh, uw = f.depth.shape
-            flags = np.empty((uh, uw), np.uint8)
-            bs = np.empty((uh, uw), np.uint8)
-            qp_p = np.empty((uh, uw), np.int32)
-            qp_q = np.empty((uh, uw), np.int32)
-            no_p = np.empty((uh, uw), np.uint8)
-            no_q = np.empty((uh, uw), np.uint8)
-            rp = None
-            if ref_poc is not None:
-                rp = np.ascontiguousarray(ref_poc, np.int64)
-            lib.build_edge_maps(
-                ctypes.byref(fa), direction, sh.slice_type,
-                int(bool(sh.lf_cross_slice_boundary_flag)),
-                int(bool(f.pps.lf_cross_tile_boundary_flag)),
-                int(bool(f.sps_pcm_nofilter)),
-                rp.ctypes.data if rp is not None else None,
-                flags.ctypes.data, bs.ctypes.data, qp_p.ctypes.data,
-                qp_q.ctypes.data, no_p.ctypes.data, no_q.ctypes.data)
-        else:
-            flags, bs, qp_p, qp_q, no_p, no_q = _edge_maps(f, sh, direction,
-                                                           ref_poc)
+        flags, bs, qp_p, qp_q, no_p, no_q = _build_edge_maps(
+            f, sh, direction, ref_poc)
         if lib is not None:
             from ..common.rom import CHROMA_SCALE
             uh, uw = flags.shape
@@ -216,6 +193,132 @@ def deblock_frame(f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
             dbk.filter_chroma_edges(rec_cb, rec_cr, flags, bs, qp_p, qp_q,
                                     no_p, no_q, direction,
                                     sh.loop_filter_tc_offset, bd)
+
+
+def _build_edge_maps(f: FrameModel, sh: SliceHeader, direction: int,
+                     ref_poc=None):
+    """Edge maps for one direction via the native core when available
+    (bit-exact either way)."""
+    from .. import native
+    lib = native.get_lib()
+    if lib is None:
+        return _edge_maps(f, sh, direction, ref_poc)
+    from .native_parse import fill_frame_arrays
+    import ctypes
+    fa = fill_frame_arrays(f)
+    uh, uw = f.depth.shape
+    flags = np.empty((uh, uw), np.uint8)
+    bs = np.empty((uh, uw), np.uint8)
+    qp_p = np.empty((uh, uw), np.int32)
+    qp_q = np.empty((uh, uw), np.int32)
+    no_p = np.empty((uh, uw), np.uint8)
+    no_q = np.empty((uh, uw), np.uint8)
+    rp = None
+    if ref_poc is not None:
+        rp = np.ascontiguousarray(ref_poc, np.int64)
+    lib.build_edge_maps(
+        ctypes.byref(fa), direction, sh.slice_type,
+        int(bool(sh.lf_cross_slice_boundary_flag)),
+        int(bool(f.pps.lf_cross_tile_boundary_flag)),
+        int(bool(f.sps_pcm_nofilter)),
+        rp.ctypes.data if rp is not None else None,
+        flags.ctypes.data, bs.ctypes.data, qp_p.ctypes.data,
+        qp_q.ctypes.data, no_p.ctypes.data, no_q.ctypes.data)
+    return flags, bs, qp_p, qp_q, no_p, no_q
+
+
+_CTU_MAP_CACHE: dict = {}
+
+
+def _ctu_map(h: int, w: int, ctu_size: int, ctus_w: int) -> np.ndarray:
+    key = (h, w, ctu_size, ctus_w)
+    m = _CTU_MAP_CACHE.get(key)
+    if m is None:
+        yy = np.arange(h)[:, None] // ctu_size
+        xx = np.arange(w)[None, :] // ctu_size
+        m = (yy * ctus_w + xx).astype(np.int32)
+        if len(_CTU_MAP_CACHE) > 8:
+            _CTU_MAP_CACHE.clear()
+        _CTU_MAP_CACHE[key] = m
+    return m
+
+
+def _sao_tables(f: FrameModel, comp: int, bit_depth: int):
+    """Per-CTU EO/BO offset tables (processSaoUnitAll offset construction:
+    EO mapping m_iOffsetEo, BO band table 1+(v>>(bd-5)))."""
+    nctu = f.ctus_w * f.ctus_h
+    sao_shift = bit_depth - min(bit_depth, 10)
+    offs = (np.asarray(f.sao_offsets[comp], np.int32) << sao_shift)
+    eo = np.zeros((nctu, 5), np.int32)
+    eo[:, 0] = offs[:, 0]
+    eo[:, 1] = offs[:, 1]
+    eo[:, 3] = offs[:, 2]
+    eo[:, 4] = offs[:, 3]
+    bo = np.zeros((nctu, 33), np.int32)
+    band_pos = np.asarray(f.sao_sub_type[comp], np.int32)
+    rows = np.arange(nctu)
+    for i in range(4):
+        bo[rows, (band_pos + i) % 32 + 1] = offs[:, i]
+    return eo, bo
+
+
+def filter_picture_device(f: FrameModel, sh: SliceHeader, sps: Sps,
+                          pps: Pps, rec_y, rec_cb, rec_cr, ref_poc=None):
+    """Whole in-loop filter stage (deblock + SAO, all planes) as ONE
+    device launch (ops.jx_filters.filter_picture).  Host builds the edge
+    maps and SAO tables; the pixel math runs on the TPU.  Returns the
+    filtered planes (same dtypes as the inputs)."""
+    from ..ops import jx_filters as jf
+    bd = sps.internal_bit_depth
+    do_deblock = not sh.loop_filter_disable
+    do_sao = bool(sps.use_sao and sh.sao_enabled)
+    do_sao_chroma = do_sao and bool(sh.sao_enabled_chroma)
+    if not do_deblock and not do_sao:
+        return rec_y, rec_cb, rec_cr
+    f.sps_pcm_nofilter = sps.use_pcm and sps.pcm_filter_disable_flag
+
+    if do_deblock:
+        dbk_ver = _build_edge_maps(f, sh, 0, ref_poc)
+        dbk_hor = _build_edge_maps(f, sh, 1, ref_poc)
+    else:
+        uh, uw = f.depth.shape
+        z8 = np.zeros((uh, uw), np.uint8)
+        z32 = np.zeros((uh, uw), np.int32)
+        dbk_ver = dbk_hor = (z8, z8, z32, z32, z8, z8)
+
+    h, w = rec_y.shape
+    hc, wc = rec_cb.shape
+    cm_y = _ctu_map(h, w, f.ctu_size, f.ctus_w)
+    cm_c = _ctu_map(hc, wc, f.ctu_size // 2, f.ctus_w)
+    nctu = f.ctus_w * f.ctus_h
+    if do_sao:
+        types = [np.asarray(f.sao_type[c], np.int32) for c in range(3)]
+        if not do_sao_chroma:
+            types[1] = np.full(nctu, -1, np.int32)
+            types[2] = np.full(nctu, -1, np.int32)
+        type_px = (types[0][cm_y], types[1][cm_c], types[2][cm_c])
+        tabs = [_sao_tables(f, c, bd) for c in range(3)]
+        eo_tabs = tuple(t[0] for t in tabs)
+        bo_tabs = tuple(t[1] for t in tabs)
+    else:
+        z = np.zeros((1, 1), np.int32)
+        type_px = (np.full((h, w), -1, np.int32),
+                   np.full((hc, wc), -1, np.int32),
+                   np.full((hc, wc), -1, np.int32))
+        eo_tabs = (np.zeros((nctu, 5), np.int32),) * 3
+        bo_tabs = (np.zeros((nctu, 33), np.int32),) * 3
+
+    y, cb, cr = jf.filter_picture(
+        rec_y.astype(np.int32), rec_cb.astype(np.int32),
+        rec_cr.astype(np.int32), dbk_ver, dbk_hor, cm_y, cm_c,
+        type_px, eo_tabs, bo_tabs,
+        beta_offset=sh.loop_filter_beta_offset,
+        tc_offset=sh.loop_filter_tc_offset, bit_depth=bd,
+        do_deblock=do_deblock, do_sao=do_sao,
+        do_sao_chroma=do_sao_chroma)
+    return (np.asarray(y).astype(rec_y.dtype),
+            np.asarray(cb).astype(rec_cb.dtype),
+            np.asarray(cr).astype(rec_cr.dtype))
 
 
 def sao_frame(f: FrameModel, sh: SliceHeader, sps: Sps,

@@ -81,9 +81,141 @@ class InterPredictor:
         part_sz = int(f.part_size_arr[py // 4, px // 4])
         for pu in range(num_pus(part_sz)):
             xp, yp, pw, ph = pu_geometry(part_sz, px, py, size, pu)
+            dev = self._dev_store.get((xp, yp)) \
+                if self._dev_store is not None else None
+            if dev is not None:
+                blk_y, blk_cb, blk_cr = dev
+                lx, ly = xp - px, yp - py
+                pred_y[ly:ly + ph, lx:lx + pw] = blk_y
+                pred_cb[ly // 2:(ly + ph) // 2,
+                        lx // 2:(lx + pw) // 2] = blk_cb
+                pred_cr[ly // 2:(ly + ph) // 2,
+                        lx // 2:(lx + pw) // 2] = blk_cr
+                continue
             self._predict_pu(px, py, xp, yp, pw, ph,
                              pred_y, pred_cb, pred_cr, px, py)
         return pred_y, pred_cb, pred_cr
+
+    # -- device batch path ------------------------------------------------
+    _dev_store = None
+
+    def _enumerate_pus(self, cu_entries):
+        """(xp, yp, pw, ph, cu_x, cu_y, ref0, mv0, ref1, mv1) per PU of
+        the given inter CUs (mirrors predict_cu + xCheckIdenticalMotion)."""
+        f = self.f
+        pus = []
+        for (px, py, size, mode, l0, l1, c0, c1) in cu_entries:
+            part_sz = int(f.part_size_arr[py // 4, px // 4])
+            for pu in range(num_pus(part_sz)):
+                xp, yp, pw, ph = pu_geometry(part_sz, px, py, size, pu)
+                ref0, mv0 = self._pu_motion(xp, yp, 0)
+                ref1, mv1 = self._pu_motion(xp, yp, 1)
+                if (self.sh.slice_type == 0 and not self.pps.wp_bipred and
+                        ref0 >= 0 and ref1 >= 0 and
+                        self.lists[0][ref0].poc == self.lists[1][ref1].poc
+                        and mv0 == mv1):
+                    ref1 = -1
+                pus.append((xp, yp, pw, ph, px, py, ref0, mv0, ref1, mv1))
+        return pus
+
+    def precompute_device(self, cu_entries) -> None:
+        """Batch the whole picture's MC as grouped device launches
+        (ops.jx_mc): one launch per (component, filter-case, size) class,
+        plus one bi-average launch per size.  Weighted prediction falls
+        back to the host path (wp streams keep self._dev_store None)."""
+        if self.wp_active:
+            return
+        from ..ops import jx_mc
+        from .frame import MODE_INTRA
+        entries = [e for e in cu_entries if e[3] != MODE_INTRA]
+        pus = self._enumerate_pus(entries)
+        if not pus:
+            return
+
+        # one uni-directional MC job per (PU, active list)
+        jobs = []        # (key, window, fx, fy, out_idx)
+        results: dict = {}
+        for i, (xp, yp, pw, ph, cux, cuy, ref0, mv0, ref1, mv1) in \
+                enumerate(pus):
+            bi = ref0 >= 0 and ref1 >= 0
+            for lst, ref, mv in ((0, ref0, mv0), (1, ref1, mv1)):
+                if ref < 0:
+                    continue
+                pic = self.lists[lst][ref]
+                mvc = clip_mv(mv, cux, cuy, self.pic_w, self.pic_h,
+                              self.ctu)
+                pad_y, pad_cb, pad_cr = pic.padded()
+                m = pic.margin
+                for comp, plane, mrg, d, shift_bits in (
+                        (0, pad_y, m, 1, 2), (1, pad_cb, m // 2, 2, 3),
+                        (2, pad_cr, m // 2, 2, 3)):
+                    taps = 8 if comp == 0 else 4
+                    half = taps // 2
+                    x0 = mrg + xp // d + (mvc[0] >> shift_bits)
+                    y0 = mrg + yp // d + (mvc[1] >> shift_bits)
+                    fx = mvc[0] & ((1 << shift_bits) - 1)
+                    fy = mvc[1] & ((1 << shift_bits) - 1)
+                    w, h = pw // d, ph // d
+                    if fx == 0 and fy == 0:
+                        case = "copy"
+                        win = plane[y0:y0 + h, x0:x0 + w]
+                    elif fy == 0:
+                        case = "hor"
+                        win = plane[y0:y0 + h,
+                                    x0 - (half - 1):x0 + w + half]
+                    elif fx == 0:
+                        case = "ver"
+                        win = plane[y0 - (half - 1):y0 + h + half,
+                                    x0:x0 + w]
+                    else:
+                        case = "2d"
+                        win = plane[y0 - (half - 1):y0 + h + half,
+                                    x0 - (half - 1):x0 + w + half]
+                    jobs.append(((comp == 0, case, h, w, bi),
+                                 win, fx, fy, (i, lst, comp)))
+
+        # group into batches and launch
+        groups: dict = {}
+        for key, win, fx, fy, out in jobs:
+            groups.setdefault(key, []).append((win, fx, fy, out))
+        for (luma, case, h, w, bi), items in groups.items():
+            wins = np.stack([it[0] for it in items]).astype(np.int16)
+            fxs = np.asarray([it[1] for it in items], np.int32)
+            fys = np.asarray([it[2] for it in items], np.int32)
+            out = np.asarray(jx_mc.mc_batch(wins, fxs, fys, case=case,
+                                            luma=luma, bd=self.bd, bi=bi,
+                                            out_h=h, out_w=w))
+            for blk, (_w, _fx, _fy, okey) in zip(out, items):
+                results[okey] = blk
+
+        # combine lists per PU (bi average batched per size class)
+        bi_jobs: dict = {}
+        store = {}
+        for i, (xp, yp, pw, ph, _cux, _cuy, ref0, _m0, ref1, _m1) in \
+                enumerate(pus):
+            if ref0 >= 0 and ref1 >= 0:
+                for comp in range(3):
+                    d = 1 if comp == 0 else 2
+                    bi_jobs.setdefault((ph // d, pw // d), []).append(
+                        (results[(i, 0, comp)], results[(i, 1, comp)],
+                         (i, comp)))
+            else:
+                lst = 0 if ref0 >= 0 else 1
+                store[(xp, yp)] = tuple(results[(i, lst, comp)]
+                                        for comp in range(3))
+        if bi_jobs:
+            combined: dict = {}
+            for (h, w), items in bi_jobs.items():
+                p0 = np.stack([a for a, _b, _k in items])
+                p1 = np.stack([b for _a, b, _k in items])
+                avg = np.asarray(jx_mc.bi_avg_batch(p0, p1, self.bd))
+                for blk, (_a, _b, k) in zip(avg, items):
+                    combined[k] = blk
+            for i, (xp, yp, *_rest) in enumerate(pus):
+                if (i, 0) in combined:
+                    store[(xp, yp)] = tuple(combined[(i, comp)]
+                                            for comp in range(3))
+        self._dev_store = store
 
     # ------------------------------------------------------------------
     def _pu_motion(self, xp, yp, lst):

@@ -174,11 +174,8 @@ def _collect_residuals(f: FrameModel, sps: Sps, pps: Pps, runs) -> dict:
                                          qp_off[comp - 1])
                     add(comp, cx, cy, csz, plane, qps)
 
-    # Device offload is opt-in: this environment reaches the TPU through a
-    # ~20 MB/s tunnel, so per-frame coefficient transfers lose to host
-    # execution; on a directly-attached TPU set THEVC_DEVICE=1.
-    import os
-    use_device = os.environ.get("THEVC_DEVICE", "0") == "1"
+    from ..ops.device import device_enabled
+    use_device = device_enabled()
 
     store: dict = {}
     for (comp, size, use_dst), items in groups.items():
@@ -384,9 +381,14 @@ def reconstruct_frame(f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
 def _native_intra_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
                           rec_y, rec_cb, rec_cr) -> bool:
     """All-intra picture reconstruction through the native core.  Returns
-    False (no-op) when unavailable or the picture has inter CUs."""
+    False (no-op) when unavailable or the picture has inter CUs.
+
+    When the device path is active the native fast path stands down so the
+    batched residual stage runs on the TPU (ops.jx.residual_pipeline);
+    the sequential CABAC parse stays native either way."""
     import os
-    if os.environ.get("THEVC_NATIVE", "1") == "0":
+    from ..ops.device import device_enabled
+    if os.environ.get("THEVC_NATIVE", "1") == "0" or device_enabled():
         return False
     from .. import native
     lib = native.get_lib()
@@ -503,6 +505,14 @@ def reconstruct_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
                                                  rec_cb, rec_cr):
         return
     store = _collect_residuals(f, sps, pps, runs) if scaling is None else None
+    from ..ops.device import device_enabled
+    if device_enabled():
+        # stage 2 of the device decode path: the whole picture's MC runs
+        # as grouped device launches before the CU walk (MC reads only
+        # reference pictures, so every PU is independent)
+        for (sh, inter_pred, lo, hi) in runs:
+            if inter_pred is not None:
+                inter_pred.precompute_device(f.cu_list[lo:hi])
     avail = _AvailCtx(f)
     for (sh, inter_pred, lo, hi) in runs:
         r = _FrameRecon(f, sh, sps, pps, rec_y, rec_cb, rec_cr, inter_pred,

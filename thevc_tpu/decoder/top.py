@@ -425,9 +425,18 @@ class Decoder:
         # per-unit reference POC map for deblock BS + the DPB motion snapshot
         ref_poc, ref_is_lt = self._resolve_ref_pocs(cur)
         any_inter = any(not run.sh.is_intra for run in cur.slices)
-        deblock_frame(f, sh0, sps, pps, rec_y, rec_cb, rec_cr,
-                      ref_poc if any_inter else None)
-        rec_y, rec_cb, rec_cr = sao_frame(f, sh0, sps, rec_y, rec_cb, rec_cr)
+        from ..ops.device import device_enabled
+        if device_enabled():
+            # TPU path: the whole filter stage is one device launch
+            from .filters import filter_picture_device
+            rec_y, rec_cb, rec_cr = filter_picture_device(
+                f, sh0, sps, pps, rec_y, rec_cb, rec_cr,
+                ref_poc if any_inter else None)
+        else:
+            deblock_frame(f, sh0, sps, pps, rec_y, rec_cb, rec_cr,
+                          ref_poc if any_inter else None)
+            rec_y, rec_cb, rec_cr = sao_frame(f, sh0, sps, rec_y, rec_cb,
+                                              rec_cr)
 
         # store in DPB with colocated-motion snapshot (TComPic::compressMotion)
         ref_pocs0 = [[p.poc for p in cur.slices[0].list0],
