@@ -93,19 +93,10 @@ def test_jx_sao_parity(bd):
     ref = sao_ops.apply_sao_plane(src, ctu, sao_type, sub_type, offsets,
                                   ctus_w, ctus_h, bd)
 
-    # device formulation: per-pixel maps + per-CTU tables
-    yy = np.arange(H)[:, None] // ctu
-    xx = np.arange(W)[None, :] // ctu
-    cm = (yy * ctus_w + xx).astype(np.int32)
-    type_px = sao_type[cm]
-    eo = np.zeros((nctu, 5), np.int32)
-    eo[:, [0, 1, 3, 4]] = offsets
-    bo = np.zeros((nctu, 33), np.int32)
-    rows = np.arange(nctu)
-    for i in range(4):
-        bo[rows, (sub_type + i) % 32 + 1] = offsets[:, i]
-    fn = jax.jit(lambda *a: jf._sao_plane(*a, bd))
-    out = np.asarray(fn(src.astype(np.int32), cm, type_px, eo, bo))
+    fn = jax.jit(lambda s, t, bp, o: jf._sao_plane(
+        s, t, bp, o, ctu, ctus_w, ctus_h, bd))
+    out = np.asarray(fn(src.astype(np.int32), sao_type.astype(np.int8),
+                        sub_type, offsets))
     assert np.array_equal(out, ref.astype(np.int32))
 
 
@@ -148,6 +139,40 @@ def test_device_decode_sao_digest_exact(oracle, tmp_path):
     assert rc == 0
     assert log.count("(OK)") == 2
     assert out.read_bytes() == ref_rec.read_bytes()
+
+
+def test_device_encoder_satd_sweep_byte_exact(oracle, tmp_path,
+                                              monkeypatch):
+    """Encoder device candidate sweep (THEVC_DEVICE_ENC=1): the 35-mode
+    intra SATD sweep runs as jx.intra_sweep_satd device launches feeding
+    the host RD walk — the bitstream must stay byte-exact vs HM
+    (decision-equality, TEncSearch.cpp:2530-2545)."""
+    import subprocess
+    from tests.conftest import ORACLE_BIN, REPO
+    from thevc_tpu.apps.encoder import main as encoder_main
+    monkeypatch.setenv("THEVC_NATIVE", "0")   # route the Python RD walk
+    monkeypatch.setenv("THEVC_DEVICE_ENC", "1")
+    clip = TESTDATA / "clip_96x80.yuv"
+    if not clip.exists():
+        subprocess.run(
+            ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
+             "--width", "96", "--height", "80", "--frames", "2"],
+            check=True)
+    ref_bin = TESTDATA / "dev_sweep_ref.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", "/root/reference/cfg/encoder_intra_main.cfg",
+             "-i", str(clip), "-wdt", "96", "-hgt", "80",
+             "-f", "2", "-fr", "30", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1"],
+            check=True, capture_output=True)
+    out = tmp_path / "sweep.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(clip), "-wdt", "96", "-hgt", "80",
+                  "-f", "2", "-fr", "30", "-b", str(out),
+                  "-o", "/dev/null", "--SEIpictureDigest=1"])
+    assert out.read_bytes() == ref_bin.read_bytes()
 
 
 def test_device_decode_inter_digest_exact(oracle, tmp_path):

@@ -227,47 +227,12 @@ def _build_edge_maps(f: FrameModel, sh: SliceHeader, direction: int,
     return flags, bs, qp_p, qp_q, no_p, no_q
 
 
-_CTU_MAP_CACHE: dict = {}
-
-
-def _ctu_map(h: int, w: int, ctu_size: int, ctus_w: int) -> np.ndarray:
-    key = (h, w, ctu_size, ctus_w)
-    m = _CTU_MAP_CACHE.get(key)
-    if m is None:
-        yy = np.arange(h)[:, None] // ctu_size
-        xx = np.arange(w)[None, :] // ctu_size
-        m = (yy * ctus_w + xx).astype(np.int32)
-        if len(_CTU_MAP_CACHE) > 8:
-            _CTU_MAP_CACHE.clear()
-        _CTU_MAP_CACHE[key] = m
-    return m
-
-
-def _sao_tables(f: FrameModel, comp: int, bit_depth: int):
-    """Per-CTU EO/BO offset tables (processSaoUnitAll offset construction:
-    EO mapping m_iOffsetEo, BO band table 1+(v>>(bd-5)))."""
-    nctu = f.ctus_w * f.ctus_h
-    sao_shift = bit_depth - min(bit_depth, 10)
-    offs = (np.asarray(f.sao_offsets[comp], np.int32) << sao_shift)
-    eo = np.zeros((nctu, 5), np.int32)
-    eo[:, 0] = offs[:, 0]
-    eo[:, 1] = offs[:, 1]
-    eo[:, 3] = offs[:, 2]
-    eo[:, 4] = offs[:, 3]
-    bo = np.zeros((nctu, 33), np.int32)
-    band_pos = np.asarray(f.sao_sub_type[comp], np.int32)
-    rows = np.arange(nctu)
-    for i in range(4):
-        bo[rows, (band_pos + i) % 32 + 1] = offs[:, i]
-    return eo, bo
-
-
 def filter_picture_device(f: FrameModel, sh: SliceHeader, sps: Sps,
                           pps: Pps, rec_y, rec_cb, rec_cr, ref_poc=None):
     """Whole in-loop filter stage (deblock + SAO, all planes) as ONE
     device launch (ops.jx_filters.filter_picture).  Host builds the edge
-    maps and SAO tables; the pixel math runs on the TPU.  Returns the
-    filtered planes (same dtypes as the inputs)."""
+    maps and per-CTU SAO parameters (a few KB); the pixel math runs on
+    the TPU.  Returns the filtered planes (same dtypes as the inputs)."""
     from ..ops import jx_filters as jf
     bd = sps.internal_bit_depth
     do_deblock = not sh.loop_filter_disable
@@ -277,43 +242,43 @@ def filter_picture_device(f: FrameModel, sh: SliceHeader, sps: Sps,
         return rec_y, rec_cb, rec_cr
     f.sps_pcm_nofilter = sps.use_pcm and sps.pcm_filter_disable_flag
 
+    def _shrink(maps):
+        # QP fits int8 (0..63): halves the per-frame H2D parameter bytes
+        fl, bs, qpp, qpq, nop, noq = maps
+        return (fl, bs, qpp.astype(np.int8), qpq.astype(np.int8), nop, noq)
+
     if do_deblock:
-        dbk_ver = _build_edge_maps(f, sh, 0, ref_poc)
-        dbk_hor = _build_edge_maps(f, sh, 1, ref_poc)
+        dbk_ver = _shrink(_build_edge_maps(f, sh, 0, ref_poc))
+        dbk_hor = _shrink(_build_edge_maps(f, sh, 1, ref_poc))
     else:
         uh, uw = f.depth.shape
         z8 = np.zeros((uh, uw), np.uint8)
-        z32 = np.zeros((uh, uw), np.int32)
-        dbk_ver = dbk_hor = (z8, z8, z32, z32, z8, z8)
+        zi8 = np.zeros((uh, uw), np.int8)
+        dbk_ver = dbk_hor = (z8, z8, zi8, zi8, z8, z8)
 
-    h, w = rec_y.shape
-    hc, wc = rec_cb.shape
-    cm_y = _ctu_map(h, w, f.ctu_size, f.ctus_w)
-    cm_c = _ctu_map(hc, wc, f.ctu_size // 2, f.ctus_w)
     nctu = f.ctus_w * f.ctus_h
+    sao_shift = bd - min(bd, 10)
     if do_sao:
-        types = [np.asarray(f.sao_type[c], np.int32) for c in range(3)]
+        types = np.stack([np.asarray(f.sao_type[c], np.int8)
+                          for c in range(3)])
         if not do_sao_chroma:
-            types[1] = np.full(nctu, -1, np.int32)
-            types[2] = np.full(nctu, -1, np.int32)
-        type_px = (types[0][cm_y], types[1][cm_c], types[2][cm_c])
-        tabs = [_sao_tables(f, c, bd) for c in range(3)]
-        eo_tabs = tuple(t[0] for t in tabs)
-        bo_tabs = tuple(t[1] for t in tabs)
+            types[1:] = -1
+        band_pos = np.stack([np.asarray(f.sao_sub_type[c], np.int32)
+                             for c in range(3)])
+        offsets = np.stack(
+            [np.asarray(f.sao_offsets[c], np.int32) << sao_shift
+             for c in range(3)])
     else:
-        z = np.zeros((1, 1), np.int32)
-        type_px = (np.full((h, w), -1, np.int32),
-                   np.full((hc, wc), -1, np.int32),
-                   np.full((hc, wc), -1, np.int32))
-        eo_tabs = (np.zeros((nctu, 5), np.int32),) * 3
-        bo_tabs = (np.zeros((nctu, 33), np.int32),) * 3
+        types = np.full((3, nctu), -1, np.int8)
+        band_pos = np.zeros((3, nctu), np.int32)
+        offsets = np.zeros((3, nctu, 4), np.int32)
 
     y, cb, cr = jf.filter_picture(
-        rec_y.astype(np.int32), rec_cb.astype(np.int32),
-        rec_cr.astype(np.int32), dbk_ver, dbk_hor, cm_y, cm_c,
-        type_px, eo_tabs, bo_tabs,
+        rec_y, rec_cb, rec_cr, dbk_ver, dbk_hor,
+        types, band_pos, offsets,
         beta_offset=sh.loop_filter_beta_offset,
         tc_offset=sh.loop_filter_tc_offset, bit_depth=bd,
+        ctu_size=f.ctu_size, ctus_w=f.ctus_w, ctus_h=f.ctus_h,
         do_deblock=do_deblock, do_sao=do_sao,
         do_sao_chroma=do_sao_chroma)
     return (np.asarray(y).astype(rec_y.dtype),

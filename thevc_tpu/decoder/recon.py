@@ -123,6 +123,92 @@ def _residual(coeff_block: np.ndarray, qp: int, use_dst: bool, ts: bool,
     return tops.inverse_transform(deq[None], use_dst, bit_inc)[0].astype(np.int32)
 
 
+def _collect_residuals_vec(f: FrameModel, sps: Sps, pps: Pps, runs,
+                           groups: dict) -> bool:
+    """Vectorized TU-batch builder for `_collect_residuals` (the per-TU
+    Python loop was ~40% of device-path decode wall time at 1080p).
+    Fills `groups` exactly like the scalar path; returns False when the
+    frame shape doesn't fit the fast path (falls back to the loop)."""
+    from ..common.rom import CHROMA_SCALE
+    cs_tab = np.asarray(CHROMA_SCALE, np.int32)
+    cu_all = np.asarray(f.cu_list, np.int64).reshape(-1, 8) \
+        if len(f.cu_list) else np.zeros((0, 8), np.int64)
+    lt_all = np.asarray(f.luma_tus, np.int64).reshape(-1, 6) \
+        if len(f.luma_tus) else np.zeros((0, 6), np.int64)
+    ct_all = np.asarray(f.chroma_tus, np.int64).reshape(-1, 6) \
+        if len(f.chroma_tus) else np.zeros((0, 6), np.int64)
+
+    for (sh, inter_pred, lo, hi) in runs:
+        cu = cu_all[lo:hi]
+        if len(cu) == 0:
+            continue
+        # TU index ranges of consecutive CUs must tile contiguously
+        if not (np.all(cu[1:, 4] == cu[:-1, 5])
+                and np.all(cu[1:, 6] == cu[:-1, 7])):
+            return False
+        l0, l1 = int(cu[0, 4]), int(cu[-1, 5])
+        c0, c1 = int(cu[0, 6]), int(cu[-1, 7])
+        lt = lt_all[l0:l1]
+        ct = ct_all[c0:c1]
+        mode_lt = np.repeat(cu[:, 3], (cu[:, 5] - cu[:, 4]))
+
+        if len(lt):
+            tx, ty, tsz, trd = lt[:, 0], lt[:, 1], lt[:, 2], lt[:, 5]
+            ux, uy = tx >> 2, ty >> 2
+            ok = ((f.cbf[0, uy, ux].astype(np.int64) >> trd) & 1) == 1
+            ok &= ~f.ts_flag[0, uy, ux].astype(bool)
+            ok &= ~f.tq_bypass[uy, ux].astype(bool)
+            ok &= ~f.ipcm[uy, ux].astype(bool)
+            qps = f.qp[uy, ux].astype(np.int32) + sps.qp_bd_offset_y
+            dst = (tsz == 4) & (mode_lt == MODE_INTRA)
+            for size in (4, 8, 16, 32):
+                for use_dst in ((False, True) if size == 4 else (False,)):
+                    m = ok & (tsz == size) & (dst == use_dst)
+                    if not m.any():
+                        continue
+                    idx = np.nonzero(m)[0]
+                    bx, by = tx[idx], ty[idx]
+                    gy = by[:, None, None] + np.arange(size)[None, :, None]
+                    gx = bx[:, None, None] + np.arange(size)[None, None, :]
+                    blocks = f.coeff_y[gy, gx]
+                    g = groups.setdefault((0, size, bool(use_dst)), [])
+                    for i in range(len(idx)):
+                        g.append(((0, int(bx[i]), int(by[i])), blocks[i],
+                                  int(qps[idx[i]])))
+
+        if len(ct):
+            cx, cy, csz, trd = ct[:, 0], ct[:, 1], ct[:, 2], ct[:, 5]
+            ux, uy = cx >> 1, cy >> 1
+            base_ok = ~f.tq_bypass[uy, ux].astype(bool)
+            base_ok &= ~f.ipcm[uy, ux].astype(bool)
+            qp_raw = f.qp[uy, ux].astype(np.int32)
+            for comp, plane, qp_off in (
+                    (1, f.coeff_cb,
+                     pps.chroma_cb_qp_offset + sh.slice_qp_delta_cb),
+                    (2, f.coeff_cr,
+                     pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr)):
+                ok = base_ok.copy()
+                ok &= ((f.cbf[comp, uy, ux].astype(np.int64) >> trd) & 1) == 1
+                ok &= ~f.ts_flag[comp, uy, ux].astype(bool)
+                q = np.clip(qp_raw + qp_off, -sps.qp_bd_offset_c, 57)
+                qps = np.where(q < 0, q, cs_tab[np.maximum(q, 0)]) \
+                    + sps.qp_bd_offset_c
+                for size in (4, 8, 16):
+                    m = ok & (csz == size)
+                    if not m.any():
+                        continue
+                    idx = np.nonzero(m)[0]
+                    bx, by = cx[idx], cy[idx]
+                    gy = by[:, None, None] + np.arange(size)[None, :, None]
+                    gx = bx[:, None, None] + np.arange(size)[None, None, :]
+                    blocks = plane[gy, gx]
+                    g = groups.setdefault((comp, size, False), [])
+                    for i in range(len(idx)):
+                        g.append(((comp, int(bx[i]), int(by[i])), blocks[i],
+                                  int(qps[idx[i]])))
+    return True
+
+
 def _collect_residuals(f: FrameModel, sps: Sps, pps: Pps, runs) -> dict:
     """Stage 1 of the device decode path: gather every coded TU of the
     picture into per-(component, size, dst) batches and run dequant+IDCT
@@ -143,6 +229,9 @@ def _collect_residuals(f: FrameModel, sps: Sps, pps: Pps, runs) -> dict:
         groups.setdefault((0, 4, True), []).append(
             ((0, x, y), plane[y:y + 4, x:x + 4], qps))
 
+    if _collect_residuals_vec(f, sps, pps, runs, groups):
+        return _launch_residuals(f, sps, groups)
+    groups.clear()
     for (sh, inter_pred, lo, hi) in runs:
         qp_off = (pps.chroma_cb_qp_offset + sh.slice_qp_delta_cb,
                   pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr)
@@ -173,29 +262,56 @@ def _collect_residuals(f: FrameModel, sps: Sps, pps: Pps, runs) -> dict:
                     qps = tops.qp_scaled(qp, False, sps.qp_bd_offset_c,
                                          qp_off[comp - 1])
                     add(comp, cx, cy, csz, plane, qps)
+    return _launch_residuals(f, sps, groups)
 
+
+def _launch_residuals(f: FrameModel, sps: Sps, groups: dict) -> dict:
+    """Run the gathered TU batches through dequant+IDCT — on device as
+    async jx.residual_pipeline launches (one sync for the whole picture),
+    else through the batched numpy kernels."""
+    from ..ops import jx
     from ..ops.device import device_enabled
+    bit_inc = sps.bit_increment
     use_device = device_enabled()
 
     store: dict = {}
     for (comp, size, use_dst), items in groups.items():
         n = len(items)
-        # device path: pad to a power-of-two bucket to bound jit recompiles
-        cap = (1 << max(4, (n - 1).bit_length())) if use_device else n
-        blocks = np.zeros((cap, size, size), np.int32)
+        # device path: pad to a power-of-FOUR bucket so per-frame count
+        # jitter re-uses compiled shapes (every unique shape costs a full
+        # XLA compile through the tunnel); ship coefficients as int16
+        # (dequant clips to that range anyway) to halve the H2D bytes
+        if use_device:
+            cap = 64
+            while cap < n:
+                cap *= 4
+        else:
+            cap = n
+        blocks = np.zeros((cap, size, size),
+                          np.int16 if use_device else np.int32)
         qps = np.zeros(cap, np.int32)
         for i, (_k, blk, q) in enumerate(items):
-            blocks[i] = blk
+            blocks[i] = np.clip(blk, -32768, 32767) if use_device else blk
             qps[i] = q
         if use_device:
-            resi = np.asarray(jx.residual_pipeline(blocks, qps, use_dst,
-                                                   bit_inc))
+            # launch only — all size classes run asynchronously and are
+            # synchronized once below (one host<->device round trip)
+            store[("pending", comp, size, use_dst)] = (
+                jx.residual_pipeline(blocks, qps, use_dst, bit_inc), items)
         else:
             # same batched formulation through the numpy kernels
             deq = tops.dequant(blocks, qps, bit_inc)
             resi = tops.inverse_transform(deq, use_dst, bit_inc)
-        for i, (k, _blk, _q) in enumerate(items):
-            store[k] = resi[i]
+            for i, (k, _blk, _q) in enumerate(items):
+                store[k] = resi[i]
+    if use_device:
+        pending = [(k, v) for k, v in store.items()
+                   if isinstance(k, tuple) and k and k[0] == "pending"]
+        for k, (dev, items) in pending:
+            del store[k]
+            resi = np.asarray(dev)
+            for i, (key, _blk, _q) in enumerate(items):
+                store[key] = resi[i]
     return store
 
 

@@ -18,6 +18,7 @@ _cache: dict = {}
 def device_enabled() -> bool:
     env = os.environ.get("THEVC_DEVICE", "")
     if env == "1":
+        _enable_compile_cache()
         return True
     if env == "0":
         return False
@@ -27,7 +28,39 @@ def device_enabled() -> bool:
             _cache["auto"] = jax.default_backend() != "cpu"
         except Exception:
             _cache["auto"] = False
+    if _cache["auto"]:
+        _enable_compile_cache()
     return _cache["auto"]
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: a cold decode compiles a dozen
+    shape classes, each ~10-60 s through a remote-TPU tunnel — cache them
+    across processes."""
+    if "cc" in _cache:
+        return
+    _cache["cc"] = True
+    try:
+        import jax
+        path = os.path.expanduser("~/.cache/thevc_jax")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+def device_enc_enabled() -> bool:
+    """Encoder candidate-sweep offload (THEVC_DEVICE_ENC=1): the 35-mode
+    intra SATD sweep runs on device.  Not auto-enabled: HM-exact RD walks
+    CUs sequentially (each PU's reference samples come from already-
+    reconstructed neighbors), so the sweep batches only within one PU —
+    correctness-gated here, but the per-PU launch latency of a remote
+    chip dominates; byte-exactness is proven by the CPU-mesh CI test."""
+    if os.environ.get("THEVC_DEVICE_ENC", "") == "1":
+        _enable_compile_cache()
+        return True
+    return False
 
 
 def reset_cache() -> None:

@@ -156,6 +156,38 @@ _H4 = np.array([[1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1]],
                np.int32)
 
 
+# H8 = [[H4, H4], [H4, -H4]] — same construction as encoder.rdcost._h8
+_H8 = np.block([[_H4, _H4], [_H4, -_H4]]).astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("bit_increment",))
+def intra_sweep_satd(org: jnp.ndarray, preds: jnp.ndarray,
+                     bit_increment: int = 0) -> jnp.ndarray:
+    """The 35-mode intra SATD sweep (TEncSearch.cpp:2530-2545) on device:
+    [M, s, s] candidate predictions vs one [s, s] original -> [M] SATDs.
+
+    Mirrors encoder.rdcost.calc_had_batched: 8x8 Hadamard blocks when the
+    PU is a multiple of 8, else 4x4 — two int32 matmuls per block batch
+    on the MXU.  Byte-exact vs the host sweep (decision-equality)."""
+    m, h, w = preds.shape
+    d = org[None].astype(jnp.int32) - preds.astype(jnp.int32)
+    if h % 8 == 0:
+        hmat = jnp.asarray(_H8, jnp.int32)
+        blocks = (d.reshape(m, h // 8, 8, w // 8, 8)
+                  .transpose(0, 1, 3, 2, 4).reshape(m, -1, 8, 8))
+        hm = jnp.einsum("ij,mbjk,kl->mbil", hmat, blocks, hmat,
+                        preferred_element_type=jnp.int32)
+        sads = (jnp.sum(jnp.abs(hm), axis=(2, 3)) + 2) >> 2
+    else:
+        hmat = jnp.asarray(_H4, jnp.int32)
+        blocks = (d.reshape(m, h // 4, 4, w // 4, 4)
+                  .transpose(0, 1, 3, 2, 4).reshape(m, -1, 4, 4))
+        hm = jnp.einsum("ij,mbjk,kl->mbil", hmat, blocks, hmat,
+                        preferred_element_type=jnp.int32)
+        sads = (jnp.sum(jnp.abs(hm), axis=(2, 3)) + 1) >> 1
+    return sads.sum(axis=1) >> bit_increment
+
+
 @jax.jit
 def batched_satd4(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """4x4 Hadamard SATD per block (xCalcHADs4x4 equivalent, batched).
