@@ -90,12 +90,62 @@ def main():
         "***ERROR***" not in dec.stdout, "HM decoder digest check failed"
 
     fps = FRAMES / dt
+
+    extra = {"frames": FRAMES, "cores": CORES}
+    extra.update(bench_decode(stream))
     print(json.dumps({
         "metric": "1080p_allintra_encode_fps_byte_exact_vs_HM",
         "value": round(fps, 4),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
+        "extra": extra,
     }))
+
+
+def bench_decode(stream: bytes) -> dict:
+    """Decode throughput on the same 1080p all-intra stream, host path and
+    TPU device path (digest-verified both ways).  Reported inside the
+    headline JSON's `extra` so round-over-round decode numbers stay
+    comparable (VERDICT r02 weak #8)."""
+    out = {}
+    from thevc_tpu.decoder.top import Decoder
+    from thevc_tpu.ops import device as device_mod
+
+    def run(env_val):
+        os.environ["THEVC_DEVICE"] = env_val
+        device_mod.reset_cache()
+        pics = Decoder().decode_stream(stream)   # warm caches/compiles
+        assert pics and all(p.digest_ok for p in pics), \
+            f"decode digest check failed (THEVC_DEVICE={env_val})"
+        t0 = time.time()
+        pics = Decoder().decode_stream(stream)
+        dt = time.time() - t0
+        assert all(p.digest_ok for p in pics)
+        return round(len(pics) / dt, 4)
+
+    try:
+        out["decode_fps_host"] = run("0")
+        try:
+            import jax
+            dev = jax.devices()[0]
+            backend = dev.platform
+            # measured host->device bandwidth: the device-path ceiling on
+            # tunneled chips (coefficients + planes must cross per frame)
+            import numpy as np
+            x = np.zeros(4 * 1024 * 1024 // 4, np.int32)
+            jax.device_put(x, dev).block_until_ready()
+            t0 = time.time()
+            for _ in range(3):
+                jax.device_put(x, dev).block_until_ready()
+            out["h2d_mbps"] = round(12 / (time.time() - t0), 1)
+        except Exception:
+            backend = "none"
+        out["decode_device_backend"] = backend
+        out["decode_fps_device"] = run("1")
+    finally:
+        os.environ.pop("THEVC_DEVICE", None)
+        device_mod.reset_cache()
+    return out
 
 
 if __name__ == "__main__":
