@@ -494,14 +494,87 @@ def reconstruct_frame(f: FrameModel, sh: SliceHeader, sps: Sps, pps: Pps,
             r.inter_cu(px, py, size, f.luma_tus[l0:l1], f.chroma_tus[c0:c1])
 
 
-def _native_intra_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
-                          rec_y, rec_cb, rec_cr) -> bool:
-    """All-intra picture reconstruction through the native core.  Returns
-    False (no-op) when unavailable or the picture has inter CUs.
+def _native_inter_prepass(f: FrameModel, sps: Sps, pps: Pps, runs, cu_arr,
+                          lt_arr, ct_arr, rec_y, rec_cb, rec_cr, lib,
+                          fill_frame_arrays) -> bool:
+    """Reconstruct every inter CU natively (inter_recon_cus)."""
+    import ctypes
+    from .. import native
+    inter_runs = [(sh, ip, lo, hi) for (sh, ip, lo, hi) in runs
+                  if ip is not None
+                  and (cu_arr[lo:hi, 3] != MODE_INTRA).any()]
+    if not inter_runs:
+        return True
+    fa = fill_frame_arrays(f)
+    # CU/TU decode-order lists: parse outputs for native-parsed frames,
+    # rebuilt arrays for Python-parsed ones (inter slices)
+    cu_c = np.ascontiguousarray(cu_arr, np.int32)
+    lt_c = np.ascontiguousarray(lt_arr, np.int32)
+    ct_c = np.ascontiguousarray(ct_arr, np.int32)
+    fa.cu_list = cu_c.ctypes.data
+    fa.luma_tus = lt_c.ctypes.data
+    fa.chroma_tus = ct_c.ctypes.data
+    bases = _native_bases()
+    from ..common.rom import CHROMA_SCALE
+    cscale = np.ascontiguousarray(CHROMA_SCALE, np.uint8)
+    for (sh, ip, lo, hi) in inter_runs:
+        refs = native.InterRefs()
+        keep = []            # keep padded planes alive across the call
+        margin = None
+        for lst in (0, 1):
+            pics = ip.lists[lst]
+            refs.n_ref[lst] = len(pics)
+            for i, pic in enumerate(pics):
+                pad_y, pad_cb, pad_cr = pic.padded()
+                keep.append((pad_y, pad_cb, pad_cr))
+                refs.pad_y[lst * 16 + i] = pad_y.ctypes.data
+                refs.pad_cb[lst * 16 + i] = pad_cb.ctypes.data
+                refs.pad_cr[lst * 16 + i] = pad_cr.ctypes.data
+                refs.ref_poc[lst * 16 + i] = pic.poc
+                margin = pic.margin
+                refs.ys = pad_y.shape[1]
+                refs.cs = pad_cb.shape[1]
+        refs.margin = margin
+        p = native.InterReconParams()
+        p.slice_type = sh.slice_type
+        p.wp_bipred = int(bool(pps.wp_bipred))
+        p.bit_depth = sps.internal_bit_depth
+        p.bit_inc = sps.bit_increment
+        p.pic_w = sps.pic_width_in_luma_samples
+        p.pic_h = sps.pic_height_in_luma_samples
+        p.ctu_size = f.ctu_size
+        p.rls = rec_y.shape[1]
+        p.rcs = rec_cb.shape[1]
+        p.ls = f.coeff_y.shape[1]
+        p.cls = f.coeff_cb.shape[1]
+        p.qp_bd_y = sps.qp_bd_offset_y
+        p.qp_bd_c = sps.qp_bd_offset_c
+        p.cb_off = pps.chroma_cb_qp_offset + sh.slice_qp_delta_cb
+        p.cr_off = pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr
+        p.chroma_scale = cscale.ctypes.data
+        p.dct4 = bases[4].ctypes.data
+        p.dct8 = bases[8].ctypes.data
+        p.dct16 = bases[16].ctypes.data
+        p.dct32 = bases[32].ctypes.data
+        lib.inter_recon_cus(ctypes.byref(fa), lo, hi, ctypes.byref(refs),
+                            ctypes.byref(p),
+                            rec_y.ctypes.data, rec_cb.ctypes.data,
+                            rec_cr.ctypes.data)
+        del keep
+    return True
+
+
+def _native_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
+                    rec_y, rec_cb, rec_cr) -> bool:
+    """Whole-picture reconstruction through the native core: inter CUs
+    first (per-PU MC + per-TU residual add, inter_recon_cus — they read
+    only reference pictures, so reconstructing them ahead of the in-order
+    intra walk is bit-equivalent), then the intra TUs in decode order
+    (intra_recon_tus).  Returns False (no-op) when unavailable.
 
     When the device path is active the native fast path stands down so the
-    batched residual stage runs on the TPU (ops.jx.residual_pipeline);
-    the sequential CABAC parse stays native either way."""
+    batched residual/MC stages run on the TPU (ops.jx*); the sequential
+    CABAC parse stays native either way."""
     import os
     from ..ops.device import device_enabled
     if os.environ.get("THEVC_NATIVE", "1") == "0" or device_enabled():
@@ -525,8 +598,17 @@ def _native_intra_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
         ct_arr = (np.asarray(f.chroma_tus, np.int32).reshape(-1, 6)
                   if f.chroma_tus else np.zeros((0, 6), np.int32))
     for (sh, inter_pred, lo, hi) in runs:
-        if not (cu_arr[lo:hi, 3] == MODE_INTRA).all():
-            return False
+        if (cu_arr[lo:hi, 3] != MODE_INTRA).any():
+            # weighted prediction falls back to the host Python path
+            if inter_pred is None or inter_pred.wp_active:
+                return False
+            if any(len(lst) > 16 for lst in inter_pred.lists):
+                return False
+
+    if not _native_inter_prepass(f, sps, pps, runs, cu_arr, lt_arr, ct_arr,
+                                 rec_y, rec_cb, rec_cr, lib,
+                                 fill_frame_arrays):
+        return False
 
     avail = _AvailCtx(f)
     maps = native.AvailMaps(
@@ -617,8 +699,8 @@ def reconstruct_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
     scaling: active ActiveScaling tables (routes every TU through the
     per-coefficient dequant; batching/native paths are bypassed).
     """
-    if scaling is None and _native_intra_picture(f, sps, pps, runs, rec_y,
-                                                 rec_cb, rec_cr):
+    if scaling is None and _native_picture(f, sps, pps, runs, rec_y,
+                                           rec_cb, rec_cr):
         return
     store = _collect_residuals(f, sps, pps, runs) if scaling is None else None
     from ..ops.device import device_enabled

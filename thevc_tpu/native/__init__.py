@@ -159,6 +159,44 @@ class ScanTables(ctypes.Structure):
                 ("cg", (ctypes.c_void_p * 4) * 4)]
 
 
+class InterRefs(ctypes.Structure):
+    _fields_ = [
+        ("pad_y", ctypes.c_void_p * 32),
+        ("pad_cb", ctypes.c_void_p * 32),
+        ("pad_cr", ctypes.c_void_p * 32),
+        ("ref_poc", ctypes.c_int64 * 32),
+        ("n_ref", ctypes.c_int32 * 2),
+        ("margin", ctypes.c_int32),
+        ("ys", ctypes.c_int32),
+        ("cs", ctypes.c_int32),
+    ]
+
+
+class InterReconParams(ctypes.Structure):
+    _fields_ = [
+        ("slice_type", ctypes.c_int32),
+        ("wp_bipred", ctypes.c_int32),
+        ("bit_depth", ctypes.c_int32),
+        ("bit_inc", ctypes.c_int32),
+        ("pic_w", ctypes.c_int32),
+        ("pic_h", ctypes.c_int32),
+        ("ctu_size", ctypes.c_int32),
+        ("rls", ctypes.c_int32),
+        ("rcs", ctypes.c_int32),
+        ("ls", ctypes.c_int32),
+        ("cls", ctypes.c_int32),
+        ("qp_bd_y", ctypes.c_int32),
+        ("qp_bd_c", ctypes.c_int32),
+        ("cb_off", ctypes.c_int32),
+        ("cr_off", ctypes.c_int32),
+        ("chroma_scale", ctypes.c_void_p),
+        ("dct4", ctypes.c_void_p),
+        ("dct8", ctypes.c_void_p),
+        ("dct16", ctypes.c_void_p),
+        ("dct32", ctypes.c_void_p),
+    ]
+
+
 class FrameArrays(ctypes.Structure):
     _fields_ = (
         [(n, ctypes.c_void_p) for n in
@@ -261,6 +299,13 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.inter_recon_cus.restype = None
+        lib.inter_recon_cus.argtypes = [
+            ctypes.POINTER(FrameArrays), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(InterRefs), ctypes.POINTER(InterReconParams),
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.get_prof.restype = None
+        lib.get_prof.argtypes = [ctypes.c_void_p]
         lib.sao_rdo.restype = None
         lib.sao_rdo.argtypes = [
             ctypes.POINTER(FrameArrays), ctypes.POINTER(CtxOffsets)] + \

@@ -541,15 +541,20 @@ static void predict_c(const int32_t* line, int size, int unit, int mode,
   (void)0;
 }
 
-static void angular_c(const int32_t* line, int size, int unit, int mode,
-                      int bfilter, int max_val, int32_t* pred) {
-  int32_t ref_above[129], ref_left[129];
+static void build_refs_c(const int32_t* line, int size, int unit,
+                         int32_t* ref_above, int32_t* ref_left) {
   int corner = 2 * size;
   ref_above[0] = line[corner];
   for (int i = 0; i < 2 * size; i++) ref_above[1 + i] = line[corner + unit + i];
   ref_left[0] = line[corner];
   for (int i = 0; i < 2 * size; i++) ref_left[1 + i] = line[corner - 1 - i];
+}
 
+// angular prediction from prebuilt refAbove/refLeft — the 35-mode sweep
+// builds the refs once per PU instead of once per mode
+static void angular_refs_c(const int32_t* ref_above, const int32_t* ref_left,
+                           int size, int mode, int bfilter, int max_val,
+                           int32_t* pred) {
   if (mode < 2) {  // DC
     int64_t s = 0;
     for (int i = 1; i <= size; i++) s += ref_above[i] + ref_left[i];
@@ -566,20 +571,22 @@ static void angular_c(const int32_t* line, int size, int unit, int mode,
   const int32_t* main_src = mode_hor ? ref_left : ref_above;
   const int32_t* side_src = mode_hor ? ref_above : ref_left;
 
-  int32_t buf[3 * 64 + 1];
+  int32_t ext_buf[2 * 64 + 1];
+  const int32_t* buf;
   int off;
   if (ipa < 0) {
     int ext = (size * ipa) >> 5;  // negative
     off = size;
-    for (int i = 0; i <= size; i++) buf[off + i] = main_src[i];
+    for (int i = 0; i <= size; i++) ext_buf[off + i] = main_src[i];
     int inv_sum = 128;
     for (int k = -1; k > ext; k--) {
       inv_sum += inv_angle;
-      buf[off + k] = side_src[inv_sum >> 8];
+      ext_buf[off + k] = side_src[inv_sum >> 8];
     }
+    buf = ext_buf;
   } else {
     off = 0;
-    for (int i = 0; i <= 2 * size; i++) buf[i] = main_src[i];
+    buf = main_src;       // no extension: read the refs directly
   }
 
   int32_t tmp[64 * 64];
@@ -636,6 +643,13 @@ static void angular_c(const int32_t* line, int size, int unit, int mode,
     memcpy(pred, tmp, sizeof(int32_t) * size * size);
   }
   if (mode == 1 && bfilter) { /* handled by caller */ }
+}
+
+static void angular_c(const int32_t* line, int size, int unit, int mode,
+                      int bfilter, int max_val, int32_t* pred) {
+  int32_t ref_above[129], ref_left[129];
+  build_refs_c(line, size, unit, ref_above, ref_left);
+  angular_refs_c(ref_above, ref_left, size, mode, bfilter, max_val, pred);
 }
 
 static void dc_filter_c(const int32_t* line, int size, int unit,
@@ -2977,6 +2991,7 @@ void build_intra_rows(const FrameArrays* fa, const int32_t* cu_list,
   int upr = fa->upr;
   for (int c = cu_lo; c < cu_hi; c++) {
     const int32_t* cu = cu_list + (int64_t)c * 8;
+    if (cu[3] != MODE_INTRA) continue;   // inter CUs: inter_recon_cus
     int l0 = cu[4], l1 = cu[5], c0 = cu[6], c1 = cu[7];
     for (int t = l0; t < l1; t++) {
       const int32_t* tu = luma_tus + (int64_t)t * 6;
@@ -3032,6 +3047,321 @@ void build_intra_rows(const FrameArrays* fa, const int32_t* cu_list,
       rr[6] = 0;
       rr[7] = U3(fa->ts_flag, 2, ux, uy);
       rr[8] = byp; rr[9] = 0;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// inter reconstruction: per-PU motion compensation + per-TU residual add
+// (TDecCu::xReconInter :648, TComPrediction::motionCompensation :551,
+// TComInterpolationFilter.cpp filter<> :164 — bit-exact mirror of
+// decoder/inter.py + ops/interp.py incl. the int16 Short intermediates)
+// ---------------------------------------------------------------------------
+static const int16_t kLumaFilt[4][8] = {
+    {0, 0, 0, 64, 0, 0, 0, 0},
+    {-1, 4, -10, 58, 17, -5, 1, 0},
+    {-1, 4, -11, 40, 40, -11, 4, -1},
+    {0, 1, -5, 17, 58, -10, 4, -1}};
+static const int16_t kChromaFilt[8][4] = {
+    {0, 64, 0, 0},  {-2, 58, 10, -2}, {-4, 54, 16, -2}, {-6, 46, 28, -4},
+    {-4, 36, 36, -4}, {-4, 28, 46, -6}, {-2, 16, 54, -4}, {-2, 10, 58, -2}};
+
+struct InterRefs {
+  const int16_t* pad_y[2][16];
+  const int16_t* pad_cb[2][16];
+  const int16_t* pad_cr[2][16];
+  int64_t ref_poc[2][16];
+  int32_t n_ref[2];
+  int32_t margin;         // luma pad margin (chroma = margin/2)
+  int32_t ys, cs;         // padded luma / chroma strides
+};
+
+struct InterReconParams {
+  int32_t slice_type;     // 0 B, 1 P
+  int32_t wp_bipred;      // PPS weighted bipred flag (identical-MV check)
+  int32_t bit_depth, bit_inc;
+  int32_t pic_w, pic_h, ctu_size;
+  int32_t rls, rcs;       // recon strides (luma, chroma)
+  int32_t ls, cls;        // coefficient-plane strides (luma, chroma)
+  int32_t qp_bd_y, qp_bd_c, cb_off, cr_off;
+  const uint8_t* chroma_scale;
+  const int32_t* dct4;
+  const int32_t* dct8;
+  const int32_t* dct16;
+  const int32_t* dct32;
+};
+
+// filterCopy (TComInterpolationFilter.cpp:85)
+static void mc_copy_c(const int16_t* src, int ss, int w, int h, int bd,
+                      int bi, int16_t* dst, int ds) {
+  if (!bi) {
+    for (int r = 0; r < h; r++)
+      memcpy(dst + r * ds, src + (int64_t)r * ss, sizeof(int16_t) * w);
+    return;
+  }
+  int shift = 14 - bd;
+  for (int r = 0; r < h; r++)
+    for (int c = 0; c < w; c++)
+      dst[r * ds + c] =
+          (int16_t)(((int32_t)src[(int64_t)r * ss + c] << shift) - 8192);
+}
+
+// filter<N,isVertical,isFirst,isLast> (mirrors ops/interp._filter_1d)
+static void mc_filter_c(const int16_t* src, int ss, const int16_t* cf,
+                        int n_taps, int vertical, int bd, int is_first,
+                        int is_last, int out_h, int out_w, int16_t* dst,
+                        int ds) {
+  int head_room = 14 - bd;
+  int shift = 6;
+  int32_t offset;
+  if (is_last) {
+    shift += is_first ? 0 : head_room;
+    offset = 1 << (shift - 1);
+    offset += is_first ? 0 : (8192 << 6);
+  } else {
+    shift -= is_first ? head_room : 0;
+    offset = is_first ? (-8192 << shift) : 0;
+  }
+  int max_val = (1 << bd) - 1;
+  int step = vertical ? ss : 1;
+  for (int r = 0; r < out_h; r++) {
+    const int16_t* row = src + (int64_t)r * ss;
+    for (int c = 0; c < out_w; c++) {
+      const int16_t* p = row + c;
+      int32_t acc = 0;
+      for (int k = 0; k < n_taps; k++) acc += (int32_t)p[k * step] * cf[k];
+      int32_t v = (acc + offset) >> shift;
+      if (is_last) {
+        if (v < 0) v = 0;
+        else if (v > max_val) v = max_val;
+      }
+      dst[r * ds + c] = (int16_t)v;
+    }
+  }
+}
+
+// _mc_block: generic separable MC on a padded plane
+static void mc_block_c(const int16_t* ref, int ss, int y0, int x0,
+                       int frac_x, int frac_y, int w, int h,
+                       const int16_t (*filt)[8], int filt_stride,
+                       int n_taps, int bd, int bi, int16_t* dst, int ds) {
+  int half = n_taps / 2;
+  const int16_t* base = ref + (int64_t)y0 * ss + x0;
+  const int16_t* fx = (const int16_t*)((const char*)filt +
+                                       (int64_t)frac_x * filt_stride);
+  const int16_t* fy = (const int16_t*)((const char*)filt +
+                                       (int64_t)frac_y * filt_stride);
+  if (frac_y == 0 && frac_x == 0) {
+    mc_copy_c(base, ss, w, h, bd, bi, dst, ds);
+  } else if (frac_y == 0) {
+    mc_filter_c(base - (half - 1), ss, fx, n_taps, 0, bd, 1, !bi, h, w,
+                dst, ds);
+  } else if (frac_x == 0) {
+    mc_filter_c(base - (int64_t)(half - 1) * ss, ss, fy, n_taps, 1, bd, 1,
+                !bi, h, w, dst, ds);
+  } else {
+    int16_t tmp[(64 + 8) * 64];
+    mc_filter_c(base - (int64_t)(half - 1) * ss - (half - 1), ss, fx,
+                n_taps, 0, bd, 1, 0, h + n_taps - 1, w, tmp, 64);
+    mc_filter_c(tmp, 64, fy, n_taps, 1, bd, 0, !bi, h, w, dst, ds);
+  }
+}
+
+// TComYuv::addAvg
+static void bi_avg_c(const int16_t* p0, const int16_t* p1, int n, int bd,
+                     int16_t* dst) {
+  int shift = 15 - bd;
+  int32_t offset = (1 << (shift - 1)) + 2 * 8192;
+  int max_val = (1 << bd) - 1;
+  for (int i = 0; i < n; i++) {
+    int32_t v = ((int32_t)p0[i] + p1[i] + offset) >> shift;
+    if (v < 0) v = 0;
+    else if (v > max_val) v = max_val;
+    dst[i] = (int16_t)v;
+  }
+}
+
+static void pu_geometry_c(int part_size, int size, int pu, int* dx, int* dy,
+                          int* w, int* h) {
+  int x = 0, y = 0, pw = size, ph = size;
+  switch (part_size) {
+    case 1: ph = size >> 1; y = pu ? ph : 0; break;                 // 2NxN
+    case 2: pw = size >> 1; x = pu ? pw : 0; break;                 // Nx2N
+    case 3: pw = ph = size >> 1; x = (pu & 1) * pw;
+            y = (pu >> 1) * ph; break;                              // NxN
+    case 4: ph = pu == 0 ? (size >> 2) : (size >> 2) + (size >> 1);
+            y = pu ? size - ph : 0; break;                          // 2NxnU
+    case 5: ph = pu == 0 ? (size >> 2) + (size >> 1) : (size >> 2);
+            y = pu ? size - ph : 0; break;                          // 2NxnD
+    case 6: pw = pu == 0 ? (size >> 2) : (size >> 2) + (size >> 1);
+            x = pu ? size - pw : 0; break;                          // nLx2N
+    case 7: pw = pu == 0 ? (size >> 2) + (size >> 1) : (size >> 2);
+            x = pu ? size - pw : 0; break;                          // nRx2N
+    default: break;
+  }
+  *dx = x; *dy = y; *w = pw; *h = ph;
+}
+
+// one uni-directional PU prediction into (dst_y, dst_cb, dst_cr) buffers
+static void mc_pu_uni_c(const InterRefs* R, const InterReconParams* P,
+                        int lst, int ref, int mvx, int mvy, int xp, int yp,
+                        int pw, int ph, int bi, int16_t* dy, int16_t* dcb,
+                        int16_t* dcr, int ds, int dcs) {
+  int bd = P->bit_depth;
+  mc_block_c(R->pad_y[lst][ref], R->ys,
+             R->margin + yp + (mvy >> 2), R->margin + xp + (mvx >> 2),
+             mvx & 3, mvy & 3, pw, ph, kLumaFilt, sizeof(kLumaFilt[0]), 8,
+             bd, bi, dy, ds);
+  int m2 = R->margin / 2;
+  mc_block_c(R->pad_cb[lst][ref], R->cs,
+             m2 + yp / 2 + (mvy >> 3), m2 + xp / 2 + (mvx >> 3),
+             mvx & 7, mvy & 7, pw / 2, ph / 2,
+             (const int16_t (*)[8])kChromaFilt, sizeof(kChromaFilt[0]), 4,
+             bd, bi, dcb, dcs);
+  mc_block_c(R->pad_cr[lst][ref], R->cs,
+             m2 + yp / 2 + (mvy >> 3), m2 + xp / 2 + (mvx >> 3),
+             mvx & 7, mvy & 7, pw / 2, ph / 2,
+             (const int16_t (*)[8])kChromaFilt, sizeof(kChromaFilt[0]), 4,
+             bd, bi, dcr, dcs);
+}
+
+extern "C" void inter_recon_cus(const FrameArrays* fa, int32_t cu_lo,
+                                int32_t cu_hi, const InterRefs* R,
+                                const InterReconParams* P, int16_t* rec_y,
+                                int16_t* rec_cb, int16_t* rec_cr) {
+  int uw = fa->uw;
+  int bd = P->bit_depth;
+  int max_val = (1 << bd) - 1;
+  const int32_t* bases[4] = {P->dct4, P->dct8, P->dct16, P->dct32};
+  int16_t pred_y[64 * 64], pred_cb[32 * 32], pred_cr[32 * 32];
+  int16_t py0[64 * 64], pcb0[32 * 32], pcr0[32 * 32];
+  int16_t py1[64 * 64], pcb1[32 * 32], pcr1[32 * 32];
+  int32_t resi[64 * 64];
+
+  for (int c = cu_lo; c < cu_hi; c++) {
+    const int32_t* cu = fa->cu_list + (int64_t)c * 8;
+    int px = cu[0], py = cu[1], size = cu[2], mode = cu[3];
+    if (mode == MODE_INTRA) continue;
+    int ux0 = px / 4, uy0 = py / 4;
+    int part_sz = U(fa->part_size, ux0, uy0);
+    int n_pu = part_sz == 0 ? 1 : (part_sz == 3 ? 4 : 2);
+    int cs = size / 2;
+    for (int pu = 0; pu < n_pu; pu++) {
+      int lx, ly, pw, ph;
+      pu_geometry_c(part_sz, size, pu, &lx, &ly, &pw, &ph);
+      int xp = px + lx, yp = py + ly;
+      int pux = xp / 4, puy = yp / 4;
+      int ref0 = U(fa->ref_idx, pux, puy);                 // list 0 plane
+      int ref1 = fa->ref_idx[(int64_t)fa->uh * uw + (int64_t)puy * uw +
+                             pux];
+      int64_t mvbase0 = (((int64_t)puy * uw) + pux) * 2;
+      int64_t mvbase1 = (((int64_t)fa->uh * uw) + (int64_t)puy * uw +
+                         pux) * 2;
+      int mv0x = fa->mv[mvbase0], mv0y = fa->mv[mvbase0 + 1];
+      int mv1x = fa->mv[mvbase1], mv1y = fa->mv[mvbase1 + 1];
+      // xCheckIdenticalMotion
+      if (P->slice_type == 0 && !P->wp_bipred && ref0 >= 0 && ref1 >= 0 &&
+          R->ref_poc[0][ref0] == R->ref_poc[1][ref1] && mv0x == mv1x &&
+          mv0y == mv1y)
+        ref1 = -1;
+      // clipMv (TComDataCU.cpp:2684) — anchored at the CU position
+      int shiftc = 2, off = 8;
+      int hor_max = (P->pic_w + off - px - 1) << shiftc;
+      int hor_min = (-P->ctu_size - off - px + 1) << shiftc;
+      int ver_max = (P->pic_h + off - py - 1) << shiftc;
+      int ver_min = (-P->ctu_size - off - py + 1) << shiftc;
+#define CLIPMV(x, y)                                     \
+  do {                                                   \
+    if (x > hor_max) x = hor_max;                        \
+    if (x < hor_min) x = hor_min;                        \
+    if (y > ver_max) y = ver_max;                        \
+    if (y < ver_min) y = ver_min;                        \
+  } while (0)
+      if (ref0 >= 0 && ref1 >= 0) {
+        CLIPMV(mv0x, mv0y);
+        CLIPMV(mv1x, mv1y);
+        mc_pu_uni_c(R, P, 0, ref0, mv0x, mv0y, xp, yp, pw, ph, 1, py0,
+                    pcb0, pcr0, pw, pw / 2);
+        mc_pu_uni_c(R, P, 1, ref1, mv1x, mv1y, xp, yp, pw, ph, 1, py1,
+                    pcb1, pcr1, pw, pw / 2);
+        bi_avg_c(py0, py1, pw * ph, bd, py0);
+        bi_avg_c(pcb0, pcb1, (pw / 2) * (ph / 2), bd, pcb0);
+        bi_avg_c(pcr0, pcr1, (pw / 2) * (ph / 2), bd, pcr0);
+      } else {
+        int lst = ref0 >= 0 ? 0 : 1;
+        int ref = ref0 >= 0 ? ref0 : ref1;
+        int mx = lst == 0 ? mv0x : mv1x;
+        int my = lst == 0 ? mv0y : mv1y;
+        CLIPMV(mx, my);
+        mc_pu_uni_c(R, P, lst, ref, mx, my, xp, yp, pw, ph, 0, py0, pcb0,
+                    pcr0, pw, pw / 2);
+      }
+#undef CLIPMV
+      // paste the PU prediction into the CU pred buffers
+      for (int r = 0; r < ph; r++)
+        memcpy(pred_y + (ly + r) * size + lx, py0 + r * pw,
+               sizeof(int16_t) * pw);
+      for (int r = 0; r < ph / 2; r++) {
+        memcpy(pred_cb + (ly / 2 + r) * cs + lx / 2, pcb0 + r * (pw / 2),
+               sizeof(int16_t) * (pw / 2));
+        memcpy(pred_cr + (ly / 2 + r) * cs + lx / 2, pcr0 + r * (pw / 2),
+               sizeof(int16_t) * (pw / 2));
+      }
+    }
+
+    // write prediction to the recon planes, then add TU residuals in place
+    for (int r = 0; r < size; r++)
+      memcpy(rec_y + (int64_t)(py + r) * P->rls + px, pred_y + r * size,
+             sizeof(int16_t) * size);
+    int cx0 = px / 2, cy0 = py / 2;
+    for (int r = 0; r < cs; r++) {
+      memcpy(rec_cb + (int64_t)(cy0 + r) * P->rcs + cx0, pred_cb + r * cs,
+             sizeof(int16_t) * cs);
+      memcpy(rec_cr + (int64_t)(cy0 + r) * P->rcs + cx0, pred_cr + r * cs,
+             sizeof(int16_t) * cs);
+    }
+    for (int t = cu[4]; t < cu[5]; t++) {                 // luma TUs
+      const int32_t* tu = fa->luma_tus + (int64_t)t * 6;
+      int tx = tu[0], ty = tu[1], tsz = tu[2], trd = tu[5];
+      int tux = tx / 4, tuy = ty / 4;
+      if (!((U3(fa->cbf, 0, tux, tuy) >> trd) & 1)) continue;
+      int qps = U(fa->qp, tux, tuy) + P->qp_bd_y;
+      int lg = 0; while ((4 << lg) < tsz) lg++;
+      residual_c(fa->coeff_y, P->ls, tx, ty, tsz, qps, 0,
+                 U3(fa->ts_flag, 0, tux, tuy), U(fa->tq_bypass, tux, tuy),
+                 P->bit_inc, bases[lg], resi);
+      for (int r = 0; r < tsz; r++)
+        for (int cc2 = 0; cc2 < tsz; cc2++) {
+          int64_t idx = (int64_t)(ty + r) * P->rls + tx + cc2;
+          int32_t v = rec_y[idx] + resi[r * tsz + cc2];
+          rec_y[idx] = (int16_t)(v < 0 ? 0 : (v > max_val ? max_val : v));
+        }
+    }
+    for (int t = cu[6]; t < cu[7]; t++) {                 // chroma TUs
+      const int32_t* tu = fa->chroma_tus + (int64_t)t * 6;
+      int cx = tu[0], cy = tu[1], csz = tu[2], trd = tu[5];
+      int tux = cx / 2, tuy = cy / 2;
+      int qp = U(fa->qp, tux, tuy);
+      int byp = U(fa->tq_bypass, tux, tuy);
+      int lg = 0; while ((4 << lg) < csz) lg++;
+      for (int comp = 1; comp <= 2; comp++) {
+        if (!((U3(fa->cbf, comp, tux, tuy) >> trd) & 1)) continue;
+        int qps = qp_scaled_chroma(qp, P->qp_bd_c,
+                                   comp == 1 ? P->cb_off : P->cr_off,
+                                   P->chroma_scale);
+        const int32_t* plane = comp == 1 ? fa->coeff_cb : fa->coeff_cr;
+        int16_t* rec_c = comp == 1 ? rec_cb : rec_cr;
+        residual_c(plane, P->cls, cx, cy, csz, qps, 0,
+                   U3(fa->ts_flag, comp, tux, tuy), byp, P->bit_inc,
+                   bases[lg], resi);
+        for (int r = 0; r < csz; r++)
+          for (int cc2 = 0; cc2 < csz; cc2++) {
+            int64_t idx = (int64_t)(cy + r) * P->rcs + cx + cc2;
+            int32_t v = rec_c[idx] + resi[r * csz + cc2];
+            rec_c[idx] =
+                (int16_t)(v < 0 ? 0 : (v > max_val ? max_val : v));
+          }
+      }
     }
   }
 }
@@ -5868,12 +6198,23 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   int64_t bits_other = es_mode_bits_intra(S, part, non_mpm, depth,
                                           init_tr_depth);
   PROF_END(3);
+  // refs built once per PU (not once per mode): build_refs_c was ~1/3 of
+  // the sweep's prediction cost at the dominant small PU sizes
+  int32_t ra_raw[129], rl_raw[129], ra_filt[129], rl_filt[129];
+  build_refs_c(line_raw, size, 4, ra_raw, rl_raw);
+  build_refs_c(line_filt, size, 4, ra_filt, rl_filt);
   for (int mode = 0; mode < 35; mode++) {
-    const int32_t* line =
-        use_filtered_c(mode, log2, 1) ? line_filt : line_raw;
+    int filt = use_filtered_c(mode, log2, 1);
+    const int32_t* line = filt ? line_filt : line_raw;
     int32_t* pred = S->presel_pred + (int64_t)mode * 64 * 64;
     PROF_BEGIN(1);
-    es_predict(line, size, 4, mode, 1, S->ep.max_val, pred);
+    if (mode == PLANAR_IDX) {
+      es_predict(line, size, 4, mode, 1, S->ep.max_val, pred);
+    } else {
+      angular_refs_c(filt ? ra_filt : ra_raw, filt ? rl_filt : rl_raw,
+                     size, mode, 1, S->ep.max_val, pred);
+      if (mode == DC_IDX) dc_filter_c(line, size, 4, pred);
+    }
     PROF_END(1);
     PROF_BEGIN(2);
     int64_t sad = calc_had_c(org0, S->rls, pred, size, size, S->ep.bit_inc);
