@@ -102,6 +102,39 @@ def main():
     }))
 
 
+def _bench_ra_decode() -> float:
+    """Random-access (hierarchical-B) decode throughput through the native
+    inter path on a small HM-encoded stream (HM 1080p inter encode is too
+    slow to regenerate per round; the per-pixel rate scales)."""
+    clip = os.path.join(TESTDATA, "bench_ra_416x240.yuv")
+    stream = os.path.join(TESTDATA, "bench_ra_416x240.bin")
+    if not os.path.exists(clip):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "make_test_clip.py"),
+                        clip, "--width", "416", "--height", "240",
+                        "--frames", "17"], check=True, capture_output=True)
+    if not os.path.exists(stream):
+        subprocess.run([ORACLE_ENC,
+                        "-c",
+                        "/root/reference/cfg/encoder_randomaccess_main.cfg",
+                        "-i", clip, "-wdt", "416", "-hgt", "240",
+                        "-f", "17", "-fr", "30", "-b", stream,
+                        "-o", "/dev/null", "--SEIpictureDigest=1"],
+                       check=True, capture_output=True)
+    data = open(stream, "rb").read()
+    os.environ["THEVC_DEVICE"] = "0"
+    from thevc_tpu.decoder.top import Decoder
+    from thevc_tpu.ops import device as device_mod
+    device_mod.reset_cache()
+    pics = Decoder().decode_stream(data)       # warm
+    assert pics and all(p.digest_ok for p in pics)
+    t0 = time.time()
+    pics = Decoder().decode_stream(data)
+    dt = time.time() - t0
+    assert all(p.digest_ok for p in pics)
+    return round(len(pics) / dt, 4)
+
+
 def bench_decode(stream: bytes) -> dict:
     """Decode throughput on the same 1080p all-intra stream, host path and
     TPU device path (digest-verified both ways).  Reported inside the
@@ -125,6 +158,7 @@ def bench_decode(stream: bytes) -> dict:
 
     try:
         out["decode_fps_host"] = run("0")
+        out["decode_fps_ra_416x240_host"] = _bench_ra_decode()
         try:
             import jax
             dev = jax.devices()[0]
