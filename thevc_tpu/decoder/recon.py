@@ -572,13 +572,16 @@ def _native_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
     intra walk is bit-equivalent), then the intra TUs in decode order
     (intra_recon_tus).  Returns False (no-op) when unavailable.
 
-    When the device path is active the native fast path stands down so the
-    batched residual/MC stages run on the TPU (ops.jx*); the sequential
-    CABAC parse stays native either way."""
+    When the device path is active, all-intra pictures run the HYBRID:
+    stage-1 residuals are computed on the TPU (jx.residual_pipeline) and
+    the native walk consumes them through IntraParams.resi_buf/resi_map;
+    inter pictures keep the Python device path (batched device MC), so
+    the native fast path stands down for them."""
     import os
     from ..ops.device import device_enabled
-    if os.environ.get("THEVC_NATIVE", "1") == "0" or device_enabled():
+    if os.environ.get("THEVC_NATIVE", "1") == "0":
         return False
+    device = device_enabled()
     from .. import native
     lib = native.get_lib()
     if lib is None:
@@ -599,15 +602,25 @@ def _native_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
                   if f.chroma_tus else np.zeros((0, 6), np.int32))
     for (sh, inter_pred, lo, hi) in runs:
         if (cu_arr[lo:hi, 3] != MODE_INTRA).any():
+            if device:
+                # inter pictures use the Python device path (batched
+                # device MC + device residuals)
+                return False
             # weighted prediction falls back to the host Python path
             if inter_pred is None or inter_pred.wp_active:
                 return False
             if any(len(lst) > 16 for lst in inter_pred.lists):
                 return False
 
-    if not _native_inter_prepass(f, sps, pps, runs, cu_arr, lt_arr, ct_arr,
-                                 rec_y, rec_cb, rec_cr, lib,
-                                 fill_frame_arrays):
+    resi_store = None
+    if device:
+        resi_store = _device_residual_store(f, sps, pps, runs)
+        if resi_store is None:
+            return False
+
+    if not device and not _native_inter_prepass(
+            f, sps, pps, runs, cu_arr, lt_arr, ct_arr,
+            rec_y, rec_cb, rec_cr, lib, fill_frame_arrays):
         return False
 
     avail = _AvailCtx(f)
@@ -651,13 +664,14 @@ def _native_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
     dc_val = 1 << (sps.internal_bit_depth - 1)
     plane_cfg = (
         (rows_y, int(n_y[0]), rec_y, f.coeff_y, 4, 4, 1,
-         getattr(f, "pcm_y", None)),
+         getattr(f, "pcm_y", None), 0),
         (rows_cb, int(n_cb[0]), rec_cb, f.coeff_cb, 2, 2, 0,
-         getattr(f, "pcm_cb", None)),
+         getattr(f, "pcm_cb", None), 1),
         (rows_cr, int(n_cr[0]), rec_cr, f.coeff_cr, 2, 2, 0,
-         getattr(f, "pcm_cr", None)),
+         getattr(f, "pcm_cr", None), 2),
     )
-    for tu_arr, n_rows, rec, coeff, unit, adiv, is_luma, pcm in plane_cfg:
+    for tu_arr, n_rows, rec, coeff, unit, adiv, is_luma, pcm, comp \
+            in plane_cfg:
         if not n_rows:
             continue
         params = native.IntraParams(
@@ -668,11 +682,57 @@ def _native_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
             bases["dst"].ctypes.data,
             pcm.ctypes.data if pcm is not None else None,
             pcm.shape[1] if pcm is not None else 0)
+        if resi_store is not None:
+            buf, comp_maps = resi_store
+            params.resi_buf = buf.ctypes.data
+            params.resi_map = comp_maps[comp].ctypes.data
+            params.map_w = comp_maps[comp].shape[1]
         lib.intra_recon_tus(
             rec.ctypes.data, coeff.ctypes.data,
             tu_arr.ctypes.data, n_rows,
             ctypes.byref(maps), ctypes.byref(params))
     return True
+
+
+def _device_residual_store(f: FrameModel, sps: Sps, pps: Pps, runs):
+    """Stage-1 residuals on the TPU for the native-walk hybrid: returns
+    (resi_buf int32, per-comp offset maps [uh, uw]) or None.  The maps
+    are keyed by the TU's top-left luma 4x4 unit (chroma samples / 2)."""
+    from ..ops import jx
+    groups: dict = {}
+    if not _collect_residuals_vec(f, sps, pps, runs, groups):
+        return None
+    bit_inc = sps.bit_increment
+    uh, uw = f.depth.shape
+    comp_maps = [np.full((uh, uw), -1, np.int32) for _ in range(3)]
+    launches = []
+    total = 0
+    for (comp, size, use_dst), items in groups.items():
+        n = len(items)
+        cap = 64
+        while cap < n:
+            cap *= 4
+        blocks = np.zeros((cap, size, size), np.int16)
+        qps = np.zeros(cap, np.int32)
+        for i, (_k, blk, q) in enumerate(items):
+            blocks[i] = np.clip(blk, -32768, 32767)
+            qps[i] = q
+        dev = jx.residual_pipeline(blocks, qps, use_dst, bit_inc)
+        launches.append((comp, size, dev, items))
+        total += n * size * size
+    buf = np.empty(max(total, 1), np.int32)
+    off = 0
+    for comp, size, dev, items in launches:
+        n = len(items)
+        sz = size * size
+        resi = np.asarray(dev)[:n]
+        buf[off:off + n * sz] = resi.reshape(-1)
+        div = 4 if comp == 0 else 2
+        xs = np.fromiter((k[1] for k, _b, _q in items), np.int64, n) // div
+        ys = np.fromiter((k[2] for k, _b, _q in items), np.int64, n) // div
+        comp_maps[comp][ys, xs] = off + np.arange(n, dtype=np.int64) * sz
+        off += n * sz
+    return buf, comp_maps
 
 
 _BASES = None

@@ -133,6 +133,10 @@ class IntraParams(ctypes.Structure):
         ("dst4", ctypes.c_void_p),
         ("pcm_plane", ctypes.c_void_p),
         ("pcm_stride", ctypes.c_int32),
+        # device decode hybrid: precomputed-residual store (or null)
+        ("resi_buf", ctypes.c_void_p),
+        ("resi_map", ctypes.c_void_p),
+        ("map_w", ctypes.c_int32),
     ]
 
 

@@ -857,6 +857,12 @@ struct IntraParams {
   const int32_t* dst4;
   const int16_t* pcm_plane;  // may be null
   int32_t pcm_stride;
+  // optional precomputed-residual store (device decode hybrid): for a TU
+  // whose top-left 4x4 luma unit is (ux, uy), resi_map[uy*map_w + ux]
+  // is an offset into resi_buf (size*size int32 row-major) or -1
+  const int32_t* resi_buf;   // may be null
+  const int32_t* resi_map;
+  int32_t map_w;
 };
 
 void intra_recon_tus(int16_t* rec, const int32_t* coeff,
@@ -892,15 +898,24 @@ void intra_recon_tus(int16_t* rec, const int32_t* coeff,
       if (mode == 1 && p->is_luma) dc_filter_c(line, size, p->unit, pred);
     }
     if (tu[TU_CBF]) {
-      const int32_t* basis =
-          tu[TU_DST] ? p->dst4 :
-          (size == 4 ? p->dct4 : size == 8 ? p->dct8 :
-           size == 16 ? p->dct16 : p->dct32);
-      residual_c(coeff, p->cstride, x, y, size, tu[TU_QPS], tu[TU_DST],
-                 tu[TU_TS], tu[TU_BYP], p->bit_inc, basis, resi);
+      const int32_t* rsrc = resi;
+      int64_t roff = -1;
+      if (p->resi_buf && !tu[TU_TS] && !tu[TU_BYP])
+        roff = p->resi_map[(int64_t)(y / p->avail_div) * p->map_w +
+                           (x / p->avail_div)];
+      if (roff >= 0) {
+        rsrc = p->resi_buf + roff;
+      } else {
+        const int32_t* basis =
+            tu[TU_DST] ? p->dst4 :
+            (size == 4 ? p->dct4 : size == 8 ? p->dct8 :
+             size == 16 ? p->dct16 : p->dct32);
+        residual_c(coeff, p->cstride, x, y, size, tu[TU_QPS], tu[TU_DST],
+                   tu[TU_TS], tu[TU_BYP], p->bit_inc, basis, resi);
+      }
       for (int r = 0; r < size; r++) {
         for (int c = 0; c < size; c++) {
-          int v = pred[r * size + c] + resi[r * size + c];
+          int v = pred[r * size + c] + rsrc[r * size + c];
           rec[(int64_t)(y + r) * p->stride + (x + c)] =
               (int16_t)(v < 0 ? 0 : (v > p->max_val ? p->max_val : v));
         }
