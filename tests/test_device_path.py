@@ -141,6 +141,28 @@ def test_device_decode_sao_digest_exact(oracle, tmp_path):
     assert out.read_bytes() == ref_rec.read_bytes()
 
 
+def test_device_decode_10bit_digest_exact(oracle, tmp_path):
+    """E2E 10-bit (IBDI) decode through the device path."""
+    import subprocess
+    from tests.conftest import ORACLE_BIN
+    clip = TESTDATA / "clip_416x240.yuv"
+    ref_bin = TESTDATA / "intra_he10_dev.bin"
+    ref_rec = TESTDATA / "intra_he10_dev_rec.yuv"
+    if not ref_bin.exists() or not ref_rec.exists():
+        subprocess.run(
+            [str(ORACLE_BIN / "TAppEncoder"),
+             "-c", "/root/reference/cfg/encoder_intra_he10.cfg",
+             "-i", str(clip), "-wdt", "416", "-hgt", "240",
+             "-f", "2", "-fr", "30", "-b", str(ref_bin),
+             "-o", str(ref_rec), "--SEIpictureDigest=1"],
+            check=True, capture_output=True)
+    out = tmp_path / "dev10.yuv"
+    rc, log = _decode_device(ref_bin, out)
+    assert rc == 0
+    assert log.count("(OK)") == 2
+    assert out.read_bytes() == ref_rec.read_bytes()
+
+
 def test_device_encoder_satd_sweep_byte_exact(oracle, tmp_path,
                                               monkeypatch):
     """Encoder device candidate sweep (THEVC_DEVICE_ENC=1): the 35-mode
