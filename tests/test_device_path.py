@@ -90,8 +90,12 @@ def test_jx_sao_parity(bd):
     sub_type = rng.randint(0, 32, nctu).astype(np.int32)
     offsets = rng.randint(-7, 8, (nctu, 4)).astype(np.int32)
 
-    ref = sao_ops.apply_sao_plane(src, ctu, sao_type, sub_type, offsets,
+    ref = sao_ops.apply_sao_plane_ref(src, ctu, sao_type, sub_type,
+                                      offsets, ctus_w, ctus_h, bd)
+    # the vectorized host form must match the per-CTU reference loop
+    vec = sao_ops.apply_sao_plane(src, ctu, sao_type, sub_type, offsets,
                                   ctus_w, ctus_h, bd)
+    assert np.array_equal(vec.astype(np.int32), ref.astype(np.int32))
 
     fn = jax.jit(lambda s, t, bp, o: jf._sao_plane(
         s, t, bp, o, ctu, ctus_w, ctus_h, bd))

@@ -38,6 +38,60 @@ def _sign(x: np.ndarray) -> np.ndarray:
 def apply_sao_plane(src: np.ndarray, ctu_size: int, sao_type: np.ndarray,
                     sao_sub_type: np.ndarray, sao_offsets: np.ndarray,
                     ctus_w: int, ctus_h: int, bit_depth: int) -> np.ndarray:
+    """Whole-plane vectorized SAO (same formulation as the device kernel
+    ops/jx_filters._sao_plane: per-CTU params expanded per pixel, offsets
+    via arithmetic selects).  The per-CTU loop form below is kept as the
+    behavioral reference (`apply_sao_plane_ref`)."""
+    h, w = src.shape
+    max_val = (1 << bit_depth) - 1
+    sao_shift = bit_depth - min(bit_depth, 10)
+    s = src.astype(np.int32)
+
+    def expand(v):
+        g = np.asarray(v, np.int32).reshape(ctus_h, ctus_w)
+        return g.repeat(ctu_size, 0)[:h].repeat(ctu_size, 1)[:, :w]
+
+    t_px = expand(sao_type)
+    bp_px = expand(sao_sub_type)
+    offs = np.asarray(sao_offsets, np.int32) << sao_shift
+    off_px = [expand(offs[:, i]) for i in range(4)]
+
+    pad = np.pad(s, 1)
+    out = s.copy()
+    yy = np.arange(h)[:, None]
+    xx = np.arange(w)[None, :]
+    for c, ((d1y, d1x), (d2y, d2x)) in _EO_NEIGHBORS.items():
+        sel = t_px == c
+        if not sel.any():
+            continue
+        n1 = pad[1 + d1y:1 + d1y + h, 1 + d1x:1 + d1x + w]
+        n2 = pad[1 + d2y:1 + d2y + h, 1 + d2x:1 + d2x + w]
+        et = np.sign(s - n1).astype(np.int32) + np.sign(s - n2) + 2
+        off = np.zeros_like(s)
+        for et_val, oi in ((0, 0), (1, 1), (3, 2), (4, 3)):
+            m = et == et_val
+            off[m] = off_px[oi][m]
+        mask = sel
+        if c in (SAO_EO_0, SAO_EO_2, SAO_EO_3):
+            mask = mask & (xx > 0) & (xx < w - 1)
+        if c in (SAO_EO_1, SAO_EO_2, SAO_EO_3):
+            mask = mask & (yy > 0) & (yy < h - 1)
+        out[mask] = np.clip(s[mask] + off[mask], 0, max_val)
+    bo = t_px == SAO_BO
+    if bo.any():
+        band = 1 + (s >> (bit_depth - 5))
+        idx = (band - 1 - bp_px) & 31
+        off = np.zeros_like(s)
+        for i in range(4):
+            m = bo & (idx == i)
+            off[m] = off_px[i][m]
+        out[bo] = np.clip(s[bo] + off[bo], 0, max_val)
+    return out.astype(src.dtype)
+
+
+def apply_sao_plane_ref(src: np.ndarray, ctu_size: int, sao_type: np.ndarray,
+                        sao_sub_type: np.ndarray, sao_offsets: np.ndarray,
+                        ctus_w: int, ctus_h: int, bit_depth: int) -> np.ndarray:
     """Apply SAO to one plane.
 
     src: deblocked plane (H, W) — never modified; sao_type[ctu] in -1..4
