@@ -1711,6 +1711,13 @@ static inline int num_pus(int part_size) {
 // neighbor handle: valid flag + unit coords
 struct Nb { int ok, ux, uy; };
 
+// minimal environment for merge/AMVP derivation: shared by the decoder's
+// Parser and the encoder's EncState (member names match Parser's)
+struct MvEnv {
+  const FrameArrays* fa;
+  const SliceParams* sp;
+};
+
 static Nb neighbor(const FrameArrays* fa, int nux, int nuy, int cux,
                    int cuy) {
   Nb n;
@@ -1735,7 +1742,7 @@ static inline int nb_is_intra(const FrameArrays* fa, Nb n) {
   return U(fa->pred_mode, n.ux, n.uy) != MODE_INTER;
 }
 
-static inline int diff_mer(const Parser* P, int xn, int yn, int xp, int yp) {
+static inline int diff_mer(const MvEnv* P, int xn, int yn, int xp, int yp) {
   int pl = P->sp->plevel;
   return (xn >> pl) != (xp >> pl) || (yn >> pl) != (yp >> pl);
 }
@@ -1779,7 +1786,7 @@ static int dist_scale_factor(int cur_poc, int cur_ref_poc, int col_poc,
 }
 
 // xGetColMVP: returns 1 + writes scaled mv when available
-static int get_col_mvp(const Parser* P, int ref_list, int ux, int uy,
+static int get_col_mvp(const MvEnv* P, int ref_list, int ux, int uy,
                        int target_ref_idx, int16_t out_mv[2]) {
   const SliceParams* sp = P->sp;
   const FrameArrays* fa = P->fa;
@@ -1819,7 +1826,7 @@ static void col_units(const FrameArrays* fa, int xp, int yp, int pw, int ph,
   *cy = (yp + (ph >> 1)) / 4;
 }
 
-static int tmvp_merge(const Parser* P, int xp, int yp, int pw, int ph,
+static int tmvp_merge(const MvEnv* P, int xp, int yp, int pw, int ph,
                       MvCand* out) {
   const FrameArrays* fa = P->fa;
   int rb_ok, rbx, rby, cx, cy;
@@ -1847,7 +1854,7 @@ static int tmvp_merge(const Parser* P, int xp, int yp, int pw, int ph,
 
 // getInterMergeCandidates; returns num_valid.  mrg_cand_idx >= 0 allows the
 // reference's early-out once the wanted candidate is complete.
-static int merge_candidates(Parser* P, int cu_x, int cu_y, int cu_size,
+static int merge_candidates(const MvEnv* P, int cu_x, int cu_y, int cu_size,
                             int part_size, int pu_idx, int mrg_cand_idx,
                             MvCand cands[MRG_MAX]) {
   const FrameArrays* fa = P->fa;
@@ -1995,7 +2002,7 @@ static int merge_candidates(Parser* P, int cu_x, int cu_y, int cu_size,
 }
 
 // xAddMVPCand: same ref in this list, else same POC via the other list
-static int add_mvp_cand(const Parser* P, int16_t cands[][2], int* n, Nb nb,
+static int add_mvp_cand(const MvEnv* P, int16_t cands[][2], int* n, Nb nb,
                         int ref_list, int ref_idx) {
   const FrameArrays* fa = P->fa;
   const SliceParams* sp = P->sp;
@@ -2021,7 +2028,7 @@ static int add_mvp_cand(const Parser* P, int16_t cands[][2], int* n, Nb nb,
 }
 
 // xAddMVPCandOrder: same-list then cross-list with POC scaling
-static int add_mvp_cand_order(const Parser* P, int16_t cands[][2], int* n,
+static int add_mvp_cand_order(const MvEnv* P, int16_t cands[][2], int* n,
                               Nb nb, int ref_list, int ref_idx) {
   const FrameArrays* fa = P->fa;
   const SliceParams* sp = P->sp;
@@ -2047,7 +2054,7 @@ static int add_mvp_cand_order(const Parser* P, int16_t cands[][2], int* n,
 }
 
 // fillMvpCand (TComDataCU.cpp:3324); fills exactly AMVP_MAX entries
-static void amvp_candidates(Parser* P, int cu_x, int cu_y, int cu_size,
+static void amvp_candidates(const MvEnv* P, int cu_x, int cu_y, int cu_size,
                             int part_size, int pu_idx, int ref_list,
                             int ref_idx, int16_t out[AMVP_MAX][2]) {
   const FrameArrays* fa = P->fa;
@@ -2193,7 +2200,8 @@ static void decode_skip_cu(Parser* P, int abs_part, int depth) {
   int merge_idx = parse_merge_index(P);
   set_region<int8_t>(fa, fa->merge_idx, ux, uy, units, (int8_t)merge_idx);
   MvCand cands[MRG_MAX];
-  merge_candidates(P, px, py, size, SZ_2Nx2N, 0, merge_idx, cands);
+  MvEnv mve = {P->fa, P->sp};
+  merge_candidates(&mve, px, py, size, SZ_2Nx2N, 0, merge_idx, cands);
   set_region<int8_t>(fa, fa->inter_dir, ux, uy, units,
                      (int8_t)cands[merge_idx].dir);
   for (int l = 0; l < 2; l++) {
@@ -2237,7 +2245,8 @@ static void parse_pu_wise(Parser* P, int abs_part, int depth) {
       int merge_idx = parse_merge_index(P);
       set_pu_i8(fa, fa->merge_idx, rux, ruy, ruw, ruh, (int8_t)merge_idx);
       MvCand cands[MRG_MAX];
-      merge_candidates(P, px, py, size, part_sz, pu, merge_idx, cands);
+      MvEnv mve = {P->fa, P->sp};
+      merge_candidates(&mve, px, py, size, part_sz, pu, merge_idx, cands);
       set_pu_i8(fa, fa->inter_dir, rux, ruy, ruw, ruh,
                 (int8_t)cands[merge_idx].dir);
       for (int l = 0; l < 2; l++) {
@@ -2290,7 +2299,8 @@ static void parse_pu_wise(Parser* P, int abs_part, int depth) {
         set_pu_list_i8(fa, fa->mvp_idx, l, rux, ruy, ruw, ruh,
                        (int8_t)mvp_idx);
         int16_t preds[AMVP_MAX][2];
-        amvp_candidates(P, px, py, size, part_sz, pu, l, ref_idx, preds);
+        MvEnv mve2 = {P->fa, P->sp};
+        amvp_candidates(&mve2, px, py, size, part_sz, pu, l, ref_idx, preds);
         if (ref_idx >= 0) {
           int pi = mvp_idx >= 0 ? mvp_idx : 0;
           set_pu_mv(fa, fa->mv, l, rux, ruy, ruw, ruh,
@@ -4857,10 +4867,36 @@ struct RegionSnap {
   int8_t attrs[9][16 * 16];      // depth,pred,part,ldir,cdir,tridx,qp,tqb,ipcm
   uint8_t skip[16 * 16];
   uint8_t cbf[3][16 * 16], ts[3][16 * 16];
+  // motion fields (inter slices; saved alongside, cheap for intra)
+  uint8_t merge_flag[16 * 16];
+  int8_t merge_idx[16 * 16], inter_dir[16 * 16];
+  int8_t ref_idx[2][16 * 16], mvp_idx[2][16 * 16];
+  int16_t mv[2][16 * 16][2], mvd[2][16 * 16][2];
   int32_t coeff_y[64 * 64], coeff_cb[32 * 32], coeff_cr[32 * 32];
   int16_t rec_y[64 * 64], rec_cb[32 * 32], rec_cr[32 * 32];
   int64_t bits, dist;
   double cost;
+};
+
+// ME/inter-search parameters (encoder/inter_search.py InterSearch.__init__;
+// slice-header GPB/combined-list fields from TEncGOP.cpp:325-389)
+struct EncInterParams {
+  int32_t search_range, bipred_range;
+  int32_t fast_enc, use_had_me, fdm;
+  int64_t lambda_motion_sad;      // floor(65536 * sqrt(lambda))
+  int32_t is_b, mvd_l1_zero;
+  int32_t num_ref_lc, no_back_pred;
+  int32_t ref_idx_of_l0_from_l1[16];
+  int32_t ref_idx_of_lc[2][16];
+};
+
+// saved motion state over one PU region (xMergeEstimation save/restore)
+struct PuMotionSave {
+  int8_t inter_dir[16 * 16];
+  int8_t ref_idx[2][16 * 16], mvp_idx[2][16 * 16];
+  int16_t mv[2][16 * 16][2], mvd[2][16 * 16][2];
+  uint8_t merge_flag[16 * 16];
+  int8_t merge_idx[16 * 16];
 };
 
 struct LumaStore {
@@ -4915,6 +4951,28 @@ struct EncState {
   EncBin* fin;
   int fin_dqp_flag;
   int bak_cu_part, bak_chroma;
+  // ---- inter-slice state (valid when has_inter != 0) ----
+  int has_inter;
+  SliceParams sp;                // merge/AMVP environment (ref POCs, col)
+  InterRefs refs;                // padded reference planes
+  EncInterParams me;
+  // motion-cost state (TComRdCost m_uiCost / m_mvPredictor / m_iCostScale)
+  int64_t mc_cost;
+  int mc_pred[2], mc_scale;
+  // CU prediction / residual buffers (CTU-local coords)
+  int16_t pred_y[64 * 64], pred_cb[32 * 32], pred_cr[32 * 32];
+  int32_t resi_y[64 * 64], resi_cb[32 * 32], resi_cr[32 * 32];
+  int32_t rbest_y[64 * 64], rbest_cb[32 * 32], rbest_cr[32 * 32];
+  // inter RQT layer buffers (CTU-local; separate from the intra qt_*)
+  int32_t* iqt_resi[8][3];
+  int32_t* iqt_coeff[8][3];
+  PuMotionSave pu_save, pu_save2;
+  // fractional-search scratch: blocks[v][h] with fixed stride 66,
+  // tmp halves in Short domain
+  int16_t frac_blk[4][4][66 * 66];
+  int16_t frac_tmp0[72 * 66], frac_tmp2[72 * 66];
+  int32_t me_org[64 * 64];       // ME original (2*org - other for bipred)
+  int16_t me_pred_store[2][64 * 64];  // uni luma preds for bipred ME
 };
 
 static inline void es_unit_xy(const EncState* S, int abs_part, int* ux,
@@ -5471,7 +5529,7 @@ static void es_adi_chroma(EncState* S, int cx, int cy, int size, int comp,
 static int64_t es_xform_quant(EncState* S, int abs_part, const int32_t* resi,
                               int size, int qps, int is_luma, int comp,
                               int use_ts, int cbf_tr_depth,
-                              int32_t* levels) {
+                              int32_t* levels, int is_intra = 1) {
   int per = qps / 6, rem = qps % 6;
   int scan_idx = es_scan_idx(S, abs_part, size, is_luma);
   int32_t coeff_t[32 * 32], scratch[32 * 32];
@@ -5479,8 +5537,8 @@ static int64_t es_xform_quant(EncState* S, int abs_part, const int32_t* resi,
     transform_skip_fwd_c(resi, size, S->ep.bit_inc, coeff_t);
   } else {
     PROF_BEGIN(8);
-    forward_transform_c(resi, size, is_luma && size == 4, S->ep.bit_inc,
-                        coeff_t, scratch);
+    forward_transform_c(resi, size, is_luma && size == 4 && is_intra,
+                        S->ep.bit_inc, coeff_t, scratch);
     PROF_END(8);
   }
   int lg = convert_to_bit(size);
@@ -5502,7 +5560,8 @@ static int64_t es_xform_quant(EncState* S, int abs_part, const int32_t* resi,
     PROF_END(14);
     double lam = is_luma ? S->ep.lambda_luma : S->ep.lambda_chroma;
 PROF_BEGIN(5);
-    int64_t _rq =     rdoq_c(coeff_t, size, per, rem, lam, is_luma, 1, scan_idx, &eb,
+    int64_t _rq = rdoq_c(coeff_t, size, per, rem, lam, is_luma, is_intra,
+                  scan_idx, &eb,
                   cbf_tr_depth, S->ep.sign_hide, S->ep.bit_inc, scan,
                   scan_cg, levels);
     PROF_END(5);
@@ -6685,6 +6744,24 @@ static void es_save_region_impl(EncState* S, int abs_part, int depth,
              fa->ts_flag + ((int64_t)c * fa->uh + uy + j) * fa->uw + ux,
              units);
     }
+  for (int j = 0; j < units; j++) {
+    memcpy(snap->merge_flag + j * units,
+           fa->merge_flag + (int64_t)(uy + j) * fa->uw + ux, units);
+    memcpy(snap->merge_idx + j * units,
+           fa->merge_idx + (int64_t)(uy + j) * fa->uw + ux, units);
+    memcpy(snap->inter_dir + j * units,
+           fa->inter_dir + (int64_t)(uy + j) * fa->uw + ux, units);
+  }
+  for (int l = 0; l < 2; l++)
+    for (int j = 0; j < units; j++) {
+      int64_t base = ((int64_t)l * fa->uh + uy + j) * fa->uw + ux;
+      memcpy(snap->ref_idx[l] + j * units, fa->ref_idx + base, units);
+      memcpy(snap->mvp_idx[l] + j * units, fa->mvp_idx + base, units);
+      memcpy(snap->mv[l][j * units], fa->mv + base * 2,
+             sizeof(int16_t) * 2 * units);
+      memcpy(snap->mvd[l][j * units], fa->mvd + base * 2,
+             sizeof(int16_t) * 2 * units);
+    }
   int cs_ = size / 2;
   for (int y = 0; y < size; y++) {
     memcpy(snap->coeff_y + y * size,
@@ -6738,6 +6815,24 @@ static void es_restore_region_impl(EncState* S, int abs_part, int depth,
       memcpy(fa->ts_flag + ((int64_t)c * fa->uh + uy + j) * fa->uw + ux,
              snap->ts[c] + j * units, units);
     }
+  for (int j = 0; j < units; j++) {
+    memcpy(fa->merge_flag + (int64_t)(uy + j) * fa->uw + ux,
+           snap->merge_flag + j * units, units);
+    memcpy(fa->merge_idx + (int64_t)(uy + j) * fa->uw + ux,
+           snap->merge_idx + j * units, units);
+    memcpy(fa->inter_dir + (int64_t)(uy + j) * fa->uw + ux,
+           snap->inter_dir + j * units, units);
+  }
+  for (int l = 0; l < 2; l++)
+    for (int j = 0; j < units; j++) {
+      int64_t base = ((int64_t)l * fa->uh + uy + j) * fa->uw + ux;
+      memcpy(fa->ref_idx + base, snap->ref_idx[l] + j * units, units);
+      memcpy(fa->mvp_idx + base, snap->mvp_idx[l] + j * units, units);
+      memcpy(fa->mv + base * 2, snap->mv[l][j * units],
+             sizeof(int16_t) * 2 * units);
+      memcpy(fa->mvd + base * 2, snap->mvd[l][j * units],
+             sizeof(int16_t) * 2 * units);
+    }
   int cs_ = size / 2;
   for (int y = 0; y < size; y++) {
     memcpy(fa->coeff_y + (int64_t)(py + y) * S->ls + px,
@@ -6774,6 +6869,1425 @@ static void es_restore_region(EncState* S, int abs_part, int depth,
   PROF_BEGIN(9);
   es_restore_region_impl(S, abs_part, depth, snap);
   PROF_END(9);
+}
+
+// ===========================================================================
+// Inter encode: predInterSearch / TZ + fractional ME / merge estimation /
+// inter residual quadtree RD.  Mirrors encoder/inter_search.py and the
+// inter branches of encoder/cu_encoder.py (behavioral reference:
+// TEncSearch.cpp predInterSearch :3184, xTZSearch :4302,
+// xPatternSearchFracDIF :4476, xMergeEstimation :3096,
+// encodeResAndCalcRdInterCU :4526, xEstimateResidualQT :4782;
+// TEncCu.cpp xCheckRDCostMerge2Nx2N :1248, xCheckRDCostInter :1371).
+// ===========================================================================
+
+static void es_final_transform_tree(EncState* S, int abs_part, int depth,
+                                    int tr_idx);
+
+// ---- inter syntax writers (TEncSbac code*) ----
+static void we_skip_flag(EncState* S, EncBin* e, int abs_part) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int ctx = ctx_skip_flag(fa, ux, uy);
+  eb_bin(e, U(fa->skip, ux, uy) ? 1 : 0, S->co.skip_flag + ctx);
+}
+
+static void we_pred_mode(EncState* S, EncBin* e, int abs_part) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  eb_bin(e, U(fa->pred_mode, ux, uy) == MODE_INTRA ? 1 : 0,
+         S->co.pred_mode);
+}
+
+static void we_merge_flag(EncState* S, EncBin* e, int abs_part) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  eb_bin(e, U(fa->merge_flag, ux, uy) ? 1 : 0, S->co.merge_flag);
+}
+
+static void we_merge_idx(EncState* S, EncBin* e, int abs_part) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int idx = U(fa->merge_idx, ux, uy);
+  int num_cand = S->sp.max_merge;
+  if (num_cand > 1) {
+    for (int ui = 0; ui < num_cand - 1; ui++) {
+      int sym = ui == idx ? 0 : 1;
+      if (ui == 0) eb_bin(e, sym, S->co.merge_idx);
+      else eb_bin_ep(e, sym);
+      if (sym == 0) break;
+    }
+  }
+}
+
+static void we_inter_dir(EncState* S, EncBin* e, int abs_part, int depth) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int inter_dir = U(fa->inter_dir, ux, uy) - 1;
+  int size = fa->ctu_size >> depth;
+  int part_sz = U(fa->part_size, ux, uy);
+  if (part_sz == SZ_2Nx2N || size != 8)
+    eb_bin(e, inter_dir == 2 ? 1 : 0, S->co.inter_dir + depth);
+  if (inter_dir < 2) eb_bin(e, inter_dir, S->co.inter_dir + 4);
+}
+
+static void we_ref_idx(EncState* S, EncBin* e, int abs_part, int lst) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int ref = U3(fa->ref_idx, lst, ux, uy);
+  eb_bin(e, ref == 0 ? 0 : 1, S->co.ref_pic);
+  if (ref > 0) {
+    int nri = lst == 0 ? S->sp.num_ref_idx0 : S->sp.num_ref_idx1;
+    int ref_num = nri - 2;
+    ref -= 1;
+    for (int ui = 0; ui < ref_num; ui++) {
+      int sym = ui == ref ? 0 : 1;
+      if (ui == 0) eb_bin(e, sym, S->co.ref_pic + 1);
+      else eb_bin_ep(e, sym);
+      if (sym == 0) break;
+    }
+  }
+}
+
+static void we_mvd(EncState* S, EncBin* e, int abs_part, int lst) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  if (S->me.mvd_l1_zero && lst == 1 && U(fa->inter_dir, ux, uy) == 3)
+    return;
+  int hor = MV_AT(fa->mvd, lst, ux, uy, 0);
+  int ver = MV_AT(fa->mvd, lst, ux, uy, 1);
+  eb_bin(e, hor != 0 ? 1 : 0, S->co.mvd);
+  eb_bin(e, ver != 0 ? 1 : 0, S->co.mvd);
+  int ah = hor < 0 ? -hor : hor, av = ver < 0 ? -ver : ver;
+  if (hor != 0) eb_bin(e, ah > 1 ? 1 : 0, S->co.mvd + 1);
+  if (ver != 0) eb_bin(e, av > 1 ? 1 : 0, S->co.mvd + 1);
+  if (hor != 0) {
+    if (ah > 1) eb_ep_exgolomb(e, ah - 2, 1);
+    eb_bin_ep(e, hor < 0 ? 1 : 0);
+  }
+  if (ver != 0) {
+    if (av > 1) eb_ep_exgolomb(e, av - 2, 1);
+    eb_bin_ep(e, ver < 0 ? 1 : 0);
+  }
+}
+
+static void we_mvp_idx(EncState* S, EncBin* e, int abs_part, int lst) {
+  const FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int idx = U3(fa->mvp_idx, lst, ux, uy);
+  eb_unary_max(e, idx, S->co.mvp_idx, S->co.mvp_idx + 1, 1);
+}
+
+static void we_qt_root_cbf(EncState* S, EncBin* e, int cbf) {
+  eb_bin(e, cbf ? 1 : 0, S->co.qt_root_cbf);
+}
+
+// codeQtCbfZero: hypothetical cbf=0 bit at getCtxQtCbf's context
+static void we_qt_cbf_zero(EncState* S, EncBin* e, int comp,
+                           int ctx_tr_depth) {
+  int ctx = comp == 0 ? (ctx_tr_depth == 0 ? 1 : 0) : ctx_tr_depth;
+  int off = comp == 0 ? S->co.qt_cbf : S->co.qt_cbf + 5;
+  eb_bin(e, 0, off + ctx);
+}
+
+static const int64_t MAX_INT_C = 0x7FFFFFFF;
+static const int64_t MAX_UINT_C = 0xFFFFFFFFll;
+
+// ---- motion cost (TComRdCost fixed point; inter_search.MotionCost) ----
+static int es_component_bits(int v) {
+  unsigned temp = v <= 0 ? (((unsigned)(-v)) << 1) + 1 : ((unsigned)v << 1);
+  int length = 1;
+  while (temp != 1) { temp >>= 1; length += 2; }
+  return length;
+}
+
+static inline void es_mc_sad(EncState* S) {
+  S->mc_cost = S->me.lambda_motion_sad;
+}
+static inline void es_mc_set_pred(EncState* S, int x, int y) {
+  S->mc_pred[0] = x; S->mc_pred[1] = y;
+}
+static inline void es_mc_set_scale(EncState* S, int s) { S->mc_scale = s; }
+static inline int es_mc_bits(const EncState* S, int x, int y) {
+  return es_component_bits((x << S->mc_scale) - S->mc_pred[0]) +
+         es_component_bits((y << S->mc_scale) - S->mc_pred[1]);
+}
+static inline int64_t es_mc_cost_pts(const EncState* S, int x, int y) {
+  return (S->mc_cost * (int64_t)es_mc_bits(S, x, y)) >> 16;
+}
+static inline int64_t es_mc_cost_bits(const EncState* S, int64_t b) {
+  return (S->mc_cost * b) >> 16;
+}
+static inline int64_t es_mc_rd_cost_sad(const EncState* S, int64_t bits,
+                                        int64_t dist) {
+  return dist +
+         ((int64_t)((double)bits * (double)S->me.lambda_motion_sad + 0.5) >>
+          16);
+}
+
+// ---- ME distortion primitives ----
+// SAD: int32 org (stride so) vs int16 plane (stride sc); optional row
+// subsampling (TComRdCost xGetSAD with iSubShift)
+static int64_t es_sad32(const int32_t* org, int so, const int16_t* cur,
+                        int64_t sc, int w, int h, int sub_shift,
+                        int bit_inc) {
+  int64_t s = 0;
+  int step = sub_shift ? 2 : 1;
+#if defined(__AVX2__)
+  if ((w & 7) == 0) {
+    __m256i acc = _mm256_setzero_si256();
+    for (int y = 0; y < h; y += step) {
+      const int32_t* o = org + (int64_t)y * so;
+      const int16_t* c = cur + (int64_t)y * sc;
+      for (int x = 0; x < w; x += 8) {
+        __m256i ov = _mm256_loadu_si256((const __m256i*)(o + x));
+        __m256i cv = _mm256_cvtepi16_epi32(
+            _mm_loadu_si128((const __m128i*)(c + x)));
+        acc = _mm256_add_epi32(acc, _mm256_abs_epi32(
+            _mm256_sub_epi32(ov, cv)));
+      }
+    }
+    __m128i lo = _mm256_castsi256_si128(acc);
+    __m128i hi = _mm256_extracti128_si256(acc, 1);
+    __m128i v = _mm_add_epi32(lo, hi);
+    v = _mm_add_epi32(v, _mm_shuffle_epi32(v, 0x4E));
+    v = _mm_add_epi32(v, _mm_shuffle_epi32(v, 0xB1));
+    s = (int32_t)_mm_cvtsi128_si32(v);
+    return (s << sub_shift) >> bit_inc;
+  }
+#endif
+  for (int y = 0; y < h; y += step) {
+    const int32_t* o = org + (int64_t)y * so;
+    const int16_t* c = cur + (int64_t)y * sc;
+    for (int x = 0; x < w; x++) {
+      int d = o[x] - c[x];
+      s += d < 0 ? -d : d;
+    }
+  }
+  return (s << sub_shift) >> bit_inc;
+}
+
+// SATD over int32 org vs int16 cur (xGetHADs; 8x8 blocks when both dims
+// are multiples of 8, else 4x4)
+static int64_t had8x8_me(const int32_t* org, int so, const int16_t* cur,
+                         int64_t sc) {
+  int32_t diff[64], m1[8][8], m2[8][8], m3[8][8];
+  for (int j = 0; j < 8; j++)
+    for (int i = 0; i < 8; i++)
+      diff[j * 8 + i] = org[(int64_t)j * so + i] - cur[(int64_t)j * sc + i];
+  for (int k = 0; k < 64; k += 8) {
+    int j = k >> 3;
+    m2[j][0] = diff[k] + diff[k + 4];
+    m2[j][1] = diff[k + 1] + diff[k + 5];
+    m2[j][2] = diff[k + 2] + diff[k + 6];
+    m2[j][3] = diff[k + 3] + diff[k + 7];
+    m2[j][4] = diff[k] - diff[k + 4];
+    m2[j][5] = diff[k + 1] - diff[k + 5];
+    m2[j][6] = diff[k + 2] - diff[k + 6];
+    m2[j][7] = diff[k + 3] - diff[k + 7];
+    m1[j][0] = m2[j][0] + m2[j][2];
+    m1[j][1] = m2[j][1] + m2[j][3];
+    m1[j][2] = m2[j][0] - m2[j][2];
+    m1[j][3] = m2[j][1] - m2[j][3];
+    m1[j][4] = m2[j][4] + m2[j][6];
+    m1[j][5] = m2[j][5] + m2[j][7];
+    m1[j][6] = m2[j][4] - m2[j][6];
+    m1[j][7] = m2[j][5] - m2[j][7];
+    m2[j][0] = m1[j][0] + m1[j][1];
+    m2[j][1] = m1[j][0] - m1[j][1];
+    m2[j][2] = m1[j][2] + m1[j][3];
+    m2[j][3] = m1[j][2] - m1[j][3];
+    m2[j][4] = m1[j][4] + m1[j][5];
+    m2[j][5] = m1[j][4] - m1[j][5];
+    m2[j][6] = m1[j][6] + m1[j][7];
+    m2[j][7] = m1[j][6] - m1[j][7];
+  }
+  for (int i = 0; i < 8; i++) {
+    m3[0][i] = m2[0][i] + m2[4][i];
+    m3[1][i] = m2[1][i] + m2[5][i];
+    m3[2][i] = m2[2][i] + m2[6][i];
+    m3[3][i] = m2[3][i] + m2[7][i];
+    m3[4][i] = m2[0][i] - m2[4][i];
+    m3[5][i] = m2[1][i] - m2[5][i];
+    m3[6][i] = m2[2][i] - m2[6][i];
+    m3[7][i] = m2[3][i] - m2[7][i];
+    m1[0][i] = m3[0][i] + m3[2][i];
+    m1[1][i] = m3[1][i] + m3[3][i];
+    m1[2][i] = m3[0][i] - m3[2][i];
+    m1[3][i] = m3[1][i] - m3[3][i];
+    m1[4][i] = m3[4][i] + m3[6][i];
+    m1[5][i] = m3[5][i] + m3[7][i];
+    m1[6][i] = m3[4][i] - m3[6][i];
+    m1[7][i] = m3[5][i] - m3[7][i];
+    m2[0][i] = m1[0][i] + m1[1][i];
+    m2[1][i] = m1[0][i] - m1[1][i];
+    m2[2][i] = m1[2][i] + m1[3][i];
+    m2[3][i] = m1[2][i] - m1[3][i];
+    m2[4][i] = m1[4][i] + m1[5][i];
+    m2[5][i] = m1[4][i] - m1[5][i];
+    m2[6][i] = m1[6][i] + m1[7][i];
+    m2[7][i] = m1[6][i] - m1[7][i];
+  }
+  int64_t sad = 0;
+  for (int j = 0; j < 8; j++)
+    for (int i = 0; i < 8; i++)
+      sad += m2[j][i] < 0 ? -m2[j][i] : m2[j][i];
+  return (sad + 2) >> 2;
+}
+
+static int64_t had4x4_me(const int32_t* org, int so, const int16_t* cur,
+                         int64_t sc) {
+  int32_t diff[16], m[16], d[16];
+  for (int j = 0; j < 4; j++)
+    for (int i = 0; i < 4; i++)
+      diff[j * 4 + i] =
+          org[(int64_t)j * so + i] - cur[(int64_t)j * sc + i];
+  // matrix-form Hadamard (same abs-sum as the reference butterfly)
+  for (int j = 0; j < 4; j++) {
+    int a = diff[j * 4], b = diff[j * 4 + 1], c = diff[j * 4 + 2],
+        e = diff[j * 4 + 3];
+    m[j * 4] = a + b + c + e;
+    m[j * 4 + 1] = a - b + c - e;
+    m[j * 4 + 2] = a + b - c - e;
+    m[j * 4 + 3] = a - b - c + e;
+  }
+  for (int i = 0; i < 4; i++) {
+    int a = m[i], b = m[4 + i], c = m[8 + i], e = m[12 + i];
+    d[i] = a + b + c + e;
+    d[4 + i] = a - b + c - e;
+    d[8 + i] = a + b - c - e;
+    d[12 + i] = a - b - c + e;
+  }
+  int64_t sad = 0;
+  for (int i = 0; i < 16; i++) sad += d[i] < 0 ? -d[i] : d[i];
+  return (sad + 1) >> 1;
+}
+
+static int64_t es_had32(const int32_t* org, int so, const int16_t* cur,
+                        int64_t sc, int w, int h, int bit_inc) {
+  int64_t sum = 0;
+  if ((w % 8) == 0 && (h % 8) == 0) {
+    for (int y = 0; y < h; y += 8)
+      for (int x = 0; x < w; x += 8)
+        sum += had8x8_me(org + (int64_t)y * so + x, so,
+                         cur + (int64_t)y * sc + x, sc);
+  } else {
+    for (int y = 0; y < h; y += 4)
+      for (int x = 0; x < w; x += 4)
+        sum += had4x4_me(org + (int64_t)y * so + x, so,
+                         cur + (int64_t)y * sc + x, sc);
+  }
+  return sum >> bit_inc;
+}
+
+// SSE over int32 residual arrays (getDistPart on residual blocks)
+static int64_t es_sse32(const int32_t* a, int64_t sa, const int32_t* b,
+                        int64_t sb, int size, int bit_inc, int weighted,
+                        double chroma_weight) {
+  int64_t sse = 0;
+  int sh = bit_inc << 1;
+  for (int y = 0; y < size; y++)
+    for (int x = 0; x < size; x++) {
+      int64_t d = (int64_t)(a ? a[y * sa + x] : 0) - b[y * sb + x];
+      sse += (d * d) >> sh;
+    }
+  if (weighted) return (int64_t)(chroma_weight * (double)sse);
+  return sse;
+}
+
+// ---- clip + prediction helpers ----
+// clipMv (TComDataCU.cpp:2684), anchored at the CU position
+static inline void es_clip_mv(const EncState* S, int cu_x, int cu_y,
+                              int* mx, int* my) {
+  const FrameArrays* fa = &S->fa;
+  int off = 8;
+  int hor_max = (fa->width + off - cu_x - 1) << 2;
+  int hor_min = (-fa->ctu_size - off - cu_x + 1) << 2;
+  int ver_max = (fa->height + off - cu_y - 1) << 2;
+  int ver_min = (-fa->ctu_size - off - cu_y + 1) << 2;
+  if (*mx > hor_max) *mx = hor_max;
+  if (*mx < hor_min) *mx = hor_min;
+  if (*my > ver_max) *my = ver_max;
+  if (*my < ver_min) *my = ver_min;
+}
+
+// xPredInterLumaBlk (uni, pixel domain) for one PU into dst (stride ds)
+static void es_pred_pu_luma(EncState* S, int xp, int yp, int pw, int ph,
+                            int lst, int ref, int mvx, int mvy, int cu_x,
+                            int cu_y, int16_t* dst, int ds) {
+  es_clip_mv(S, cu_x, cu_y, &mvx, &mvy);
+  mc_block_c(S->refs.pad_y[lst][ref], S->refs.ys,
+             S->refs.margin + yp + (mvy >> 2),
+             S->refs.margin + xp + (mvx >> 2), mvx & 3, mvy & 3, pw, ph,
+             kLumaFilt, sizeof(kLumaFilt[0]), 8, S->ep.bit_depth, 0, dst,
+             ds);
+}
+
+// TComPrediction::motionCompensation for one PU of the CU at (cu_x,cu_y):
+// prediction into S->pred_* at CTU-local coords (mirrors decoder/inter.py
+// _predict_pu incl. xCheckIdenticalMotion; WP is gated out natively).
+// When luma_only != 0 the chroma MC is skipped and the luma lands in
+// dst_y/ds (xGetInterPredictionError path).
+static void es_mc_pu(EncState* S, int cu_x, int cu_y, int xp, int yp,
+                     int pw, int ph, int luma_only, int16_t* dst_y,
+                     int ds) {
+  const FrameArrays* fa = &S->fa;
+  int pux = xp / 4, puy = yp / 4;
+  int ref0 = U3(fa->ref_idx, 0, pux, puy);
+  int ref1 = U3(fa->ref_idx, 1, pux, puy);
+  int mv0x = MV_AT(fa->mv, 0, pux, puy, 0);
+  int mv0y = MV_AT(fa->mv, 0, pux, puy, 1);
+  int mv1x = MV_AT(fa->mv, 1, pux, puy, 0);
+  int mv1y = MV_AT(fa->mv, 1, pux, puy, 1);
+  // xCheckIdenticalMotion (B slice, no weighted bipred)
+  if (S->me.is_b && ref0 >= 0 && ref1 >= 0 &&
+      S->refs.ref_poc[0][ref0] == S->refs.ref_poc[1][ref1] &&
+      mv0x == mv1x && mv0y == mv1y)
+    ref1 = -1;
+  int ctu = fa->ctu_size;
+  int lx = xp % ctu, ly = yp % ctu;
+  int16_t* dy;
+  int dys;
+  if (luma_only) {
+    dy = dst_y; dys = ds;
+  } else {
+    dy = S->pred_y + (int64_t)ly * ctu + lx; dys = ctu;
+  }
+  int16_t buf0[64 * 64], buf1[64 * 64];
+  int16_t cbuf0[32 * 32], cbuf1[32 * 32], crbuf0[32 * 32], crbuf1[32 * 32];
+  if (ref0 >= 0 && ref1 >= 0) {
+    int ax = mv0x, ay = mv0y, bx = mv1x, by = mv1y;
+    es_clip_mv(S, cu_x, cu_y, &ax, &ay);
+    es_clip_mv(S, cu_x, cu_y, &bx, &by);
+    mc_block_c(S->refs.pad_y[0][ref0], S->refs.ys,
+               S->refs.margin + yp + (ay >> 2),
+               S->refs.margin + xp + (ax >> 2), ax & 3, ay & 3, pw, ph,
+               kLumaFilt, sizeof(kLumaFilt[0]), 8, S->ep.bit_depth, 1,
+               buf0, pw);
+    mc_block_c(S->refs.pad_y[1][ref1], S->refs.ys,
+               S->refs.margin + yp + (by >> 2),
+               S->refs.margin + xp + (bx >> 2), bx & 3, by & 3, pw, ph,
+               kLumaFilt, sizeof(kLumaFilt[0]), 8, S->ep.bit_depth, 1,
+               buf1, pw);
+    for (int r = 0; r < ph; r++)
+      bi_avg_c(buf0 + r * pw, buf1 + r * pw, pw, S->ep.bit_depth,
+               dy + (int64_t)r * dys);
+    if (!luma_only) {
+      int m2 = S->refs.margin / 2;
+      int cw = pw / 2, ch = ph / 2;
+      mc_block_c(S->refs.pad_cb[0][ref0], S->refs.cs,
+                 m2 + yp / 2 + (ay >> 3), m2 + xp / 2 + (ax >> 3), ax & 7,
+                 ay & 7, cw, ch, (const int16_t(*)[8])kChromaFilt,
+                 sizeof(kChromaFilt[0]), 4, S->ep.bit_depth, 1, cbuf0, cw);
+      mc_block_c(S->refs.pad_cb[1][ref1], S->refs.cs,
+                 m2 + yp / 2 + (by >> 3), m2 + xp / 2 + (bx >> 3), bx & 7,
+                 by & 7, cw, ch, (const int16_t(*)[8])kChromaFilt,
+                 sizeof(kChromaFilt[0]), 4, S->ep.bit_depth, 1, cbuf1, cw);
+      mc_block_c(S->refs.pad_cr[0][ref0], S->refs.cs,
+                 m2 + yp / 2 + (ay >> 3), m2 + xp / 2 + (ax >> 3), ax & 7,
+                 ay & 7, cw, ch, (const int16_t(*)[8])kChromaFilt,
+                 sizeof(kChromaFilt[0]), 4, S->ep.bit_depth, 1, crbuf0, cw);
+      mc_block_c(S->refs.pad_cr[1][ref1], S->refs.cs,
+                 m2 + yp / 2 + (by >> 3), m2 + xp / 2 + (bx >> 3), bx & 7,
+                 by & 7, cw, ch, (const int16_t(*)[8])kChromaFilt,
+                 sizeof(kChromaFilt[0]), 4, S->ep.bit_depth, 1, crbuf1, cw);
+      int clx = lx / 2, cly = ly / 2, cstride = ctu / 2;
+      for (int r = 0; r < ch; r++) {
+        bi_avg_c(cbuf0 + r * cw, cbuf1 + r * cw, cw, S->ep.bit_depth,
+                 S->pred_cb + (int64_t)(cly + r) * cstride + clx);
+        bi_avg_c(crbuf0 + r * cw, crbuf1 + r * cw, cw, S->ep.bit_depth,
+                 S->pred_cr + (int64_t)(cly + r) * cstride + clx);
+      }
+    }
+  } else {
+    int lst = ref0 >= 0 ? 0 : 1;
+    int ref = ref0 >= 0 ? ref0 : ref1;
+    int mx = lst == 0 ? mv0x : mv1x;
+    int my = lst == 0 ? mv0y : mv1y;
+    es_clip_mv(S, cu_x, cu_y, &mx, &my);
+    mc_block_c(S->refs.pad_y[lst][ref], S->refs.ys,
+               S->refs.margin + yp + (my >> 2),
+               S->refs.margin + xp + (mx >> 2), mx & 3, my & 3, pw, ph,
+               kLumaFilt, sizeof(kLumaFilt[0]), 8, S->ep.bit_depth, 0, dy,
+               dys);
+    if (!luma_only) {
+      int m2 = S->refs.margin / 2;
+      int cw = pw / 2, ch = ph / 2;
+      int clx = lx / 2, cly = ly / 2, cstride = ctu / 2;
+      mc_block_c(S->refs.pad_cb[lst][ref], S->refs.cs,
+                 m2 + yp / 2 + (my >> 3), m2 + xp / 2 + (mx >> 3), mx & 7,
+                 my & 7, cw, ch, (const int16_t(*)[8])kChromaFilt,
+                 sizeof(kChromaFilt[0]), 4, S->ep.bit_depth, 0,
+                 S->pred_cb + (int64_t)cly * cstride + clx, cstride);
+      mc_block_c(S->refs.pad_cr[lst][ref], S->refs.cs,
+                 m2 + yp / 2 + (my >> 3), m2 + xp / 2 + (mx >> 3), mx & 7,
+                 my & 7, cw, ch, (const int16_t(*)[8])kChromaFilt,
+                 sizeof(kChromaFilt[0]), 4, S->ep.bit_depth, 0,
+                 S->pred_cr + (int64_t)cly * cstride + clx, cstride);
+    }
+  }
+}
+
+// motionCompensation over the whole CU (or one PU with part_idx >= 0)
+static void es_motion_compensation(EncState* S, int cu_x, int cu_y,
+                                   int size, int part_idx) {
+  const FrameArrays* fa = &S->fa;
+  int part_sz = U(fa->part_size, cu_x / 4, cu_y / 4);
+  int n_pu = num_pus(part_sz);
+  for (int pu = 0; pu < n_pu; pu++) {
+    if (part_idx >= 0 && pu != part_idx) continue;
+    int xp, yp, pw, ph;
+    pu_geometry(part_sz, cu_x, cu_y, size, pu, &xp, &yp, &pw, &ph);
+    es_mc_pu(S, cu_x, cu_y, xp, yp, pw, ph, 0, 0, 0);
+  }
+}
+
+// ---- motion field save/restore over a PU (inter_search.py:722) ----
+static void es_save_pu_motion(EncState* S, int xp, int yp, int pw, int ph,
+                              PuMotionSave* sv) {
+  const FrameArrays* fa = &S->fa;
+  int ux = xp / 4, uy = yp / 4, uw = pw / 4, uh = ph / 4;
+  for (int j = 0; j < uh; j++) {
+    int64_t row = (int64_t)(uy + j) * fa->uw + ux;
+    memcpy(sv->inter_dir + j * uw, fa->inter_dir + row, uw);
+    memcpy(sv->merge_flag + j * uw, fa->merge_flag + row, uw);
+    memcpy(sv->merge_idx + j * uw, fa->merge_idx + row, uw);
+    for (int l = 0; l < 2; l++) {
+      int64_t base = (int64_t)l * fa->uh * fa->uw + row;
+      memcpy(sv->ref_idx[l] + j * uw, fa->ref_idx + base, uw);
+      memcpy(sv->mvp_idx[l] + j * uw, fa->mvp_idx + base, uw);
+      memcpy(sv->mv[l][j * uw], fa->mv + base * 2,
+             sizeof(int16_t) * 2 * uw);
+      memcpy(sv->mvd[l][j * uw], fa->mvd + base * 2,
+             sizeof(int16_t) * 2 * uw);
+    }
+  }
+}
+
+static void es_restore_pu_motion(EncState* S, int xp, int yp, int pw,
+                                 int ph, const PuMotionSave* sv) {
+  const FrameArrays* fa = &S->fa;
+  int ux = xp / 4, uy = yp / 4, uw = pw / 4, uh = ph / 4;
+  for (int j = 0; j < uh; j++) {
+    int64_t row = (int64_t)(uy + j) * fa->uw + ux;
+    memcpy(fa->inter_dir + row, sv->inter_dir + j * uw, uw);
+    memcpy(fa->merge_flag + row, sv->merge_flag + j * uw, uw);
+    memcpy(fa->merge_idx + row, sv->merge_idx + j * uw, uw);
+    for (int l = 0; l < 2; l++) {
+      int64_t base = (int64_t)l * fa->uh * fa->uw + row;
+      memcpy(fa->ref_idx + base, sv->ref_idx[l] + j * uw, uw);
+      memcpy(fa->mvp_idx + base, sv->mvp_idx[l] + j * uw, uw);
+      memcpy(fa->mv + base * 2, sv->mv[l][j * uw],
+             sizeof(int16_t) * 2 * uw);
+      memcpy(fa->mvd + base * 2, sv->mvd[l][j * uw],
+             sizeof(int16_t) * 2 * uw);
+    }
+  }
+}
+
+// set one PU's motion for list lst (inter_search.py _set_pu_motion)
+static void es_set_pu_motion(EncState* S, int xp, int yp, int pw, int ph,
+                             int lst, int ref, int mvx, int mvy, int mvdx,
+                             int mvdy, int mvp_idx) {
+  const FrameArrays* fa = &S->fa;
+  int ux = xp / 4, uy = yp / 4, uw = pw / 4, uh = ph / 4;
+  set_pu_list_i8(fa, fa->ref_idx, lst, ux, uy, uw, uh, (int8_t)ref);
+  set_pu_mv(fa, fa->mv, lst, ux, uy, uw, uh, (int16_t)mvx, (int16_t)mvy);
+  set_pu_mv(fa, fa->mvd, lst, ux, uy, uw, uh, (int16_t)mvdx,
+            (int16_t)mvdy);
+  set_pu_list_i8(fa, fa->mvp_idx, lst, ux, uy, uw, uh, (int8_t)mvp_idx);
+}
+
+// ---- AMVP estimation (xEstimateMvPredAMVP / xCheckBestMVP) ----
+// returns best idx; fills cands[2], best mv_pred, and *dist_bip
+static int es_estimate_mvp_amvp(EncState* S, int cu_x, int cu_y, int size,
+                                int part_sz, int pu_idx, int lst, int ref,
+                                int16_t cands[AMVP_MAX][2],
+                                int64_t* dist_bip) {
+  MvEnv env = {&S->fa, &S->sp};
+  amvp_candidates(&env, cu_x, cu_y, size, part_sz, pu_idx, lst, ref,
+                  cands);
+  int xp, yp, pw, ph;
+  pu_geometry(part_sz, cu_x, cu_y, size, pu_idx, &xp, &yp, &pw, &ph);
+  const int16_t* org = S->org_y + (int64_t)yp * S->rls + xp;
+  int64_t best_cost = MAX_INT_C;
+  int best_idx = 0;
+  *dist_bip = MAX_INT_C;
+  int16_t pred[64 * 64];
+  int32_t org32[64 * 64];
+  for (int r = 0; r < ph; r++)
+    for (int c = 0; c < pw; c++)
+      org32[r * pw + c] = org[(int64_t)r * S->rls + c];
+  for (int i = 0; i < AMVP_MAX; i++) {
+    es_pred_pu_luma(S, xp, yp, pw, ph, lst, ref, cands[i][0], cands[i][1],
+                    cu_x, cu_y, pred, pw);
+    int64_t dist =
+        es_sad32(org32, pw, pred, pw, pw, ph, 0, S->ep.bit_inc);
+    int64_t cost = es_mc_rd_cost_sad(S, 1 /* mvp idx bits */, dist);
+    if (best_cost > cost) {
+      best_cost = cost;
+      best_idx = i;
+      *dist_bip = cost;
+    }
+  }
+  return best_idx;
+}
+
+// ---- TZ search (xTZSearch + TZ_SEARCH_CONFIGURATION) ----
+struct TzCtx {
+  EncState* S;
+  const int32_t* org;            // ME original, stride = pw
+  const int16_t* plane;          // padded SAD plane
+  int64_t ps;                    // plane stride
+  int m, xp, yp, pw, ph, sub_shift;
+  int sr_l, sr_t, sr_r, sr_b;    // search range (integer pel)
+  int64_t best;
+  int bx, by, dist, rnd, point;
+};
+
+static inline int64_t tz_sad_at(TzCtx* T, int x, int y) {
+  const int16_t* blk = T->plane + (int64_t)(T->m + T->yp + y) * T->ps +
+                       (T->m + T->xp + x);
+  return es_sad32(T->org, T->pw, blk, T->ps, T->pw, T->ph, T->sub_shift,
+                  T->S->ep.bit_inc) +
+         es_mc_cost_pts(T->S, x, y);
+}
+
+static inline void tz_helper(TzCtx* T, int x, int y, int point,
+                             int distance) {
+  int64_t s = tz_sad_at(T, x, y);
+  if (s < T->best) {
+    T->best = s;
+    T->bx = x; T->by = y;
+    T->dist = distance;
+    T->rnd = 0;
+    T->point = point;
+  }
+}
+
+static void tz_diamond(TzCtx* T, int sx, int sy, int dist) {
+  int top = sy - dist, bottom = sy + dist;
+  int left = sx - dist, right = sx + dist;
+  T->rnd += 1;
+  if (dist == 1) {
+    if (top >= T->sr_t) tz_helper(T, sx, top, 2, dist);
+    if (left >= T->sr_l) tz_helper(T, left, sy, 4, dist);
+    if (right <= T->sr_r) tz_helper(T, right, sy, 5, dist);
+    if (bottom <= T->sr_b) tz_helper(T, sx, bottom, 7, dist);
+  } else if (dist <= 8) {
+    int t2 = sy - (dist >> 1), b2 = sy + (dist >> 1);
+    int l2 = sx - (dist >> 1), r2 = sx + (dist >> 1);
+    if (top >= T->sr_t && left >= T->sr_l && right <= T->sr_r &&
+        bottom <= T->sr_b) {
+      tz_helper(T, sx, top, 2, dist);
+      tz_helper(T, l2, t2, 1, dist >> 1);
+      tz_helper(T, r2, t2, 3, dist >> 1);
+      tz_helper(T, left, sy, 4, dist);
+      tz_helper(T, right, sy, 5, dist);
+      tz_helper(T, l2, b2, 6, dist >> 1);
+      tz_helper(T, r2, b2, 8, dist >> 1);
+      tz_helper(T, sx, bottom, 7, dist);
+    } else {
+      if (top >= T->sr_t) tz_helper(T, sx, top, 2, dist);
+      if (t2 >= T->sr_t) {
+        if (l2 >= T->sr_l) tz_helper(T, l2, t2, 1, dist >> 1);
+        if (r2 <= T->sr_r) tz_helper(T, r2, t2, 3, dist >> 1);
+      }
+      if (left >= T->sr_l) tz_helper(T, left, sy, 4, dist);
+      if (right <= T->sr_r) tz_helper(T, right, sy, 5, dist);
+      if (b2 <= T->sr_b) {
+        if (l2 >= T->sr_l) tz_helper(T, l2, b2, 6, dist >> 1);
+        if (r2 <= T->sr_r) tz_helper(T, r2, b2, 8, dist >> 1);
+      }
+      if (bottom <= T->sr_b) tz_helper(T, sx, bottom, 7, dist);
+    }
+  } else {
+    if (top >= T->sr_t && left >= T->sr_l && right <= T->sr_r &&
+        bottom <= T->sr_b) {
+      tz_helper(T, sx, top, 0, dist);
+      tz_helper(T, left, sy, 0, dist);
+      tz_helper(T, right, sy, 0, dist);
+      tz_helper(T, sx, bottom, 0, dist);
+      for (int index = 1; index < 4; index++) {
+        int pyt = top + ((dist >> 2) * index);
+        int pyb = bottom - ((dist >> 2) * index);
+        int pxl = sx - ((dist >> 2) * index);
+        int pxr = sx + ((dist >> 2) * index);
+        tz_helper(T, pxl, pyt, 0, dist);
+        tz_helper(T, pxr, pyt, 0, dist);
+        tz_helper(T, pxl, pyb, 0, dist);
+        tz_helper(T, pxr, pyb, 0, dist);
+      }
+    } else {
+      if (top >= T->sr_t) tz_helper(T, sx, top, 0, dist);
+      if (left >= T->sr_l) tz_helper(T, left, sy, 0, dist);
+      if (right <= T->sr_r) tz_helper(T, right, sy, 0, dist);
+      if (bottom <= T->sr_b) tz_helper(T, sx, bottom, 0, dist);
+      for (int index = 1; index < 4; index++) {
+        int pyt = top + ((dist >> 2) * index);
+        int pyb = bottom - ((dist >> 2) * index);
+        int pxl = sx - ((dist >> 2) * index);
+        int pxr = sx + ((dist >> 2) * index);
+        if (pyt >= T->sr_t) {
+          if (pxl >= T->sr_l) tz_helper(T, pxl, pyt, 0, dist);
+          if (pxr <= T->sr_r) tz_helper(T, pxr, pyt, 0, dist);
+        }
+        if (pyb <= T->sr_b) {
+          if (pxl >= T->sr_l) tz_helper(T, pxl, pyb, 0, dist);
+          if (pxr <= T->sr_r) tz_helper(T, pxr, pyb, 0, dist);
+        }
+      }
+    }
+  }
+}
+
+static void tz_two_point(TzCtx* T) {
+  int sx = T->bx, sy = T->by;
+  int pt = T->point;
+  int cand[2][2];
+  int n = 0;
+  switch (pt) {
+    case 1: cand[0][0] = sx - 1; cand[0][1] = sy;
+            cand[1][0] = sx; cand[1][1] = sy - 1; n = 2; break;
+    case 2: cand[0][0] = sx - 1; cand[0][1] = sy - 1;
+            cand[1][0] = sx + 1; cand[1][1] = sy - 1; n = 2; break;
+    case 3: cand[0][0] = sx; cand[0][1] = sy - 1;
+            cand[1][0] = sx + 1; cand[1][1] = sy; n = 2; break;
+    case 4: cand[0][0] = sx - 1; cand[0][1] = sy + 1;
+            cand[1][0] = sx - 1; cand[1][1] = sy - 1; n = 2; break;
+    case 5: cand[0][0] = sx + 1; cand[0][1] = sy - 1;
+            cand[1][0] = sx + 1; cand[1][1] = sy + 1; n = 2; break;
+    case 6: cand[0][0] = sx - 1; cand[0][1] = sy;
+            cand[1][0] = sx; cand[1][1] = sy + 1; n = 2; break;
+    case 7: cand[0][0] = sx - 1; cand[0][1] = sy + 1;
+            cand[1][0] = sx + 1; cand[1][1] = sy + 1; n = 2; break;
+    case 8: cand[0][0] = sx + 1; cand[0][1] = sy;
+            cand[1][0] = sx; cand[1][1] = sy + 1; n = 2; break;
+    default: n = 0; break;
+  }
+  for (int i = 0; i < n; i++) {
+    int x = cand[i][0], y = cand[i][1];
+    if (T->sr_l <= x && x <= T->sr_r && T->sr_t <= y && y <= T->sr_b)
+      tz_helper(T, x, y, 0, 2);
+  }
+}
+
+// returns best integer MV in (*ox,*oy); result = SAD without mv cost
+static int64_t es_tz_search(TzCtx* T, int start_x, int start_y,
+                            int search_range) {
+  T->best = MAX_UINT_C;
+  T->bx = T->by = 0;
+  T->dist = 0; T->rnd = 0; T->point = 0;
+  tz_helper(T, start_x, start_y, 0, 0);
+  tz_helper(T, 0, 0, 0, 0);
+
+  // first search (diamond, iFirstSearchRounds = 3)
+  int sx = T->bx, sy = T->by;
+  for (int dist = 1; dist <= search_range; dist *= 2) {
+    tz_diamond(T, sx, sy, dist);
+    if (T->rnd >= 3) break;
+  }
+
+  if (T->dist == 1) {
+    T->dist = 0;
+    tz_two_point(T);
+  }
+
+  // raster search
+  const int raster = 5;
+  if (T->dist > raster) {
+    T->dist = raster;
+    for (int y = T->sr_t; y <= T->sr_b; y += raster)
+      for (int x = T->sr_l; x <= T->sr_r; x += raster)
+        tz_helper(T, x, y, 0, raster);
+  }
+
+  // star refinement
+  while (T->dist > 0) {
+    sx = T->bx; sy = T->by;
+    T->dist = 0;
+    T->point = 0;
+    for (int dist = 1; dist < search_range + 1; dist *= 2)
+      tz_diamond(T, sx, sy, dist);
+    if (T->dist == 1) {
+      T->dist = 0;
+      if (T->point != 0) tz_two_point(T);
+    }
+  }
+  return T->best - es_mc_cost_pts(T->S, T->bx, T->by);
+}
+
+static int64_t es_full_search(TzCtx* T) {
+  int64_t best = MAX_UINT_C;
+  int bx = 0, by = 0;
+  for (int y = T->sr_t; y <= T->sr_b; y++)
+    for (int x = T->sr_l; x <= T->sr_r; x++) {
+      int64_t s = tz_sad_at(T, x, y);
+      if (s < best) {
+        best = s;
+        bx = x; by = y;
+      }
+    }
+  T->bx = bx; T->by = by;
+  return best - es_mc_cost_pts(T->S, bx, by);
+}
+
+// ---- fractional search (xPatternSearchFracDIF) ----
+// Half/quarter-pel interpolated blocks land in S->frac_blk[v][h] with a
+// fixed stride of 66 (mirrors inter_search.py _upsample_h/_upsample_q:
+// offsets expressed relative to (oy-4, ox-4), filter backup folded in).
+static const int kFracStride = 66;
+
+// _filter_copy(..., is_first=False, is_last=True): Short -> pixel + clip
+static void es_copy_last(const int16_t* src, int64_t ss, int w, int h,
+                         int bd, int16_t* dst, int ds) {
+  int shift = 14 - bd;
+  int offset = 8192 + (shift ? (1 << (shift - 1)) : 0);
+  int max_val = (1 << bd) - 1;
+  for (int r = 0; r < h; r++)
+    for (int c = 0; c < w; c++) {
+      int32_t v = ((int32_t)src[(int64_t)r * ss + c] + offset) >> shift;
+      if (v < 0) v = 0;
+      else if (v > max_val) v = max_val;
+      dst[r * ds + c] = (int16_t)v;
+    }
+}
+
+// xExtDIFUpSamplingH: blocks [v][h] for v,h in {0,2}
+static void es_upsample_h2(EncState* S, const int16_t* pad_y, int64_t ps,
+                           int ox, int oy, int pw, int ph) {
+  int bd = S->ep.bit_depth;
+  // src window: rows oy-4 .. oy+ph+4, cols ox-4 .. ox+pw+5
+  const int16_t* src = pad_y + (int64_t)(oy - 4) * ps + (ox - 4);
+  // tmp0: first-copy (pixel -> Short) of src cols 3..3+pw+1
+  mc_copy_c(src + 3, ps, pw + 1, ph + 8, bd, 1, S->frac_tmp0, kFracStride);
+  // tmp2: horizontal 8-tap frac-2 filter, first (Short out)
+  mc_filter_c(src, ps, kLumaFilt[2], 8, 0, bd, 1, 0, ph + 8, pw + 1,
+              S->frac_tmp2, kFracStride);
+
+  // [0][0]: last-copy rows 4.. of tmp0 (col_off 1), out (ph, pw)
+  es_copy_last(S->frac_tmp0 + 4 * kFracStride + 1, kFracStride, pw, ph, bd,
+               S->frac_blk[0][0], kFracStride);
+  // [2][0]: vertical frac-2 from tmp0 row 0 (col_off 1), out (ph+1, pw)
+  mc_filter_c(S->frac_tmp0 + 1, kFracStride, kLumaFilt[2], 8, 1, bd, 0, 1,
+              ph + 1, pw, S->frac_blk[2][0], kFracStride);
+  // [0][2]: last-copy rows 4.. of tmp2, out (ph, pw+1)
+  es_copy_last(S->frac_tmp2 + 4 * kFracStride, kFracStride, pw + 1, ph, bd,
+               S->frac_blk[0][2], kFracStride);
+  // [2][2]: vertical frac-2 from tmp2 row 0, out (ph+1, pw+1)
+  mc_filter_c(S->frac_tmp2, kFracStride, kLumaFilt[2], 8, 1, bd, 0, 1,
+              ph + 1, pw + 1, S->frac_blk[2][2], kFracStride);
+}
+
+// xExtDIFUpSamplingQ (inter_search.py _upsample_q)
+static void es_upsample_q(EncState* S, const int16_t* pad_y, int64_t ps,
+                          int ox, int oy, int pw, int ph, int hh, int hv) {
+  int bd = S->ep.bit_depth;
+  int ext_h = hv == 0 ? ph + 8 : ph + 7;
+  int base_row = oy - 4 + (hv > 0 ? 1 : 0);
+  int col1 = ox - 4 + (hh >= 0 ? 1 : 0);
+  int col3 = ox - 4 + (hh > 0 ? 1 : 0);
+  // tmp1/tmp3: horizontal frac-1/frac-3, first (Short out), out ext_h x pw
+  static int16_t tmp1[72 * kFracStride], tmp3[72 * kFracStride];
+  mc_filter_c(pad_y + (int64_t)base_row * ps + col1, ps, kLumaFilt[1], 8,
+              0, bd, 1, 0, ext_h, pw, tmp1, kFracStride);
+  mc_filter_c(pad_y + (int64_t)base_row * ps + col3, ps, kLumaFilt[3], 8,
+              0, bd, 1, 0, ext_h, pw, tmp3, kFracStride);
+
+  // vq(tmp, vfrac, row_off, out_w, col_off): vertical pass into blk
+#define VQ(dstv, dsth, tmp, vfrac, row_off, out_w, col_off)               \
+  do {                                                                     \
+    if ((vfrac) == 0)                                                      \
+      es_copy_last(tmp + (int64_t)(row_off) * kFracStride + (col_off),     \
+                   kFracStride, out_w, ph, bd, S->frac_blk[dstv][dsth],    \
+                   kFracStride);                                           \
+    else                                                                   \
+      mc_filter_c(tmp + (int64_t)(row_off) * kFracStride + (col_off),      \
+                  kFracStride, kLumaFilt[vfrac], 8, 1, bd, 0, 1, ph,       \
+                  out_w, S->frac_blk[dstv][dsth], kFracStride);            \
+  } while (0)
+
+  // @1,1 and @3,1 (from tmp1)
+  VQ(1, 1, tmp1, 1, hv == 0 ? 1 : 0, pw, 0);
+  VQ(3, 1, tmp1, 3, 0, pw, 0);
+  if (hv != 0) {
+    VQ(2, 1, tmp1, 2, hv == 0 ? 1 : 0, pw, 0);
+    VQ(2, 3, tmp3, 2, hv == 0 ? 1 : 0, pw, 0);
+  } else {
+    VQ(0, 1, tmp1, 0, 4, pw, 0);
+    VQ(0, 3, tmp3, 0, 4, pw, 0);
+  }
+  if (hh != 0) {
+    int col = hh > 0 ? 1 : 0;
+    VQ(1, 2, S->frac_tmp2, 1, hv >= 0 ? 1 : 0, pw, col);
+    VQ(3, 2, S->frac_tmp2, 3, hv > 0 ? 1 : 0, pw, col);
+  } else {
+    VQ(1, 0, S->frac_tmp0, 1, hv >= 0 ? 1 : 0, pw, 1);
+    VQ(3, 0, S->frac_tmp0, 3, hv > 0 ? 1 : 0, pw, 1);
+  }
+  VQ(1, 3, tmp3, 1, hv == 0 ? 1 : 0, pw, 0);
+  VQ(3, 3, tmp3, 3, 0, pw, 0);
+#undef VQ
+}
+
+// half/quarter refinement offsets (TEncSearch.cpp:47)
+static const int kRefineH[9][2] = {{0, 0},  {0, -1}, {0, 1},
+                                   {-1, 0}, {1, 0},  {-1, -1},
+                                   {1, -1}, {-1, 1}, {1, 1}};
+static const int kRefineQ[9][2] = {{0, 0},  {0, -1}, {0, 1},
+                                   {-1, -1}, {1, -1}, {-1, 0},
+                                   {1, 0},  {-1, 1}, {1, 1}};
+
+// xPatternRefinement; writes the winning offset into (*odx, *ody)
+static int64_t es_refine(EncState* S, const int32_t* org, int pw, int ph,
+                         int frac, int start_x, int start_y, int base_x,
+                         int base_y, int* odx, int* ody) {
+  const int(*refine)[2] = frac == 2 ? kRefineH : kRefineQ;
+  int64_t best = MAX_UINT_C;
+  int best_i = 0;
+  for (int i = 0; i < 9; i++) {
+    int dx = refine[i][0], dy = refine[i][1];
+    int hor_val = (base_x + dx) * frac;
+    int ver_val = (base_y + dy) * frac;
+    const int16_t* blk = S->frac_blk[ver_val & 3][hor_val & 3];
+    int co = (hor_val == 2 && (ver_val & 1) == 0) ? 1 : 0;
+    int ro = ((hor_val & 1) == 0 && ver_val == 2) ? 1 : 0;
+    const int16_t* cur = blk + (int64_t)ro * kFracStride + co;
+    int64_t dist;
+    if (S->me.use_had_me)
+      dist = es_had32(org, pw, cur, kFracStride, pw, ph, S->ep.bit_inc);
+    else
+      dist = es_sad32(org, pw, cur, kFracStride, pw, ph, 0, S->ep.bit_inc);
+    dist += es_mc_cost_pts(S, start_x + dx, start_y + dy);
+    if (dist < best) {
+      best = dist;
+      best_i = i;
+    }
+  }
+  *odx = refine[best_i][0];
+  *ody = refine[best_i][1];
+  return best;
+}
+
+// xMotionEstimation: integer (TZ / full for bipred) + fractional; returns
+// cost and fills mv (quarter-pel), bits
+static void es_motion_estimation(EncState* S, int cu_x, int cu_y, int xp,
+                                 int yp, int pw, int ph, int lst, int ref,
+                                 const int16_t mv_pred[2], int bits_in,
+                                 const int16_t* bi_mv,
+                                 const int16_t* bi_other, int* omvx,
+                                 int* omvy, int* obits, int64_t* ocost) {
+  int bi = bi_mv != 0;
+  int srch_rng = bi ? S->me.bipred_range : S->me.search_range;
+  // ME original
+  const int16_t* org = S->org_y + (int64_t)yp * S->rls + xp;
+  for (int r = 0; r < ph; r++)
+    for (int c = 0; c < pw; c++)
+      S->me_org[r * pw + c] =
+          bi ? 2 * (int32_t)org[(int64_t)r * S->rls + c] -
+                   bi_other[r * pw + c]
+             : (int32_t)org[(int64_t)r * S->rls + c];
+
+  const int16_t* pad_y = S->refs.pad_y[lst][ref];
+  int64_t ps = S->refs.ys;
+  int m = S->refs.margin;
+
+  // search range (xSetSearchRange)
+  int bx = bi ? bi_mv[0] : mv_pred[0];
+  int by = bi ? bi_mv[1] : mv_pred[1];
+  es_clip_mv(S, cu_x, cu_y, &bx, &by);
+  int lt_x = bx - (srch_rng << 2), lt_y = by - (srch_rng << 2);
+  int rb_x = bx + (srch_rng << 2), rb_y = by + (srch_rng << 2);
+  es_clip_mv(S, cu_x, cu_y, &lt_x, &lt_y);
+  es_clip_mv(S, cu_x, cu_y, &rb_x, &rb_y);
+  lt_x >>= 2; lt_y >>= 2; rb_x >>= 2; rb_y >>= 2;
+
+  es_mc_sad(S);
+  es_mc_set_pred(S, mv_pred[0], mv_pred[1]);
+  es_mc_set_scale(S, 2);
+
+  int sub_shift = (S->me.fast_enc && ph > 8) ? 1 : 0;
+
+  TzCtx T;
+  T.S = S;
+  T.org = S->me_org;
+  T.plane = pad_y;
+  T.ps = ps;
+  T.m = m; T.xp = xp; T.yp = yp; T.pw = pw; T.ph = ph;
+  T.sub_shift = sub_shift;
+  T.sr_l = lt_x; T.sr_t = lt_y; T.sr_r = rb_x; T.sr_b = rb_y;
+
+  int64_t cost;
+  if (bi) {
+    cost = es_full_search(&T);
+  } else {
+    int sx = mv_pred[0], sy = mv_pred[1];
+    es_clip_mv(S, cu_x, cu_y, &sx, &sy);
+    cost = es_tz_search(&T, sx >> 2, sy >> 2, S->me.search_range);
+  }
+  int mvi_x = T.bx, mvi_y = T.by;
+
+  // fractional refinement (xPatternSearchFracDIF)
+  es_mc_sad(S);
+  es_mc_set_scale(S, 1);
+  int ox = m + xp + mvi_x, oy = m + yp + mvi_y;
+  es_upsample_h2(S, pad_y, ps, ox, oy, pw, ph);
+  int hx, hy;
+  es_refine(S, S->me_org, pw, ph, 2, mvi_x * 2, mvi_y * 2, 0, 0, &hx, &hy);
+  es_mc_set_scale(S, 0);
+  es_upsample_q(S, pad_y, ps, ox, oy, pw, ph, hx, hy);
+  int qx, qy;
+  cost = es_refine(S, S->me_org, pw, ph, 1, mvi_x * 4 + hx * 2,
+                   mvi_y * 4 + hy * 2, hx * 2, hy * 2, &qx, &qy);
+
+  es_mc_set_scale(S, 0);
+  int mvx = mvi_x * 4 + hx * 2 + qx;
+  int mvy = mvi_y * 4 + hy * 2 + qy;
+  int mv_bits = es_mc_bits(S, mvx, mvy);
+  int bits = bits_in + mv_bits;
+  double weight = bi ? 0.5 : 1.0;
+  cost = (int64_t)(floor(weight * ((double)cost -
+                                   (double)es_mc_cost_bits(S, mv_bits))) +
+                   (double)es_mc_cost_bits(S, bits));
+  *omvx = mvx;
+  *omvy = mvy;
+  *obits = bits;
+  *ocost = cost;
+}
+
+// xCheckBestMVP; updates *mv_pred/*mvp_idx/*bits/*cost in place
+static void es_check_best_mvp(EncState* S, const int16_t cands[AMVP_MAX][2],
+                              int mvx, int mvy, int16_t mv_pred[2],
+                              int* mvp_idx, int* bits, int64_t* cost) {
+  es_mc_sad(S);
+  es_mc_set_scale(S, 0);
+  es_mc_set_pred(S, mv_pred[0], mv_pred[1]);
+  int org_mv_bits = es_mc_bits(S, mvx, mvy) + 1;
+  int best_bits = org_mv_bits;
+  int best_idx = *mvp_idx;
+  for (int i = 0; i < AMVP_MAX; i++) {
+    if (i == *mvp_idx) continue;
+    es_mc_set_pred(S, cands[i][0], cands[i][1]);
+    int b = es_mc_bits(S, mvx, mvy) + 1;
+    if (b < best_bits) {
+      best_bits = b;
+      best_idx = i;
+    }
+  }
+  if (best_idx != *mvp_idx) {
+    int new_bits = *bits - org_mv_bits + best_bits;
+    *cost = (*cost - es_mc_cost_bits(S, *bits)) +
+            es_mc_cost_bits(S, new_bits);
+    mv_pred[0] = cands[best_idx][0];
+    mv_pred[1] = cands[best_idx][1];
+    *mvp_idx = best_idx;
+    *bits = new_bits;
+  }
+}
+
+// xGetInterPredictionError: MC + HAD/SAD over the PU (luma)
+static int64_t es_inter_prediction_error(EncState* S, int cu_x, int cu_y,
+                                         int size, int pu_idx) {
+  const FrameArrays* fa = &S->fa;
+  int part_sz = U(fa->part_size, cu_x / 4, cu_y / 4);
+  int xp, yp, pw, ph;
+  pu_geometry(part_sz, cu_x, cu_y, size, pu_idx, &xp, &yp, &pw, &ph);
+  int16_t pred[64 * 64];
+  es_mc_pu(S, cu_x, cu_y, xp, yp, pw, ph, 1, pred, pw);
+  const int16_t* org = S->org_y + (int64_t)yp * S->rls + xp;
+  int32_t org32[64 * 64];
+  for (int r = 0; r < ph; r++)
+    for (int c = 0; c < pw; c++)
+      org32[r * pw + c] = org[(int64_t)r * S->rls + c];
+  if (S->me.use_had_me)
+    return es_had32(org32, pw, pred, pw, pw, ph, S->ep.bit_inc);
+  return es_sad32(org32, pw, pred, pw, pw, ph, 0, S->ep.bit_inc);
+}
+
+// xMergeEstimation: best merge candidate for one PU; returns best cost
+// (MAX_UINT when none) and fills *out/*out_idx
+static int64_t es_merge_estimation(EncState* S, int cu_x, int cu_y,
+                                   int size, int part_sz, int pu_idx,
+                                   MvCand* out, int* out_idx) {
+  const FrameArrays* fa = &S->fa;
+  int xp, yp, pw, ph;
+  pu_geometry(part_sz, cu_x, cu_y, size, pu_idx, &xp, &yp, &pw, &ph);
+  MvEnv env = {fa, &S->sp};
+  MvCand cands[MRG_MAX];
+  int n_valid =
+      merge_candidates(&env, cu_x, cu_y, size, part_sz, pu_idx, -1, cands);
+  // xRestrictBipredMergeCand
+  if (size == 8 && part_sz != SZ_2Nx2N) {
+    for (int c = 0; c < n_valid; c++) {
+      if (cands[c].dir == 3) {
+        cands[c].dir = 1;
+        cands[c].ref[1] = -1;
+        cands[c].mv[1][0] = 0;
+        cands[c].mv[1][1] = 0;
+      }
+    }
+  }
+  int64_t best_cost = MAX_UINT_C;
+  int best = -1;
+  es_save_pu_motion(S, xp, yp, pw, ph, &S->pu_save2);
+  int ux = xp / 4, uy = yp / 4, uw = pw / 4, uh = ph / 4;
+  for (int c = 0; c < n_valid; c++) {
+    set_pu_i8(fa, fa->inter_dir, ux, uy, uw, uh, (int8_t)cands[c].dir);
+    for (int l = 0; l < 2; l++) {
+      set_pu_list_i8(fa, fa->ref_idx, l, ux, uy, uw, uh,
+                     (int8_t)cands[c].ref[l]);
+      set_pu_mv(fa, fa->mv, l, ux, uy, uw, uh, cands[c].mv[l][0],
+                cands[c].mv[l][1]);
+    }
+    int64_t err = es_inter_prediction_error(S, cu_x, cu_y, size, pu_idx);
+    int bits_cand = c + 1;
+    if (c == MRG_MAX - 1) bits_cand -= 1;
+    int64_t cost = err + es_mc_cost_bits(S, bits_cand);
+    if (cost < best_cost) {
+      best_cost = cost;
+      best = c;
+    }
+  }
+  es_restore_pu_motion(S, xp, yp, pw, ph, &S->pu_save2);
+  if (best >= 0) {
+    *out = cands[best];
+    *out_idx = best;
+  }
+  return best_cost;
+}
+
+// xGetBlkBits (TEncSearch.cpp:3954)
+static void es_blk_bits(int part_sz, int p_slice, int pu_idx, int last_mode,
+                        int out[3]) {
+  if (part_sz == SZ_2Nx2N || part_sz == SZ_NxN) {
+    if (p_slice) { out[0] = 1; out[1] = 3; out[2] = 5; }
+    else { out[0] = 3; out[1] = 3; out[2] = 5; }
+  } else if (part_sz == SZ_2NxN || part_sz == SZ_2NxnU ||
+             part_sz == SZ_2NxnD) {
+    if (p_slice) { out[0] = 3; out[1] = 0; out[2] = 0; }
+    else {
+      static const int tab[2][3][3] = {
+          {{0, 0, 3}, {0, 0, 0}, {0, 0, 0}},
+          {{5, 7, 7}, {7, 5, 7}, {6, 6, 6}}};
+      for (int i = 0; i < 3; i++) out[i] = tab[pu_idx][last_mode][i];
+    }
+  } else {
+    if (p_slice) { out[0] = 3; out[1] = 0; out[2] = 0; }
+    else {
+      static const int tab[2][3][3] = {
+          {{0, 2, 3}, {0, 0, 0}, {0, 0, 0}},
+          {{5, 7, 7}, {5, 5, 7}, {6, 6, 6}}};
+      for (int i = 0; i < 3; i++) out[i] = tab[pu_idx][last_mode][i];
+    }
+  }
+}
+
+// predInterSearch (TEncSearch.cpp:3184): per-PU ME + merge decision;
+// fills motion into the frame arrays and S->pred_* with the prediction
+static void es_pred_inter_search(EncState* S, int cu_x, int cu_y, int size,
+                                 int part_sz, int use_mrg) {
+  const FrameArrays* fa = &S->fa;
+  int n_pu = num_pus(part_sz);
+  int p_slice = !S->me.is_b;
+  int last_mode = 0;
+  for (int pu = 0; pu < n_pu; pu++) {
+    int xp, yp, pw, ph;
+    pu_geometry(part_sz, cu_x, cu_y, size, pu, &xp, &yp, &pw, &ph);
+    int ux = xp / 4, uy = yp / 4, uw = pw / 4, uh = ph / 4;
+    int blk_bits[3];
+    es_blk_bits(part_sz, p_slice, pu, last_mode, blk_bits);
+    int test_normal = !(use_mrg && size > 8 && n_pu == 2);
+    int64_t cost_uni[2] = {MAX_UINT_C, MAX_UINT_C};
+    int bits_uni[2] = {0, 0};
+    int16_t mv_uni[2][2] = {{0, 0}, {0, 0}};
+    int ref_uni[2] = {0, 0};
+    int mvp_idx_arr[2][33];
+    int16_t mv_pred_arr[2][33][2];
+    int16_t cands_arr[2][33][AMVP_MAX][2];
+    int me_bits = 0;
+
+    if (test_normal) {
+      int n_dir = S->me.is_b ? 2 : 1;
+      int lc = S->me.num_ref_lc;
+      int nbp = S->me.no_back_pred;
+      int mvdl1z = S->me.is_b && S->me.mvd_l1_zero;
+      int64_t cost_l0[33];
+      int bits_l0[33];
+      int16_t mv_temp[2][33][2];
+      int64_t best_bip_dist = MAX_INT_C;
+      int best_bip_ref = 0, best_bip_mvp = 0;
+      int have_pred_store[2] = {0, 0};
+      for (int lst = 0; lst < n_dir; lst++) {
+        int nri = lst == 0 ? S->sp.num_ref_idx0 : S->sp.num_ref_idx1;
+        for (int ref = 0; ref < nri; ref++) {
+          int bits_tmp = blk_bits[lst];
+          if (nri > 1) {
+            bits_tmp += ref + 1;
+            if (ref == nri - 1) bits_tmp -= 1;
+          }
+          int64_t dbp;
+          int mvp_idx = es_estimate_mvp_amvp(S, cu_x, cu_y, size, part_sz,
+                                             pu, lst, ref,
+                                             cands_arr[lst][ref], &dbp);
+          int16_t mv_pred[2] = {cands_arr[lst][ref][mvp_idx][0],
+                                cands_arr[lst][ref][mvp_idx][1]};
+          mvp_idx_arr[lst][ref] = mvp_idx;
+          mv_pred_arr[lst][ref][0] = mv_pred[0];
+          mv_pred_arr[lst][ref][1] = mv_pred[1];
+          if (mvdl1z && lst == 1 && dbp < best_bip_dist) {
+            best_bip_dist = dbp;
+            best_bip_mvp = mvp_idx;
+            best_bip_ref = ref;
+          }
+          bits_tmp += 1;  // mvp idx bits
+          int mvx, mvy, bt;
+          int64_t cost_tmp;
+          // GPB_SIMPLE_UNI shortcut (TEncSearch.cpp:3334-3380)
+          if (lc > 0 && lst == 1 &&
+              (nbp || S->me.ref_idx_of_l0_from_l1[ref] >= 0)) {
+            int src = nbp ? ref : S->me.ref_idx_of_l0_from_l1[ref];
+            mvx = mv_temp[0][src][0];
+            mvy = mv_temp[0][src][1];
+            cost_tmp = cost_l0[src] - es_mc_cost_bits(S, bits_l0[src]);
+            es_mc_set_pred(S, mv_pred[0], mv_pred[1]);
+            es_mc_set_scale(S, 0);
+            bt = bits_tmp + es_mc_bits(S, mvx, mvy);
+            cost_tmp += es_mc_cost_bits(S, bt);
+          } else if (lc <= 0 && lst == 1 && nbp) {
+            cost_tmp = MAX_UINT_C;
+            mvx = mv_temp[0][ref][0];
+            mvy = mv_temp[0][ref][1];
+            bt = bits_tmp;
+          } else {
+            es_motion_estimation(S, cu_x, cu_y, xp, yp, pw, ph, lst, ref,
+                                 mv_pred, bits_tmp, 0, 0, &mvx, &mvy, &bt,
+                                 &cost_tmp);
+          }
+          mv_temp[lst][ref][0] = (int16_t)mvx;
+          mv_temp[lst][ref][1] = (int16_t)mvy;
+          es_check_best_mvp(S, cands_arr[lst][ref], mvx, mvy, mv_pred,
+                            &mvp_idx, &bt, &cost_tmp);
+          mvp_idx_arr[lst][ref] = mvp_idx;
+          mv_pred_arr[lst][ref][0] = mv_pred[0];
+          mv_pred_arr[lst][ref][1] = mv_pred[1];
+          if (lc > 0 && !nbp) {
+            if (lst == 0) {
+              cost_l0[ref] = cost_tmp;
+              bits_l0[ref] = bt;
+              if (S->me.ref_idx_of_lc[0][ref] < 0) cost_tmp = MAX_UINT_C;
+            } else if (S->me.ref_idx_of_lc[1][ref] < 0) {
+              cost_tmp = MAX_UINT_C;
+            }
+          }
+          // best-uni update (TEncSearch.cpp:3407-3410)
+          if ((lst == 0 && cost_tmp < cost_uni[0]) ||
+              (lst == 1 && nbp && ref == ref_uni[0]) ||
+              (lst == 1 && lc > 0 && (ref == 0 || ref == ref_uni[0]) &&
+               !nbp && ref == S->me.ref_idx_of_l0_from_l1[ref]) ||
+              (lst == 1 && !nbp && cost_tmp < cost_uni[1])) {
+            cost_uni[lst] = cost_tmp;
+            bits_uni[lst] = bt;
+            mv_uni[lst][0] = (int16_t)mvx;
+            mv_uni[lst][1] = (int16_t)mvy;
+            ref_uni[lst] = ref;
+            if (S->me.is_b && !mvdl1z) {
+              // store uni pred for bi removeHighFreq
+              if (lst == 1) {
+                es_pred_pu_luma(S, xp, yp, pw, ph, 1, ref, mvx, mvy, cu_x,
+                                cu_y, S->me_pred_store[1], pw);
+                have_pred_store[1] = 1;
+              }
+              if (lst == 0 &&
+                  (nbp || (lc > 0 && S->me.ref_idx_of_l0_from_l1[0] == 0))) {
+                es_pred_pu_luma(S, xp, yp, pw, ph, 0, ref, mvx, mvy, cu_x,
+                                cu_y, S->me_pred_store[0], pw);
+                have_pred_store[0] = 1;
+              }
+            }
+          }
+        }
+      }
+      (void)have_pred_store;
+
+      // bi-directional prediction (TEncSearch.cpp:3440-3577)
+      int64_t cost_bi = MAX_UINT_C;
+      int bits_bi = 0;
+      int16_t mv_bi[2][2] = {{mv_uni[0][0], mv_uni[0][1]},
+                             {mv_uni[1][0], mv_uni[1][1]}};
+      int ref_bi[2] = {ref_uni[0], ref_uni[1]};
+      int16_t mvp_pred_bi[2][33][2];
+      int mvp_idx_bi[2][33];
+      memcpy(mvp_pred_bi, mv_pred_arr, sizeof(mvp_pred_bi));
+      memcpy(mvp_idx_bi, mvp_idx_arr, sizeof(mvp_idx_bi));
+      int bipred_restricted = (size == 8 && (pw < 8 || ph < 8));
+      if (S->me.is_b && !bipred_restricted) {
+        int mot_bits[2] = {0, 0};
+        int mvdl1z_ = mvdl1z;
+        if (mvdl1z_) {
+          mvp_idx_bi[1][best_bip_ref] = best_bip_mvp;
+          mvp_pred_bi[1][best_bip_ref][0] =
+              cands_arr[1][best_bip_ref][best_bip_mvp][0];
+          mvp_pred_bi[1][best_bip_ref][1] =
+              cands_arr[1][best_bip_ref][best_bip_mvp][1];
+          mv_bi[1][0] = mvp_pred_bi[1][best_bip_ref][0];
+          mv_bi[1][1] = mvp_pred_bi[1][best_bip_ref][1];
+          ref_bi[1] = best_bip_ref;
+          es_pred_pu_luma(S, xp, yp, pw, ph, 1, best_bip_ref, mv_bi[1][0],
+                          mv_bi[1][1], cu_x, cu_y, S->me_pred_store[1],
+                          pw);
+          mot_bits[0] = bits_uni[0] - blk_bits[0];
+          mot_bits[1] = blk_bits[1];
+          int nri1 = S->sp.num_ref_idx1;
+          if (nri1 > 1) {
+            mot_bits[1] += best_bip_ref + 1;
+            if (best_bip_ref == nri1 - 1) mot_bits[1] -= 1;
+          }
+          mot_bits[1] += 1;  // mvp idx bits
+          bits_bi = blk_bits[2] + mot_bits[0] + mot_bits[1];
+          mv_temp[1][best_bip_ref][0] = mv_bi[1][0];
+          mv_temp[1][best_bip_ref][1] = mv_bi[1][1];
+        } else {
+          mot_bits[0] = bits_uni[0] - blk_bits[0];
+          mot_bits[1] = bits_uni[1] - blk_bits[1];
+          bits_bi = blk_bits[2] + mot_bits[0] + mot_bits[1];
+        }
+        int n_iter = (S->me.fast_enc || mvdl1z_) ? 1 : 4;
+        for (int it = 0; it < n_iter; it++) {
+          int ilist = it % 2;
+          if (S->me.fast_enc &&
+              (nbp || (lc > 0 && S->me.ref_idx_of_l0_from_l1[0] == 0)))
+            ilist = 1;
+          if (mvdl1z_) ilist = 0;
+          int changed = 0;
+          int nri = ilist == 0 ? S->sp.num_ref_idx0 : S->sp.num_ref_idx1;
+          for (int ref = 0; ref < nri; ref++) {
+            int bits_tmp = blk_bits[2] + mot_bits[1 - ilist];
+            if (nri > 1) {
+              bits_tmp += ref + 1;
+              if (ref == nri - 1) bits_tmp -= 1;
+            }
+            bits_tmp += 1;  // mvp idx bits (mvp_idx_bi)
+            int mvx, mvy, bt;
+            int64_t cost_tmp;
+            es_motion_estimation(S, cu_x, cu_y, xp, yp, pw, ph, ilist, ref,
+                                 mvp_pred_bi[ilist][ref], bits_tmp,
+                                 mv_temp[ilist][ref],
+                                 S->me_pred_store[1 - ilist], &mvx, &mvy,
+                                 &bt, &cost_tmp);
+            mv_temp[ilist][ref][0] = (int16_t)mvx;
+            mv_temp[ilist][ref][1] = (int16_t)mvy;
+            es_check_best_mvp(S, cands_arr[ilist][ref], mvx, mvy,
+                              mvp_pred_bi[ilist][ref],
+                              &mvp_idx_bi[ilist][ref], &bt, &cost_tmp);
+            if (cost_tmp < cost_bi) {
+              changed = 1;
+              mv_bi[ilist][0] = (int16_t)mvx;
+              mv_bi[ilist][1] = (int16_t)mvy;
+              ref_bi[ilist] = ref;
+              cost_bi = cost_tmp;
+              mot_bits[ilist] = bt - blk_bits[2] - mot_bits[1 - ilist];
+              bits_bi = bt;
+              if (n_iter != 1)
+                es_pred_pu_luma(S, xp, yp, pw, ph, ilist, ref, mvx, mvy,
+                                cu_x, cu_y, S->me_pred_store[ilist], pw);
+            }
+          }
+          if (!changed) {
+            if (cost_bi <= cost_uni[0] && cost_bi <= cost_uni[1]) {
+              int r0 = ref_bi[0];
+              es_check_best_mvp(S, cands_arr[0][r0], mv_bi[0][0],
+                                mv_bi[0][1], mvp_pred_bi[0][r0],
+                                &mvp_idx_bi[0][r0], &bits_bi, &cost_bi);
+              if (!mvdl1z_) {
+                int r1 = ref_bi[1];
+                es_check_best_mvp(S, cands_arr[1][r1], mv_bi[1][0],
+                                  mv_bi[1][1], mvp_pred_bi[1][r1],
+                                  &mvp_idx_bi[1][r1], &bits_bi, &cost_bi);
+              }
+            }
+            break;
+          }
+        }
+      }
+
+      // final mode selection (TEncSearch.cpp:3660-3760)
+      if (nbp || (lc > 0 && S->me.ref_idx_of_l0_from_l1[0] == 0))
+        cost_uni[1] = MAX_UINT_C;
+      set_pu_u8(fa, fa->merge_flag, ux, uy, uw, uh, 0);
+      if (cost_bi <= cost_uni[0] && cost_bi <= cost_uni[1]) {
+        set_pu_i8(fa, fa->inter_dir, ux, uy, uw, uh, 3);
+        for (int lst = 0; lst < 2; lst++) {
+          int ref = ref_bi[lst];
+          es_set_pu_motion(S, xp, yp, pw, ph, lst, ref, mv_bi[lst][0],
+                           mv_bi[lst][1],
+                           mv_bi[lst][0] - mvp_pred_bi[lst][ref][0],
+                           mv_bi[lst][1] - mvp_pred_bi[lst][ref][1],
+                           mvp_idx_bi[lst][ref]);
+        }
+        last_mode = 2;
+        me_bits = bits_bi;
+      } else if (cost_uni[0] <= cost_uni[1]) {
+        int ref = ref_uni[0];
+        set_pu_i8(fa, fa->inter_dir, ux, uy, uw, uh, 1);
+        es_set_pu_motion(S, xp, yp, pw, ph, 0, ref, mv_uni[0][0],
+                         mv_uni[0][1],
+                         mv_uni[0][0] - mv_pred_arr[0][ref][0],
+                         mv_uni[0][1] - mv_pred_arr[0][ref][1],
+                         mvp_idx_arr[0][ref]);
+        es_set_pu_motion(S, xp, yp, pw, ph, 1, -1, 0, 0, 0, 0, -1);
+        last_mode = 0;
+        me_bits = bits_uni[0];
+      } else {
+        int ref = ref_uni[1];
+        set_pu_i8(fa, fa->inter_dir, ux, uy, uw, uh, 2);
+        es_set_pu_motion(S, xp, yp, pw, ph, 1, ref, mv_uni[1][0],
+                         mv_uni[1][1],
+                         mv_uni[1][0] - mv_pred_arr[1][ref][0],
+                         mv_uni[1][1] - mv_pred_arr[1][ref][1],
+                         mvp_idx_arr[1][ref]);
+        es_set_pu_motion(S, xp, yp, pw, ph, 0, -1, 0, 0, 0, 0, -1);
+        last_mode = 1;
+        me_bits = bits_uni[1];
+      }
+    }
+
+    if (part_sz != SZ_2Nx2N) {
+      es_mc_sad(S);
+      int64_t me_cost = MAX_UINT_C;
+      es_save_pu_motion(S, xp, yp, pw, ph, &S->pu_save);
+      if (test_normal) {
+        int64_t err =
+            es_inter_prediction_error(S, cu_x, cu_y, size, pu);
+        me_cost = err + es_mc_cost_bits(S, me_bits);
+      }
+      MvCand mrg;
+      int mrg_idx = 0;
+      int64_t mrg_cost =
+          es_merge_estimation(S, cu_x, cu_y, size, part_sz, pu, &mrg,
+                              &mrg_idx);
+      if (mrg_cost < me_cost) {
+        set_pu_u8(fa, fa->merge_flag, ux, uy, uw, uh, 1);
+        set_pu_i8(fa, fa->merge_idx, ux, uy, uw, uh, (int8_t)mrg_idx);
+        set_pu_i8(fa, fa->inter_dir, ux, uy, uw, uh, (int8_t)mrg.dir);
+        for (int lst = 0; lst < 2; lst++)
+          es_set_pu_motion(S, xp, yp, pw, ph, lst, mrg.ref[lst],
+                           mrg.mv[lst][0], mrg.mv[lst][1], 0, 0, -1);
+      } else {
+        es_restore_pu_motion(S, xp, yp, pw, ph, &S->pu_save);
+      }
+    }
+
+    // MC for this PU into the CU prediction buffers
+    es_motion_compensation(S, cu_x, cu_y, size, pu);
+  }
 }
 
 static void es_final_transform_tree(EncState* S, int abs_part, int depth,
