@@ -53,7 +53,7 @@ class NativeCuEncoder:
             self.handle, ctu_addr, ctx.ctypes.data,
             ctypes.byref(low), ctypes.byref(rng), ctypes.byref(bits_left),
             ctypes.byref(num_buf), ctypes.byref(buf_byte),
-            out.ctypes.data, cap)
+            out.ctypes.data, cap, eng.used.ctypes.data)
         assert n <= cap, "CTU bitstream overflow"
         eng.low = int(low.value)
         eng.range = int(rng.value)
@@ -75,8 +75,17 @@ def make_native_encoder(cu) -> NativeCuEncoder | None:
     if os.environ.get("THEVC_NATIVE", "1") == "0":
         return None
     sh, sps, pps, cfg = cu.sh, cu.sps, cu.pps, cu.cfg
+    inter = None
     if sh.slice_type != I_SLICE:
-        return None
+        inter = getattr(cu, "inter", None)
+        if inter is None:
+            return None
+        # weighted prediction runs through the Python search (xGetSADw
+        # distortion variants are not ported to the C core)
+        if inter._wp_active():
+            return None
+        if sh.num_ref_idx[0] > 16 or sh.num_ref_idx[1] > 16:
+            return None
     if cu.scaling is not None:
         return None
     if pps.use_dqp or cu.unit_qp is not None:
@@ -146,6 +155,96 @@ def make_native_encoder(cu) -> NativeCuEncoder | None:
         cu.rec_y.shape[1], init.ctypes.data)
     if not handle:
         return None
-    refs = (fa, ep, init, org_y, org_cb, org_cr, cu.rec_y, cu.rec_cb,
-            cu.rec_cr, f)
-    return NativeCuEncoder(handle, lib, refs)
+    keep = [fa, ep, init, org_y, org_cb, org_cr, cu.rec_y, cu.rec_cb,
+            cu.rec_cr, f]
+
+    if inter is not None:
+        # bind the inter environment: merge/AMVP slice params, padded
+        # reference planes, ME parameters (mirrors decoder/native_parse.py
+        # SliceParams + decoder/recon.py InterRefs population)
+        mvctx = inter.mvctx
+        sp = native.SliceParams()
+        sp.slice_type = sh.slice_type
+        sp.slice_qp = sh.slice_qp
+        sp.poc = sh.poc
+        sp.slice_start_cu = 0
+        sp.dep_start_cu = 0
+        sp.dependent_slice = 0
+        sp.slice_index = 0
+        sp.bit_depth = sps.internal_bit_depth
+        sp.tq_bypass_enable = int(bool(pps.transquant_bypass_enable_flag))
+        sp.use_ts = int(bool(pps.use_transform_skip))
+        sp.sign_hide = int(bool(pps.sign_hide_flag))
+        sp.add_cu_depth = sps.add_cu_depth
+        sp.max_tr_log2 = sps.quadtree_tu_log2_max_size
+        sp.min_tr_log2 = sps.quadtree_tu_log2_min_size
+        sp.tu_depth_intra = sps.quadtree_tu_max_depth_intra
+        sp.tu_depth_inter = sps.quadtree_tu_max_depth_inter
+        sp.max_tr_size = sps.max_tr_size
+        sp.use_amp = int(bool(sps.use_amp))
+        sp.qp_bd_offset_y = sps.qp_bd_offset_y
+        sp.num_ref_idx0 = sh.num_ref_idx[0]
+        sp.num_ref_idx1 = sh.num_ref_idx[1]
+        sp.max_merge = sh.max_num_merge_cand
+        sp.mvd_l1_zero = int(bool(sh.mvd_l1_zero_flag))
+        sp.tmvp = int(bool(sh.tmvp_enabled))
+        sp.plevel = pps.log2_parallel_merge_level_minus2 + 2
+        sp.col_dir = getattr(sh, "col_dir", 0)
+        sp.is_b = int(sh.slice_type == 0)
+        sp.check_ldc = int(bool(mvctx.check_ldc))
+        sp.has_col = 0
+        for lst in range(2):
+            for i, poc in enumerate(mvctx.ref_pocs[lst][:16]):
+                sp.ref_pocs[lst][i] = poc
+        col = mvctx.col_pic
+        if col is not None:
+            sp.has_col = 1
+            sp.col_poc = col.poc
+            col_ref_poc = col.ref_poc
+            if col_ref_poc.dtype != np.int64 or \
+                    not col_ref_poc.flags.c_contiguous:
+                col_ref_poc = np.ascontiguousarray(col_ref_poc, np.int64)
+            keep.append(col_ref_poc)
+            keep.append(col)
+            sp.col_pred_mode = col.pred_mode.ctypes.data
+            sp.col_ref_idx = col.ref_idx.ctypes.data
+            sp.col_mv = col.mv.ctypes.data
+            sp.col_ref_poc = col_ref_poc.ctypes.data
+
+        refs = native.InterRefs()
+        margin = 0
+        for lst in (0, 1):
+            pics = inter.lists[lst]
+            refs.n_ref[lst] = len(pics)
+            for i, pic in enumerate(pics):
+                pad_y, pad_cb, pad_cr = pic.padded()
+                keep.append((pad_y, pad_cb, pad_cr))
+                refs.pad_y[lst * 16 + i] = pad_y.ctypes.data
+                refs.pad_cb[lst * 16 + i] = pad_cb.ctypes.data
+                refs.pad_cr[lst * 16 + i] = pad_cr.ctypes.data
+                refs.ref_poc[lst * 16 + i] = pic.poc
+                margin = pic.margin
+                refs.ys = pad_y.shape[1]
+                refs.cs = pad_cb.shape[1]
+        refs.margin = margin
+
+        me = native.EncInterParams()
+        me.search_range = inter.search_range
+        me.bipred_range = inter.bipred_range
+        me.fast_enc = int(bool(inter.fast_enc))
+        me.use_had_me = int(bool(inter.use_had_me))
+        me.fdm = int(bool(inter.fdm))
+        me.lambda_motion_sad = cu.rd.lambda_motion_sad
+        me.is_b = int(bool(inter.is_b))
+        me.mvd_l1_zero = int(bool(sh.mvd_l1_zero_flag))
+        me.num_ref_lc = getattr(sh, "num_ref_lc", 0)
+        me.no_back_pred = int(bool(getattr(sh, "no_back_pred", False)))
+        for i in range(16):
+            me.ref_idx_of_l0_from_l1[i] = sh.ref_idx_of_l0_from_l1[i]
+            me.ref_idx_of_lc[0][i] = sh.ref_idx_of_lc[0][i]
+            me.ref_idx_of_lc[1][i] = sh.ref_idx_of_lc[1][i]
+        lib.enc_set_inter(handle, ctypes.byref(sp), ctypes.byref(refs),
+                          ctypes.byref(me))
+        keep += [sp, refs, me]
+
+    return NativeCuEncoder(handle, lib, tuple(keep))

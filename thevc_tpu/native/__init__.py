@@ -245,6 +245,18 @@ class SliceParams(ctypes.Structure):
         + [("col_poc", ctypes.c_int32), ("has_col", ctypes.c_int32)])
 
 
+class EncInterParams(ctypes.Structure):
+    """ME/inter-search parameters (codec_core.cpp EncInterParams)."""
+    _fields_ = (
+        [(n, ctypes.c_int32) for n in
+         ("search_range", "bipred_range", "fast_enc", "use_had_me", "fdm")]
+        + [("lambda_motion_sad", ctypes.c_int64)]
+        + [(n, ctypes.c_int32) for n in
+           ("is_b", "mvd_l1_zero", "num_ref_lc", "no_back_pred")]
+        + [("ref_idx_of_l0_from_l1", ctypes.c_int32 * 16),
+           ("ref_idx_of_lc", (ctypes.c_int32 * 16) * 2)])
+
+
 class EncParams(ctypes.Structure):
     _fields_ = (
         [(n, ctypes.c_int32) for n in
@@ -327,6 +339,10 @@ def get_lib():
             ctypes.c_int64, ctypes.c_void_p]
         lib.enc_destroy.restype = None
         lib.enc_destroy.argtypes = [ctypes.c_void_p]
+        lib.enc_set_inter.restype = None
+        lib.enc_set_inter.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(SliceParams),
+            ctypes.POINTER(InterRefs), ctypes.POINTER(EncInterParams)]
         lib.enc_set_slice_ctx.restype = None
         lib.enc_set_slice_ctx.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
@@ -342,7 +358,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64]
+            ctypes.c_int64, ctypes.c_void_p]
         lib.parse_slice_data.restype = ctypes.c_int
         lib.parse_slice_data.argtypes = [
             ctypes.POINTER(FrameArrays), ctypes.POINTER(SliceParams),

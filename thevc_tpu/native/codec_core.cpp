@@ -3535,6 +3535,7 @@ enum { ECI_CURR_BEST = 0, ECI_NEXT_BEST, ECI_TEMP_BEST, ECI_QT_TRAFO_TEST,
 struct EncBin {
   int32_t mode;            // 0 = counter, 1 = real CABAC
   uint8_t* ctx;
+  uint8_t* used;           // per-context binsCoded marks (real pass only)
   // counter state
   uint64_t frac_bits;
   int64_t bit_count;
@@ -3578,6 +3579,7 @@ static inline void eb_bin(EncBin* e, int bin, int ctx_idx) {
     e->ctx[ctx_idx] = kNextState[state][bin];
     return;
   }
+  if (e->used) e->used[ctx_idx] = 1;
   int lps = kLPS[state >> 1][(e->range >> 6) & 3];
   e->range -= lps;
   if (bin != (state & 1)) {
@@ -4982,6 +4984,12 @@ static inline void es_unit_xy(const EncState* S, int abs_part, int* ux,
   int cx = S->ctu_addr % fa->ctus_w, cy = S->ctu_addr / fa->ctus_w;
   *ux = cx * fa->upr + (r % fa->upr);
   *uy = cy * fa->upr + (r / fa->upr);
+}
+
+// z-order part index of the unit at CTU-local coords
+static inline int es_part_at(const EncState* S, int ux, int uy) {
+  const FrameArrays* fa = &S->fa;
+  return fa->r2z[(uy % fa->upr) * fa->upr + (ux % fa->upr)];
 }
 
 static inline int es_cbf(const EncState* S, int abs_part, int comp,
@@ -8422,15 +8430,1239 @@ static void es_encode_cu_final(EncState* S, int abs_part, int depth) {
     return;
   }
   if (S->ep.tq_bypass_enable) we_tq_bypass(S, e, abs_part);
+  if (S->has_inter) {
+    we_skip_flag(S, e, abs_part);
+    if (U(fa->skip, ux, uy)) {
+      we_merge_idx(S, e, abs_part);
+      es_finish_cu_final(S, abs_part, depth);
+      return;
+    }
+    we_pred_mode(S, e, abs_part);
+  }
   we_part_size(S, e, abs_part, depth);
   int part_sz = U(fa->part_size, ux, uy);
-  if (part_sz == SZ_2Nx2N && S->ep.use_pcm &&
+  int is_intra = U(fa->pred_mode, ux, uy) == MODE_INTRA;
+  if (is_intra && part_sz == SZ_2Nx2N && S->ep.use_pcm &&
       (1 << S->ep.pcm_log2_min) <= size && size <= (1 << S->ep.pcm_log2_max))
     eb_bin_trm(e, 0);
-  we_intra_dir_luma(S, e, abs_part, 1);
-  we_intra_dir_chroma(S, e, abs_part);
+  if (is_intra) {
+    we_intra_dir_luma(S, e, abs_part, 1);
+    we_intra_dir_chroma(S, e, abs_part);
+  } else {
+    // encodePUWise + root cbf (TEncCu::xEncodeCU inter branch)
+    int n_pu = num_pus(part_sz);
+    for (int pu = 0; pu < n_pu; pu++) {
+      int xp, yp, pw, ph;
+      pu_geometry(part_sz, px, py, size, pu, &xp, &yp, &pw, &ph);
+      int pux = xp / 4, puy = yp / 4;
+      int part = es_part_at(S, pux, puy);
+      we_merge_flag(S, e, part);
+      if (U(fa->merge_flag, pux, puy)) {
+        we_merge_idx(S, e, part);
+      } else {
+        if (S->sp.is_b) we_inter_dir(S, e, part, depth);
+        for (int lst = 0; lst < 2; lst++) {
+          int nri = lst == 0 ? S->sp.num_ref_idx0 : S->sp.num_ref_idx1;
+          if (nri > 0) {
+            int idir = U(fa->inter_dir, pux, puy);
+            if (idir & (1 << lst)) {
+              if (nri > 1) we_ref_idx(S, e, part, lst);
+              we_mvd(S, e, part, lst);
+              we_mvp_idx(S, e, part, lst);
+            }
+          }
+        }
+      }
+    }
+    int merge_2nx2n =
+        U(fa->merge_flag, ux, uy) && part_sz == SZ_2Nx2N;
+    int root_cbf = ((U3(fa->cbf, 0, ux, uy) | U3(fa->cbf, 1, ux, uy) |
+                     U3(fa->cbf, 2, ux, uy)) &
+                    1) != 0;
+    if (!merge_2nx2n) we_qt_root_cbf(S, e, root_cbf);
+    if (!root_cbf) {
+      es_finish_cu_final(S, abs_part, depth);
+      return;
+    }
+  }
   es_final_transform_tree(S, abs_part, depth, 0);
   es_finish_cu_final(S, abs_part, depth);
+}
+
+// ===========================================================================
+// Inter residual quadtree RD (encodeResAndCalcRdInterCU, TEncSearch.cpp:4526;
+// xEstimateResidualQT :4782, xEncodeResidualQT :5368, xSetResidualQTData
+// :5433) + the P/B-slice CU mode decisions (TEncCu.cpp
+// xCheckRDCostMerge2Nx2N :1248, xCheckRDCostInter :1371).  Mirrors
+// encoder/inter_search.py encode_res_and_calc_rd/_est_residual_qt and
+// encoder/cu_encoder.py _check_rd_merge_2nx2n/_check_rd_inter/_check_amp.
+// ===========================================================================
+
+// RdCost::getDistPart over int32 residual arrays — thin wrapper over
+// es_sse32 picking up bit_inc/chroma_weight from the state
+static inline int64_t es_dist32(const EncState* S, const int32_t* cur,
+                                int cstride, const int32_t* org,
+                                int ostride, int size, int weighted) {
+  return es_sse32(cur, cstride, org, ostride, size, S->ep.bit_inc, weighted,
+                  S->ep.chroma_weight);
+}
+
+// setCbfSubParts-style region assignment at an arbitrary depth
+static inline void es_set_cbf_region(EncState* S, int abs_part,
+                                     int depth_for_region, int comp,
+                                     int value) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int units = fa->upr >> depth_for_region;
+  set_region<uint8_t>(fa, fa->cbf + (int64_t)comp * fa->uh * fa->uw, ux, uy,
+                      units, (uint8_t)value);
+}
+
+static inline void es_set_ts_region(EncState* S, int abs_part,
+                                    int depth_for_region, int comp,
+                                    int value) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int units = fa->upr >> depth_for_region;
+  set_region<uint8_t>(fa, fa->ts_flag + (int64_t)comp * fa->uh * fa->uw, ux,
+                      uy, units, (uint8_t)value);
+}
+
+
+struct RqtAcc {
+  double cost;
+  int64_t bits, dist;
+};
+
+// inter transform-skip RDO, luma 4x4 TU (INTER_TRANSFORMSKIP;
+// inter_search.py _ts_check_luma)
+static void es_ts_check_luma(EncState* S, int abs_part, int full_depth,
+                             int tr_mode, const int32_t* resi_y, int qps_y,
+                             int32_t* coeff_y, int64_t* abs_sum_y,
+                             int64_t* dist_y, double min_cost_y,
+                             int* best_ts, int layer, int lx, int ly,
+                             int set_cbf) {
+  FrameArrays* fa = &S->fa;
+  int ctu = fa->ctu_size;
+  int32_t* qt_y = S->iqt_resi[layer][0];
+  int32_t best_coeff[16], best_resi[16];
+  memcpy(best_coeff, coeff_y, sizeof(int32_t) * 16);
+  for (int y = 0; y < 4; y++)
+    memcpy(best_resi + y * 4, qt_y + (ly + y) * ctu + lx,
+           sizeof(int32_t) * 4);
+  es_load(S, full_depth, ECI_QT_TRAFO_ROOT);
+  es_set_ts_region(S, abs_part, full_depth, 0, 1);
+  int32_t ts_coeff[16];
+  int64_t ts_abs_sum = es_xform_quant(S, abs_part, resi_y, 4, qps_y, 1, 0,
+                                      1, tr_mode, ts_coeff, 0);
+  es_set_cbf_region(S, abs_part, full_depth, 0, ts_abs_sum ? set_cbf : 0);
+  double ts_cost = MAX_DOUBLE_C;
+  int64_t nz_dist = 0;
+  int32_t resi_rec[16];
+  if (ts_abs_sum) {
+    eb_reset_bits(&S->go);
+    we_qt_cbf(S, &S->go, abs_part, 0, tr_mode);
+    we_coeff_nxn(S, &S->go, abs_part, ts_coeff, 4, 4, 0);
+    int64_t ts_bits = eb_bits(&S->go);
+    // HM quirk: invtransformNxN( pcCU, ... ) converts the CU pointer to
+    // the Bool transQuantBypass argument => the TS residual estimate is
+    // the raw level copy (TEncSearch.cpp:5325) — replicated bit-exactly
+    memcpy(resi_rec, ts_coeff, sizeof(int32_t) * 16);
+    nz_dist = es_dist32(S, resi_rec, 4, resi_y, 4, 4, 0);
+    ts_cost = es_rd_cost(S, ts_bits, nz_dist);
+  }
+  if (!ts_abs_sum || min_cost_y < ts_cost) {
+    es_set_ts_region(S, abs_part, full_depth, 0, 0);
+    memcpy(coeff_y, best_coeff, sizeof(int32_t) * 16);
+    for (int y = 0; y < 4; y++)
+      memcpy(qt_y + (ly + y) * ctu + lx, best_resi + y * 4,
+             sizeof(int32_t) * 4);
+  } else {
+    memcpy(coeff_y, ts_coeff, sizeof(int32_t) * 16);
+    *abs_sum_y = ts_abs_sum;
+    *dist_y = nz_dist;
+    best_ts[0] = 1;
+    for (int y = 0; y < 4; y++)
+      memcpy(qt_y + (ly + y) * ctu + lx, resi_rec + y * 4,
+             sizeof(int32_t) * 4);
+  }
+  es_set_cbf_region(S, abs_part, full_depth, 0, *abs_sum_y ? set_cbf : 0);
+}
+
+// inter transform-skip RDO, chroma 4x4 TUs (inter_search.py _ts_check_chroma)
+static void es_ts_check_chroma(EncState* S, int abs_part, int full_depth,
+                               int cu_depth, int tr_mode, int tr_mode_c,
+                               const int32_t* resi_u, const int32_t* resi_v,
+                               int qps_u, int qps_v, int32_t* coeff_u,
+                               int64_t* abs_sum_u, int64_t* dist_u,
+                               int32_t* coeff_v, int64_t* abs_sum_v,
+                               int64_t* dist_v, const double* min_cost,
+                               int* best_ts, int layer_c, int clx, int cly,
+                               int set_cbf) {
+  FrameArrays* fa = &S->fa;
+  int cstride = fa->ctu_size / 2;
+  int32_t* qt_u = S->iqt_resi[layer_c][1];
+  int32_t* qt_v = S->iqt_resi[layer_c][2];
+  int32_t best_cu[16], best_cv[16], best_ru[16], best_rv[16];
+  memcpy(best_cu, coeff_u, sizeof(int32_t) * 16);
+  memcpy(best_cv, coeff_v, sizeof(int32_t) * 16);
+  for (int y = 0; y < 4; y++) {
+    memcpy(best_ru + y * 4, qt_u + (cly + y) * cstride + clx,
+           sizeof(int32_t) * 4);
+    memcpy(best_rv + y * 4, qt_v + (cly + y) * cstride + clx,
+           sizeof(int32_t) * 4);
+  }
+  es_load(S, full_depth, ECI_QT_TRAFO_ROOT);
+  es_set_ts_region(S, abs_part, cu_depth + tr_mode_c, 1, 1);
+  es_set_ts_region(S, abs_part, cu_depth + tr_mode_c, 2, 1);
+  int32_t ts_cu[16], ts_cv[16];
+  int64_t ts_asu = es_xform_quant(S, abs_part, resi_u, 4, qps_u, 0, 1, 1,
+                                  tr_mode, ts_cu, 0);
+  int64_t ts_asv = es_xform_quant(S, abs_part, resi_v, 4, qps_v, 0, 2, 1,
+                                  tr_mode, ts_cv, 0);
+  es_set_cbf_region(S, abs_part, cu_depth + tr_mode_c, 1,
+                    ts_asu ? set_cbf : 0);
+  es_set_cbf_region(S, abs_part, cu_depth + tr_mode_c, 2,
+                    ts_asv ? set_cbf : 0);
+  eb_reset_bits(&S->go);
+  int64_t bits_u = 0;
+  double cost_u = MAX_DOUBLE_C;
+  int64_t nz_du = 0;
+  int32_t rec_u[16];
+  if (ts_asu) {
+    we_qt_cbf(S, &S->go, abs_part, 1, tr_mode);
+    we_coeff_nxn(S, &S->go, abs_part, ts_cu, 4, 4, 1);
+    bits_u = eb_bits(&S->go);
+    memcpy(rec_u, ts_cu, sizeof(int32_t) * 16);  // bypass quirk, see luma
+    nz_du = es_dist32(S, rec_u, 4, resi_u, 4, 4, 1);
+    cost_u = es_rd_cost(S, bits_u, nz_du);
+  }
+  if (!ts_asu || min_cost[1] < cost_u) {
+    es_set_ts_region(S, abs_part, cu_depth + tr_mode_c, 1, 0);
+    memcpy(coeff_u, best_cu, sizeof(int32_t) * 16);
+    for (int y = 0; y < 4; y++)
+      memcpy(qt_u + (cly + y) * cstride + clx, best_ru + y * 4,
+             sizeof(int32_t) * 4);
+  } else {
+    memcpy(coeff_u, ts_cu, sizeof(int32_t) * 16);
+    *abs_sum_u = ts_asu;
+    *dist_u = nz_du;
+    best_ts[1] = 1;
+    for (int y = 0; y < 4; y++)
+      memcpy(qt_u + (cly + y) * cstride + clx, rec_u + y * 4,
+             sizeof(int32_t) * 4);
+  }
+  double cost_v = MAX_DOUBLE_C;
+  int64_t nz_dv = 0;
+  int32_t rec_v[16];
+  if (ts_asv) {
+    we_qt_cbf(S, &S->go, abs_part, 2, tr_mode);
+    we_coeff_nxn(S, &S->go, abs_part, ts_cv, 4, 4, 2);
+    int64_t bits_v = eb_bits(&S->go) - bits_u;
+    memcpy(rec_v, ts_cv, sizeof(int32_t) * 16);  // bypass quirk, see luma
+    nz_dv = es_dist32(S, rec_v, 4, resi_v, 4, 4, 1);
+    cost_v = es_rd_cost(S, bits_v, nz_dv);
+  }
+  if (!ts_asv || min_cost[2] < cost_v) {
+    es_set_ts_region(S, abs_part, cu_depth + tr_mode_c, 2, 0);
+    memcpy(coeff_v, best_cv, sizeof(int32_t) * 16);
+    for (int y = 0; y < 4; y++)
+      memcpy(qt_v + (cly + y) * cstride + clx, best_rv + y * 4,
+             sizeof(int32_t) * 4);
+  } else {
+    memcpy(coeff_v, ts_cv, sizeof(int32_t) * 16);
+    *abs_sum_v = ts_asv;
+    *dist_v = nz_dv;
+    best_ts[2] = 1;
+    for (int y = 0; y < 4; y++)
+      memcpy(qt_v + (cly + y) * cstride + clx, rec_v + y * 4,
+             sizeof(int32_t) * 4);
+  }
+  es_set_cbf_region(S, abs_part, cu_depth + tr_mode_c, 1,
+                    *abs_sum_u ? set_cbf : 0);
+  es_set_cbf_region(S, abs_part, cu_depth + tr_mode_c, 2,
+                    *abs_sum_v ? set_cbf : 0);
+}
+
+// xEncodeResidualQT: bit counting for the subdiv alternative
+static void es_enc_residual_qt(EncState* S, int abs_part, int cu_depth,
+                               int full_depth, int subdiv_and_cbf,
+                               int comp) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int cur_tr = full_depth - cu_depth;
+  int tr_mode = U(fa->tr_idx, ux, uy);
+  int subdiv = cur_tr != tr_mode;
+  int log2_tr = S->log2_ctu_v - full_depth;
+  int min_tu_log2 = es_min_tu_log2(S, abs_part);
+
+  if (subdiv_and_cbf && log2_tr <= S->ep.max_tr_log2 &&
+      log2_tr > min_tu_log2)
+    we_transform_subdiv(S, &S->go, subdiv ? 1 : 0, log2_tr);
+
+  if (subdiv_and_cbf) {
+    int first_cbf = cur_tr == 0;
+    if (first_cbf || log2_tr > 2) {
+      if (first_cbf || es_cbf(S, abs_part, 1, cur_tr - 1))
+        we_qt_cbf(S, &S->go, abs_part, 1, cur_tr);
+      if (first_cbf || es_cbf(S, abs_part, 2, cur_tr - 1))
+        we_qt_cbf(S, &S->go, abs_part, 2, cur_tr);
+    }
+  }
+
+  if (!subdiv) {
+    int layer = es_qt_layer(S, full_depth);
+    int lx, ly;
+    es_ctu_local(S, abs_part, &lx, &ly);
+    int size = 1 << log2_tr;
+    int ctu = fa->ctu_size, cstride = ctu / 2;
+    int code_chroma = 1;
+    int tr_mode_c = tr_mode;
+    int log2_tr_c = log2_tr - 1;
+    if (log2_tr == 2) {
+      log2_tr_c += 1;
+      tr_mode_c -= 1;
+      int qp_div = fa->parts >> ((cu_depth + tr_mode_c) << 1);
+      code_chroma = (abs_part % qp_div) == 0;
+    }
+    int size_c = 1 << log2_tr_c;
+    int layer_c = layer;
+    if (subdiv_and_cbf) {
+      we_qt_cbf(S, &S->go, abs_part, 0, tr_mode);
+    } else {
+      if (comp == 0 && es_cbf(S, abs_part, 0, tr_mode))
+        we_coeff_nxn(S, &S->go, abs_part,
+                     S->iqt_coeff[layer][0] + (int64_t)ly * ctu + lx, ctu,
+                     size, 0);
+      if (code_chroma) {
+        int clx = lx / 2, cly = ly / 2;
+        if (comp == 1 && es_cbf(S, abs_part, 1, tr_mode))
+          we_coeff_nxn(S, &S->go, abs_part,
+                       S->iqt_coeff[layer_c][1] + (int64_t)cly * cstride +
+                           clx,
+                       cstride, size_c, 1);
+        if (comp == 2 && es_cbf(S, abs_part, 2, tr_mode))
+          we_coeff_nxn(S, &S->go, abs_part,
+                       S->iqt_coeff[layer_c][2] + (int64_t)cly * cstride +
+                           clx,
+                       cstride, size_c, 2);
+      }
+    }
+  } else {
+    if (subdiv_and_cbf || es_cbf(S, abs_part, comp, cur_tr)) {
+      int q_parts = fa->parts >> ((full_depth + 1) << 1);
+      int part = abs_part;
+      for (int i = 0; i < 4; i++) {
+        es_enc_residual_qt(S, part, cu_depth, full_depth + 1,
+                           subdiv_and_cbf, comp);
+        part += q_parts;
+      }
+    }
+  }
+}
+
+// xSetResidualQTData: commit the chosen tree's coefficients (or spatial
+// residual) from the layer buffers
+static void es_set_residual_qt_data(EncState* S, int abs_part, int cu_depth,
+                                    int full_depth, int spatial) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int cur_tr = full_depth - cu_depth;
+  int tr_mode = U(fa->tr_idx, ux, uy);
+  if (cur_tr == tr_mode) {
+    int log2_tr = S->log2_ctu_v - full_depth;
+    int size = 1 << log2_tr;
+    int layer = es_qt_layer(S, full_depth);
+    int lx, ly;
+    es_ctu_local(S, abs_part, &lx, &ly);
+    int px = ux * 4, py = uy * 4;
+    int ctu = fa->ctu_size, cstride = ctu / 2;
+    int code_chroma = 1;
+    int tr_mode_c = tr_mode;
+    int log2_tr_c = log2_tr - 1;
+    if (log2_tr == 2) {
+      log2_tr_c += 1;
+      tr_mode_c -= 1;
+      int qp_div = fa->parts >> ((cu_depth + tr_mode_c) << 1);
+      code_chroma = (abs_part % qp_div) == 0;
+    }
+    int size_c = 1 << log2_tr_c;
+    int layer_c = layer;
+    int clx = lx / 2, cly = ly / 2;
+    if (spatial) {
+      for (int y = 0; y < size; y++)
+        memcpy(S->rbest_y + (int64_t)(ly + y) * ctu + lx,
+               S->iqt_resi[layer][0] + (int64_t)(ly + y) * ctu + lx,
+               sizeof(int32_t) * size);
+      if (code_chroma)
+        for (int y = 0; y < size_c; y++) {
+          memcpy(S->rbest_cb + (int64_t)(cly + y) * cstride + clx,
+                 S->iqt_resi[layer_c][1] + (int64_t)(cly + y) * cstride +
+                     clx,
+                 sizeof(int32_t) * size_c);
+          memcpy(S->rbest_cr + (int64_t)(cly + y) * cstride + clx,
+                 S->iqt_resi[layer_c][2] + (int64_t)(cly + y) * cstride +
+                     clx,
+                 sizeof(int32_t) * size_c);
+        }
+    } else {
+      for (int y = 0; y < size; y++)
+        memcpy(fa->coeff_y + (int64_t)(py + y) * S->ls + px,
+               S->iqt_coeff[layer][0] + (int64_t)(ly + y) * ctu + lx,
+               sizeof(int32_t) * size);
+      if (code_chroma) {
+        int cpx = px / 2, cpy = py / 2;
+        for (int y = 0; y < size_c; y++) {
+          memcpy(fa->coeff_cb + (int64_t)(cpy + y) * S->cs + cpx,
+                 S->iqt_coeff[layer_c][1] + (int64_t)(cly + y) * cstride +
+                     clx,
+                 sizeof(int32_t) * size_c);
+          memcpy(fa->coeff_cr + (int64_t)(cpy + y) * S->cs + cpx,
+                 S->iqt_coeff[layer_c][2] + (int64_t)(cly + y) * cstride +
+                     clx,
+                 sizeof(int32_t) * size_c);
+        }
+      }
+    }
+  } else {
+    int q_parts = fa->parts >> ((full_depth + 1) << 1);
+    int part = abs_part;
+    for (int i = 0; i < 4; i++) {
+      es_set_residual_qt_data(S, part, cu_depth, full_depth + 1, spatial);
+      part += q_parts;
+    }
+  }
+}
+
+// xEstimateResidualQT (inter_search.py _est_residual_qt); zero_dist
+// accumulates puiZeroDist (NULL once a full node is found above)
+static void es_est_residual_qt(EncState* S, int abs_part, int cu_depth,
+                               int full_depth, RqtAcc* acc,
+                               int64_t* zero_dist) {
+  FrameArrays* fa = &S->fa;
+  int tr_mode = full_depth - cu_depth;
+  int log2_tr = S->log2_ctu_v - full_depth;
+  int size = 1 << log2_tr;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int lx, ly;
+  es_ctu_local(S, abs_part, &lx, &ly);
+  int min_tu_log2 = es_min_tu_log2(S, abs_part);
+  int part_sz = U(fa->part_size, ux, uy);
+  int ctu = fa->ctu_size, cstride = ctu / 2;
+
+  int split_forced = S->ep.tu_depth_inter == 1 && part_sz != SZ_2Nx2N;
+  int check_full;
+  if (split_forced && full_depth == cu_depth && log2_tr > min_tu_log2)
+    check_full = 0;
+  else
+    check_full = log2_tr <= S->ep.max_tr_log2;
+  int check_split = log2_tr > min_tu_log2;
+
+  int code_chroma = 1;
+  int tr_mode_c = tr_mode;
+  int log2_tr_c = log2_tr - 1;
+  if (log2_tr == 2) {
+    log2_tr_c += 1;
+    tr_mode_c -= 1;
+    int qp_div = fa->parts >> ((cu_depth + tr_mode_c) << 1);
+    code_chroma = (abs_part % qp_div) == 0;
+  }
+  int size_c = 1 << log2_tr_c;
+  int clx = lx / 2, cly = ly / 2;
+
+  int set_cbf = 1 << tr_mode;
+  int units = fa->upr >> full_depth;
+
+  es_store(S, full_depth, ECI_QT_TRAFO_ROOT);
+  double single_cost = MAX_DOUBLE_C;
+  int64_t single_bits = 0, single_dist = 0;
+  int64_t abs_sum_y = 0, abs_sum_u = 0, abs_sum_v = 0;
+  int best_ts[3] = {0, 0, 0};
+  int layer = es_qt_layer(S, full_depth);
+  int layer_c = layer;
+
+  int32_t coeff_y[64 * 64], coeff_u[32 * 32], coeff_v[32 * 32];
+  int32_t resi_y_t[64 * 64], resi_u_t[32 * 32], resi_v_t[32 * 32];
+  int64_t dist_y = 0, dist_u = 0, dist_v = 0;
+
+  if (check_full) {
+    set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, (int8_t)tr_mode);
+    int tqb = U(fa->tq_bypass, ux, uy);
+    int check_ts_y = S->ep.use_ts && size == 4 && !tqb;
+    int check_ts_uv = S->ep.use_ts && size_c == 4 && !tqb;
+    es_set_ts_region(S, abs_part, full_depth, 0, 0);
+    if (code_chroma) {
+      es_set_ts_region(S, abs_part, cu_depth + tr_mode_c, 1, 0);
+      es_set_ts_region(S, abs_part, cu_depth + tr_mode_c, 2, 0);
+    }
+    double min_cost[3] = {MAX_DOUBLE_C, MAX_DOUBLE_C, MAX_DOUBLE_C};
+
+    for (int y = 0; y < size; y++)
+      memcpy(resi_y_t + y * size, S->resi_y + (int64_t)(ly + y) * ctu + lx,
+             sizeof(int32_t) * size);
+    int qps_y = es_qp_scaled_luma(S, U(fa->qp, ux, uy));
+    abs_sum_y = es_xform_quant(S, abs_part, resi_y_t, size, qps_y, 1, 0, 0,
+                               tr_mode, coeff_y, 0);
+    es_set_cbf_region(S, abs_part, full_depth, 0, abs_sum_y ? set_cbf : 0);
+
+    int qps_u = 0, qps_v = 0;
+    if (code_chroma) {
+      qps_u = es_qp_scaled_chroma(S, U(fa->qp, ux, uy), S->ep.cb_qp_off);
+      qps_v = es_qp_scaled_chroma(S, U(fa->qp, ux, uy), S->ep.cr_qp_off);
+      for (int y = 0; y < size_c; y++) {
+        memcpy(resi_u_t + y * size_c,
+               S->resi_cb + (int64_t)(cly + y) * cstride + clx,
+               sizeof(int32_t) * size_c);
+        memcpy(resi_v_t + y * size_c,
+               S->resi_cr + (int64_t)(cly + y) * cstride + clx,
+               sizeof(int32_t) * size_c);
+      }
+      abs_sum_u = es_xform_quant(S, abs_part, resi_u_t, size_c, qps_u, 0, 1,
+                                 0, tr_mode, coeff_u, 0);
+      abs_sum_v = es_xform_quant(S, abs_part, resi_v_t, size_c, qps_v, 0, 2,
+                                 0, tr_mode, coeff_v, 0);
+      es_set_cbf_region(S, abs_part, cu_depth + tr_mode_c, 1,
+                        abs_sum_u ? set_cbf : 0);
+      es_set_cbf_region(S, abs_part, cu_depth + tr_mode_c, 2,
+                        abs_sum_v ? set_cbf : 0);
+    }
+
+    // bits per component (GoOn evolves continuously)
+    eb_reset_bits(&S->go);
+    we_qt_cbf(S, &S->go, abs_part, 0, tr_mode);
+    we_coeff_nxn(S, &S->go, abs_part, coeff_y, size, size, 0);
+    int64_t bits_y = eb_bits(&S->go);
+    int64_t bits_u = 0, bits_v = 0;
+    if (code_chroma) {
+      we_qt_cbf(S, &S->go, abs_part, 1, tr_mode);
+      we_coeff_nxn(S, &S->go, abs_part, coeff_u, size_c, size_c, 1);
+      bits_u = eb_bits(&S->go) - bits_y;
+      we_qt_cbf(S, &S->go, abs_part, 2, tr_mode);
+      we_coeff_nxn(S, &S->go, abs_part, coeff_v, size_c, size_c, 2);
+      bits_v = eb_bits(&S->go) - bits_y - bits_u;
+    }
+
+    // luma distortion: zero vs coded (TEncSearch.cpp:4990-4994)
+    dist_y = es_dist32(S, NULL, 0, resi_y_t, size, size, 0);
+    if (zero_dist) *zero_dist += dist_y;
+    int32_t resi_rec_y[64 * 64];
+    int have_rec_y = 0;
+    if (abs_sum_y) {
+      if (tqb) {
+        memcpy(resi_rec_y, coeff_y, sizeof(int32_t) * size * size);
+      } else {
+        residual_c(coeff_y, size, 0, 0, size, qps_y, 0, 0, 0,
+                   S->ep.bit_inc, dct_basis(size), resi_rec_y);
+      }
+      have_rec_y = 1;
+      int64_t nz_dist_y =
+          es_dist32(S, resi_rec_y, size, resi_y_t, size, size, 0);
+      if (tqb) {
+        dist_y = nz_dist_y;  // lossless: never zero the residual
+      } else {
+        double single_cost_y = es_rd_cost(S, bits_y, nz_dist_y);
+        eb_reset_bits(&S->go);
+        we_qt_cbf_zero(S, &S->go, 0, tr_mode);
+        double null_cost_y = es_rd_cost(S, eb_bits(&S->go), dist_y);
+        if (null_cost_y < single_cost_y) {
+          abs_sum_y = 0;
+          memset(coeff_y, 0, sizeof(int32_t) * size * size);
+          have_rec_y = 0;
+          if (check_ts_y) min_cost[0] = null_cost_y;
+        } else {
+          dist_y = nz_dist_y;
+          if (check_ts_y) min_cost[0] = single_cost_y;
+        }
+      }
+    } else if (check_ts_y) {
+      eb_reset_bits(&S->go);
+      we_qt_cbf_zero(S, &S->go, 0, tr_mode);
+      min_cost[0] = es_rd_cost(S, eb_bits(&S->go), dist_y);
+    }
+    {
+      int32_t* qt_y = S->iqt_resi[layer][0];
+      for (int y = 0; y < size; y++) {
+        if (have_rec_y)
+          memcpy(qt_y + (int64_t)(ly + y) * ctu + lx, resi_rec_y + y * size,
+                 sizeof(int32_t) * size);
+        else
+          memset(qt_y + (int64_t)(ly + y) * ctu + lx, 0,
+                 sizeof(int32_t) * size);
+      }
+    }
+
+    if (code_chroma) {
+      // chroma U
+      dist_u = es_dist32(S, NULL, 0, resi_u_t, size_c, size_c, 1);
+      if (zero_dist) *zero_dist += dist_u;
+      int32_t resi_rec_u[32 * 32];
+      int have_rec_u = 0;
+      if (abs_sum_u) {
+        if (tqb) {
+          memcpy(resi_rec_u, coeff_u, sizeof(int32_t) * size_c * size_c);
+        } else {
+          residual_c(coeff_u, size_c, 0, 0, size_c, qps_u, 0, 0, 0,
+                     S->ep.bit_inc, dct_basis(size_c), resi_rec_u);
+        }
+        have_rec_u = 1;
+        int64_t nz =
+            es_dist32(S, resi_rec_u, size_c, resi_u_t, size_c, size_c, 1);
+        if (tqb) {
+          dist_u = nz;  // lossless (TEncSearch.cpp:5096)
+        } else {
+          double sc = es_rd_cost(S, bits_u, nz);
+          eb_reset_bits(&S->go);
+          we_qt_cbf_zero(S, &S->go, 1, tr_mode);
+          double nc = es_rd_cost(S, eb_bits(&S->go), dist_u);
+          if (nc < sc) {
+            abs_sum_u = 0;
+            memset(coeff_u, 0, sizeof(int32_t) * size_c * size_c);
+            have_rec_u = 0;
+            if (check_ts_uv) min_cost[1] = nc;
+          } else {
+            dist_u = nz;
+            if (check_ts_uv) min_cost[1] = sc;
+          }
+        }
+      } else if (check_ts_uv) {
+        eb_reset_bits(&S->go);
+        we_qt_cbf_zero(S, &S->go, 1, tr_mode_c);
+        min_cost[1] = es_rd_cost(S, eb_bits(&S->go), dist_u);
+      }
+      {
+        int32_t* qt_u = S->iqt_resi[layer_c][1];
+        for (int y = 0; y < size_c; y++) {
+          if (have_rec_u)
+            memcpy(qt_u + (int64_t)(cly + y) * cstride + clx,
+                   resi_rec_u + y * size_c, sizeof(int32_t) * size_c);
+          else
+            memset(qt_u + (int64_t)(cly + y) * cstride + clx, 0,
+                   sizeof(int32_t) * size_c);
+        }
+      }
+
+      // chroma V
+      dist_v = es_dist32(S, NULL, 0, resi_v_t, size_c, size_c, 1);
+      if (zero_dist) *zero_dist += dist_v;
+      int32_t resi_rec_v[32 * 32];
+      int have_rec_v = 0;
+      int ll_skip_v = 0;
+      double sc_v = 0.0, nc_v = 0.0;
+      if (abs_sum_v) {
+        if (tqb) {
+          memcpy(resi_rec_v, coeff_v, sizeof(int32_t) * size_c * size_c);
+        } else {
+          residual_c(coeff_v, size_c, 0, 0, size_c, qps_v, 0, 0, 0,
+                     S->ep.bit_inc, dct_basis(size_c), resi_rec_v);
+        }
+        have_rec_v = 1;
+        int64_t nz =
+            es_dist32(S, resi_rec_v, size_c, resi_v_t, size_c, size_c, 1);
+        if (tqb) {
+          dist_v = nz;  // lossless (TEncSearch.cpp:5197)
+          ll_skip_v = 1;
+        } else {
+          sc_v = es_rd_cost(S, bits_v, nz);
+          eb_reset_bits(&S->go);
+          we_qt_cbf_zero(S, &S->go, 2, tr_mode);
+          nc_v = es_rd_cost(S, eb_bits(&S->go), dist_v);
+        }
+        if (!ll_skip_v && nc_v < sc_v) {
+          abs_sum_v = 0;
+          memset(coeff_v, 0, sizeof(int32_t) * size_c * size_c);
+          have_rec_v = 0;
+          if (check_ts_uv) min_cost[2] = nc_v;
+        } else {
+          dist_v = nz;
+          if (!ll_skip_v && check_ts_uv) min_cost[2] = sc_v;
+        }
+      } else if (check_ts_uv) {
+        eb_reset_bits(&S->go);
+        we_qt_cbf_zero(S, &S->go, 2, tr_mode_c);
+        min_cost[2] = es_rd_cost(S, eb_bits(&S->go), dist_v);
+      }
+      {
+        int32_t* qt_v = S->iqt_resi[layer_c][2];
+        for (int y = 0; y < size_c; y++) {
+          if (have_rec_v)
+            memcpy(qt_v + (int64_t)(cly + y) * cstride + clx,
+                   resi_rec_v + y * size_c, sizeof(int32_t) * size_c);
+          else
+            memset(qt_v + (int64_t)(cly + y) * cstride + clx, 0,
+                   sizeof(int32_t) * size_c);
+        }
+      }
+    }
+
+    es_set_cbf_region(S, abs_part, full_depth, 0, abs_sum_y ? set_cbf : 0);
+    if (code_chroma) {
+      es_set_cbf_region(S, abs_part, cu_depth + tr_mode_c, 1,
+                        abs_sum_u ? set_cbf : 0);
+      es_set_cbf_region(S, abs_part, cu_depth + tr_mode_c, 2,
+                        abs_sum_v ? set_cbf : 0);
+    }
+
+    // ---- inter transform-skip RDO ----
+    if (check_ts_y)
+      es_ts_check_luma(S, abs_part, full_depth, tr_mode, resi_y_t, qps_y,
+                       coeff_y, &abs_sum_y, &dist_y, min_cost[0], best_ts,
+                       layer, lx, ly, set_cbf);
+    if (code_chroma && check_ts_uv)
+      es_ts_check_chroma(S, abs_part, full_depth, cu_depth, tr_mode,
+                         tr_mode_c, resi_u_t, resi_v_t, qps_u, qps_v,
+                         coeff_u, &abs_sum_u, &dist_u, coeff_v, &abs_sum_v,
+                         &dist_v, min_cost, best_ts, layer_c, clx, cly,
+                         set_cbf);
+
+    // store coefficients into the layer buffers
+    {
+      int32_t* qc = S->iqt_coeff[layer][0];
+      for (int y = 0; y < size; y++)
+        memcpy(qc + (int64_t)(ly + y) * ctu + lx, coeff_y + y * size,
+               sizeof(int32_t) * size);
+      if (code_chroma) {
+        int32_t* qcu = S->iqt_coeff[layer_c][1];
+        int32_t* qcv = S->iqt_coeff[layer_c][2];
+        for (int y = 0; y < size_c; y++) {
+          memcpy(qcu + (int64_t)(cly + y) * cstride + clx,
+                 coeff_u + y * size_c, sizeof(int32_t) * size_c);
+          memcpy(qcv + (int64_t)(cly + y) * cstride + clx,
+                 coeff_v + y * size_c, sizeof(int32_t) * size_c);
+        }
+      }
+    }
+
+    // single-pass bits
+    es_load(S, full_depth, ECI_QT_TRAFO_ROOT);
+    eb_reset_bits(&S->go);
+    if (log2_tr > min_tu_log2) we_transform_subdiv(S, &S->go, 0, log2_tr);
+    if (code_chroma) {
+      we_qt_cbf(S, &S->go, abs_part, 1, tr_mode);
+      we_qt_cbf(S, &S->go, abs_part, 2, tr_mode);
+    }
+    we_qt_cbf(S, &S->go, abs_part, 0, tr_mode);
+    we_coeff_nxn(S, &S->go, abs_part, coeff_y, size, size, 0);
+    if (code_chroma) {
+      we_coeff_nxn(S, &S->go, abs_part, coeff_u, size_c, size_c, 1);
+      we_coeff_nxn(S, &S->go, abs_part, coeff_v, size_c, size_c, 2);
+    }
+    single_bits = eb_bits(&S->go);
+    single_dist = dist_y + dist_u + dist_v;
+    single_cost = es_rd_cost(S, single_bits, single_dist);
+  }
+
+  if (check_split) {
+    if (check_full) {
+      es_store(S, full_depth, ECI_QT_TRAFO_TEST);
+      es_load(S, full_depth, ECI_QT_TRAFO_ROOT);
+    }
+    RqtAcc sub_acc = {0.0, 0, 0};
+    int q_parts = fa->parts >> ((full_depth + 1) << 1);
+    int part = abs_part;
+    for (int i = 0; i < 4; i++) {
+      es_est_residual_qt(S, part, cu_depth, full_depth + 1, &sub_acc,
+                         check_full ? NULL : zero_dist);
+      part += q_parts;
+    }
+    int y_cbf = 0, u_cbf = 0, v_cbf = 0;
+    part = abs_part;
+    for (int i = 0; i < 4; i++) {
+      int iux, iuy;
+      es_unit_xy(S, part, &iux, &iuy);
+      y_cbf |= (U3(fa->cbf, 0, iux, iuy) >> (tr_mode + 1)) & 1;
+      u_cbf |= (U3(fa->cbf, 1, iux, iuy) >> (tr_mode + 1)) & 1;
+      v_cbf |= (U3(fa->cbf, 2, iux, iuy) >> (tr_mode + 1)) & 1;
+      part += q_parts;
+    }
+    for (int j = 0; j < units; j++) {
+      int64_t row = (int64_t)(uy + j) * fa->uw + ux;
+      for (int i = 0; i < units; i++) {
+        fa->cbf[row + i] |= (uint8_t)(y_cbf << tr_mode);
+        fa->cbf[(int64_t)fa->uh * fa->uw + row + i] |=
+            (uint8_t)(u_cbf << tr_mode);
+        fa->cbf[(int64_t)2 * fa->uh * fa->uw + row + i] |=
+            (uint8_t)(v_cbf << tr_mode);
+      }
+    }
+
+    es_load(S, full_depth, ECI_QT_TRAFO_ROOT);
+    eb_reset_bits(&S->go);
+    es_enc_residual_qt(S, abs_part, cu_depth, full_depth, 1, 0);
+    es_enc_residual_qt(S, abs_part, cu_depth, full_depth, 0, 0);
+    es_enc_residual_qt(S, abs_part, cu_depth, full_depth, 0, 1);
+    es_enc_residual_qt(S, abs_part, cu_depth, full_depth, 0, 2);
+    int64_t subdiv_bits = eb_bits(&S->go);
+    double subdiv_cost = es_rd_cost(S, subdiv_bits, sub_acc.dist);
+
+    if ((y_cbf || u_cbf || v_cbf || !check_full) &&
+        subdiv_cost < single_cost) {
+      acc->cost += subdiv_cost;
+      acc->bits += subdiv_bits;
+      acc->dist += sub_acc.dist;
+      return;
+    }
+    // full wins: restore TS flags and context
+    es_set_ts_region(S, abs_part, full_depth, 0, best_ts[0]);
+    if (code_chroma) {
+      es_set_ts_region(S, abs_part, cu_depth + tr_mode_c, 1, best_ts[1]);
+      es_set_ts_region(S, abs_part, cu_depth + tr_mode_c, 2, best_ts[2]);
+    }
+    es_load(S, full_depth, ECI_QT_TRAFO_TEST);
+  }
+
+  acc->cost += single_cost;
+  acc->bits += single_bits;
+  acc->dist += single_dist;
+  set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, (int8_t)tr_mode);
+  es_set_cbf_region(S, abs_part, full_depth, 0, abs_sum_y ? set_cbf : 0);
+  if (code_chroma) {
+    es_set_cbf_region(S, abs_part, cu_depth + tr_mode_c, 1,
+                      abs_sum_u ? set_cbf : 0);
+    es_set_cbf_region(S, abs_part, cu_depth + tr_mode_c, 2,
+                      abs_sum_v ? set_cbf : 0);
+  }
+}
+
+// TEncEntropy::encodePUWise over frame state (inter_search.py _code_pu_wise)
+static void es_code_pu_wise(EncState* S, int abs_part, int depth) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int part_sz = U(fa->part_size, ux, uy);
+  int n_pu = num_pus(part_sz);
+  for (int pu = 0; pu < n_pu; pu++) {
+    int xp, yp, pw, ph;
+    pu_geometry(part_sz, px, py, size, pu, &xp, &yp, &pw, &ph);
+    int pux = xp / 4, puy = yp / 4;
+    int part = es_part_at(S, pux, puy);
+    we_merge_flag(S, &S->go, part);
+    if (U(fa->merge_flag, pux, puy)) {
+      we_merge_idx(S, &S->go, part);
+    } else {
+      if (S->sp.is_b) we_inter_dir(S, &S->go, part, depth);
+      for (int lst = 0; lst < 2; lst++) {
+        int nri = lst == 0 ? S->sp.num_ref_idx0 : S->sp.num_ref_idx1;
+        if (nri > 0) {
+          int idir = U(fa->inter_dir, pux, puy);
+          if (idir & (1 << lst)) {
+            if (nri > 1) we_ref_idx(S, &S->go, part, lst);
+            we_mvd(S, &S->go, part, lst);
+            we_mvp_idx(S, &S->go, part, lst);
+          }
+        }
+      }
+    }
+  }
+}
+
+// TEncEntropy::encodeCoeff inter wrapper (root cbf + transform tree)
+static void es_code_coeff(EncState* S, int abs_part, int depth) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int merge_2nx2n = U(fa->merge_flag, ux, uy) &&
+                    U(fa->part_size, ux, uy) == SZ_2Nx2N;
+  int root_cbf = ((U3(fa->cbf, 0, ux, uy) | U3(fa->cbf, 1, ux, uy) |
+                   U3(fa->cbf, 2, ux, uy)) &
+                  1) != 0;
+  if (!merge_2nx2n) we_qt_root_cbf(S, &S->go, root_cbf);
+  if (!root_cbf) return;
+  EncBin* save_fin = S->fin;
+  S->fin = &S->go;
+  es_final_transform_tree(S, abs_part, depth, 0);
+  S->fin = save_fin;
+}
+
+// xAddSymbolBitsInter: full CU syntax bit count with GoOn
+static int64_t es_add_symbol_bits_inter(EncState* S, int abs_part,
+                                        int depth) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int units = fa->upr >> depth;
+  int merge_2nx2n = U(fa->merge_flag, ux, uy) &&
+                    U(fa->part_size, ux, uy) == SZ_2Nx2N;
+  int root_cbf = ((U3(fa->cbf, 0, ux, uy) | U3(fa->cbf, 1, ux, uy) |
+                   U3(fa->cbf, 2, ux, uy)) &
+                  1) != 0;
+  if (merge_2nx2n && !root_cbf) {
+    set_region<uint8_t>(fa, fa->skip, ux, uy, units, 1);
+    eb_reset_bits(&S->go);
+    if (S->ep.tq_bypass_enable) we_tq_bypass(S, &S->go, abs_part);
+    we_skip_flag(S, &S->go, abs_part);
+    we_merge_idx(S, &S->go, abs_part);
+    return eb_bits(&S->go);
+  }
+  eb_reset_bits(&S->go);
+  if (S->ep.tq_bypass_enable) we_tq_bypass(S, &S->go, abs_part);
+  we_skip_flag(S, &S->go, abs_part);
+  we_pred_mode(S, &S->go, abs_part);
+  we_part_size(S, &S->go, abs_part, depth);
+  es_code_pu_wise(S, abs_part, depth);
+  es_code_coeff(S, abs_part, depth);
+  return eb_bits(&S->go);
+}
+
+// encodeResAndCalcRdInterCU: leaves frame state + rec planes holding this
+// mode's reconstruction; [depth][CI_TEMP_BEST] gets the post-syntax ctx
+static void es_encode_res_calc_rd(EncState* S, int abs_part, int depth,
+                                  int skip_res, int64_t* obits,
+                                  int64_t* odist, double* ocost) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int units = fa->upr >> depth;
+  int cs_ = size / 2;
+  int ctu = fa->ctu_size, cstride = ctu / 2;
+  int lx = px % ctu, ly = py % ctu;
+  int clx = lx / 2, cly = ly / 2;
+  const int16_t* org_y = S->org_y + (int64_t)py * S->rls + px;
+  const int16_t* org_cb = S->org_cb + (int64_t)(py / 2) * S->rcs + px / 2;
+  const int16_t* org_cr = S->org_cr + (int64_t)(py / 2) * S->rcs + px / 2;
+  const int16_t* pred_y = S->pred_y + (int64_t)ly * ctu + lx;
+  const int16_t* pred_cb = S->pred_cb + (int64_t)cly * cstride + clx;
+  const int16_t* pred_cr = S->pred_cr + (int64_t)cly * cstride + clx;
+
+  if (skip_res) {
+    // SKIP: reconstruction = prediction
+    set_region<uint8_t>(fa, fa->skip, ux, uy, units, 1);
+    for (int y = 0; y < size; y++)
+      memcpy(S->rec_y + (int64_t)(py + y) * S->rls + px, pred_y + y * ctu,
+             sizeof(int16_t) * size);
+    for (int y = 0; y < cs_; y++) {
+      memcpy(S->rec_cb + (int64_t)(py / 2 + y) * S->rcs + px / 2,
+             pred_cb + y * cstride, sizeof(int16_t) * cs_);
+      memcpy(S->rec_cr + (int64_t)(py / 2 + y) * S->rcs + px / 2,
+             pred_cr + y * cstride, sizeof(int16_t) * cs_);
+    }
+    int64_t dist = es_sse(S, pred_y, ctu, org_y, S->rls, size, 0) +
+                   es_sse(S, pred_cb, cstride, org_cb, S->rcs, cs_, 1) +
+                   es_sse(S, pred_cr, cstride, org_cr, S->rcs, cs_, 1);
+    es_load(S, depth, ECI_CURR_BEST);
+    eb_reset_bits(&S->go);
+    if (S->ep.tq_bypass_enable) we_tq_bypass(S, &S->go, abs_part);
+    we_skip_flag(S, &S->go, abs_part);
+    we_merge_idx(S, &S->go, abs_part);
+    int64_t bits = eb_bits(&S->go);
+    double cost = es_rd_cost(S, bits, dist);
+    es_store(S, depth, ECI_TEMP_BEST);
+    for (int c = 0; c < 3; c++) {
+      set_region<uint8_t>(fa, fa->cbf + (int64_t)c * fa->uh * fa->uw, ux,
+                          uy, units, 0);
+      set_region<uint8_t>(fa, fa->ts_flag + (int64_t)c * fa->uh * fa->uw,
+                          ux, uy, units, 0);
+    }
+    set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, 0);
+    for (int y = 0; y < size; y++)
+      memset(fa->coeff_y + (int64_t)(py + y) * S->ls + px, 0,
+             sizeof(int32_t) * size);
+    for (int y = 0; y < cs_; y++) {
+      memset(fa->coeff_cb + (int64_t)(py / 2 + y) * S->cs + px / 2, 0,
+             sizeof(int32_t) * cs_);
+      memset(fa->coeff_cr + (int64_t)(py / 2 + y) * S->cs + px / 2, 0,
+             sizeof(int32_t) * cs_);
+    }
+    *obits = bits;
+    *odist = dist;
+    *ocost = cost;
+    return;
+  }
+
+  // residual into the CTU-local buffers
+  for (int y = 0; y < size; y++)
+    for (int x = 0; x < size; x++)
+      S->resi_y[(int64_t)(ly + y) * ctu + lx + x] =
+          (int32_t)org_y[(int64_t)y * S->rls + x] - pred_y[y * ctu + x];
+  for (int y = 0; y < cs_; y++)
+    for (int x = 0; x < cs_; x++) {
+      S->resi_cb[(int64_t)(cly + y) * cstride + clx + x] =
+          (int32_t)org_cb[(int64_t)y * S->rcs + x] - pred_cb[y * cstride + x];
+      S->resi_cr[(int64_t)(cly + y) * cstride + clx + x] =
+          (int32_t)org_cr[(int64_t)y * S->rcs + x] - pred_cr[y * cstride + x];
+    }
+
+  es_load(S, depth, ECI_CURR_BEST);
+  RqtAcc acc = {0.0, 0, 0};
+  int64_t zero_dist = 0;
+  es_est_residual_qt(S, abs_part, depth, depth, &acc, &zero_dist);
+
+  // zero-residual alternative (TU_ZERO_CBF_RDO); lossless never takes it
+  eb_reset_bits(&S->go);
+  we_qt_root_cbf(S, &S->go, 0);
+  double zero_cost = es_rd_cost(S, eb_bits(&S->go), zero_dist);
+  if (U(fa->tq_bypass, ux, uy)) zero_cost = acc.cost + 1;
+  if (zero_cost < acc.cost) {
+    acc.cost = zero_cost;
+    acc.bits = 0;
+    acc.dist = zero_dist;
+    set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, 0);
+    for (int c = 0; c < 3; c++) {
+      set_region<uint8_t>(fa, fa->cbf + (int64_t)c * fa->uh * fa->uw, ux,
+                          uy, units, 0);
+      set_region<uint8_t>(fa, fa->ts_flag + (int64_t)c * fa->uh * fa->uw,
+                          ux, uy, units, 0);
+    }
+    for (int y = 0; y < size; y++) {
+      memset(fa->coeff_y + (int64_t)(py + y) * S->ls + px, 0,
+             sizeof(int32_t) * size);
+      memset(S->rbest_y + (int64_t)(ly + y) * ctu + lx, 0,
+             sizeof(int32_t) * size);
+    }
+    for (int y = 0; y < cs_; y++) {
+      memset(fa->coeff_cb + (int64_t)(py / 2 + y) * S->cs + px / 2, 0,
+             sizeof(int32_t) * cs_);
+      memset(fa->coeff_cr + (int64_t)(py / 2 + y) * S->cs + px / 2, 0,
+             sizeof(int32_t) * cs_);
+      memset(S->rbest_cb + (int64_t)(cly + y) * cstride + clx, 0,
+             sizeof(int32_t) * cs_);
+      memset(S->rbest_cr + (int64_t)(cly + y) * cstride + clx, 0,
+             sizeof(int32_t) * cs_);
+    }
+  } else {
+    es_set_residual_qt_data(S, abs_part, depth, depth, 0);
+  }
+
+  // full syntax bits (xAddSymbolBitsInter)
+  es_load(S, depth, ECI_CURR_BEST);
+  int64_t bits = es_add_symbol_bits_inter(S, abs_part, depth);
+  es_store(S, depth, ECI_TEMP_BEST);
+
+  // spatial residual of the chosen tree
+  int root_cbf = ((U3(fa->cbf, 0, ux, uy) | U3(fa->cbf, 1, ux, uy) |
+                   U3(fa->cbf, 2, ux, uy)) &
+                  1) != 0;
+  if (!root_cbf) {
+    for (int y = 0; y < size; y++)
+      memset(S->rbest_y + (int64_t)(ly + y) * ctu + lx, 0,
+             sizeof(int32_t) * size);
+    for (int y = 0; y < cs_; y++) {
+      memset(S->rbest_cb + (int64_t)(cly + y) * cstride + clx, 0,
+             sizeof(int32_t) * cs_);
+      memset(S->rbest_cr + (int64_t)(cly + y) * cstride + clx, 0,
+             sizeof(int32_t) * cs_);
+    }
+  } else {
+    es_set_residual_qt_data(S, abs_part, depth, depth, 1);
+  }
+
+  // reconstruction + final (clipped) distortion
+  int maxv = S->ep.max_val;
+  for (int y = 0; y < size; y++) {
+    int16_t* rr = S->rec_y + (int64_t)(py + y) * S->rls + px;
+    const int32_t* rb = S->rbest_y + (int64_t)(ly + y) * ctu + lx;
+    const int16_t* pp = pred_y + y * ctu;
+    for (int x = 0; x < size; x++) {
+      int v = (int)pp[x] + rb[x];
+      rr[x] = (int16_t)(v < 0 ? 0 : (v > maxv ? maxv : v));
+    }
+  }
+  for (int y = 0; y < cs_; y++) {
+    int16_t* ru = S->rec_cb + (int64_t)(py / 2 + y) * S->rcs + px / 2;
+    int16_t* rv = S->rec_cr + (int64_t)(py / 2 + y) * S->rcs + px / 2;
+    const int32_t* bu = S->rbest_cb + (int64_t)(cly + y) * cstride + clx;
+    const int32_t* bv = S->rbest_cr + (int64_t)(cly + y) * cstride + clx;
+    const int16_t* pu_ = pred_cb + y * cstride;
+    const int16_t* pv_ = pred_cr + y * cstride;
+    for (int x = 0; x < cs_; x++) {
+      int u = (int)pu_[x] + bu[x];
+      int v = (int)pv_[x] + bv[x];
+      ru[x] = (int16_t)(u < 0 ? 0 : (u > maxv ? maxv : u));
+      rv[x] = (int16_t)(v < 0 ? 0 : (v > maxv ? maxv : v));
+    }
+  }
+  int64_t dist =
+      es_sse(S, S->rec_y + (int64_t)py * S->rls + px, S->rls, org_y, S->rls,
+             size, 0) +
+      es_sse(S, S->rec_cb + (int64_t)(py / 2) * S->rcs + px / 2, S->rcs,
+             org_cb, S->rcs, cs_, 1) +
+      es_sse(S, S->rec_cr + (int64_t)(py / 2) * S->rcs + px / 2, S->rcs,
+             org_cr, S->rcs, cs_, 1);
+  double cost = es_rd_cost(S, bits, dist);
+
+  if (U(fa->skip, ux, uy))
+    for (int c = 0; c < 3; c++)
+      set_region<uint8_t>(fa, fa->cbf + (int64_t)c * fa->uh * fa->uw, ux,
+                          uy, units, 0);
+  *obits = bits;
+  *odist = dist;
+  *ocost = cost;
+}
+
+// initEstData-style reset for an inter candidate (cu_encoder.py
+// _reset_inter_region)
+static void es_reset_inter_region(EncState* S, int abs_part, int depth,
+                                  int part_size) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int units = fa->upr >> depth;
+  set_region<uint8_t>(fa, fa->skip, ux, uy, units, 0);
+  set_region<int8_t>(fa, fa->part_size, ux, uy, units, (int8_t)part_size);
+  set_region<int8_t>(fa, fa->pred_mode, ux, uy, units, MODE_INTER);
+  set_region<int8_t>(fa, fa->depth, ux, uy, units, (int8_t)depth);
+  int qp = S->ep.unit_qp >= 0 ? S->ep.unit_qp : S->ep.slice_qp;
+  set_region<int8_t>(fa, fa->qp, ux, uy, units, (int8_t)qp);
+  set_region<uint8_t>(fa, fa->ipcm, ux, uy, units, 0);
+  set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, 0);
+  for (int c = 0; c < 3; c++) {
+    set_region<uint8_t>(fa, fa->cbf + (int64_t)c * fa->uh * fa->uw, ux, uy,
+                        units, 0);
+    set_region<uint8_t>(fa, fa->ts_flag + (int64_t)c * fa->uh * fa->uw, ux,
+                        uy, units, 0);
+  }
+  set_region<uint8_t>(fa, fa->merge_flag, ux, uy, units, 0);
+  set_region<int8_t>(fa, fa->merge_idx, ux, uy, units, 0);
+  set_region<int8_t>(fa, fa->inter_dir, ux, uy, units, 0);
+  for (int l = 0; l < 2; l++) {
+    set_pu_list_i8(fa, fa->ref_idx, l, ux, uy, units, units, -1);
+    set_pu_list_i8(fa, fa->mvp_idx, l, ux, uy, units, units, 0);
+    set_pu_mv(fa, fa->mv, l, ux, uy, units, units, 0, 0);
+    set_pu_mv(fa, fa->mvd, l, ux, uy, units, units, 0, 0);
+  }
+  set_region<uint8_t>(fa, fa->tq_bypass, ux, uy, units,
+                      (uint8_t)(S->ep.tq_bypass_enable
+                                    ? S->ep.cu_tq_bypass_value
+                                    : 0));
+}
+
+// xCheckDQP (no-op: dQP gated at enc_create) + xCheckBestMode
+static void es_best_update(EncState* S, int abs_part, int depth,
+                           int64_t bits, int64_t dist, double cost,
+                           RegionSnap* best, int* have_best) {
+  S->total_bits = bits;
+  S->total_dist = dist;
+  S->total_cost = cost;
+  if (!*have_best || cost < best->cost) {
+    es_save_region(S, abs_part, depth, best);
+    es_copy_snap(S, depth, ECI_TEMP_BEST, depth, ECI_NEXT_BEST);
+    *have_best = 1;
+  } else {
+    es_restore_region(S, abs_part, depth, best);
+  }
+}
+
+// xCheckRDCostMerge2Nx2N (TEncCu.cpp:1248)
+static void es_check_rd_merge_2nx2n(EncState* S, int abs_part, int depth,
+                                    RegionSnap* best, int* have_best) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int units = fa->upr >> depth;
+  es_reset_inter_region(S, abs_part, depth, SZ_2Nx2N);
+  MvEnv env = {fa, &S->sp};
+  MvCand cands[MRG_MAX];
+  int n_valid =
+      merge_candidates(&env, px, py, size, SZ_2Nx2N, 0, -1, cands);
+  int cand_buffer[MRG_MAX] = {0, 0, 0, 0, 0};
+  int best_is_skip = 0;
+  // lossless CUs never try the forced-no-residual pass (TEncCu.cpp:1267)
+  int tqb_cu = S->ep.tq_bypass_enable && S->ep.cu_tq_bypass_value;
+  int no_resi_max = tqb_cu ? 1 : 2;
+  for (int no_resi = 0; no_resi < no_resi_max; no_resi++) {
+    for (int cand = 0; cand < n_valid; cand++) {
+      if (no_resi == 1 && cand_buffer[cand] == 1) continue;
+      if (best_is_skip && no_resi == 0) continue;
+      es_reset_inter_region(S, abs_part, depth, SZ_2Nx2N);
+      set_region<uint8_t>(fa, fa->merge_flag, ux, uy, units, 1);
+      set_region<int8_t>(fa, fa->merge_idx, ux, uy, units, (int8_t)cand);
+      set_region<int8_t>(fa, fa->inter_dir, ux, uy, units,
+                         (int8_t)cands[cand].dir);
+      for (int lst = 0; lst < 2; lst++) {
+        set_pu_list_i8(fa, fa->ref_idx, lst, ux, uy, units, units,
+                       (int8_t)cands[cand].ref[lst]);
+        set_pu_mv(fa, fa->mv, lst, ux, uy, units, units,
+                  cands[cand].mv[lst][0], cands[cand].mv[lst][1]);
+      }
+      es_motion_compensation(S, px, py, size, -1);
+      int64_t bits, dist;
+      double cost;
+      es_encode_res_calc_rd(S, abs_part, depth, no_resi, &bits, &dist,
+                            &cost);
+      int root_cbf = ((U3(fa->cbf, 0, ux, uy) | U3(fa->cbf, 1, ux, uy) |
+                       U3(fa->cbf, 2, ux, uy)) &
+                      1) != 0;
+      if (no_resi == 0 && !root_cbf) cand_buffer[cand] = 1;
+      set_region<uint8_t>(fa, fa->skip, ux, uy, units,
+                          (uint8_t)(!root_cbf));
+      es_best_update(S, abs_part, depth, bits, dist, cost, best, have_best);
+      if (S->me.fdm && !best_is_skip) {
+        int bcbf = ((U3(fa->cbf, 0, ux, uy) | U3(fa->cbf, 1, ux, uy) |
+                     U3(fa->cbf, 2, ux, uy)) &
+                    1) != 0;
+        best_is_skip = !bcbf;
+      }
+    }
+  }
+}
+
+// xCheckRDCostInter (TEncCu.cpp:1371)
+static void es_check_rd_inter(EncState* S, int abs_part, int depth,
+                              int part_size, RegionSnap* best,
+                              int* have_best, int use_mrg) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  es_reset_inter_region(S, abs_part, depth, part_size);
+  es_pred_inter_search(S, px, py, size, part_size, use_mrg);
+  int64_t bits, dist;
+  double cost;
+  es_encode_res_calc_rd(S, abs_part, depth, 0, &bits, &dist, &cost);
+  es_best_update(S, abs_part, depth, bits, dist, cost, best, have_best);
+}
+
+// deriveTestModeAMP + the AMP check sequence (AMP_ENC_SPEEDUP, AMP_MRG)
+static void es_check_amp(EncState* S, int abs_part, int depth,
+                         RegionSnap* best, int* have_best, int parent_part,
+                         int size) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int bpart = U(fa->part_size, ux, uy);
+  int bmerge = U(fa->merge_flag, ux, uy) != 0;
+  int bskip = U(fa->skip, ux, uy) != 0;
+  int hor = 0, ver = 0, mrg_hor = 0, mrg_ver = 0;
+  if (bpart == SZ_2NxN) {
+    hor = 1;
+  } else if (bpart == SZ_Nx2N) {
+    ver = 1;
+  } else if (bpart == SZ_2Nx2N && !bmerge && !bskip) {
+    hor = ver = 1;
+  }
+  if (parent_part >= SZ_2NxnU && parent_part <= SZ_nRx2N)
+    mrg_hor = mrg_ver = 1;
+  if (parent_part == -1) {
+    if (bpart == SZ_2NxN) mrg_hor = 1;
+    else if (bpart == SZ_Nx2N) mrg_ver = 1;
+  }
+  if (bpart == SZ_2Nx2N && !bskip) mrg_hor = mrg_ver = 1;
+  if (size == 64) hor = ver = 0;
+  if (hor) {
+    es_check_rd_inter(S, abs_part, depth, SZ_2NxnU, best, have_best, 0);
+    es_check_rd_inter(S, abs_part, depth, SZ_2NxnD, best, have_best, 0);
+  } else if (mrg_hor) {
+    es_check_rd_inter(S, abs_part, depth, SZ_2NxnU, best, have_best, 1);
+    es_check_rd_inter(S, abs_part, depth, SZ_2NxnD, best, have_best, 1);
+  }
+  if (ver) {
+    es_check_rd_inter(S, abs_part, depth, SZ_nLx2N, best, have_best, 0);
+    es_check_rd_inter(S, abs_part, depth, SZ_nRx2N, best, have_best, 0);
+  } else if (mrg_ver) {
+    es_check_rd_inter(S, abs_part, depth, SZ_nLx2N, best, have_best, 1);
+    es_check_rd_inter(S, abs_part, depth, SZ_nRx2N, best, have_best, 1);
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -8456,6 +9688,19 @@ static void es_check_intra(EncState* S, int abs_part, int depth,
     set_region<uint8_t>(fa, fa->ts_flag + (int64_t)c * fa->uh * fa->uw, ux,
                         uy, units, 0);
   }
+  if (S->has_inter) {
+    // initEstData also clears the motion fields (stale inter data from a
+    // previously tested mode must not leak into later AMVP/merge scans)
+    set_region<uint8_t>(fa, fa->merge_flag, ux, uy, units, 0);
+    set_region<int8_t>(fa, fa->merge_idx, ux, uy, units, 0);
+    set_region<int8_t>(fa, fa->inter_dir, ux, uy, units, 0);
+    for (int l = 0; l < 2; l++) {
+      set_pu_list_i8(fa, fa->ref_idx, l, ux, uy, units, units, -1);
+      set_pu_list_i8(fa, fa->mvp_idx, l, ux, uy, units, units, 0);
+      set_pu_mv(fa, fa->mv, l, ux, uy, units, units, 0, 0);
+      set_pu_mv(fa, fa->mvd, l, ux, uy, units, units, 0, 0);
+    }
+  }
   set_region<uint8_t>(fa, fa->tq_bypass, ux, uy, units,
                       (uint8_t)(S->ep.tq_bypass_enable
                                     ? S->ep.cu_tq_bypass_value
@@ -8468,6 +9713,10 @@ static void es_check_intra(EncState* S, int abs_part, int depth,
 
   eb_reset_bits(&S->go);
   if (S->ep.tq_bypass_enable) we_tq_bypass(S, &S->go, abs_part);
+  if (S->has_inter) {
+    we_skip_flag(S, &S->go, abs_part);
+    we_pred_mode(S, &S->go, abs_part);
+  }
   we_part_size(S, &S->go, abs_part, depth);
   we_intra_dir_luma(S, &S->go, abs_part, 1);
   we_intra_dir_chroma(S, &S->go, abs_part);
@@ -8496,8 +9745,10 @@ static void es_check_intra(EncState* S, int abs_part, int depth,
   }
 }
 
-// xCompressCU (intra slice)
-static void es_compress_cu(EncState* S, int abs_part, int depth) {
+// xCompressCU (TEncCu.cpp:386; intra + P/B slices).  parent_part: the
+// parent CU's best partition size (AMP_ENC_SPEEDUP), -1 = SIZE_NONE.
+static void es_compress_cu(EncState* S, int abs_part, int depth,
+                           int parent_part) {
   FrameArrays* fa = &S->fa;
   int ux, uy;
   es_unit_xy(S, abs_part, &ux, &uy);
@@ -8512,9 +9763,28 @@ static void es_compress_cu(EncState* S, int abs_part, int depth) {
 
   if (inside) {
     int qp = S->ep.unit_qp >= 0 ? S->ep.unit_qp : S->ep.slice_qp;
-    es_check_intra(S, abs_part, depth, SZ_2Nx2N, qp, best, &have_best);
-    if (depth == max_sig && size > (1 << S->ep.min_tr_log2))
-      es_check_intra(S, abs_part, depth, SZ_NxN, qp, best, &have_best);
+    if (S->has_inter) {
+      es_check_rd_merge_2nx2n(S, abs_part, depth, best, &have_best);
+      es_check_rd_inter(S, abs_part, depth, SZ_2Nx2N, best, &have_best, 0);
+      if (size != 8) {
+        if (depth == max_sig)
+          es_check_rd_inter(S, abs_part, depth, SZ_NxN, best, &have_best,
+                            0);
+      }
+      es_check_rd_inter(S, abs_part, depth, SZ_Nx2N, best, &have_best, 0);
+      es_check_rd_inter(S, abs_part, depth, SZ_2NxN, best, &have_best, 0);
+      if (S->ep.use_amp && depth < max_sig)
+        es_check_amp(S, abs_part, depth, best, &have_best, parent_part,
+                     size);
+    }
+    int do_intra =
+        !S->has_inter || (U3(fa->cbf, 0, ux, uy) | U3(fa->cbf, 1, ux, uy) |
+                          U3(fa->cbf, 2, ux, uy)) != 0;
+    if (do_intra) {
+      es_check_intra(S, abs_part, depth, SZ_2Nx2N, qp, best, &have_best);
+      if (depth == max_sig && size > (1 << S->ep.min_tr_log2))
+        es_check_intra(S, abs_part, depth, SZ_NxN, qp, best, &have_best);
+    }
     // PCM mode decision is out of scope (gated at enc_create)
 
     eb_reset_bits(&S->go);
@@ -8525,6 +9795,14 @@ static void es_compress_cu(EncState* S, int abs_part, int depth) {
     S->total_dist = best->dist;
     S->total_cost = best->cost;
   }
+
+  // parent partition size for AMP_ENC_SPEEDUP: captured from the best
+  // before children overwrite the frame region
+  int sub_parent;
+  if (!have_best || U(fa->pred_mode, ux, uy) == MODE_INTRA)
+    sub_parent = -1;
+  else
+    sub_parent = U(fa->part_size, ux, uy);
 
   if (depth < max_sig) {
     int q_parts = (fa->parts >> (depth << 1)) >> 2;
@@ -8539,7 +9817,7 @@ static void es_compress_cu(EncState* S, int abs_part, int depth) {
         else
           es_copy_snap(S, depth + 1, ECI_NEXT_BEST, depth + 1,
                        ECI_CURR_BEST);
-        es_compress_cu(S, part, depth + 1);
+        es_compress_cu(S, part, depth + 1, sub_parent);
         split_bits += S->total_bits;
         split_dist += S->total_dist;
       } else {
@@ -8627,8 +9905,25 @@ void* enc_create(const FrameArrays* fa, const EncParams* ep,
     S->luma_store[l] = new LumaStore();
     S->chroma_store[l] = new ChromaStore();
     for (int pl = 0; pl < 3; pl++) S->tu_store[l][pl] = new TuStore();
+    S->iqt_resi[l][0] = new int32_t[ctu * ctu]();
+    S->iqt_coeff[l][0] = new int32_t[ctu * ctu]();
+    for (int pl = 1; pl < 3; pl++) {
+      S->iqt_resi[l][pl] = new int32_t[(ctu / 2) * (ctu / 2)]();
+      S->iqt_coeff[l][pl] = new int32_t[(ctu / 2) * (ctu / 2)]();
+    }
   }
   return S;
+}
+
+// bind the inter-slice environment (refs + merge/AMVP env + ME params);
+// must be called after enc_create for P/B slices
+void enc_set_inter(void* handle, const SliceParams* sp,
+                   const InterRefs* refs, const EncInterParams* me) {
+  EncState* S = (EncState*)handle;
+  S->sp = *sp;
+  S->refs = *refs;
+  S->me = *me;
+  S->has_inter = 1;
 }
 
 void enc_destroy(void* handle) {
@@ -8643,6 +9938,8 @@ void enc_destroy(void* handle) {
     for (int pl = 0; pl < 3; pl++) {
       delete[] S->qt_rec[l][pl];
       delete[] S->qt_coeff[l][pl];
+      delete[] S->iqt_resi[l][pl];
+      delete[] S->iqt_coeff[l][pl];
       delete S->tu_store[l][pl];
     }
     delete S->region[l];
@@ -8711,7 +10008,7 @@ int64_t enc_compress_ctu(void* handle, int32_t ctu_addr) {
       }
     }
   }
-  es_compress_cu(S, 0, 0);
+  es_compress_cu(S, 0, 0, -1);
 
   // final-pass re-encode with the counter: advances [0][CI_CURR_BEST]
   EncBin eng;
@@ -8733,12 +10030,13 @@ int64_t enc_compress_ctu(void* handle, int32_t ctu_addr) {
 int64_t enc_encode_ctu(void* handle, int32_t ctu_addr, uint8_t* ctx,
                        uint32_t* low, int32_t* range, int32_t* bits_left,
                        int32_t* num_buffered, int32_t* buffered_byte,
-                       uint8_t* out, int64_t out_cap) {
+                       uint8_t* out, int64_t out_cap, uint8_t* used) {
   EncState* S = (EncState*)handle;
   EncBin eng;
   memset(&eng, 0, sizeof(eng));
   eng.mode = 1;
   eng.ctx = ctx;
+  eng.used = used;
   eng.low = *low;
   eng.range = *range;
   eng.bits_left = *bits_left;
