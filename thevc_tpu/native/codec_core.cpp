@@ -3520,11 +3520,11 @@ static inline uint64_t prof_tsc() { return __rdtsc(); }
 #else
 static inline uint64_t prof_tsc() { return 0; }
 #endif
-static uint64_t g_prof[16];
+static uint64_t g_prof[32];
 #define PROF_BEGIN(i) uint64_t _pt##i = prof_tsc()
 #define PROF_END(i)   g_prof[i] += prof_tsc() - _pt##i
 extern "C" void get_prof(uint64_t* out) {
-  for (int i = 0; i < 16; i++) { out[i] = g_prof[i]; g_prof[i] = 0; }
+  for (int i = 0; i < 32; i++) { out[i] = g_prof[i]; g_prof[i] = 0; }
 }
 enum { ECI_CURR_BEST = 0, ECI_NEXT_BEST, ECI_TEMP_BEST, ECI_QT_TRAFO_TEST,
        ECI_QT_TRAFO_ROOT, ECI_NUM };
@@ -7787,7 +7787,25 @@ static int64_t es_refine(EncState* S, const int32_t* org, int pw, int ph,
 
 // xMotionEstimation: integer (TZ / full for bipred) + fractional; returns
 // cost and fills mv (quarter-pel), bits
+static void es_motion_estimation_impl(EncState* S, int cu_x, int cu_y, int xp,
+                                 int yp, int pw, int ph, int lst, int ref,
+                                 const int16_t mv_pred[2], int bits_in,
+                                 const int16_t* bi_mv,
+                                 const int16_t* bi_other, int* omvx,
+                                 int* omvy, int* obits, int64_t* ocost);
 static void es_motion_estimation(EncState* S, int cu_x, int cu_y, int xp,
+                                 int yp, int pw, int ph, int lst, int ref,
+                                 const int16_t mv_pred[2], int bits_in,
+                                 const int16_t* bi_mv,
+                                 const int16_t* bi_other, int* omvx,
+                                 int* omvy, int* obits, int64_t* ocost) {
+  PROF_BEGIN(16);
+  es_motion_estimation_impl(S, cu_x, cu_y, xp, yp, pw, ph, lst, ref,
+                            mv_pred, bits_in, bi_mv, bi_other, omvx, omvy,
+                            obits, ocost);
+  PROF_END(16);
+}
+static void es_motion_estimation_impl(EncState* S, int cu_x, int cu_y, int xp,
                                  int yp, int pw, int ph, int lst, int ref,
                                  const int16_t mv_pred[2], int bits_in,
                                  const int16_t* bi_mv,
@@ -9764,15 +9782,21 @@ static void es_compress_cu(EncState* S, int abs_part, int depth,
   if (inside) {
     int qp = S->ep.unit_qp >= 0 ? S->ep.unit_qp : S->ep.slice_qp;
     if (S->has_inter) {
-      es_check_rd_merge_2nx2n(S, abs_part, depth, best, &have_best);
-      es_check_rd_inter(S, abs_part, depth, SZ_2Nx2N, best, &have_best, 0);
+      { PROF_BEGIN(19);
+        es_check_rd_merge_2nx2n(S, abs_part, depth, best, &have_best);
+        PROF_END(19); }
+      { PROF_BEGIN(18);
+        es_check_rd_inter(S, abs_part, depth, SZ_2Nx2N, best, &have_best, 0);
+        PROF_END(18); }
       if (size != 8) {
         if (depth == max_sig)
           es_check_rd_inter(S, abs_part, depth, SZ_NxN, best, &have_best,
                             0);
       }
-      es_check_rd_inter(S, abs_part, depth, SZ_Nx2N, best, &have_best, 0);
-      es_check_rd_inter(S, abs_part, depth, SZ_2NxN, best, &have_best, 0);
+      { PROF_BEGIN(20);
+        es_check_rd_inter(S, abs_part, depth, SZ_Nx2N, best, &have_best, 0);
+        es_check_rd_inter(S, abs_part, depth, SZ_2NxN, best, &have_best, 0);
+        PROF_END(20); }
       if (S->ep.use_amp && depth < max_sig)
         es_check_amp(S, abs_part, depth, best, &have_best, parent_part,
                      size);
@@ -9781,7 +9805,9 @@ static void es_compress_cu(EncState* S, int abs_part, int depth,
         !S->has_inter || (U3(fa->cbf, 0, ux, uy) | U3(fa->cbf, 1, ux, uy) |
                           U3(fa->cbf, 2, ux, uy)) != 0;
     if (do_intra) {
+      PROF_BEGIN(21);
       es_check_intra(S, abs_part, depth, SZ_2Nx2N, qp, best, &have_best);
+      PROF_END(21);
       if (depth == max_sig && size > (1 << S->ep.min_tr_log2))
         es_check_intra(S, abs_part, depth, SZ_NxN, qp, best, &have_best);
     }
