@@ -535,6 +535,18 @@ def _native_inter_prepass(f: FrameModel, sps: Sps, pps: Pps, runs, cu_arr,
                 refs.ys = pad_y.shape[1]
                 refs.cs = pad_cb.shape[1]
         refs.margin = margin
+        # explicit weighted prediction tables (TComWeightPrediction.cpp)
+        refs.wp_active = int(bool(ip.wp_active))
+        if ip.wp_active and ip.wp is not None:
+            refs.luma_log2_denom = ip.wp["luma_log2_denom"]
+            refs.chroma_log2_denom = ip.wp["chroma_log2_denom"]
+            for lst in (0, 1):
+                for ri in range(len(ip.lists[lst])):
+                    for comp in range(3):
+                        w = ip.wp["wp"][lst][ri][comp]
+                        idx = (lst * 16 + ri) * 3 + comp
+                        refs.wp_w[idx] = int(w[1])
+                        refs.wp_o[idx] = int(w[2])
         p = native.InterReconParams()
         p.slice_type = sh.slice_type
         p.wp_bipred = int(bool(pps.wp_bipred))
@@ -606,8 +618,7 @@ def _native_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
                 # inter pictures use the Python device path (batched
                 # device MC + device residuals)
                 return False
-            # weighted prediction falls back to the host Python path
-            if inter_pred is None or inter_pred.wp_active:
+            if inter_pred is None:
                 return False
             if any(len(lst) > 16 for lst in inter_pred.lists):
                 return False

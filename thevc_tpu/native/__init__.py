@@ -173,6 +173,11 @@ class InterRefs(ctypes.Structure):
         ("margin", ctypes.c_int32),
         ("ys", ctypes.c_int32),
         ("cs", ctypes.c_int32),
+        ("wp_active", ctypes.c_int32),
+        ("luma_log2_denom", ctypes.c_int32),
+        ("chroma_log2_denom", ctypes.c_int32),
+        ("wp_w", ctypes.c_int32 * 96),
+        ("wp_o", ctypes.c_int32 * 96),
     ]
 
 

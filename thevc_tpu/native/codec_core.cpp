@@ -3099,6 +3099,12 @@ struct InterRefs {
   int32_t n_ref[2];
   int32_t margin;         // luma pad margin (chroma = margin/2)
   int32_t ys, cs;         // padded luma / chroma strides
+  // explicit weighted prediction (TComWeightPrediction.cpp:61-366);
+  // weights/offsets indexed [list][ref][comp 0=Y 1=Cb 2=Cr]
+  int32_t wp_active;
+  int32_t luma_log2_denom, chroma_log2_denom;
+  int32_t wp_w[2][16][3];
+  int32_t wp_o[2][16][3];
 };
 
 struct InterReconParams {
@@ -3189,6 +3195,45 @@ static void mc_block_c(const int16_t* ref, int ss, int y0, int x0,
     mc_filter_c(base - (int64_t)(half - 1) * ss - (half - 1), ss, fx,
                 n_taps, 0, bd, 1, 0, h + n_taps - 1, w, tmp, 64);
     mc_filter_c(tmp, 64, fy, n_taps, 1, bd, 0, !bi, h, w, dst, ds);
+  }
+}
+
+// addWeightUni (TComWeightPrediction.cpp): src in 14-bit internal domain
+static void weight_uni_c(const InterRefs* R, int lst, int ref, int comp,
+                         const int16_t* src, int n, int bd, int16_t* dst) {
+  int w = R->wp_w[lst][ref][comp];
+  int ioff = R->wp_o[lst][ref][comp];
+  int denom = comp == 0 ? R->luma_log2_denom : R->chroma_log2_denom;
+  int offset = ioff * (1 << (bd - 8));
+  int shift = denom + (14 - bd);
+  int64_t round_ = shift ? ((int64_t)1 << (shift - 1)) : 0;
+  int max_val = (1 << bd) - 1;
+  for (int i = 0; i < n; i++) {
+    int64_t v = (((int64_t)w * (src[i] + 8192) + round_) >> shift) + offset;
+    if (v < 0) v = 0;
+    else if (v > max_val) v = max_val;
+    dst[i] = (int16_t)v;
+  }
+}
+
+// addWeightBi with the bi-dir derivation (getWpScaling)
+static void weight_bi_c(const InterRefs* R, int ref0, int ref1, int comp,
+                        const int16_t* p0, const int16_t* p1, int n, int bd,
+                        int16_t* dst) {
+  int w0 = R->wp_w[0][ref0][comp], io0 = R->wp_o[0][ref0][comp];
+  int w1 = R->wp_w[1][ref1][comp], io1 = R->wp_o[1][ref1][comp];
+  int denom = comp == 0 ? R->luma_log2_denom : R->chroma_log2_denom;
+  int64_t offset = (int64_t)io0 * (1 << (bd - 8)) +
+                   (int64_t)io1 * (1 << (bd - 8));
+  int shift = denom + 1 + (14 - bd);
+  int64_t round_ = shift ? ((int64_t)1 << (shift - 1)) : 0;
+  int max_val = (1 << bd) - 1;
+  for (int i = 0; i < n; i++) {
+    int64_t v = ((int64_t)w0 * (p0[i] + 8192) + (int64_t)w1 * (p1[i] + 8192)
+                 + round_ + (offset << (shift - 1))) >> shift;
+    if (v < 0) v = 0;
+    else if (v > max_val) v = max_val;
+    dst[i] = (int16_t)v;
   }
 }
 
@@ -3309,17 +3354,32 @@ extern "C" void inter_recon_cus(const FrameArrays* fa, int32_t cu_lo,
                     pcb0, pcr0, pw, pw / 2);
         mc_pu_uni_c(R, P, 1, ref1, mv1x, mv1y, xp, yp, pw, ph, 1, py1,
                     pcb1, pcr1, pw, pw / 2);
-        bi_avg_c(py0, py1, pw * ph, bd, py0);
-        bi_avg_c(pcb0, pcb1, (pw / 2) * (ph / 2), bd, pcb0);
-        bi_avg_c(pcr0, pcr1, (pw / 2) * (ph / 2), bd, pcr0);
+        if (R->wp_active) {
+          weight_bi_c(R, ref0, ref1, 0, py0, py1, pw * ph, bd, py0);
+          weight_bi_c(R, ref0, ref1, 1, pcb0, pcb1, (pw / 2) * (ph / 2),
+                      bd, pcb0);
+          weight_bi_c(R, ref0, ref1, 2, pcr0, pcr1, (pw / 2) * (ph / 2),
+                      bd, pcr0);
+        } else {
+          bi_avg_c(py0, py1, pw * ph, bd, py0);
+          bi_avg_c(pcb0, pcb1, (pw / 2) * (ph / 2), bd, pcb0);
+          bi_avg_c(pcr0, pcr1, (pw / 2) * (ph / 2), bd, pcr0);
+        }
       } else {
         int lst = ref0 >= 0 ? 0 : 1;
         int ref = ref0 >= 0 ? ref0 : ref1;
         int mx = lst == 0 ? mv0x : mv1x;
         int my = lst == 0 ? mv0y : mv1y;
         CLIPMV(mx, my);
-        mc_pu_uni_c(R, P, lst, ref, mx, my, xp, yp, pw, ph, 0, py0, pcb0,
-                    pcr0, pw, pw / 2);
+        mc_pu_uni_c(R, P, lst, ref, mx, my, xp, yp, pw, ph,
+                    R->wp_active ? 1 : 0, py0, pcb0, pcr0, pw, pw / 2);
+        if (R->wp_active) {
+          weight_uni_c(R, lst, ref, 0, py0, pw * ph, bd, py0);
+          weight_uni_c(R, lst, ref, 1, pcb0, (pw / 2) * (ph / 2), bd,
+                       pcb0);
+          weight_uni_c(R, lst, ref, 2, pcr0, (pw / 2) * (ph / 2), bd,
+                       pcr0);
+        }
       }
 #undef CLIPMV
       // paste the PU prediction into the CU pred buffers
