@@ -3155,6 +3155,56 @@ static void mc_filter_c(const int16_t* src, int ss, const int16_t* cf,
   }
   int max_val = (1 << bd) - 1;
   int step = vertical ? ss : 1;
+#if defined(__AVX2__)
+  // 8 outputs per iteration: int32 accumulation of int16*int16 products,
+  // matching the scalar order exactly (add-assoc-free: each product is
+  // exact in int32, the sum is the same regardless of lane grouping)
+  if (out_w >= 8) {
+    __m256i voff = _mm256_set1_epi32(offset);
+    __m128i vcnt = _mm_cvtsi32_si128(shift);
+    __m256i vmax = _mm256_set1_epi32(max_val);
+    __m256i vzero = _mm256_setzero_si256();
+    // truncating int32->int16 pack (scalar path casts, packs would
+    // saturate): gather low halves per 128-lane, then merge lanes
+    const __m256i pkmask = _mm256_setr_epi8(
+        0, 1, 4, 5, 8, 9, 12, 13, -1, -1, -1, -1, -1, -1, -1, -1,
+        0, 1, 4, 5, 8, 9, 12, 13, -1, -1, -1, -1, -1, -1, -1, -1);
+    int w8 = out_w & ~7;
+    for (int r = 0; r < out_h; r++) {
+      const int16_t* row = src + (int64_t)r * ss;
+      for (int c = 0; c < w8; c += 8) {
+        const int16_t* p = row + c;
+        __m256i acc = voff;
+        for (int k = 0; k < n_taps; k++) {
+          __m256i sv = _mm256_cvtepi16_epi32(
+              _mm_loadu_si128((const __m128i*)(p + (int64_t)k * step)));
+          __m256i cv = _mm256_set1_epi32((int32_t)cf[k]);
+          acc = _mm256_add_epi32(acc, _mm256_mullo_epi32(sv, cv));
+        }
+        __m256i v = _mm256_sra_epi32(acc, vcnt);
+        if (is_last)
+          v = _mm256_min_epi32(_mm256_max_epi32(v, vzero), vmax);
+        __m256i t = _mm256_shuffle_epi8(v, pkmask);
+        __m256i m = _mm256_permute4x64_epi64(t, 0x08);
+        _mm_storeu_si128((__m128i*)(dst + (int64_t)r * ds + c),
+                         _mm256_castsi256_si128(m));
+      }
+      for (int c = w8; c < out_w; c++) {
+        const int16_t* p = row + c;
+        int32_t acc = 0;
+        for (int k = 0; k < n_taps; k++)
+          acc += (int32_t)p[k * step] * cf[k];
+        int32_t v = (acc + offset) >> shift;
+        if (is_last) {
+          if (v < 0) v = 0;
+          else if (v > max_val) v = max_val;
+        }
+        dst[(int64_t)r * ds + c] = (int16_t)v;
+      }
+    }
+    return;
+  }
+#endif
   for (int r = 0; r < out_h; r++) {
     const int16_t* row = src + (int64_t)r * ss;
     for (int c = 0; c < out_w; c++) {
@@ -7145,6 +7195,55 @@ static int64_t es_sad32(const int32_t* org, int so, const int16_t* cur,
 
 // SATD over int32 org vs int16 cur (xGetHADs; 8x8 blocks when both dims
 // are multiples of 8, else 4x4)
+#if defined(__AVX2__)
+// same abs-sum invariance argument as had8x8: the vector Hadamard is
+// bit-identical to xCalcHADs8x8's butterfly
+static int64_t had8x8_me(const int32_t* org, int so, const int16_t* cur,
+                         int64_t sc) {
+  __m256i r[8];
+  for (int j = 0; j < 8; j++) {
+    __m256i o = _mm256_loadu_si256((const __m256i*)(org + (int64_t)j * so));
+    __m256i c = _mm256_cvtepi16_epi32(
+        _mm_loadu_si128((const __m128i*)(cur + (int64_t)j * sc)));
+    r[j] = _mm256_sub_epi32(o, c);
+  }
+  had8_butterfly(r);
+  transpose8x8_epi32(r);
+  had8_butterfly(r);
+  __m256i acc = _mm256_setzero_si256();
+  for (int j = 0; j < 8; j++)
+    acc = _mm256_add_epi32(acc, _mm256_abs_epi32(r[j]));
+  __m128i lo = _mm256_castsi256_si128(acc);
+  __m128i hi = _mm256_extracti128_si256(acc, 1);
+  __m128i s = _mm_add_epi32(lo, hi);
+  s = _mm_add_epi32(s, _mm_shuffle_epi32(s, 0x4E));
+  s = _mm_add_epi32(s, _mm_shuffle_epi32(s, 0xB1));
+  int64_t sad = (int32_t)_mm_cvtsi128_si32(s);
+  return (sad + 2) >> 2;
+}
+
+static int64_t had4x4_me(const int32_t* org, int so, const int16_t* cur,
+                         int64_t sc) {
+  __m128i r[4];
+  for (int j = 0; j < 4; j++) {
+    __m128i o = _mm_loadu_si128((const __m128i*)(org + (int64_t)j * so));
+    __m128i c = _mm_cvtepi16_epi32(
+        _mm_loadl_epi64((const __m128i*)(cur + (int64_t)j * sc)));
+    r[j] = _mm_sub_epi32(o, c);
+  }
+  had4_butterfly(r);
+  transpose4x4_epi32(r);
+  had4_butterfly(r);
+  __m128i acc = _mm_add_epi32(_mm_add_epi32(_mm_abs_epi32(r[0]),
+                                            _mm_abs_epi32(r[1])),
+                              _mm_add_epi32(_mm_abs_epi32(r[2]),
+                                            _mm_abs_epi32(r[3])));
+  acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0x4E));
+  acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0xB1));
+  int64_t sad = (int32_t)_mm_cvtsi128_si32(acc);
+  return (sad + 1) >> 1;
+}
+#else
 static int64_t had8x8_me(const int32_t* org, int so, const int16_t* cur,
                          int64_t sc) {
   int32_t diff[64], m1[8][8], m2[8][8], m3[8][8];
@@ -7238,6 +7337,7 @@ static int64_t had4x4_me(const int32_t* org, int so, const int16_t* cur,
   for (int i = 0; i < 16; i++) sad += d[i] < 0 ? -d[i] : d[i];
   return (sad + 1) >> 1;
 }
+#endif  // __AVX2__
 
 static int64_t es_had32(const int32_t* org, int so, const int16_t* cur,
                         int64_t sc, int w, int h, int bit_inc) {
@@ -9694,10 +9794,14 @@ static void es_check_rd_inter(EncState* S, int abs_part, int depth,
   int px = ux * 4, py = uy * 4;
   int size = fa->ctu_size >> depth;
   es_reset_inter_region(S, abs_part, depth, part_size);
+  PROF_BEGIN(22);
   es_pred_inter_search(S, px, py, size, part_size, use_mrg);
+  PROF_END(22);
   int64_t bits, dist;
   double cost;
+  PROF_BEGIN(23);
   es_encode_res_calc_rd(S, abs_part, depth, 0, &bits, &dist, &cost);
+  PROF_END(23);
   es_best_update(S, abs_part, depth, bits, dist, cost, best, have_best);
 }
 
