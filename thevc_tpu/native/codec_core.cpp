@@ -7193,6 +7193,66 @@ static int64_t es_sad32(const int32_t* org, int so, const int16_t* cur,
   return (s << sub_shift) >> bit_inc;
 }
 
+// SAD over int16 org (uni-pred ME: plain pixels) vs int16 plane — twice
+// the SIMD width of es_sad32; exact int32 accumulation (|a-b| fits 15
+// bits, madd pairs are exact)
+static int64_t es_sad16(const int16_t* org, int so, const int16_t* cur,
+                        int64_t sc, int w, int h, int sub_shift,
+                        int bit_inc) {
+  int64_t s = 0;
+  int step = sub_shift ? 2 : 1;
+#if defined(__AVX2__)
+  if ((w & 15) == 0) {
+    __m256i acc = _mm256_setzero_si256();
+    __m256i ones = _mm256_set1_epi16(1);
+    for (int y = 0; y < h; y += step) {
+      const int16_t* o = org + (int64_t)y * so;
+      const int16_t* c = cur + (int64_t)y * sc;
+      for (int x = 0; x < w; x += 16) {
+        __m256i ov = _mm256_loadu_si256((const __m256i*)(o + x));
+        __m256i cv = _mm256_loadu_si256((const __m256i*)(c + x));
+        __m256i ad = _mm256_abs_epi16(_mm256_sub_epi16(ov, cv));
+        acc = _mm256_add_epi32(acc, _mm256_madd_epi16(ad, ones));
+      }
+    }
+    __m128i lo = _mm256_castsi256_si128(acc);
+    __m128i hi = _mm256_extracti128_si256(acc, 1);
+    __m128i v = _mm_add_epi32(lo, hi);
+    v = _mm_add_epi32(v, _mm_shuffle_epi32(v, 0x4E));
+    v = _mm_add_epi32(v, _mm_shuffle_epi32(v, 0xB1));
+    s = (int32_t)_mm_cvtsi128_si32(v);
+    return (s << sub_shift) >> bit_inc;
+  }
+  if ((w & 7) == 0) {
+    __m128i acc = _mm_setzero_si128();
+    __m128i ones = _mm_set1_epi16(1);
+    for (int y = 0; y < h; y += step) {
+      const int16_t* o = org + (int64_t)y * so;
+      const int16_t* c = cur + (int64_t)y * sc;
+      for (int x = 0; x < w; x += 8) {
+        __m128i ov = _mm_loadu_si128((const __m128i*)(o + x));
+        __m128i cv = _mm_loadu_si128((const __m128i*)(c + x));
+        __m128i ad = _mm_abs_epi16(_mm_sub_epi16(ov, cv));
+        acc = _mm_add_epi32(acc, _mm_madd_epi16(ad, ones));
+      }
+    }
+    acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0x4E));
+    acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0xB1));
+    s = (int32_t)_mm_cvtsi128_si32(acc);
+    return (s << sub_shift) >> bit_inc;
+  }
+#endif
+  for (int y = 0; y < h; y += step) {
+    const int16_t* o = org + (int64_t)y * so;
+    const int16_t* c = cur + (int64_t)y * sc;
+    for (int x = 0; x < w; x++) {
+      int d = o[x] - c[x];
+      s += d < 0 ? -d : d;
+    }
+  }
+  return (s << sub_shift) >> bit_inc;
+}
+
 // SATD over int32 org vs int16 cur (xGetHADs; 8x8 blocks when both dims
 // are multiples of 8, else 4x4)
 #if defined(__AVX2__)
@@ -7613,6 +7673,7 @@ static int es_estimate_mvp_amvp(EncState* S, int cu_x, int cu_y, int size,
 struct TzCtx {
   EncState* S;
   const int32_t* org;            // ME original, stride = pw
+  const int16_t* org16;          // int16 view (uni-pred only, else null)
   const int16_t* plane;          // padded SAD plane
   int64_t ps;                    // plane stride
   int m, xp, yp, pw, ph, sub_shift;
@@ -7624,9 +7685,12 @@ struct TzCtx {
 static inline int64_t tz_sad_at(TzCtx* T, int x, int y) {
   const int16_t* blk = T->plane + (int64_t)(T->m + T->yp + y) * T->ps +
                        (T->m + T->xp + x);
-  return es_sad32(T->org, T->pw, blk, T->ps, T->pw, T->ph, T->sub_shift,
-                  T->S->ep.bit_inc) +
-         es_mc_cost_pts(T->S, x, y);
+  int64_t sad = T->org16
+      ? es_sad16(T->org16, T->S->rls, blk, T->ps, T->pw, T->ph,
+                 T->sub_shift, T->S->ep.bit_inc)
+      : es_sad32(T->org, T->pw, blk, T->ps, T->pw, T->ph, T->sub_shift,
+                 T->S->ep.bit_inc);
+  return sad + es_mc_cost_pts(T->S, x, y);
 }
 
 static inline void tz_helper(TzCtx* T, int x, int y, int point,
@@ -8005,6 +8069,7 @@ static void es_motion_estimation_impl(EncState* S, int cu_x, int cu_y, int xp,
   TzCtx T;
   T.S = S;
   T.org = S->me_org;
+  T.org16 = bi ? 0 : org;
   T.plane = pad_y;
   T.ps = ps;
   T.m = m; T.xp = xp; T.yp = yp; T.pw = pw; T.ph = ph;
