@@ -171,10 +171,8 @@ def _collect_residuals_vec(f: FrameModel, sps: Sps, pps: Pps, runs,
                     gy = by[:, None, None] + np.arange(size)[None, :, None]
                     gx = bx[:, None, None] + np.arange(size)[None, None, :]
                     blocks = f.coeff_y[gy, gx]
-                    g = groups.setdefault((0, size, bool(use_dst)), [])
-                    for i in range(len(idx)):
-                        g.append(((0, int(bx[i]), int(by[i])), blocks[i],
-                                  int(qps[idx[i]])))
+                    groups.setdefault((0, size, bool(use_dst)), []).append(
+                        (bx, by, blocks, qps[idx]))
 
         if len(ct):
             cx, cy, csz, trd = ct[:, 0], ct[:, 1], ct[:, 2], ct[:, 5]
@@ -202,10 +200,8 @@ def _collect_residuals_vec(f: FrameModel, sps: Sps, pps: Pps, runs,
                     gy = by[:, None, None] + np.arange(size)[None, :, None]
                     gx = bx[:, None, None] + np.arange(size)[None, None, :]
                     blocks = plane[gy, gx]
-                    g = groups.setdefault((comp, size, False), [])
-                    for i in range(len(idx)):
-                        g.append(((comp, int(bx[i]), int(by[i])), blocks[i],
-                                  int(qps[idx[i]])))
+                    groups.setdefault((comp, size, False), []).append(
+                        (bx, by, blocks, qps[idx]))
     return True
 
 
@@ -275,8 +271,12 @@ def _launch_residuals(f: FrameModel, sps: Sps, groups: dict) -> dict:
     use_device = device_enabled()
 
     store: dict = {}
+    pending = []
     for (comp, size, use_dst), items in groups.items():
-        n = len(items)
+        blocks, qps, keys = _normalize_group(comp, size, items,
+                                             np.int16 if use_device
+                                             else np.int32)
+        n = len(keys)
         # device path: pad to a power-of-FOUR bucket so per-frame count
         # jitter re-uses compiled shapes (every unique shape costs a full
         # XLA compile through the tunnel); ship coefficients as int16
@@ -285,34 +285,59 @@ def _launch_residuals(f: FrameModel, sps: Sps, groups: dict) -> dict:
             cap = 64
             while cap < n:
                 cap *= 4
-        else:
-            cap = n
-        blocks = np.zeros((cap, size, size),
-                          np.int16 if use_device else np.int32)
-        qps = np.zeros(cap, np.int32)
-        for i, (_k, blk, q) in enumerate(items):
-            blocks[i] = np.clip(blk, -32768, 32767) if use_device else blk
-            qps[i] = q
-        if use_device:
+            if cap != n:
+                pad_b = np.zeros((cap, size, size), blocks.dtype)
+                pad_b[:n] = blocks
+                pad_q = np.zeros(cap, np.int32)
+                pad_q[:n] = qps
+                blocks, qps = pad_b, pad_q
             # launch only — all size classes run asynchronously and are
             # synchronized once below (one host<->device round trip)
-            store[("pending", comp, size, use_dst)] = (
-                jx.residual_pipeline(blocks, qps, use_dst, bit_inc), items)
+            pending.append(
+                (jx.residual_pipeline(blocks, qps, use_dst, bit_inc), keys))
         else:
             # same batched formulation through the numpy kernels
             deq = tops.dequant(blocks, qps, bit_inc)
             resi = tops.inverse_transform(deq, use_dst, bit_inc)
-            for i, (k, _blk, _q) in enumerate(items):
+            for i, k in enumerate(keys):
                 store[k] = resi[i]
-    if use_device:
-        pending = [(k, v) for k, v in store.items()
-                   if isinstance(k, tuple) and k and k[0] == "pending"]
-        for k, (dev, items) in pending:
-            del store[k]
-            resi = np.asarray(dev)
-            for i, (key, _blk, _q) in enumerate(items):
-                store[key] = resi[i]
+    for dev, _keys in pending:
+        try:
+            dev.copy_to_host_async()       # overlap all D2H transfers
+        except AttributeError:
+            pass
+    for dev, keys in pending:
+        resi = np.asarray(dev)
+        for i, k in enumerate(keys):
+            store[k] = resi[i]
     return store
+
+
+def _normalize_group(comp, size, items, dtype):
+    """Accepts either array chunks (bx, by, blocks, qps) from the
+    vectorized collector or per-TU (key, block, qp) tuples from the
+    scalar fallback; returns (blocks [n,s,s] dtype, qps int32[n],
+    keys [(comp,x,y)])."""
+    if items and isinstance(items[0][0], np.ndarray):
+        bxs = np.concatenate([c[0] for c in items])
+        bys = np.concatenate([c[1] for c in items])
+        blocks = np.concatenate([c[2] for c in items])
+        if dtype == np.int16:
+            blocks = np.clip(blocks, -32768, 32767)
+        blocks = blocks.astype(dtype)
+        qps = np.concatenate([c[3] for c in items]).astype(np.int32)
+        keys = [(comp, int(x), int(y)) for x, y in zip(bxs, bys)]
+        return blocks, qps, keys
+    n = len(items)
+    blocks = np.zeros((n, size, size), dtype)
+    qps = np.zeros(n, np.int32)
+    keys = []
+    for i, (k, blk, q) in enumerate(items):
+        blocks[i] = np.clip(blk, -32768, 32767) \
+            if dtype == np.int16 else blk
+        qps[i] = q
+        keys.append(k)
+    return blocks, qps, keys
 
 
 class _FrameRecon:
@@ -718,30 +743,39 @@ def _device_residual_store(f: FrameModel, sps: Sps, pps: Pps, runs):
     comp_maps = [np.full((uh, uw), -1, np.int32) for _ in range(3)]
     launches = []
     total = 0
-    for (comp, size, use_dst), items in groups.items():
-        n = len(items)
+    for (comp, size, use_dst), chunks in groups.items():
+        bxs = np.concatenate([c[0] for c in chunks])
+        bys = np.concatenate([c[1] for c in chunks])
+        blocks = np.clip(np.concatenate([c[2] for c in chunks]),
+                         -32768, 32767).astype(np.int16)
+        qps = np.concatenate([c[3] for c in chunks]).astype(np.int32)
+        n = len(bxs)
         cap = 64
         while cap < n:
             cap *= 4
-        blocks = np.zeros((cap, size, size), np.int16)
-        qps = np.zeros(cap, np.int32)
-        for i, (_k, blk, q) in enumerate(items):
-            blocks[i] = np.clip(blk, -32768, 32767)
-            qps[i] = q
+        if cap != n:
+            pad_b = np.zeros((cap, size, size), np.int16)
+            pad_b[:n] = blocks
+            pad_q = np.zeros(cap, np.int32)
+            pad_q[:n] = qps
+            blocks, qps = pad_b, pad_q
         dev = jx.residual_pipeline(blocks, qps, use_dst, bit_inc)
-        launches.append((comp, size, dev, items))
+        launches.append((comp, size, dev, n, bxs, bys))
         total += n * size * size
+    for _comp, _size, dev, _n, _bxs, _bys in launches:
+        try:
+            dev.copy_to_host_async()       # overlap all D2H transfers
+        except AttributeError:
+            pass
     buf = np.empty(max(total, 1), np.int32)
     off = 0
-    for comp, size, dev, items in launches:
-        n = len(items)
+    for comp, size, dev, n, bxs, bys in launches:
         sz = size * size
         resi = np.asarray(dev)[:n]
         buf[off:off + n * sz] = resi.reshape(-1)
         div = 4 if comp == 0 else 2
-        xs = np.fromiter((k[1] for k, _b, _q in items), np.int64, n) // div
-        ys = np.fromiter((k[2] for k, _b, _q in items), np.int64, n) // div
-        comp_maps[comp][ys, xs] = off + np.arange(n, dtype=np.int64) * sz
+        comp_maps[comp][bys // div, bxs // div] = \
+            off + np.arange(n, dtype=np.int64) * sz
         off += n * sz
     return buf, comp_maps
 

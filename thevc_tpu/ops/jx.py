@@ -115,9 +115,11 @@ def residual_pipeline(qcoeff: jnp.ndarray, qp: jnp.ndarray,
 
     The decoder's stage-1 kernel: every coded TU of a picture of one size
     class runs through this in a single launch (dequant is elementwise on
-    the VPU; the 2D IDCT is two int32 matmuls on the MXU)."""
+    the VPU; the 2D IDCT is two int32 matmuls on the MXU).  Returns int16
+    (inverse_transform clips to the int16 range, so the cast is lossless
+    and halves the device->host transfer on tunneled chips)."""
     return inverse_transform(dequant(qcoeff, qp, bit_increment),
-                             use_dst, bit_increment)
+                             use_dst, bit_increment).astype(jnp.int16)
 
 
 @partial(jax.jit, static_argnames=("use_dst", "bit_increment", "max_val"))

@@ -313,4 +313,7 @@ def filter_picture(rec_y, rec_cb, rec_cr,
             cr = _sao_plane(cr, sao_types[2], sao_band_pos[2],
                             sao_offsets[2], ctu_size // 2, ctus_w, ctus_h,
                             bit_depth)
-    return y, cb, cr
+    # pixel values fit int16 (clipped to [0, 2^bd-1]); halves the
+    # device->host transfer on tunneled chips
+    return (y.astype(jnp.int16), cb.astype(jnp.int16),
+            cr.astype(jnp.int16))
