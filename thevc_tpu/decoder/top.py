@@ -117,6 +117,13 @@ class Decoder:
         if self.max_temporal_layer >= 0 or self.skip_frames:
             return None
         workers = os.cpu_count() or 1
+        from ..ops.device import device_enabled
+        if device_enabled():
+            # device frame pipelining: threads spend most of their time
+            # waiting on tunnel transfers / launch sync, so even a 1-core
+            # host overlaps picture N's device work with picture N+1's
+            # host CABAC parse + recon walk
+            workers = max(workers, 4)
         if workers <= 1 or os.environ.get("THEVC_THREADS", "") == "1":
             return None
         param_units = []
