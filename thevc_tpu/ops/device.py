@@ -50,6 +50,35 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def effective_platform() -> str:
+    """Platform jitted codec launches actually land on: the pinned
+    jax_default_device wins (tests pin CPU while the TPU plugin is still
+    registered, so jax.default_backend() alone would lie)."""
+    try:
+        import jax
+        d = jax.config.jax_default_device
+        if d is not None:
+            return d.platform
+        return jax.default_backend()
+    except Exception:
+        return "none"
+
+
+def pallas_enabled() -> bool:
+    """Residual-core kernel choice: THEVC_PALLAS=1 forces the Pallas
+    kernel (interpret-mode on non-TPU backends — the CI path), =0 forces
+    the XLA einsum formulation; unset means AUTO — Pallas exactly when
+    the launches land on a real TPU (Mosaic-compiled)."""
+    env = os.environ.get("THEVC_PALLAS", "")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    if "pallas_auto" not in _cache:
+        _cache["pallas_auto"] = effective_platform() == "tpu"
+    return _cache["pallas_auto"]
+
+
 def device_enc_enabled() -> bool:
     """Encoder candidate-sweep offload (THEVC_DEVICE_ENC=1): the 35-mode
     intra SATD sweep runs on device.  Not auto-enabled: HM-exact RD walks

@@ -108,18 +108,32 @@ def recon_add_clip(pred: jnp.ndarray, resi: jnp.ndarray, max_val: int) -> jnp.nd
 
 
 @partial(jax.jit, static_argnames=("use_dst", "bit_increment"))
-def residual_pipeline(qcoeff: jnp.ndarray, qp: jnp.ndarray,
-                      use_dst: bool = False,
-                      bit_increment: int = 0) -> jnp.ndarray:
-    """Batched dequant + inverse transform [N, s, s] -> residual int32.
-
-    The decoder's stage-1 kernel: every coded TU of a picture of one size
-    class runs through this in a single launch (dequant is elementwise on
-    the VPU; the 2D IDCT is two int32 matmuls on the MXU).  Returns int16
-    (inverse_transform clips to the int16 range, so the cast is lossless
-    and halves the device->host transfer on tunneled chips)."""
+def _residual_pipeline_xla(qcoeff: jnp.ndarray, qp: jnp.ndarray,
+                           use_dst: bool = False,
+                           bit_increment: int = 0) -> jnp.ndarray:
     return inverse_transform(dequant(qcoeff, qp, bit_increment),
                              use_dst, bit_increment).astype(jnp.int16)
+
+
+def residual_pipeline(qcoeff, qp, use_dst: bool = False,
+                      bit_increment: int = 0):
+    """Batched dequant + inverse transform [N, s, s] -> residual int16.
+
+    The decoder's stage-1 kernel: every coded TU of a picture of one size
+    class runs through this in a single launch.  Two bit-identical
+    formulations: the hand-written Pallas kernel (ops.jx_pallas — planar
+    lane-batch layout, VPU slab MACs; default on real TPUs) and the XLA
+    einsum path (dequant on the VPU + two int32 matmuls).  Returns int16
+    (inverse_transform clips to the int16 range, so the cast is lossless
+    and halves the device->host transfer on tunneled chips)."""
+    from .device import effective_platform, pallas_enabled
+    if pallas_enabled():
+        from . import jx_pallas
+        interpret = effective_platform() != "tpu"
+        return jx_pallas.residual_pipeline_planar(
+            qcoeff, np.asarray(qp, np.int32), use_dst, bit_increment,
+            interpret)
+    return _residual_pipeline_xla(qcoeff, qp, use_dst, bit_increment)
 
 
 @partial(jax.jit, static_argnames=("use_dst", "bit_increment", "max_val"))
