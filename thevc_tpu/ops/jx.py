@@ -131,8 +131,7 @@ def residual_pipeline(qcoeff, qp, use_dst: bool = False,
         from . import jx_pallas
         interpret = effective_platform() != "tpu"
         return jx_pallas.residual_pipeline_planar(
-            qcoeff, np.asarray(qp, np.int32), use_dst, bit_increment,
-            interpret)
+            qcoeff, qp, use_dst, bit_increment, interpret)
     return _residual_pipeline_xla(qcoeff, qp, use_dst, bit_increment)
 
 

@@ -115,6 +115,7 @@ def residual_pipeline_planar(qcoeff: jnp.ndarray, qp: jnp.ndarray,
     n, s, _ = qcoeff.shape
     if qcoeff.dtype != jnp.int16:     # static: dequant clips to int16 anyway
         qcoeff = jnp.clip(qcoeff, -32768, 32767).astype(jnp.int16)
+    qp = jnp.asarray(qp, jnp.int32)
     log2 = int(s).bit_length() - 1
     transform_shift = MAX_TR_DYNAMIC_RANGE - (8 + bit_increment) - log2
     dq_shift = QUANT_IQUANT_SHIFT - QUANT_SHIFT - transform_shift
