@@ -293,6 +293,21 @@ def _bench_device_kernels() -> dict:
         out["device_residual_gpx_s"] = round(px / dt / 1e9, 2)
         # int16 in + int16 out = 4 HBM bytes per pixel
         out["device_residual_gb_s"] = round(px * 4 / dt / 1e9, 1)
+
+        # SATD sweep kernel (encoder candidate preselection core): one
+        # 35-mode sweep over a large PU batch, device-resident
+        m = 35 * 512
+        org = jax.device_put(rng.randint(0, 256, (8, 8)).astype(np.int32))
+        preds = jax.device_put(
+            rng.randint(0, 256, (m, 8, 8)).astype(np.int32))
+        sres = jx.intra_sweep_satd(org, preds, 0)
+        sres.block_until_ready()
+        t0 = _t.time()
+        for _ in range(20):
+            sres = jx.intra_sweep_satd(org, preds, 0)
+        sres.block_until_ready()
+        dt = (_t.time() - t0) / 20
+        out["device_satd_gpx_s"] = round(m * 64 / dt / 1e9, 2)
     except Exception:
         pass
     return out

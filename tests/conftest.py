@@ -8,7 +8,7 @@ Set THEVC_TEST_TPU=1 to run on the real device instead.
 import os
 
 if not os.environ.get("THEVC_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -19,11 +19,15 @@ import subprocess
 
 import pytest
 
-# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; pin the
-# default device to CPU so unit tests don't compile over the TPU tunnel.
+# The axon TPU plugin's register() (sitecustomize) force-sets the
+# jax_platforms CONFIG to "axon,cpu", which beats the env var — any
+# jax.devices() call then initializes the axon backend and claims (or,
+# when the tunnel is down, hangs on) the remote TPU.  Re-pin the config
+# to cpu-only BEFORE the first backend init so the suite is hermetic.
 if not os.environ.get("THEVC_TEST_TPU"):
     try:
         import jax
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
     except Exception:
         pass

@@ -31,6 +31,21 @@ def test_pallas_residual_parity(size, use_dst, bit_inc):
         assert np.array_equal(got, ref)
 
 
+@pytest.mark.parametrize("size,bit_inc", [(4, 0), (8, 0), (16, 0),
+                                          (32, 0), (8, 2), (64, 2)])
+def test_pallas_satd_sweep_parity(size, bit_inc):
+    from thevc_tpu.encoder.rdcost import calc_had_batched
+    from thevc_tpu.ops import jx_pallas
+    rng = np.random.RandomState(size + bit_inc)
+    hi = 256 << bit_inc
+    org = rng.randint(0, hi, (size, size)).astype(np.int32)
+    preds = rng.randint(0, hi, (35, size, size)).astype(np.int32)
+    ref = np.asarray(calc_had_batched(org, preds, bit_inc))
+    got = np.asarray(jx_pallas.satd_sweep_planar(org, preds, bit_inc,
+                                                 interpret=True))
+    assert np.array_equal(got, ref)
+
+
 def test_pallas_device_decode_digest_exact(golden_intra_stream, tmp_path,
                                            monkeypatch):
     """E2E: all-intra decode with THEVC_DEVICE=1 and the Pallas residual

@@ -175,15 +175,29 @@ _H4 = np.array([[1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1]],
 _H8 = np.block([[_H4, _H4], [_H4, -_H4]]).astype(np.int32)
 
 
-@partial(jax.jit, static_argnames=("bit_increment",))
-def intra_sweep_satd(org: jnp.ndarray, preds: jnp.ndarray,
-                     bit_increment: int = 0) -> jnp.ndarray:
+def intra_sweep_satd(org, preds, bit_increment: int = 0):
     """The 35-mode intra SATD sweep (TEncSearch.cpp:2530-2545) on device:
     [M, s, s] candidate predictions vs one [s, s] original -> [M] SATDs.
 
-    Mirrors encoder.rdcost.calc_had_batched: 8x8 Hadamard blocks when the
-    PU is a multiple of 8, else 4x4 — two int32 matmuls per block batch
-    on the MXU.  Byte-exact vs the host sweep (decision-equality)."""
+    Two bit-identical formulations, like the residual core: the Pallas
+    planar kernel (ops.jx_pallas.satd_sweep_planar; default on real TPUs)
+    and the XLA einsum path below.  Byte-exact vs the host sweep
+    (decision-equality)."""
+    from .device import effective_platform, pallas_enabled
+    if pallas_enabled():
+        from . import jx_pallas
+        interpret = effective_platform() != "tpu"
+        return jx_pallas.satd_sweep_planar(org, preds, bit_increment,
+                                           interpret)
+    return _intra_sweep_satd_xla(org, preds, bit_increment)
+
+
+@partial(jax.jit, static_argnames=("bit_increment",))
+def _intra_sweep_satd_xla(org: jnp.ndarray, preds: jnp.ndarray,
+                          bit_increment: int = 0) -> jnp.ndarray:
+    """XLA einsum formulation: 8x8 Hadamard blocks when the PU is a
+    multiple of 8, else 4x4 — two int32 matmuls per block batch on the
+    MXU (mirrors encoder.rdcost.calc_had_batched)."""
     m, h, w = preds.shape
     d = org[None].astype(jnp.int32) - preds.astype(jnp.int32)
     if h % 8 == 0:

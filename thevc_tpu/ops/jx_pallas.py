@@ -56,6 +56,88 @@ def _chunk_cols(size: int) -> int:
     return {4: 512, 8: 512, 16: 256, 32: 128}[size]
 
 
+# ---------------------------------------------------------------------------
+# Hadamard SATD sweep kernel (encoder candidate preselection)
+# ---------------------------------------------------------------------------
+
+def _satd_kernel(b: int, cols: int):
+    """Per-block Hadamard |H @ D @ H| abs-sum in the same planar layout as
+    the residual kernel: diff blocks [b*b, C] with the block batch on
+    lanes.  H is symmetric (Sylvester construction), so the two slab
+    passes are structurally identical to the inverse-transform kernel's —
+    minus the rounding shifts and int16 clips (pure int32 throughout;
+    |D| <= 2^10+ per 10-bit pel, two +-1 passes grow it by b^2 <= 64, far
+    inside int32).  Output: one abs-sum lane per block [1, C]."""
+    def kernel(hexp_ref, x_ref, o_ref, u_ref):
+        for j in range(b):
+            def body1(n, acc, j=j):
+                hrow = hexp_ref[pl.ds(n * b, b), :]          # H[n,:]^T
+                row = x_ref[pl.ds(n * b + j, 1), :]
+                return acc + hrow * row
+            u_ref[j * b:(j + 1) * b, :] = jax.lax.fori_loop(
+                0, b, body1, jnp.zeros((b, cols), jnp.int32))
+        total = jnp.zeros((1, cols), jnp.int32)
+        for k in range(b):
+            def body2(j, acc, k=k):
+                hrow = hexp_ref[pl.ds(j * b, b), :]
+                row = u_ref[pl.ds(j * b + k, 1), :]
+                return acc + hrow * row
+            acc = jax.lax.fori_loop(
+                0, b, body2, jnp.zeros((b, cols), jnp.int32))
+            total = total + jnp.sum(jnp.abs(acc), axis=0, keepdims=True)
+        o_ref[:] = total
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("bit_increment", "interpret"))
+def satd_sweep_planar(org: jnp.ndarray, preds: jnp.ndarray,
+                      bit_increment: int = 0,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Drop-in equivalent of jx.intra_sweep_satd ([s,s] original vs
+    [M,s,s] candidate predictions -> [M] SATDs) through the Pallas
+    kernel.  Behavioral reference: TComRdCost.cpp xCalcHADs4x4 (:1684) /
+    xCalcHADs8x8 (:1778) summed over the PU (TEncSearch.cpp:2530-2545);
+    bit-exact vs encoder.rdcost.calc_had_batched."""
+    m, h, w = preds.shape
+    b = 8 if h % 8 == 0 else 4
+    d = org[None].astype(jnp.int32) - preds.astype(jnp.int32)
+    blocks = (d.reshape(m, h // b, b, w // b, b)
+              .transpose(0, 1, 3, 2, 4).reshape(-1, b, b))
+    n = blocks.shape[0]                                    # m * blocks/PU
+    hmat = np.asarray(_HAD8 if b == 8 else _HAD4, np.int32)
+
+    cols = 512
+    nc = -(-n // cols) * cols
+    xp = blocks.reshape(n, b * b).T                        # planar [b*b, N]
+    if nc != n:
+        xp = jnp.pad(xp, ((0, 0), (0, nc - n)))
+
+    sums = pl.pallas_call(
+        _satd_kernel(b, cols),
+        out_shape=jax.ShapeDtypeStruct((1, nc), jnp.int32),
+        grid=(nc // cols,),
+        in_specs=[
+            pl.BlockSpec((b * b, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * b, cols), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cols), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((b * b, cols), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(hmat.reshape(b * b, 1)), xp)[0, :n]
+
+    # per-block HM normalization, then the per-PU sum over its blocks
+    sads = (sums + 2) >> 2 if b == 8 else (sums + 1) >> 1
+    return sads.reshape(m, -1).sum(axis=1) >> bit_increment
+
+
+_HAD4 = np.array([[1, 1, 1, 1], [1, -1, 1, -1],
+                  [1, 1, -1, -1], [1, -1, -1, 1]], np.int32)
+_HAD8 = np.block([[_HAD4, _HAD4], [_HAD4, -_HAD4]]).astype(np.int32)
+
+
 def _kernel(size: int, cols: int, dq_shift: int, sh2: int):
     """Build the fused dequant+IDCT kernel for one TU size class.
 
