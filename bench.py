@@ -53,6 +53,12 @@ def ensure_inputs():
 
 def main():
     clip, oracle_stream = ensure_inputs()
+    # Pin the host path for the headline runs: AUTO device probing must
+    # not touch the (possibly wedged) remote-TPU tunnel here.  Device
+    # sections below re-enable it only after backend_probe() says the
+    # chip is reachable (a hung tunnel blocks in-process jax init
+    # forever — the probe does it in a subprocess with a timeout).
+    os.environ["THEVC_DEVICE"] = "0"
     from thevc_tpu.utils.cfg import parse_args
     from thevc_tpu.encoder.top import Encoder
 
@@ -93,7 +99,10 @@ def main():
 
     extra = {"frames": FRAMES, "cores": CORES}
     extra["encode_fps_ldp_1080p"] = _bench_ldp_encode()
-    extra["encode_fps_device_sweep_416x240"] = _bench_device_sweep_encode()
+    from thevc_tpu.ops import device as device_mod
+    if device_mod.backend_probe() != "cpu":
+        extra["encode_fps_device_sweep_416x240"] = \
+            _bench_device_sweep_encode()
     extra.update(bench_decode(stream))
     print(json.dumps({
         "metric": "1080p_allintra_encode_fps_byte_exact_vs_HM",
@@ -241,10 +250,16 @@ def bench_decode(stream: bytes) -> dict:
     try:
         out["decode_fps_host"] = run("0")
         out["decode_fps_ra_416x240_host"] = _bench_ra_decode()
+        probed = device_mod.backend_probe()
+        out["decode_device_backend"] = probed
+        if probed == "cpu":
+            # no accelerator reachable (or the tunnel is wedged): report
+            # the host numbers rather than hanging on in-process jax init
+            return out
         try:
             import jax
             dev = jax.devices()[0]
-            backend = dev.platform
+            out["decode_device_backend"] = dev.platform
             # measured host->device bandwidth: the device-path ceiling on
             # tunneled chips (coefficients + planes must cross per frame)
             import numpy as np
@@ -255,12 +270,11 @@ def bench_decode(stream: bytes) -> dict:
                 jax.device_put(x, dev).block_until_ready()
             out["h2d_mbps"] = round(12 / (time.time() - t0), 1)
         except Exception:
-            backend = "none"
-        out["decode_device_backend"] = backend
+            pass
         out["decode_fps_device"] = run("1")
         out.update(_bench_device_kernels())
     finally:
-        os.environ.pop("THEVC_DEVICE", None)
+        os.environ["THEVC_DEVICE"] = "0"
         device_mod.reset_cache()
     return out
 

@@ -13,6 +13,31 @@ from __future__ import annotations
 import os
 
 _cache: dict = {}
+_probe_cache: dict = {}   # survives reset_cache(): tunnel health is per-process
+
+
+def backend_probe(timeout: float = 180.0) -> str:
+    """jax.default_backend(), probed in a SUBPROCESS with a hard timeout.
+
+    Remote-TPU plugins (axon) block inside native backend init when the
+    tunnel to the chip is down — an in-process jax.devices() then hangs
+    the caller forever rather than raising.  Probing out-of-process
+    turns that hang into a clean "cpu" answer so AUTO mode (and bench)
+    degrade to the host path instead of wedging."""
+    if "probe" not in _probe_cache:
+        import subprocess
+        import sys
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=timeout)
+            lines = r.stdout.strip().splitlines()
+            _probe_cache["probe"] = lines[-1] if r.returncode == 0 and lines \
+                else "cpu"
+        except Exception:
+            _probe_cache["probe"] = "cpu"
+    return _probe_cache["probe"]
 
 
 def device_enabled() -> bool:
@@ -23,11 +48,7 @@ def device_enabled() -> bool:
     if env == "0":
         return False
     if "auto" not in _cache:
-        try:
-            import jax
-            _cache["auto"] = jax.default_backend() != "cpu"
-        except Exception:
-            _cache["auto"] = False
+        _cache["auto"] = backend_probe() != "cpu"
     if _cache["auto"]:
         _enable_compile_cache()
     return _cache["auto"]
