@@ -647,6 +647,7 @@ class Encoder:
             pc.aq = preanalyze(org.y, sps.max_cu_width,
                                pps.max_cu_dqp_depth + 1)
         real_end = se.real_end_address(f)
+        stage_t = time.time() if os.environ.get("THEVC_STAGE_TIME") else None
         sh.slice_cur_start_cu_addr = 0
         sh.dependent_slice_start_cu_addr = 0
         sh.dependent_slice = False
@@ -685,6 +686,9 @@ class Encoder:
             if next_addr >= real_end:
                 break
 
+        if stage_t is not None:
+            print("STAGE compress %.3f" % (time.time() - stage_t))
+            stage_t = time.time()
         # xRestoreWPparam (TEncSlice.cpp:988)
         pps.use_wp, pps.wp_bipred = wp_saved
         if self.rate_ctrl is not None:     # TEncSlice.cpp:989-992
@@ -696,6 +700,9 @@ class Encoder:
         deblock_frame(f, sh, sps, pps, rec_y, rec_cb, rec_cr,
                       ref_poc_from_lists(f, ref_pocs)
                       if not sh.is_intra else None)
+        if stage_t is not None:
+            print("STAGE deblock %.3f" % (time.time() - stage_t))
+            stage_t = time.time()
         sao_write = None
         if sps.use_sao:
             from .sao_encoder import SaoEncoder
@@ -707,6 +714,9 @@ class Encoder:
             rec_y, rec_cb, rec_cr = sao.process(rec_y, rec_cb, rec_cr)
             sao_write = sao.make_writer()
 
+        if stage_t is not None:
+            print("STAGE sao %.3f" % (time.time() - stage_t))
+            stage_t = time.time()
         # ---- assemble the access unit ----
         au = []
         if first:
@@ -759,6 +769,9 @@ class Encoder:
                 hdr.add_substream(sub)
             slice_nals.append((nal_type, seg.temporal_id, hdr.get_bytes()))
 
+        if stage_t is not None:
+            print("STAGE entropy %.3f" % (time.time() - stage_t))
+            stage_t = time.time()
         digest = None
         if cfg.picture_digest:
             method = cfg.picture_digest - 1  # 1:MD5 2:CRC 3:checksum
@@ -778,6 +791,8 @@ class Encoder:
         dpb_pic.compress_motion()
         self.dpb.add(dpb_pic)
 
+        if stage_t is not None:
+            print("STAGE tail %.3f" % (time.time() - stage_t))
         data, _sizes = nal_mod.write_annexb(au)
         # AU size excluding start codes and SEI NALs (TEncGOP.cpp:1655)
         if os.environ.get("THEVC_VERBOSE_RATE"):

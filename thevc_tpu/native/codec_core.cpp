@@ -5708,8 +5708,17 @@ static inline void es_ctu_local(const EncState* S, int abs_part, int* lx,
 }
 
 // xIntraCodingLumaBlk (TEncSearch.cpp:1006)
+static int64_t es_intra_luma_blk_impl(EncState* S, int part, int cu_depth,
+                                      int tr_depth, int d0s1l2);
 static int64_t es_intra_luma_blk(EncState* S, int part, int cu_depth,
                                  int tr_depth, int d0s1l2) {
+  PROF_BEGIN(25);
+  int64_t r = es_intra_luma_blk_impl(S, part, cu_depth, tr_depth, d0s1l2);
+  PROF_END(25);
+  return r;
+}
+static int64_t es_intra_luma_blk_impl(EncState* S, int part, int cu_depth,
+                                      int tr_depth, int d0s1l2) {
   FrameArrays* fa = &S->fa;
   int full_depth = cu_depth + tr_depth;
   int size = fa->ctu_size >> full_depth;
@@ -5761,8 +5770,10 @@ static int64_t es_intra_luma_blk(EncState* S, int part, int cu_depth,
   int32_t resi_rec[64 * 64];
   if (abs_sum) {
     const int32_t* basis = size == 4 ? &kDst4[0][0] : dct_basis(size);
+    PROF_BEGIN(27);
     residual_c(levels, size, 0, 0, size, qps, size == 4, use_ts, 0,
                S->ep.bit_inc, basis, resi_rec);
+    PROF_END(27);
   } else {
     memset(levels, 0, sizeof(int32_t) * size * size);
     memset(resi_rec, 0, sizeof(int32_t) * size * size);
@@ -10037,8 +10048,11 @@ static void es_compress_cu(EncState* S, int abs_part, int depth,
       PROF_BEGIN(21);
       es_check_intra(S, abs_part, depth, SZ_2Nx2N, qp, best, &have_best);
       PROF_END(21);
-      if (depth == max_sig && size > (1 << S->ep.min_tr_log2))
+      if (depth == max_sig && size > (1 << S->ep.min_tr_log2)) {
+        PROF_BEGIN(24);
         es_check_intra(S, abs_part, depth, SZ_NxN, qp, best, &have_best);
+        PROF_END(24);
+      }
     }
     // PCM mode decision is out of scope (gated at enc_create)
 
