@@ -6362,6 +6362,127 @@ static int64_t es_final_intra_luma(EncState* S, int part, int cu_depth,
   return best_dist;
 }
 
+#if defined(__AVX2__)
+// 35-mode preselection sweep specialized to 4x4 PUs: prediction + SATD
+// fused in SSE registers, one pass per mode (same per-mode semantics as
+// es_predict/angular_refs_c/dc_filter_c + calc_had_c, same candidate
+// update).  At 4x4 luma the smoothing filter never applies
+// (kFilterThresh[2] = 10 >= every mode's min hor/ver distance), so only
+// the raw reference line feeds every mode.
+static void es_sweep4(EncState* S, const int16_t* org0, const int32_t* ra,
+                      const int32_t* rl, const int* mpm, int64_t bits_mpm0,
+                      int64_t bits_mpm12, int64_t bits_other, int num_full,
+                      int* cand_modes, double* cand_costs) {
+  const int max_val = S->ep.max_val;
+  const int bit_inc = S->ep.bit_inc;
+  for (int mode = 0; mode < 35; mode++) {
+    int32_t* pred = S->presel_pred + (int64_t)mode * 64 * 64;
+    __m128i t[4];
+    if (mode == PLANAR_IDX) {
+      int32_t tr_s = ra[5], bl_s = rl[5];
+      __m128i top = _mm_loadu_si128((const __m128i*)(ra + 1));
+      __m128i lmul = _mm_setr_epi32(1, 2, 3, 4);
+      __m128i ver0 = _mm_slli_epi32(top, 2);
+      __m128i dver = _mm_sub_epi32(_mm_set1_epi32(bl_s), top);
+      for (int k = 0; k < 4; k++) {
+        int32_t left = rl[1 + k];
+        __m128i hor = _mm_add_epi32(
+            _mm_set1_epi32((left << 2) + 4),
+            _mm_mullo_epi32(lmul, _mm_set1_epi32(tr_s - left)));
+        __m128i ver = _mm_add_epi32(
+            ver0, _mm_mullo_epi32(_mm_set1_epi32(k + 1), dver));
+        t[k] = _mm_srai_epi32(_mm_add_epi32(hor, ver), 3);
+      }
+    } else if (mode == DC_IDX) {
+      int32_t s = 0;
+      for (int i = 1; i <= 4; i++) s += ra[i] + rl[i];
+      int32_t dc = (s + 4) >> 3;
+      __m128i row0 = _mm_srai_epi32(
+          _mm_add_epi32(_mm_loadu_si128((const __m128i*)(ra + 1)),
+                        _mm_set1_epi32(3 * dc + 2)), 2);
+      t[0] = _mm_insert_epi32(row0, (ra[1] + rl[1] + 2 * dc + 2) >> 2, 0);
+      for (int k = 1; k < 4; k++)
+        t[k] = _mm_insert_epi32(_mm_set1_epi32(dc),
+                                (rl[1 + k] + 3 * dc + 2) >> 2, 0);
+    } else {
+      int mode_hor = mode < 18;
+      int ang = mode_hor ? -(mode - 10) : (mode - 26);
+      int aa = ang < 0 ? -ang : ang;
+      int abs_ang = kAngTable[aa];
+      int ipa = ang < 0 ? -abs_ang : abs_ang;
+      const int32_t* main_src = mode_hor ? rl : ra;
+      const int32_t* side_src = mode_hor ? ra : rl;
+      int32_t ext_buf[16];
+      const int32_t* buf;
+      int off;
+      if (ipa < 0) {
+        int ext = (4 * ipa) >> 5;
+        off = 4;
+        for (int i = 0; i <= 4; i++) ext_buf[off + i] = main_src[i];
+        int inv_sum = 128, inv_angle = kInvAngTable[aa];
+        for (int k = -1; k > ext; k--) {
+          inv_sum += inv_angle;
+          ext_buf[off + k] = side_src[inv_sum >> 8];
+        }
+        buf = ext_buf;
+      } else {
+        buf = main_src;
+        off = 0;
+      }
+      if (ipa == 0) {
+        __m128i r = _mm_loadu_si128((const __m128i*)(buf + off + 1));
+        for (int k = 0; k < 4; k++) {
+          int v = buf[off + 1] + ((side_src[1 + k] - side_src[0]) >> 1);
+          v = v < 0 ? 0 : (v > max_val ? max_val : v);
+          t[k] = _mm_insert_epi32(r, v, 0);
+        }
+      } else {
+        for (int k = 0; k < 4; k++) {
+          int dp = (k + 1) * ipa;
+          int di = dp >> 5, df = dp & 31;
+          const int32_t* row = buf + off + di + 1;
+          __m128i r0 = _mm_loadu_si128((const __m128i*)row);
+          if (df) {
+            __m128i r1 = _mm_loadu_si128((const __m128i*)(row + 1));
+            t[k] = _mm_srai_epi32(
+                _mm_add_epi32(
+                    _mm_add_epi32(
+                        _mm_mullo_epi32(_mm_set1_epi32(32 - df), r0),
+                        _mm_mullo_epi32(_mm_set1_epi32(df), r1)),
+                    _mm_set1_epi32(16)),
+                5);
+          } else {
+            t[k] = r0;
+          }
+        }
+      }
+      if (mode_hor) transpose4x4_epi32(t);
+    }
+    __m128i d[4];
+    for (int j = 0; j < 4; j++) {
+      _mm_storeu_si128((__m128i*)(pred + j * 4), t[j]);
+      __m128i o = _mm_cvtepi16_epi32(
+          _mm_loadl_epi64((const __m128i*)(org0 + j * S->rls)));
+      d[j] = _mm_sub_epi32(o, t[j]);
+    }
+    had4_butterfly(d);
+    transpose4x4_epi32(d);
+    had4_butterfly(d);
+    __m128i acc = _mm_add_epi32(
+        _mm_add_epi32(_mm_abs_epi32(d[0]), _mm_abs_epi32(d[1])),
+        _mm_add_epi32(_mm_abs_epi32(d[2]), _mm_abs_epi32(d[3])));
+    acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0x4E));
+    acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0xB1));
+    int64_t sad = ((int64_t)(int32_t)_mm_cvtsi128_si32(acc) + 1) >> 1;
+    sad >>= bit_inc;
+    int64_t mode_bits = mode == mpm[0] ? bits_mpm0
+        : (mode == mpm[1] || mode == mpm[2]) ? bits_mpm12 : bits_other;
+    double cost = (double)sad + (double)mode_bits * S->ep.sqrt_lambda;
+    es_update_cand(mode, cost, cand_modes, cand_costs, num_full);
+  }
+}
+#endif  // __AVX2__
+
 // one PU of estIntraPredQT (luma)
 static int64_t es_search_luma_pu(EncState* S, int part, int depth,
                                  int init_tr_depth, int size_idx) {
@@ -6406,6 +6527,14 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   int32_t ra_raw[129], rl_raw[129], ra_filt[129], rl_filt[129];
   build_refs_c(line_raw, size, 4, ra_raw, rl_raw);
   build_refs_c(line_filt, size, 4, ra_filt, rl_filt);
+#if defined(__AVX2__)
+  if (size == 4) {
+    PROF_BEGIN(1);
+    es_sweep4(S, org0, ra_raw, rl_raw, mpm, bits_mpm0, bits_mpm12,
+              bits_other, num_full, cand_modes, cand_costs);
+    PROF_END(1);
+  } else
+#endif
   for (int mode = 0; mode < 35; mode++) {
     int filt = use_filtered_c(mode, log2, 1);
     const int32_t* line = filt ? line_filt : line_raw;
