@@ -5138,6 +5138,39 @@ static int64_t es_sse_impl(const EncState* S, const int16_t* rec, int64_t sr,
   int64_t sse = 0;
   int sh = S->ep.bit_inc << 1;
 #if defined(__AVX2__)
+  if (sh == 0 && size == 8) {
+    // d*d <= max_val^2, 32 madd pair-sums: the int32 accumulator is safe
+    __m128i acc = _mm_setzero_si128();
+    for (int y = 0; y < 8; y++) {
+      __m128i o = _mm_loadu_si128((const __m128i*)(org + y * so));
+      __m128i r = _mm_loadu_si128((const __m128i*)(rec + y * sr));
+      __m128i d = _mm_sub_epi16(o, r);
+      acc = _mm_add_epi32(acc, _mm_madd_epi16(d, d));
+    }
+    acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0x4E));
+    acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0xB1));
+    sse = (uint32_t)_mm_cvtsi128_si32(acc);
+    if (weighted) return (int64_t)(S->ep.chroma_weight * (double)sse);
+    return sse;
+  }
+  if (sh == 0 && size == 4) {
+    __m128i acc = _mm_setzero_si128();
+    for (int y = 0; y < 4; y += 2) {
+      __m128i o = _mm_unpacklo_epi64(
+          _mm_loadl_epi64((const __m128i*)(org + y * so)),
+          _mm_loadl_epi64((const __m128i*)(org + (y + 1) * so)));
+      __m128i r = _mm_unpacklo_epi64(
+          _mm_loadl_epi64((const __m128i*)(rec + y * sr)),
+          _mm_loadl_epi64((const __m128i*)(rec + (y + 1) * sr)));
+      __m128i d = _mm_sub_epi16(o, r);
+      acc = _mm_add_epi32(acc, _mm_madd_epi16(d, d));
+    }
+    acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0x4E));
+    acc = _mm_add_epi32(acc, _mm_shuffle_epi32(acc, 0xB1));
+    sse = (uint32_t)_mm_cvtsi128_si32(acc);
+    if (weighted) return (int64_t)(S->ep.chroma_weight * (double)sse);
+    return sse;
+  }
   if (sh == 0 && size >= 16) {
     // |d| <= max_val so d*d pairs fit int32 via madd; row sums fit int32
     __m256i accv = _mm256_setzero_si256();
@@ -5752,11 +5785,33 @@ static int64_t es_intra_luma_blk_impl(EncState* S, int part, int cu_depth,
   }
 
   int32_t resi[64 * 64];
+#if defined(__AVX2__)
+  if (size == 4) {
+    for (int y = 0; y < 4; y++) {
+      __m128i o = _mm_cvtepi16_epi32(_mm_loadl_epi64(
+          (const __m128i*)(S->org_y + (int64_t)(py + y) * S->rls + px)));
+      __m128i p = _mm_loadu_si128((const __m128i*)(pred + y * 4));
+      _mm_storeu_si128((__m128i*)(resi + y * 4), _mm_sub_epi32(o, p));
+    }
+  } else {
+    for (int y = 0; y < size; y++)
+      for (int x = 0; x < size; x += 8) {
+        __m256i o = _mm256_cvtepi16_epi32(_mm_loadu_si128(
+            (const __m128i*)(S->org_y + (int64_t)(py + y) * S->rls + px +
+                             x)));
+        __m256i p =
+            _mm256_loadu_si256((const __m256i*)(pred + y * size + x));
+        _mm256_storeu_si256((__m256i*)(resi + y * size + x),
+                            _mm256_sub_epi32(o, p));
+      }
+  }
+#else
   for (int y = 0; y < size; y++)
     for (int x = 0; x < size; x++)
       resi[y * size + x] =
           (int32_t)S->org_y[(int64_t)(py + y) * S->rls + px + x] -
           pred[y * size + x];
+#endif
 
   set_region<int8_t>(fa, fa->tr_idx, ux, uy, units, (int8_t)tr_depth);
 
@@ -5809,6 +5864,23 @@ static int64_t es_intra_luma_blk_impl(EncState* S, int part, int cu_depth,
         _mm256_storeu_si256((__m256i*)(qcr + x), lv);
         _mm256_storeu_si256((__m256i*)(cr + x), lv);
       }
+    }
+  } else if (size == 4) {
+    __m128i vmax4 = _mm_set1_epi32(S->ep.max_val);
+    __m128i vzero4 = _mm_setzero_si128();
+    for (int y = 0; y < 4; y++) {
+      __m128i pv = _mm_loadu_si128((const __m128i*)(pred + y * 4));
+      __m128i rv = _mm_loadu_si128((const __m128i*)(resi_rec + y * 4));
+      __m128i v = _mm_min_epi32(
+          _mm_max_epi32(_mm_add_epi32(pv, rv), vzero4), vmax4);
+      __m128i p16 = _mm_packs_epi32(v, v);
+      _mm_storel_epi64((__m128i*)(qr + (ly + y) * ctu + lx), p16);
+      _mm_storel_epi64((__m128i*)(S->rec_y + (int64_t)(py + y) * S->rls + px),
+                       p16);
+      __m128i lv = _mm_loadu_si128((const __m128i*)(levels + y * 4));
+      _mm_storeu_si128((__m128i*)(qc + (ly + y) * ctu + lx), lv);
+      _mm_storeu_si128(
+          (__m128i*)(fa->coeff_y + (int64_t)(py + y) * S->ls + px), lv);
     }
   } else
 #endif
@@ -6718,11 +6790,33 @@ static int64_t es_intra_chroma_blk(EncState* S, int part, int cu_depth,
   int32_t* coeff_plane = comp == 1 ? fa->coeff_cb : fa->coeff_cr;
 
   int32_t resi[32 * 32];
+#if defined(__AVX2__)
+  if (size == 4) {
+    for (int y = 0; y < 4; y++) {
+      __m128i o = _mm_cvtepi16_epi32(_mm_loadl_epi64(
+          (const __m128i*)(org_plane + (int64_t)(cy + y) * S->rcs + cx)));
+      __m128i p = _mm_loadu_si128((const __m128i*)(pred + y * 4));
+      _mm_storeu_si128((__m128i*)(resi + y * 4), _mm_sub_epi32(o, p));
+    }
+  } else {
+    for (int y = 0; y < size; y++)
+      for (int x = 0; x < size; x += 8) {
+        __m256i o = _mm256_cvtepi16_epi32(_mm_loadu_si128(
+            (const __m128i*)(org_plane + (int64_t)(cy + y) * S->rcs + cx +
+                             x)));
+        __m256i p =
+            _mm256_loadu_si256((const __m256i*)(pred + y * size + x));
+        _mm256_storeu_si256((__m256i*)(resi + y * size + x),
+                            _mm256_sub_epi32(o, p));
+      }
+  }
+#else
   for (int y = 0; y < size; y++)
     for (int x = 0; x < size; x++)
       resi[y * size + x] =
           (int32_t)org_plane[(int64_t)(cy + y) * S->rcs + cx + x] -
           pred[y * size + x];
+#endif
 
   int qp_off = comp == 1 ? S->ep.cb_qp_off : S->ep.cr_qp_off;
   int qps = es_qp_scaled_chroma(S, U(fa->qp, ux, uy), qp_off);
@@ -6749,6 +6843,29 @@ static int64_t es_intra_chroma_blk(EncState* S, int part, int cu_depth,
   es_ctu_local(S, part, &lx, &ly);
   int plane_id = comp;  // 1=cb 2=cr
   int stride = fa->ctu_size / 2;
+#if defined(__AVX2__)
+  if (size == 4) {
+    __m128i vmax4 = _mm_set1_epi32(S->ep.max_val);
+    __m128i vzero4 = _mm_setzero_si128();
+    for (int y = 0; y < 4; y++) {
+      __m128i pv = _mm_loadu_si128((const __m128i*)(pred + y * 4));
+      __m128i rv = _mm_loadu_si128((const __m128i*)(resi_rec + y * 4));
+      __m128i v = _mm_min_epi32(
+          _mm_max_epi32(_mm_add_epi32(pv, rv), vzero4), vmax4);
+      __m128i p16 = _mm_packs_epi32(v, v);
+      _mm_storel_epi64(
+          (__m128i*)(S->qt_rec[layer][plane_id] +
+                     (ly / 2 + y) * stride + lx / 2), p16);
+      _mm_storel_epi64(
+          (__m128i*)(rec_plane + (int64_t)(cy + y) * S->rcs + cx), p16);
+      __m128i lv = _mm_loadu_si128((const __m128i*)(levels + y * 4));
+      _mm_storeu_si128((__m128i*)(S->qt_coeff[layer][plane_id] +
+                                  (ly / 2 + y) * stride + lx / 2), lv);
+      _mm_storeu_si128(
+          (__m128i*)(coeff_plane + (int64_t)(cy + y) * S->cs + cx), lv);
+    }
+  } else
+#endif
   for (int y = 0; y < size; y++) {
     for (int x = 0; x < size; x++) {
       int v = pred[y * size + x] + resi_rec[y * size + x];

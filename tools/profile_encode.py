@@ -41,6 +41,7 @@ lib.get_prof(ctypes.cast(buf, ctypes.c_void_p))
 
 out = os.path.join("/tmp", "prof_enc.bin")
 t0 = time.time()
+c0 = time.process_time()     # excludes hypervisor steal, unlike rdtsc/wall
 enc_main([
     "-c", "/root/reference/cfg/encoder_intra_main.cfg",
     "-i", clip, "-wdt", "1920", "-hgt", "1080",
@@ -48,10 +49,12 @@ enc_main([
     "-o", "/dev/null", "--SEIpictureDigest=1",
 ])
 dt = time.time() - t0
+dc = time.process_time() - c0
 
 lib.get_prof(ctypes.cast(buf, ctypes.c_void_p))
 total_cyc = 2.1e9 * dt
-print(f"\nwall {dt:.2f}s for {frames} frames ({dt/frames:.2f} s/frame)")
+print(f"\nwall {dt:.2f}s cpu {dc:.2f}s for {frames} frames "
+      f"({dc/frames:.2f} cpu-s/frame)")
 names = {1: "sweep:pred", 2: "sweep:SATD", 3: "sweep:modebits",
          4: "luma RQT RD", 5: "RDOQ", 6: "chroma total", 7: "cu_final",
          8: "p8", 9: "p9", 10: "bits_qt", 11: "p11", 12: "final_tt",
