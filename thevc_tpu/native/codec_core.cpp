@@ -4563,14 +4563,21 @@ static inline double rate_last_c(int pos_x, int pos_y, double lam,
   return lam * cost;
 }
 
+}  // extern "C" (the templated RDOQ needs C++ linkage)
+
 // xRateDistOptQuant; returns abs_sum.  dst = size*size raster int32.
-static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
+// Templated on the block log2 so each size compiles with constant trip
+// counts and folded size branches (the 4x4 instance drops the whole CG
+// machinery at compile time).
+template <int LOG2>
+static int64_t rdoq_t(const int32_t* src, int qp_per, int qp_rem,
                       double lam, int is_luma, int is_intra, int scan_idx,
                       const EstBitsC* eb, int tr_depth, int sign_hide,
                       int bit_inc, const int32_t* scan, const int32_t* scan_cg,
                       int32_t* dst) {
-  int max_coeff = width * width;
-  int log2 = 0; while ((1 << log2) < width) log2++;
+  const int width = 1 << LOG2;
+  const int max_coeff = width * width;
+  const int log2 = LOG2;
   int64_t uiQ = kQuantScales[qp_rem];
   int tshift = 15 - (8 + bit_inc) - log2;
   int qbits = 14 + qp_per + tshift;
@@ -4955,6 +4962,29 @@ static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
   }
   return abs_sum;
 }
+
+static int64_t rdoq_c(const int32_t* src, int width, int qp_per, int qp_rem,
+                      double lam, int is_luma, int is_intra, int scan_idx,
+                      const EstBitsC* eb, int tr_depth, int sign_hide,
+                      int bit_inc, const int32_t* scan, const int32_t* scan_cg,
+                      int32_t* dst) {
+  switch (width) {
+    case 4:
+      return rdoq_t<2>(src, qp_per, qp_rem, lam, is_luma, is_intra, scan_idx,
+                       eb, tr_depth, sign_hide, bit_inc, scan, scan_cg, dst);
+    case 8:
+      return rdoq_t<3>(src, qp_per, qp_rem, lam, is_luma, is_intra, scan_idx,
+                       eb, tr_depth, sign_hide, bit_inc, scan, scan_cg, dst);
+    case 16:
+      return rdoq_t<4>(src, qp_per, qp_rem, lam, is_luma, is_intra, scan_idx,
+                       eb, tr_depth, sign_hide, bit_inc, scan, scan_cg, dst);
+    default:
+      return rdoq_t<5>(src, qp_per, qp_rem, lam, is_luma, is_intra, scan_idx,
+                       eb, tr_depth, sign_hide, bit_inc, scan, scan_cg, dst);
+  }
+}
+
+extern "C" {
 
 // ---------------------------------------------------------------------------
 // encoder state + slice parameters
