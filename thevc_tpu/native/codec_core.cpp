@@ -5517,9 +5517,15 @@ static void we_last_xy(EncState* S, EncBin* e, int pos_x, int pos_y,
 }
 
 // codeCoeffNxN; coeff is a (width x width) view with row stride `cstride`
-static void we_coeff_nxn(EncState* S, EncBin* e, int abs_part,
-                         const int32_t* coeff, int64_t cstride, int width,
-                         int comp) {
+}  // extern "C" (the templated coefficient writer needs C++ linkage)
+
+// codeCoeffNxN, templated on the block log2 (constant trip counts; the
+// 4x4 instance folds the significance-map context derivation to a table
+// lookup at compile time).
+template <int LOG2>
+static void we_coeff_nxn_t(EncState* S, EncBin* e, int abs_part,
+                           const int32_t* coeff, int64_t cstride, int comp) {
+  const int width = 1 << LOG2;
   const int kSBH = 4, kC1Num = 8;
   int num_sig = 0;
   for (int y = 0; y < width; y++)
@@ -5528,7 +5534,7 @@ static void we_coeff_nxn(EncState* S, EncBin* e, int abs_part,
   if (num_sig == 0) return;
   if (S->ep.use_ts) we_ts_flag(S, e, abs_part, width, comp);
   int is_luma = comp == 0;
-  int log2 = 0; while ((1 << log2) < width) log2++;
+  const int log2 = LOG2;
   int scan_idx = es_scan_idx(S, abs_part, width, is_luma);
   int lg = convert_to_bit(width);
   const int32_t* scan = S->sc.scan[scan_idx][lg];
@@ -5660,6 +5666,19 @@ static void we_coeff_nxn(EncState* S, EncBin* e, int abs_part,
   }
 #undef CVAL
 }
+
+static void we_coeff_nxn(EncState* S, EncBin* e, int abs_part,
+                         const int32_t* coeff, int64_t cstride, int width,
+                         int comp) {
+  switch (width) {
+    case 4:  we_coeff_nxn_t<2>(S, e, abs_part, coeff, cstride, comp); break;
+    case 8:  we_coeff_nxn_t<3>(S, e, abs_part, coeff, cstride, comp); break;
+    case 16: we_coeff_nxn_t<4>(S, e, abs_part, coeff, cstride, comp); break;
+    default: we_coeff_nxn_t<5>(S, e, abs_part, coeff, cstride, comp); break;
+  }
+}
+
+extern "C" {
 
 // ---------------------------------------------------------------------------
 // intra prediction dispatch (mirrors ops/intra.predict)
