@@ -6490,15 +6490,12 @@ static int64_t es_final_intra_luma(EncState* S, int part, int cu_depth,
 // update).  At 4x4 luma the smoothing filter never applies
 // (kFilterThresh[2] = 10 >= every mode's min hor/ver distance), so only
 // the raw reference line feeds every mode.
-static void es_sweep4(EncState* S, const int16_t* org0, const int32_t* ra,
-                      const int32_t* rl, const int* mpm, int64_t bits_mpm0,
-                      int64_t bits_mpm12, int64_t bits_other, int num_full,
-                      int* cand_modes, double* cand_costs) {
-  const int max_val = S->ep.max_val;
-  const int bit_inc = S->ep.bit_inc;
-  for (int mode = 0; mode < 35; mode++) {
-    int32_t* pred = S->presel_pred + (int64_t)mode * 64 * 64;
-    __m128i t[4];
+// one 4x4 intra prediction in SSE registers (any mode; is_luma selects
+// the DC filter and the exact-hor/ver edge filter, as es_predict does)
+static inline void pred4_mode_reg(const int32_t* ra, const int32_t* rl,
+                                  int mode, int is_luma, int max_val,
+                                  __m128i t[4]) {
+  {
     if (mode == PLANAR_IDX) {
       int32_t tr_s = ra[5], bl_s = rl[5];
       __m128i top = _mm_loadu_si128((const __m128i*)(ra + 1));
@@ -6518,13 +6515,17 @@ static void es_sweep4(EncState* S, const int16_t* org0, const int32_t* ra,
       int32_t s = 0;
       for (int i = 1; i <= 4; i++) s += ra[i] + rl[i];
       int32_t dc = (s + 4) >> 3;
-      __m128i row0 = _mm_srai_epi32(
-          _mm_add_epi32(_mm_loadu_si128((const __m128i*)(ra + 1)),
-                        _mm_set1_epi32(3 * dc + 2)), 2);
-      t[0] = _mm_insert_epi32(row0, (ra[1] + rl[1] + 2 * dc + 2) >> 2, 0);
-      for (int k = 1; k < 4; k++)
-        t[k] = _mm_insert_epi32(_mm_set1_epi32(dc),
-                                (rl[1 + k] + 3 * dc + 2) >> 2, 0);
+      if (is_luma) {
+        __m128i row0 = _mm_srai_epi32(
+            _mm_add_epi32(_mm_loadu_si128((const __m128i*)(ra + 1)),
+                          _mm_set1_epi32(3 * dc + 2)), 2);
+        t[0] = _mm_insert_epi32(row0, (ra[1] + rl[1] + 2 * dc + 2) >> 2, 0);
+        for (int k = 1; k < 4; k++)
+          t[k] = _mm_insert_epi32(_mm_set1_epi32(dc),
+                                  (rl[1 + k] + 3 * dc + 2) >> 2, 0);
+      } else {
+        t[0] = t[1] = t[2] = t[3] = _mm_set1_epi32(dc);
+      }
     } else {
       int mode_hor = mode < 18;
       int ang = mode_hor ? -(mode - 10) : (mode - 26);
@@ -6552,10 +6553,14 @@ static void es_sweep4(EncState* S, const int16_t* org0, const int32_t* ra,
       }
       if (ipa == 0) {
         __m128i r = _mm_loadu_si128((const __m128i*)(buf + off + 1));
-        for (int k = 0; k < 4; k++) {
-          int v = buf[off + 1] + ((side_src[1 + k] - side_src[0]) >> 1);
-          v = v < 0 ? 0 : (v > max_val ? max_val : v);
-          t[k] = _mm_insert_epi32(r, v, 0);
+        if (is_luma) {
+          for (int k = 0; k < 4; k++) {
+            int v = buf[off + 1] + ((side_src[1 + k] - side_src[0]) >> 1);
+            v = v < 0 ? 0 : (v > max_val ? max_val : v);
+            t[k] = _mm_insert_epi32(r, v, 0);
+          }
+        } else {
+          t[0] = t[1] = t[2] = t[3] = r;
         }
       } else {
         for (int k = 0; k < 4; k++) {
@@ -6579,6 +6584,19 @@ static void es_sweep4(EncState* S, const int16_t* org0, const int32_t* ra,
       }
       if (mode_hor) transpose4x4_epi32(t);
     }
+  }
+}
+
+static void es_sweep4(EncState* S, const int16_t* org0, const int32_t* ra,
+                      const int32_t* rl, const int* mpm, int64_t bits_mpm0,
+                      int64_t bits_mpm12, int64_t bits_other, int num_full,
+                      int* cand_modes, double* cand_costs) {
+  const int max_val = S->ep.max_val;
+  const int bit_inc = S->ep.bit_inc;
+  for (int mode = 0; mode < 35; mode++) {
+    int32_t* pred = S->presel_pred + (int64_t)mode * 64 * 64;
+    __m128i t[4];
+    pred4_mode_reg(ra, rl, mode, 1, max_val, t);
     __m128i d[4];
     for (int j = 0; j < 4; j++) {
       _mm_storeu_si128((__m128i*)(pred + j * 4), t[j]);
@@ -6826,6 +6844,16 @@ static int64_t es_intra_chroma_blk(EncState* S, int part, int cu_depth,
   if (d0s1l2 != 2) {
     int32_t line[4 * 32 + 4];
     es_adi_chroma(S, cx, cy, size, comp, line);
+#if defined(__AVX2__)
+    if (size == 4) {
+      int32_t ra[9], rl[9];
+      build_refs_c(line, 4, 2, ra, rl);
+      __m128i t4[4];
+      pred4_mode_reg(ra, rl, mode, 0, S->ep.max_val, t4);
+      for (int j = 0; j < 4; j++)
+        _mm_storeu_si128((__m128i*)(pred_buf + j * 4), t4[j]);
+    } else
+#endif
     es_predict(line, size, 2, mode, 0, S->ep.max_val, pred_buf);
     pred = pred_buf;
     if (d0s1l2 == 1)
