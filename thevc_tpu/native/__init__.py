@@ -327,6 +327,12 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.get_prof.restype = None
         lib.get_prof.argtypes = [ctypes.c_void_p]
+        lib.sao_apply_plane.restype = None
+        lib.sao_apply_plane.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
         lib.sao_rdo.restype = None
         lib.sao_rdo.argtypes = [
             ctypes.POINTER(FrameArrays), ctypes.POINTER(CtxOffsets)] + \

@@ -1018,6 +1018,104 @@ static void luma_segment(int16_t* base, int64_t ls, int64_t ks,
   }
 }
 
+// SAO application for one plane (processSaoCuOrg semantics: per-CTU
+// EO/BO kernels with picture-boundary exclusions; every neighbor read
+// comes from the immutable pre-SAO src).  Mirrors
+// ops/sao.py:apply_sao_plane_ref bit-exactly; dst must not alias src.
+void sao_apply_plane(const int16_t* src, int16_t* dst, int64_t stride,
+                     int32_t h, int32_t w, int32_t ctu_size,
+                     const int32_t* sao_type, const int32_t* sub_type,
+                     const int32_t* offsets /* [nctu][4], unshifted */,
+                     int32_t ctus_w, int32_t ctus_h, int32_t bit_depth) {
+  int max_val = (1 << bit_depth) - 1;
+  int sao_shift = bit_depth > 10 ? bit_depth - 10 : 0;
+  for (int y = 0; y < h; y++)
+    memcpy(dst + (int64_t)y * stride, src + (int64_t)y * stride,
+           sizeof(int16_t) * w);
+  static const int kDy1[4] = {0, -1, -1, 1}, kDx1[4] = {-1, 0, -1, -1};
+  static const int kDy2[4] = {0, 1, 1, -1}, kDx2[4] = {1, 0, 1, 1};
+  for (int ctu = 0; ctu < ctus_w * ctus_h; ctu++) {
+    int t = sao_type[ctu];
+    if (t < 0) continue;
+    int cx = (ctu % ctus_w) * ctu_size;
+    int cy = (ctu / ctus_w) * ctu_size;
+    int x1 = cx + ctu_size < w ? cx + ctu_size : w;
+    int y1 = cy + ctu_size < h ? cy + ctu_size : h;
+    int32_t offs[4];
+    for (int i = 0; i < 4; i++) offs[i] = offsets[ctu * 4 + i] << sao_shift;
+    if (t == 4) {  // BO: band table 1+(v>>(bd-5))
+      int band_pos = sub_type[ctu];
+      int16_t table[33];
+      memset(table, 0, sizeof(table));
+      for (int i = 0; i < 4; i++)
+        table[(band_pos + i) % 32 + 1] = (int16_t)offs[i];
+      int sh = bit_depth - 5;
+      for (int yy = cy; yy < y1; yy++) {
+        const int16_t* sr = src + (int64_t)yy * stride;
+        int16_t* dr = dst + (int64_t)yy * stride;
+        for (int xx = cx; xx < x1; xx++) {
+          int v = sr[xx] + table[1 + (sr[xx] >> sh)];
+          dr[xx] = (int16_t)(v < 0 ? 0 : (v > max_val ? max_val : v));
+        }
+      }
+      continue;
+    }
+    // EO class t: picture-boundary exclusions
+    int sx = cx, ex = x1, sy = cy, ey = y1;
+    if (t == 0 || t == 2 || t == 3) {
+      if (cx == 0) sx = 1;
+      if (x1 == w) ex = w - 1;
+    }
+    if (t == 1 || t == 2 || t == 3) {
+      if (cy == 0) sy = 1;
+      if (y1 == h) ey = h - 1;
+    }
+    if (sx >= ex || sy >= ey) continue;
+    // m_iOffsetEo: et 0->off0, 1->off1, 2->0, 3->off2, 4->off3
+    int16_t eo[5] = {(int16_t)offs[0], (int16_t)offs[1], 0,
+                     (int16_t)offs[2], (int16_t)offs[3]};
+    int64_t n1o = (int64_t)kDy1[t] * stride + kDx1[t];
+    int64_t n2o = (int64_t)kDy2[t] * stride + kDx2[t];
+    for (int yy = sy; yy < ey; yy++) {
+      const int16_t* sr = src + (int64_t)yy * stride;
+      int16_t* dr = dst + (int64_t)yy * stride;
+      int xx = sx;
+#if defined(__AVX2__)
+      __m256i vtwo = _mm256_set1_epi16(2);
+      __m256i vmax = _mm256_set1_epi16((short)max_val);
+      __m256i vzero = _mm256_setzero_si256();
+      for (; xx + 16 <= ex; xx += 16) {
+        __m256i s = _mm256_loadu_si256((const __m256i*)(sr + xx));
+        __m256i a = _mm256_loadu_si256((const __m256i*)(sr + xx + n1o));
+        __m256i b = _mm256_loadu_si256((const __m256i*)(sr + xx + n2o));
+        // sign(s-a): +1 where s>a, -1 where s<a (cmpgt mask is -1)
+        __m256i sg1 = _mm256_sub_epi16(_mm256_cmpgt_epi16(a, s),
+                                       _mm256_cmpgt_epi16(s, a));
+        __m256i sg2 = _mm256_sub_epi16(_mm256_cmpgt_epi16(b, s),
+                                       _mm256_cmpgt_epi16(s, b));
+        __m256i et = _mm256_add_epi16(_mm256_add_epi16(sg1, sg2), vtwo);
+        __m256i off = vzero;  // et == 2 -> 0
+        static const int kEt[4] = {0, 1, 3, 4};
+        for (int k = 0; k < 4; k++) {
+          __m256i m = _mm256_cmpeq_epi16(et, _mm256_set1_epi16(kEt[k]));
+          off = _mm256_blendv_epi8(off, _mm256_set1_epi16(eo[kEt[k]]), m);
+        }
+        __m256i o = _mm256_add_epi16(s, off);
+        o = _mm256_min_epi16(_mm256_max_epi16(o, vzero), vmax);
+        _mm256_storeu_si256((__m256i*)(dr + xx), o);
+      }
+#endif
+      for (; xx < ex; xx++) {
+        int v = sr[xx];
+        int a = sr[xx + n1o], b = sr[xx + n2o];
+        int et = (v > a) - (v < a) + (v > b) - (v < b) + 2;
+        int o = v + eo[et];
+        dr[xx] = (int16_t)(o < 0 ? 0 : (o > max_val ? max_val : o));
+      }
+    }
+  }
+}
+
 void deblock_luma(int16_t* plane, int h, int w,
                   const uint8_t* flags, const uint8_t* bs,
                   const int32_t* qp_p, const int32_t* qp_q,

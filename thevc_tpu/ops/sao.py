@@ -40,8 +40,29 @@ def apply_sao_plane(src: np.ndarray, ctu_size: int, sao_type: np.ndarray,
                     ctus_w: int, ctus_h: int, bit_depth: int) -> np.ndarray:
     """Whole-plane vectorized SAO (same formulation as the device kernel
     ops/jx_filters._sao_plane: per-CTU params expanded per pixel, offsets
-    via arithmetic selects).  The per-CTU loop form below is kept as the
-    behavioral reference (`apply_sao_plane_ref`)."""
+    via arithmetic selects).  When the native library is available the
+    per-CTU AVX2 kernel (codec_core.cpp:sao_apply_plane) runs instead —
+    it skips type==-1 CTUs entirely, which the whole-plane numpy form
+    cannot.  The per-CTU loop form below is kept as the behavioral
+    reference (`apply_sao_plane_ref`)."""
+    if src.dtype == np.int16 and src.flags.c_contiguous:
+        try:
+            from .. import native
+            lib = native.get_lib()
+        except Exception:
+            lib = None
+        if lib is not None:
+            import ctypes
+            h, w = src.shape
+            dst = np.empty_like(src)
+            t = np.ascontiguousarray(sao_type, np.int32)
+            st = np.ascontiguousarray(sao_sub_type, np.int32)
+            offs = np.ascontiguousarray(sao_offsets, np.int32)
+            lib.sao_apply_plane(
+                src.ctypes.data, dst.ctypes.data, ctypes.c_int64(w),
+                h, w, ctu_size, t.ctypes.data, st.ctypes.data,
+                offs.ctypes.data, ctus_w, ctus_h, bit_depth)
+            return dst
     h, w = src.shape
     max_val = (1 << bit_depth) - 1
     sao_shift = bit_depth - min(bit_depth, 10)
