@@ -218,3 +218,15 @@ def test_encoder_decoder_symbol_trace_roundtrip(tmp_path, monkeypatch):
     dec_lines = [ln for ln in dec_tr.read_text().splitlines()
                  if any(k in ln for k in keep)]
     assert enc_lines and enc_lines == dec_lines
+
+
+def test_unknown_option_warns_and_is_kept(capsys):
+    """program_options_lite.cpp:264: unknown keys warn on stderr and are
+    ignored (kept in extras here), not treated as errors."""
+    from thevc_tpu.utils.cfg import EncoderCfg
+
+    cfg = EncoderCfg()
+    cfg.apply("NoSuchOptionXyz", "7")
+    err = capsys.readouterr().err
+    assert "Unknown option: `NoSuchOptionXyz' (value:`7')" in err
+    assert cfg.extras["NoSuchOptionXyz"] == "7"

@@ -359,6 +359,11 @@ class EncoderCfg:
             return
         opt = _OPTIONS.get(key)
         if opt is None:
+            # program_options_lite.cpp:264 warns and continues; kept in
+            # extras so tools can still inspect unconsumed keys
+            import sys
+            print("Unknown option: `%s' (value:`%s')" % (key, value),
+                  file=sys.stderr)
             self.extras[key] = value
             return
         attr, cast = opt
