@@ -6720,6 +6720,113 @@ static void es_sweep4(EncState* S, const int16_t* org0, const int32_t* ra,
 }
 #endif  // __AVX2__
 
+// 35-mode preselection sweep specialized to 8x8 PUs: one AVX2 row per
+// prediction line, filtered/raw reference line selected per mode
+// (kFilterThresh[3] = 7), SATD via the existing had8x8 kernel.
+static void es_sweep8(EncState* S, const int16_t* org0,
+                      const int32_t* ra_raw, const int32_t* rl_raw,
+                      const int32_t* ra_filt, const int32_t* rl_filt,
+                      const int* mpm, int64_t bits_mpm0, int64_t bits_mpm12,
+                      int64_t bits_other, int num_full,
+                      int* cand_modes, double* cand_costs) {
+  const int max_val = S->ep.max_val;
+  const int bit_inc = S->ep.bit_inc;
+  for (int mode = 0; mode < 35; mode++) {
+    int filt = use_filtered_c(mode, 3, 1);
+    const int32_t* ra = filt ? ra_filt : ra_raw;
+    const int32_t* rl = filt ? rl_filt : rl_raw;
+    int32_t* pred = S->presel_pred + (int64_t)mode * 64 * 64;
+    __m256i t[8];
+    if (mode == PLANAR_IDX) {
+      int32_t tr_s = ra[9], bl_s = rl[9];
+      __m256i top = _mm256_loadu_si256((const __m256i*)(ra + 1));
+      __m256i lmul = _mm256_setr_epi32(1, 2, 3, 4, 5, 6, 7, 8);
+      __m256i ver0 = _mm256_slli_epi32(top, 3);
+      __m256i dver = _mm256_sub_epi32(_mm256_set1_epi32(bl_s), top);
+      for (int k = 0; k < 8; k++) {
+        int32_t left = rl[1 + k];
+        __m256i hor = _mm256_add_epi32(
+            _mm256_set1_epi32((left << 3) + 8),
+            _mm256_mullo_epi32(lmul, _mm256_set1_epi32(tr_s - left)));
+        __m256i ver = _mm256_add_epi32(
+            ver0, _mm256_mullo_epi32(_mm256_set1_epi32(k + 1), dver));
+        t[k] = _mm256_srai_epi32(_mm256_add_epi32(hor, ver), 4);
+      }
+    } else if (mode == DC_IDX) {
+      int32_t s = 0;
+      for (int i = 1; i <= 8; i++) s += ra[i] + rl[i];
+      int32_t dc = (s + 8) >> 4;
+      __m256i row0 = _mm256_srai_epi32(
+          _mm256_add_epi32(_mm256_loadu_si256((const __m256i*)(ra + 1)),
+                           _mm256_set1_epi32(3 * dc + 2)), 2);
+      t[0] = _mm256_insert_epi32(row0, (ra[1] + rl[1] + 2 * dc + 2) >> 2, 0);
+      for (int k = 1; k < 8; k++)
+        t[k] = _mm256_insert_epi32(_mm256_set1_epi32(dc),
+                                   (rl[1 + k] + 3 * dc + 2) >> 2, 0);
+    } else {
+      int mode_hor = mode < 18;
+      int ang = mode_hor ? -(mode - 10) : (mode - 26);
+      int aa = ang < 0 ? -ang : ang;
+      int abs_ang = kAngTable[aa];
+      int ipa = ang < 0 ? -abs_ang : abs_ang;
+      const int32_t* main_src = mode_hor ? rl : ra;
+      const int32_t* side_src = mode_hor ? ra : rl;
+      int32_t ext_buf[32];
+      const int32_t* buf;
+      int off;
+      if (ipa < 0) {
+        int ext = (8 * ipa) >> 5;
+        off = 8;
+        for (int i = 0; i <= 8; i++) ext_buf[off + i] = main_src[i];
+        int inv_sum = 128, inv_angle = kInvAngTable[aa];
+        for (int k = -1; k > ext; k--) {
+          inv_sum += inv_angle;
+          ext_buf[off + k] = side_src[inv_sum >> 8];
+        }
+        buf = ext_buf;
+      } else {
+        buf = main_src;
+        off = 0;
+      }
+      if (ipa == 0) {
+        __m256i r = _mm256_loadu_si256((const __m256i*)(buf + off + 1));
+        for (int k = 0; k < 8; k++) {
+          int v = buf[off + 1] + ((side_src[1 + k] - side_src[0]) >> 1);
+          v = v < 0 ? 0 : (v > max_val ? max_val : v);
+          t[k] = _mm256_insert_epi32(r, v, 0);
+        }
+      } else {
+        for (int k = 0; k < 8; k++) {
+          int dp = (k + 1) * ipa;
+          int di = dp >> 5, df = dp & 31;
+          const int32_t* row = buf + off + di + 1;
+          __m256i r0 = _mm256_loadu_si256((const __m256i*)row);
+          if (df) {
+            __m256i r1 = _mm256_loadu_si256((const __m256i*)(row + 1));
+            t[k] = _mm256_srai_epi32(
+                _mm256_add_epi32(
+                    _mm256_add_epi32(
+                        _mm256_mullo_epi32(_mm256_set1_epi32(32 - df), r0),
+                        _mm256_mullo_epi32(_mm256_set1_epi32(df), r1)),
+                    _mm256_set1_epi32(16)),
+                5);
+          } else {
+            t[k] = r0;
+          }
+        }
+      }
+      if (mode_hor) transpose8x8_epi32(t);
+    }
+    for (int j = 0; j < 8; j++)
+      _mm256_storeu_si256((__m256i*)(pred + j * 8), t[j]);
+    int64_t sad = had8x8(org0, S->rls, pred, 8) >> bit_inc;
+    int64_t mode_bits = mode == mpm[0] ? bits_mpm0
+        : (mode == mpm[1] || mode == mpm[2]) ? bits_mpm12 : bits_other;
+    double cost = (double)sad + (double)mode_bits * S->ep.sqrt_lambda;
+    es_update_cand(mode, cost, cand_modes, cand_costs, num_full);
+  }
+}
+
 // one PU of estIntraPredQT (luma)
 static int64_t es_search_luma_pu(EncState* S, int part, int depth,
                                  int init_tr_depth, int size_idx) {
@@ -6769,6 +6876,11 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
     PROF_BEGIN(1);
     es_sweep4(S, org0, ra_raw, rl_raw, mpm, bits_mpm0, bits_mpm12,
               bits_other, num_full, cand_modes, cand_costs);
+    PROF_END(1);
+  } else if (size == 8) {
+    PROF_BEGIN(1);
+    es_sweep8(S, org0, ra_raw, rl_raw, ra_filt, rl_filt, mpm, bits_mpm0,
+              bits_mpm12, bits_other, num_full, cand_modes, cand_costs);
     PROF_END(1);
   } else
 #endif
