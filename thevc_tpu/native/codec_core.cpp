@@ -5887,6 +5887,12 @@ static inline void es_ctu_local(const EncState* S, int abs_part, int* lx,
   *ly = (r / S->fa.upr) * 4;
 }
 
+#if defined(__AVX2__)
+static inline void pred4_mode_reg(const int32_t* ra, const int32_t* rl,
+                                  int mode, int is_luma, int max_val,
+                                  __m128i t[4]);
+#endif
+
 // xIntraCodingLumaBlk (TEncSearch.cpp:1006)
 static int64_t es_intra_luma_blk_impl(EncState* S, int part, int cu_depth,
                                       int tr_depth, int d0s1l2);
@@ -5922,6 +5928,18 @@ static int64_t es_intra_luma_blk_impl(EncState* S, int part, int cu_depth,
       int log2 = 0; while ((1 << log2) < size) log2++;
       const int32_t* line =
           use_filtered_c(mode, log2, 1) ? line_filt : line_raw;
+#if defined(__AVX2__)
+      if (size == 4) {
+        // RD-stage 4x4 TUs (split evaluation inside larger PUs) use the
+        // same register predictor as the sweep; 4x4 luma never smooths
+        int32_t ra[9], rl[9];
+        build_refs_c(line_raw, 4, 4, ra, rl);
+        __m128i t4[4];
+        pred4_mode_reg(ra, rl, mode, 1, S->ep.max_val, t4);
+        for (int j = 0; j < 4; j++)
+          _mm_storeu_si128((__m128i*)(pred_buf + j * 4), t4[j]);
+      } else
+#endif
       es_predict(line, size, 4, mode, 1, S->ep.max_val, pred_buf);
       pred = pred_buf;
     }
