@@ -256,3 +256,41 @@ def test_parallel_all_intra_decode(golden_intra_stream, oracle, test_clip,
             assert np.array_equal(a.frame.y, b.frame.y)
             assert np.array_equal(a.frame.cb, b.frame.cb)
             assert np.array_equal(a.frame.cr, b.frame.cr)
+
+
+# ---------------------------------------------------------------------------
+# Corruption fuzzing: no crash, ever
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_corrupted_stream_fuzz(golden_intra_stream):
+    """Bit-flipped and truncated streams must never crash the decoder
+    (native CABAC parse included) — they either decode with concealment
+    or raise a clean Python exception.  The reference tolerates garbage
+    similarly (TDecTop/TDecCavlc error paths); the hard requirement here
+    is memory safety of the native parse core (BsEngine overflow
+    tracking) under arbitrary input."""
+    data = bytearray(golden_intra_stream["bin"].read_bytes())
+    rng = np.random.RandomState(1234)
+    n_ok = 0
+    for trial in range(40):
+        buf = bytearray(data)
+        kind = trial % 3
+        if kind == 0:                       # single byte flips
+            for _ in range(rng.randint(1, 6)):
+                i = rng.randint(0, len(buf))
+                buf[i] ^= 1 << rng.randint(0, 8)
+        elif kind == 1:                     # truncation
+            buf = buf[: rng.randint(1, len(buf))]
+        else:                               # flip + truncate
+            i = rng.randint(0, len(buf))
+            buf[i] ^= 0xFF
+            buf = buf[: rng.randint(max(1, i), len(buf) + 1)]
+        try:
+            pics = Decoder().decode_stream(bytes(buf))
+            n_ok += 1
+            assert isinstance(pics, list)
+        except Exception:
+            pass                            # clean failure is acceptable
+    # sanity: the harness isn't trivially rejecting everything
+    assert n_ok > 0
