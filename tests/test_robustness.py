@@ -270,10 +270,25 @@ def test_corrupted_stream_fuzz(golden_intra_stream):
     similarly (TDecTop/TDecCavlc error paths); the hard requirement here
     is memory safety of the native parse core (BsEngine overflow
     tracking) under arbitrary input."""
-    data = bytearray(golden_intra_stream["bin"].read_bytes())
+    _fuzz_stream(bytearray(golden_intra_stream["bin"].read_bytes()), 40)
+
+
+@pytest.mark.slow
+def test_corrupted_inter_stream_fuzz(oracle, test_clip_small):
+    """Same gate on a hierarchical-B stream: corrupt motion fields and
+    reference indices must not drive the native MC/recon core out of
+    bounds (padded reference margins + clean error paths)."""
+    src = TESTDATA / "inter_ra.bin"
+    if not src.exists():
+        oracle_encode_small("encoder_randomaccess_main.cfg",
+                            test_clip_small, src, frames=9)
+    _fuzz_stream(bytearray(src.read_bytes()), 24)
+
+
+def _fuzz_stream(data: bytearray, trials: int) -> None:
     rng = np.random.RandomState(1234)
     n_ok = 0
-    for trial in range(40):
+    for trial in range(trials):
         buf = bytearray(data)
         kind = trial % 3
         if kind == 0:                       # single byte flips
