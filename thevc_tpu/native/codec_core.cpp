@@ -3249,7 +3249,7 @@ static void mc_filter_c(const int16_t* src, int ss, const int16_t* cf,
     offset += is_first ? 0 : (8192 << 6);
   } else {
     shift -= is_first ? head_room : 0;
-    offset = is_first ? (-8192 << shift) : 0;
+    offset = is_first ? -(8192 << shift) : 0;
   }
   int max_val = (1 << bd) - 1;
   int step = vertical ? ss : 1;
