@@ -402,6 +402,7 @@ enum { TU_X, TU_Y, TU_SIZE, TU_MODE, TU_QPS, TU_CBF, TU_DST, TU_TS,
 
 static const int kAngTable[9] = {0,2,5,9,13,17,21,26,32};
 static const int kInvAngTable[9] = {0,4096,1638,910,630,482,390,315,256};
+static const int DC_IDX = 1, PLANAR_IDX = 0;
 static const int kFilterThresh[7] = {0,0,10,7,1,0,10};  // index log2
 
 static inline int use_filtered_c(int mode, int log2, int is_luma) {
@@ -669,6 +670,103 @@ static void dc_filter_c(const int32_t* line, int size, int unit,
 #if defined(__AVX2__)
 static inline void transpose8x8_epi32(__m256i r[8]);
 static inline void transpose4x4_epi32(__m128i r[4]);
+
+// one 4x4 intra prediction in SSE registers (any mode; is_luma selects
+// the DC filter and the exact-hor/ver edge filter, as es_predict does).
+// Shared by the encoder's sweep/RD/chroma paths and the decoder's
+// intra TU reconstruction.
+static inline void pred4_mode_reg(const int32_t* ra, const int32_t* rl,
+                                  int mode, int is_luma, int max_val,
+                                  __m128i t[4]) {
+  if (mode == PLANAR_IDX) {
+    int32_t tr_s = ra[5], bl_s = rl[5];
+    __m128i top = _mm_loadu_si128((const __m128i*)(ra + 1));
+    __m128i lmul = _mm_setr_epi32(1, 2, 3, 4);
+    __m128i ver0 = _mm_slli_epi32(top, 2);
+    __m128i dver = _mm_sub_epi32(_mm_set1_epi32(bl_s), top);
+    for (int k = 0; k < 4; k++) {
+      int32_t left = rl[1 + k];
+      __m128i hor = _mm_add_epi32(
+          _mm_set1_epi32((left << 2) + 4),
+          _mm_mullo_epi32(lmul, _mm_set1_epi32(tr_s - left)));
+      __m128i ver = _mm_add_epi32(
+          ver0, _mm_mullo_epi32(_mm_set1_epi32(k + 1), dver));
+      t[k] = _mm_srai_epi32(_mm_add_epi32(hor, ver), 3);
+    }
+  } else if (mode == DC_IDX) {
+    int32_t s = 0;
+    for (int i = 1; i <= 4; i++) s += ra[i] + rl[i];
+    int32_t dc = (s + 4) >> 3;
+    if (is_luma) {
+      __m128i row0 = _mm_srai_epi32(
+          _mm_add_epi32(_mm_loadu_si128((const __m128i*)(ra + 1)),
+                        _mm_set1_epi32(3 * dc + 2)), 2);
+      t[0] = _mm_insert_epi32(row0, (ra[1] + rl[1] + 2 * dc + 2) >> 2, 0);
+      for (int k = 1; k < 4; k++)
+        t[k] = _mm_insert_epi32(_mm_set1_epi32(dc),
+                                (rl[1 + k] + 3 * dc + 2) >> 2, 0);
+    } else {
+      t[0] = t[1] = t[2] = t[3] = _mm_set1_epi32(dc);
+    }
+  } else {
+    int mode_hor = mode < 18;
+    int ang = mode_hor ? -(mode - 10) : (mode - 26);
+    int aa = ang < 0 ? -ang : ang;
+    int abs_ang = kAngTable[aa];
+    int ipa = ang < 0 ? -abs_ang : abs_ang;
+    const int32_t* main_src = mode_hor ? rl : ra;
+    const int32_t* side_src = mode_hor ? ra : rl;
+    int32_t ext_buf[16];
+    const int32_t* buf;
+    int off;
+    if (ipa < 0) {
+      int ext = (4 * ipa) >> 5;
+      off = 4;
+      for (int i = 0; i <= 4; i++) ext_buf[off + i] = main_src[i];
+      int inv_sum = 128, inv_angle = kInvAngTable[aa];
+      for (int k = -1; k > ext; k--) {
+        inv_sum += inv_angle;
+        ext_buf[off + k] = side_src[inv_sum >> 8];
+      }
+      buf = ext_buf;
+    } else {
+      buf = main_src;
+      off = 0;
+    }
+    if (ipa == 0) {
+      __m128i r = _mm_loadu_si128((const __m128i*)(buf + off + 1));
+      if (is_luma) {
+        for (int k = 0; k < 4; k++) {
+          int v = buf[off + 1] + ((side_src[1 + k] - side_src[0]) >> 1);
+          v = v < 0 ? 0 : (v > max_val ? max_val : v);
+          t[k] = _mm_insert_epi32(r, v, 0);
+        }
+      } else {
+        t[0] = t[1] = t[2] = t[3] = r;
+      }
+    } else {
+      for (int k = 0; k < 4; k++) {
+        int dp = (k + 1) * ipa;
+        int di = dp >> 5, df = dp & 31;
+        const int32_t* row = buf + off + di + 1;
+        __m128i r0 = _mm_loadu_si128((const __m128i*)row);
+        if (df) {
+          __m128i r1 = _mm_loadu_si128((const __m128i*)(row + 1));
+          t[k] = _mm_srai_epi32(
+              _mm_add_epi32(
+                  _mm_add_epi32(
+                      _mm_mullo_epi32(_mm_set1_epi32(32 - df), r0),
+                      _mm_mullo_epi32(_mm_set1_epi32(df), r1)),
+                  _mm_set1_epi32(16)),
+              5);
+        } else {
+          t[k] = r0;
+        }
+      }
+    }
+    if (mode_hor) transpose4x4_epi32(t);
+  }
+}
 
 static inline __m256i imul8(int k, __m256i v) {
   return _mm256_mullo_epi32(_mm256_set1_epi32(k), v);
@@ -1207,8 +1305,7 @@ enum { MODE_INTER = 0, MODE_INTRA = 1, MODE_NONE = 15 };
 enum { SZ_2Nx2N = 0, SZ_2NxN = 1, SZ_Nx2N = 2, SZ_NxN = 3,
        SZ_2NxnU = 4, SZ_2NxnD = 5, SZ_nLx2N = 6, SZ_nRx2N = 7 };
 enum { SLICE_B = 0, SLICE_P = 1, SLICE_I = 2 };
-static const int DC_IDX = 1, PLANAR_IDX = 0, HOR_IDX = 10, VER_IDX = 26,
-                 DM_CHROMA_IDX = 36;
+static const int HOR_IDX = 10, VER_IDX = 26, DM_CHROMA_IDX = 36;
 static const int MRG_MAX = 5, AMVP_MAX = 2;
 
 // all context-array offsets (single source of truth: cabac/contexts.py)
@@ -5887,12 +5984,6 @@ static inline void es_ctu_local(const EncState* S, int abs_part, int* lx,
   *ly = (r / S->fa.upr) * 4;
 }
 
-#if defined(__AVX2__)
-static inline void pred4_mode_reg(const int32_t* ra, const int32_t* rl,
-                                  int mode, int is_luma, int max_val,
-                                  __m128i t[4]);
-#endif
-
 // xIntraCodingLumaBlk (TEncSearch.cpp:1006)
 static int64_t es_intra_luma_blk_impl(EncState* S, int part, int cu_depth,
                                       int tr_depth, int d0s1l2);
@@ -6606,102 +6697,6 @@ static int64_t es_final_intra_luma(EncState* S, int part, int cu_depth,
 // update).  At 4x4 luma the smoothing filter never applies
 // (kFilterThresh[2] = 10 >= every mode's min hor/ver distance), so only
 // the raw reference line feeds every mode.
-// one 4x4 intra prediction in SSE registers (any mode; is_luma selects
-// the DC filter and the exact-hor/ver edge filter, as es_predict does)
-static inline void pred4_mode_reg(const int32_t* ra, const int32_t* rl,
-                                  int mode, int is_luma, int max_val,
-                                  __m128i t[4]) {
-  {
-    if (mode == PLANAR_IDX) {
-      int32_t tr_s = ra[5], bl_s = rl[5];
-      __m128i top = _mm_loadu_si128((const __m128i*)(ra + 1));
-      __m128i lmul = _mm_setr_epi32(1, 2, 3, 4);
-      __m128i ver0 = _mm_slli_epi32(top, 2);
-      __m128i dver = _mm_sub_epi32(_mm_set1_epi32(bl_s), top);
-      for (int k = 0; k < 4; k++) {
-        int32_t left = rl[1 + k];
-        __m128i hor = _mm_add_epi32(
-            _mm_set1_epi32((left << 2) + 4),
-            _mm_mullo_epi32(lmul, _mm_set1_epi32(tr_s - left)));
-        __m128i ver = _mm_add_epi32(
-            ver0, _mm_mullo_epi32(_mm_set1_epi32(k + 1), dver));
-        t[k] = _mm_srai_epi32(_mm_add_epi32(hor, ver), 3);
-      }
-    } else if (mode == DC_IDX) {
-      int32_t s = 0;
-      for (int i = 1; i <= 4; i++) s += ra[i] + rl[i];
-      int32_t dc = (s + 4) >> 3;
-      if (is_luma) {
-        __m128i row0 = _mm_srai_epi32(
-            _mm_add_epi32(_mm_loadu_si128((const __m128i*)(ra + 1)),
-                          _mm_set1_epi32(3 * dc + 2)), 2);
-        t[0] = _mm_insert_epi32(row0, (ra[1] + rl[1] + 2 * dc + 2) >> 2, 0);
-        for (int k = 1; k < 4; k++)
-          t[k] = _mm_insert_epi32(_mm_set1_epi32(dc),
-                                  (rl[1 + k] + 3 * dc + 2) >> 2, 0);
-      } else {
-        t[0] = t[1] = t[2] = t[3] = _mm_set1_epi32(dc);
-      }
-    } else {
-      int mode_hor = mode < 18;
-      int ang = mode_hor ? -(mode - 10) : (mode - 26);
-      int aa = ang < 0 ? -ang : ang;
-      int abs_ang = kAngTable[aa];
-      int ipa = ang < 0 ? -abs_ang : abs_ang;
-      const int32_t* main_src = mode_hor ? rl : ra;
-      const int32_t* side_src = mode_hor ? ra : rl;
-      int32_t ext_buf[16];
-      const int32_t* buf;
-      int off;
-      if (ipa < 0) {
-        int ext = (4 * ipa) >> 5;
-        off = 4;
-        for (int i = 0; i <= 4; i++) ext_buf[off + i] = main_src[i];
-        int inv_sum = 128, inv_angle = kInvAngTable[aa];
-        for (int k = -1; k > ext; k--) {
-          inv_sum += inv_angle;
-          ext_buf[off + k] = side_src[inv_sum >> 8];
-        }
-        buf = ext_buf;
-      } else {
-        buf = main_src;
-        off = 0;
-      }
-      if (ipa == 0) {
-        __m128i r = _mm_loadu_si128((const __m128i*)(buf + off + 1));
-        if (is_luma) {
-          for (int k = 0; k < 4; k++) {
-            int v = buf[off + 1] + ((side_src[1 + k] - side_src[0]) >> 1);
-            v = v < 0 ? 0 : (v > max_val ? max_val : v);
-            t[k] = _mm_insert_epi32(r, v, 0);
-          }
-        } else {
-          t[0] = t[1] = t[2] = t[3] = r;
-        }
-      } else {
-        for (int k = 0; k < 4; k++) {
-          int dp = (k + 1) * ipa;
-          int di = dp >> 5, df = dp & 31;
-          const int32_t* row = buf + off + di + 1;
-          __m128i r0 = _mm_loadu_si128((const __m128i*)row);
-          if (df) {
-            __m128i r1 = _mm_loadu_si128((const __m128i*)(row + 1));
-            t[k] = _mm_srai_epi32(
-                _mm_add_epi32(
-                    _mm_add_epi32(
-                        _mm_mullo_epi32(_mm_set1_epi32(32 - df), r0),
-                        _mm_mullo_epi32(_mm_set1_epi32(df), r1)),
-                    _mm_set1_epi32(16)),
-                5);
-          } else {
-            t[k] = r0;
-          }
-        }
-      }
-      if (mode_hor) transpose4x4_epi32(t);
-    }
-  }
-}
 
 static void es_sweep4(EncState* S, const int16_t* org0, const int32_t* ra,
                       const int32_t* rl, const int* mpm, int64_t bits_mpm0,
