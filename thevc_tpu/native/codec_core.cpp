@@ -5309,6 +5309,7 @@ struct EncState {
   int16_t frac_blk[4][4][66 * 66];
   int16_t frac_tmp0[72 * 66], frac_tmp2[72 * 66];
   int32_t me_org[64 * 64];       // ME original (2*org - other for bipred)
+  int64_t me_org_key;            // PU geometry of the cached uni fill (0 = none)
   int16_t me_pred_store[2][64 * 64];  // uni luma preds for bipred ME
 };
 
@@ -8594,14 +8595,34 @@ static void es_motion_estimation_impl(EncState* S, int cu_x, int cu_y, int xp,
                                  int* omvy, int* obits, int64_t* ocost) {
   int bi = bi_mv != 0;
   int srch_rng = bi ? S->me.bipred_range : S->me.search_range;
-  // ME original
+  // ME original; the uni-prediction fill is identical for every
+  // (list, ref) of the same PU, so it is cached by PU geometry (the
+  // bipred fill depends on bi_other and always refills + poisons)
   const int16_t* org = S->org_y + (int64_t)yp * S->rls + xp;
-  for (int r = 0; r < ph; r++)
-    for (int c = 0; c < pw; c++)
-      S->me_org[r * pw + c] =
-          bi ? 2 * (int32_t)org[(int64_t)r * S->rls + c] -
-                   bi_other[r * pw + c]
-             : (int32_t)org[(int64_t)r * S->rls + c];
+  if (bi) {
+    for (int r = 0; r < ph; r++)
+      for (int c = 0; c < pw; c++)
+        S->me_org[r * pw + c] =
+            2 * (int32_t)org[(int64_t)r * S->rls + c] - bi_other[r * pw + c];
+    S->me_org_key = 0;
+  } else {
+    int64_t key = ((((int64_t)yp << 13) | xp) << 16) | (pw << 8) | ph;
+    if (S->me_org_key != key) {
+      for (int r = 0; r < ph; r++) {
+        int c = 0;
+#if defined(__AVX2__)
+        for (; c + 8 <= pw; c += 8)
+          _mm256_storeu_si256(
+              (__m256i*)(S->me_org + r * pw + c),
+              _mm256_cvtepi16_epi32(_mm_loadu_si128(
+                  (const __m128i*)(org + (int64_t)r * S->rls + c))));
+#endif
+        for (; c < pw; c++)
+          S->me_org[r * pw + c] = (int32_t)org[(int64_t)r * S->rls + c];
+      }
+      S->me_org_key = key;
+    }
+  }
 
   const int16_t* pad_y = S->refs.pad_y[lst][ref];
   int64_t ps = S->refs.ys;
