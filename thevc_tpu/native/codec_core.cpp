@@ -202,14 +202,20 @@ struct CoeffCtxOffsets {
   int32_t num_sig_luma;   // NUM_SIG_FLAG_CTX_LUMA
 };
 
-static int parse_coeff_core(BsEngine* st, uint8_t* ctx,
-                            const CoeffCtxOffsets* off,
-                            int width, int scan_idx_orig, int is_luma,
-                            int be_valid,
-                            const int32_t* scan, const int32_t* scan_cg,
-                            int32_t* plane, int64_t stride, int px, int py) {
+}  // extern "C" (the templated coefficient parser needs C++ linkage)
+
+// parseCoeffNxN, templated on the block log2 (constant trip counts, the
+// 4x4 instance folds the significance-context derivation)
+template <int LOG2>
+static int parse_coeff_t(BsEngine* st, uint8_t* ctx,
+                         const CoeffCtxOffsets* off,
+                         int scan_idx_orig, int is_luma,
+                         int be_valid,
+                         const int32_t* scan, const int32_t* scan_cg,
+                         int32_t* plane, int64_t stride, int px, int py) {
   const int kSBH = 4, kC1Num = 8;
-  int log2 = 0; while ((1 << log2) < width) log2++;
+  const int width = 1 << LOG2;
+  const int log2 = LOG2;
   int block_type = log2;
 #define COEFF_AT(blk) plane[(int64_t)(py + ((blk) >> log2)) * stride + px + \
                             ((blk) & (width - 1))]
@@ -369,6 +375,30 @@ static int parse_coeff_core(BsEngine* st, uint8_t* ctx,
   return st->overflow ? -1 : 0;
 }
 #undef COEFF_AT
+
+static int parse_coeff_core(BsEngine* st, uint8_t* ctx,
+                            const CoeffCtxOffsets* off,
+                            int width, int scan_idx_orig, int is_luma,
+                            int be_valid,
+                            const int32_t* scan, const int32_t* scan_cg,
+                            int32_t* plane, int64_t stride, int px, int py) {
+  switch (width) {
+    case 4:
+      return parse_coeff_t<2>(st, ctx, off, scan_idx_orig, is_luma,
+                              be_valid, scan, scan_cg, plane, stride, px, py);
+    case 8:
+      return parse_coeff_t<3>(st, ctx, off, scan_idx_orig, is_luma,
+                              be_valid, scan, scan_cg, plane, stride, px, py);
+    case 16:
+      return parse_coeff_t<4>(st, ctx, off, scan_idx_orig, is_luma,
+                              be_valid, scan, scan_cg, plane, stride, px, py);
+    default:
+      return parse_coeff_t<5>(st, ctx, off, scan_idx_orig, is_luma,
+                              be_valid, scan, scan_cg, plane, stride, px, py);
+  }
+}
+
+extern "C" {
 
 int parse_coeff_nxn(BsEngine* st, uint8_t* ctx, const CoeffCtxOffsets* off,
                     int width, int scan_idx_orig, int is_luma, int be_valid,
