@@ -62,6 +62,22 @@ def test_clip():
     return clip
 
 
+def ensure_clip(name: str, width: int, height: int, frames: int):
+    """Create (if missing) a deterministic synthetic clip in testdata/.
+
+    Shared clips like clip_96x80_9f.yuv are used across test modules;
+    every user must call this so tests stay order-independent."""
+    TESTDATA.mkdir(exist_ok=True)
+    clip = TESTDATA / name
+    if not clip.exists():
+        subprocess.run(
+            ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
+             "--width", str(width), "--height", str(height),
+             "--frames", str(frames)],
+            check=True)
+    return clip
+
+
 def oracle_encode(cfg: str, clip, out_bin, out_rec, frames=2, extra=()):
     """Run the HM oracle encoder with the given base cfg."""
     cmd = [str(ORACLE_BIN / "TAppEncoder"),

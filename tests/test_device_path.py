@@ -205,7 +205,8 @@ def test_device_decode_inter_digest_exact(oracle, tmp_path):
     """E2E on a random-access (B-slice) stream through the device path."""
     import subprocess
     from tests.conftest import ORACLE_BIN
-    clip = TESTDATA / "clip_96x80_9f.yuv"
+    from tests.conftest import ensure_clip
+    clip = ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     ref_bin = TESTDATA / "dev_ra9.bin"
     ref_rec = TESTDATA / "dev_ra9_rec.yuv"
     if not ref_bin.exists() or not ref_rec.exists():

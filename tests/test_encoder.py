@@ -9,7 +9,7 @@ import subprocess
 
 import pytest
 
-from tests.conftest import ORACLE_BIN, TESTDATA, REPO
+from tests.conftest import ORACLE_BIN, TESTDATA, REPO, ensure_clip
 
 from thevc_tpu.apps.encoder import main as encoder_main
 
@@ -151,7 +151,7 @@ def test_encoder_lowdelay_b_byte_exact(oracle, small_clip, tmp_path):
     list with the L1-from-L0 cost derivation (GPB_SIMPLE_UNI), and the
     encoder's CABAC init-table selection (determineCabacInitIdx)."""
     import shutil
-    clip = TESTDATA / "clip_96x80_9f.yuv"
+    clip = ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     if not clip.exists():
         subprocess.run(
             ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
@@ -235,7 +235,7 @@ def test_encode_partitioned_byte_exact(oracle, small_clip, tmp_path,
 ])
 def test_encoder_tool_combinations_byte_exact(oracle, tmp_path, name, cfg,
                                               frames, extra):
-    clip = TESTDATA / "clip_96x80_9f.yuv"
+    clip = ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     ref_bin = TESTDATA / f"combo_{name}_ref.bin"
     if not ref_bin.exists():
         subprocess.run(
@@ -261,7 +261,7 @@ def test_encoder_tool_combinations_byte_exact(oracle, tmp_path, name, cfg,
 def test_encoder_lambda_modifier_byte_exact(oracle, tmp_path, extra, name):
     """LambdaModifier0-7 / RecalculateQPAccordingToLambda
     (TAppEncCfg.cpp:219-226/:327, TEncSlice.cpp:313-316/:352-357)."""
-    clip = TESTDATA / "clip_96x80_9f.yuv"
+    clip = ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     cfg = ("/root/reference/cfg/encoder_lowdelay_main.cfg" if name != "lm1"
            else str(REPO / "tests" / "cfg" / "encoder_lowdelay_tlayers.cfg"))
     ref_bin = TESTDATA / f"lm_{name}_ref.bin"
@@ -326,7 +326,7 @@ def test_encoder_midstream_cra_tfd_byte_exact(oracle, small_clip, tmp_path):
     1745-1756) and the CRA refresh marking (TComSlice::decodingRefresh-
     Marking :646) unreferences pre-CRA pictures.  IntraPeriod=8 over 9
     frames puts a CRA at POC 8 with 7 TFD leading pictures."""
-    clip = TESTDATA / "clip_96x80_9f.yuv"
+    clip = ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     if not clip.exists():
         subprocess.run(
             ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
@@ -386,7 +386,7 @@ def test_encoder_temporal_layers_tla_byte_exact(oracle, tmp_path):
     """2-temporal-layer low-delay GOP: every TId-1 picture is a temporal
     switching point and is typed TLA (TEncGOP.cpp:299-305,
     TComSlice::isTemporalLayerSwitchingPoint :838)."""
-    clip = TESTDATA / "clip_96x80_9f.yuv"
+    clip = ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     cfg = str(REPO / "tests" / "cfg" / "encoder_lowdelay_tlayers.cfg")
     ref_bin = TESTDATA / "tla_ld5_ref.bin"
     if not ref_bin.exists():
@@ -410,7 +410,7 @@ def test_encoder_temporal_layers_tla_byte_exact(oracle, tmp_path):
 def test_encoder_randomaccess_byte_exact(oracle, small_clip, tmp_path):
     """Random-access hierarchical-B GOP (GOPSize=8, CRA refresh): byte-exact
     (TEncGOP::getNalUnitType, bi-pred iteration, colDir alternation)."""
-    clip = TESTDATA / "clip_96x80_9f.yuv"
+    clip = ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     if not clip.exists():
         subprocess.run(
             ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
@@ -440,7 +440,7 @@ def test_encoder_randomaccess_byte_exact(oracle, small_clip, tmp_path):
 def test_encoder_scaling_list_byte_exact(oracle, small_clip, tmp_path,
                                          cfg, frames, name):
     if frames > 2:
-        small_clip = TESTDATA / "clip_96x80_9f.yuv"
+        small_clip = ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     """--ScalingList=1 (default matrices): per-coefficient quant/RDOQ err
     scale tables (TComTrQuant::xSetScalingListEnc/setErrScaleCoeff)."""
     ref_bin = TESTDATA / f"enc_sl1_{name}_96x80.bin"
@@ -492,7 +492,7 @@ def test_encoder_rate_control_byte_exact(oracle, tmp_path, cfg, kbps, name):
     """--RateControl=1: MAD linear + URQ quadratic models, frame-level QP
     and LCU-level unit QP with per-LCU dQP signalling (TEncRateCtrl.cpp:60,
     :99, :321, :429; hooks TEncSlice.cpp:249,:814,:969,:991)."""
-    clip = TESTDATA / "clip_96x80_9f.yuv"
+    clip = ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     if not clip.exists():
         subprocess.run(
             ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
@@ -688,7 +688,7 @@ def test_encoder_10bit_tool_byte_exact(oracle, small_clip, tmp_path, extra,
                                        name):
     """IBDI (InternalBitDepth=10) interaction with quadtree SAO (xRoundIbdi2
     rounding, offset threshold) and AdaptiveQP: byte-exact vs HM."""
-    clip = TESTDATA / "clip_96x80_9f.yuv"
+    clip = ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     hm_bin = TESTDATA / f"enc_{name}_96x80.bin"
     if not hm_bin.exists():
         _oracle_encode(clip, hm_bin, 96, 80, 2,
@@ -706,7 +706,7 @@ def test_encoder_checkpoint_resume_byte_exact(test_clip_small, tmp_path):
     serializable (SURVEY.md section 5), so an encode split at a GOP-aligned
     checkpoint and resumed in a fresh process produces the identical
     bitstream and recon as the uninterrupted run."""
-    clip = TESTDATA / "clip_96x80_9f.yuv"
+    clip = ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     cfg = "/root/reference/cfg/encoder_lowdelay_P_main.cfg"
     base = ["-c", cfg, "-i", str(clip), "-wdt", "96", "-hgt", "80",
             "-fr", "30", "--SEIpictureDigest=1"]

@@ -190,6 +190,8 @@ def test_encoder_decoder_symbol_trace_roundtrip(tmp_path, monkeypatch):
     from thevc_tpu.apps.encoder import main as encoder_main
     from thevc_tpu.decoder.top import Decoder
 
+    from tests.conftest import ensure_clip
+    ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
     monkeypatch.setenv("THEVC_NATIVE", "0")
     bin_path = tmp_path / "tr.bin"
     enc_tr = tmp_path / "enc_trace.txt"

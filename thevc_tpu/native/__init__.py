@@ -354,6 +354,10 @@ def get_lib():
         lib.enc_set_inter.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(SliceParams),
             ctypes.POINTER(InterRefs), ctypes.POINTER(EncInterParams)]
+        lib.enc_set_fd.restype = None
+        lib.enc_set_fd.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.enc_set_slice_ctx.restype = None
         lib.enc_set_slice_ctx.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]

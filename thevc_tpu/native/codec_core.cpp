@@ -5318,6 +5318,15 @@ struct EncState {
   EncBin* fin;
   int fin_dqp_flag;
   int bak_cu_part, bak_chroma;
+  // ---- forced-decision ("fast RD") maps: when fd_on, the CU quadtree
+  // and the per-PU luma modes come from the device decision pass instead
+  // of the full RD search (thevc_tpu/encoder/fast_intra.py); RQT/TS and
+  // chroma-mode RD still run per chosen mode.  All maps are per 4x4 unit
+  // in raster order ([uh][uw]).
+  const int8_t* fd_depth;
+  const int8_t* fd_mode;
+  const uint8_t* fd_nxn;
+  int fd_on;
   // ---- inter-slice state (valid when has_inter != 0) ----
   int has_inter;
   SliceParams sp;                // merge/AMVP environment (ref POCs, col)
@@ -6881,6 +6890,22 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   int size = fa->ctu_size >> (depth + init_tr_depth);
   int log2 = 0; while ((1 << log2) < size) log2++;
   int units = units_at_depth(fa, depth + init_tr_depth);
+
+  if (S->fd_on) {
+    // fast-RD: the luma mode is fixed by the decision maps; run one full
+    // RQT RD pass (TU split + transform-skip decided here, like the
+    // final pass of the exact path) for that single mode
+    int mode = S->fd_mode[(int64_t)uy * fa->uw + ux];
+    if (mode < 0 || mode > 34) mode = DC_IDX;
+    set_region<int8_t>(fa, fa->luma_dir, ux, uy, units, (int8_t)mode);
+    es_load(S, depth, ECI_CURR_BEST);
+    double cost;
+    PROF_BEGIN(4);
+    int64_t dist = es_recur_intra_luma(S, part, depth, init_tr_depth, 0,
+                                       &cost);
+    PROF_END(4);
+    return dist;
+  }
 
   int32_t line_raw[4 * 64 + 8], line_filt[4 * 64 + 8];
   PROF_BEGIN(13);
@@ -10616,8 +10641,35 @@ static void es_compress_cu(EncState* S, int abs_part, int depth,
   RegionSnap* best = S->region[depth];
   int have_best = 0;
 
-  if (inside) {
+  // fast-RD (fd_on): the quadtree is fixed by the decision map — leaf
+  // when the mapped depth is reached (or already exceeded at the first
+  // fully-inside level of a boundary CTU), split otherwise; no RD
+  // comparison between the two ever runs
+  int fd_leaf = 0, fd_nxn_here = 0;
+  if (S->fd_on && inside) {
+    int fd = S->fd_depth[(int64_t)uy * fa->uw + ux];
+    fd_leaf = fd <= depth || depth >= max_sig;
+    if (fd_leaf && depth == max_sig && size > (1 << S->ep.min_tr_log2))
+      fd_nxn_here = S->fd_nxn[(int64_t)uy * fa->uw + ux] != 0;
+  }
+
+  if (inside && (!S->fd_on || fd_leaf)) {
     int qp = S->ep.unit_qp >= 0 ? S->ep.unit_qp : S->ep.slice_qp;
+    if (S->fd_on) {
+      PROF_BEGIN(21);
+      es_check_intra(S, abs_part, depth,
+                     fd_nxn_here ? SZ_NxN : SZ_2Nx2N, qp, best,
+                     &have_best);
+      PROF_END(21);
+      eb_reset_bits(&S->go);
+      we_split_flag(S, &S->go, abs_part, depth);
+      best->bits += eb_bits(&S->go);
+      best->cost = es_rd_cost(S, best->bits, best->dist);
+      S->total_bits = best->bits;
+      S->total_dist = best->dist;
+      S->total_cost = best->cost;
+      return;
+    }
     if (S->has_inter) {
       { PROF_BEGIN(19);
         es_check_rd_merge_2nx2n(S, abs_part, depth, best, &have_best);
@@ -10790,6 +10842,17 @@ void enc_set_inter(void* handle, const SliceParams* sp,
   S->refs = *refs;
   S->me = *me;
   S->has_inter = 1;
+}
+
+// bind the fast-RD decision maps (per 4x4 unit, raster order); pass
+// nulls to return to the full-search path
+void enc_set_fd(void* handle, const int8_t* depth_map,
+                const int8_t* mode_map, const uint8_t* nxn_map) {
+  EncState* S = (EncState*)handle;
+  S->fd_depth = depth_map;
+  S->fd_mode = mode_map;
+  S->fd_nxn = nxn_map;
+  S->fd_on = depth_map != NULL && mode_map != NULL && nxn_map != NULL;
 }
 
 void enc_destroy(void* handle) {

@@ -118,6 +118,9 @@ _OPTIONS = {
     "MaxQPAdaptationRange": ("qp_adaptation_range", int),
     "dQPFile": ("dqp_file", str), "m": ("dqp_file", str),
     "RDOQ": ("use_rdoq", int),
+    # extension beyond the HM surface: device-decided fast RD mode
+    # (thevc_tpu/encoder/fast_intra.py); 0 = HM-exact full search
+    "FastRD": ("fast_rd", int),
     "SBACRD": ("use_sbac_rd", int),
     "LoopFilterDisable": ("loop_filter_disable", int),
     "LoopFilterOffsetInPPS": ("loop_filter_offset_in_pps", int),
@@ -232,6 +235,7 @@ class EncoderCfg:
     qp_adaptation_range: int = 6
     dqp_file: str = ""
     use_rdoq: int = 1
+    fast_rd: int = 0
     use_sbac_rd: int = 1
     loop_filter_disable: int = 0
     loop_filter_offset_in_pps: int = 0
