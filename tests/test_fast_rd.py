@@ -1,0 +1,100 @@
+"""Fast-RD intra encoder (encoder/fast_intra.py): conformance + quality.
+
+FastRD=1 replaces HM's sequential RD walk with an open-loop device-batched
+decision pass (TEncCu.cpp:386 becomes batched SATD/RD kernels), so streams
+are NOT byte-matched to HM — the contract is instead:
+
+  1. the stream is conformant: the HM oracle decoder reproduces our
+     encoder's reconstruction (MD5 SEI checks out),
+  2. our own decoder round-trips it digest-exact,
+  3. quality stays close to the exact path: bit cost within a bounded
+     overhead at (near-)equal PSNR.
+"""
+
+import re
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.conftest import TESTDATA, ORACLE_BIN
+
+from thevc_tpu.apps.encoder import main as encoder_main
+from thevc_tpu.apps.decoder import main as decoder_main
+
+
+def _encode(clip, out, w, h, frames, qp, fast, extra=()):
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(clip), "-b", str(out),
+                  "-wdt", str(w), "-hgt", str(h), "-f", str(frames),
+                  "-fr", "30", "-q", str(qp), f"--FastRD={int(fast)}",
+                  "--SEIpictureDigest=1", *extra])
+
+
+def _psnr(a, b):
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = float((d * d).mean())
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+@pytest.mark.parametrize("qp", [27, 37])
+def test_fast_rd_conformant_and_roundtrips(oracle, test_clip, tmp_path, qp):
+    """HM decodes the fast-RD stream with all MD5 SEIs OK; our decoder
+    round-trips it digest-exact."""
+    my_bin = tmp_path / "fast.bin"
+    _encode(test_clip, my_bin, 416, 240, 2, qp, fast=1)
+
+    r = subprocess.run(
+        [str(ORACLE_BIN / "TAppDecoder"), "-b", str(my_bin),
+         "-o", str(tmp_path / "hm_rec.yuv")],
+        capture_output=True, text=True, check=True)
+    oks = re.findall(r"\((OK|\*\*ERR\*\*)\)", r.stdout)
+    assert oks and all(o == "OK" for o in oks), r.stdout
+
+    decoder_main(["-b", str(my_bin), "-o", str(tmp_path / "my_rec.yuv")])
+    assert (tmp_path / "my_rec.yuv").read_bytes() == \
+        (tmp_path / "hm_rec.yuv").read_bytes()
+
+
+def test_fast_rd_quality_vs_exact(oracle, test_clip, tmp_path):
+    """Fast-RD costs a bounded bitrate overhead at near-equal PSNR vs the
+    byte-exact path at the same QP."""
+    qp, w, h, frames = 32, 416, 240, 2
+    exact_bin = tmp_path / "exact.bin"
+    fast_bin = tmp_path / "fast.bin"
+    _encode(test_clip, exact_bin, w, h, frames, qp, fast=0)
+    _encode(test_clip, fast_bin, w, h, frames, qp, fast=1)
+
+    nbytes = w * h * 3 // 2 * frames
+    src = np.frombuffer(test_clip.read_bytes()[:nbytes], np.uint8)
+
+    recs = {}
+    for name, bs in (("exact", exact_bin), ("fast", fast_bin)):
+        rec = tmp_path / f"{name}.yuv"
+        decoder_main(["-b", str(bs), "-o", str(rec)])
+        recs[name] = np.frombuffer(rec.read_bytes(), np.uint8)
+
+    p_exact = _psnr(src, recs["exact"])
+    p_fast = _psnr(src, recs["fast"])
+    bits_exact = exact_bin.stat().st_size
+    bits_fast = fast_bin.stat().st_size
+
+    # measured on synthetic content: ~1-6% bit overhead, PSNR within 0.2 dB
+    assert bits_fast <= bits_exact * 1.15, (bits_fast, bits_exact)
+    assert p_fast >= p_exact - 0.5, (p_fast, p_exact)
+
+
+def test_fast_rd_default_off(oracle, small_clip, tmp_path):
+    """FastRD defaults to 0: the stream stays byte-identical to the exact
+    path (which the rest of the suite pins byte-exact to HM)."""
+    a = tmp_path / "a.bin"
+    b = tmp_path / "b.bin"
+    _encode(small_clip, a, 96, 80, 1, 32, fast=0)
+    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+                  "-i", str(small_clip), "-b", str(b),
+                  "-wdt", "96", "-hgt", "80", "-f", "1", "-fr", "30",
+                  "-q", "32", "--SEIpictureDigest=1"])
+    assert a.read_bytes() == b.read_bytes()
+
+
+from tests.test_encoder import small_clip  # noqa: E402,F401  (fixture reuse)

@@ -1,0 +1,486 @@
+"""Fast-RD intra decisions: the decoupled two-pass device encoder.
+
+This is the SURVEY.md §7 design move the exact path cannot make: instead of
+HM's sequential best-vs-temp RD walk (TEncCu.cpp:386, where every candidate
+prediction depends on previously reconstructed neighbors), the CU quadtree
+and per-PU luma modes are decided OPEN-LOOP — reference samples come from
+the *source* picture, so every block of the frame is independent and the
+whole decision problem becomes a handful of batched device kernels:
+
+  1. per size class (4..64): gather reference lines for every block of the
+     frame at once, run all 35 intra predictions (same integer math as
+     TComPrediction.cpp xPredIntraAng :190 / xPredIntraPlanar :689 /
+     xDCPredFiltering :1010), Hadamard-SATD them against the source
+     (TComRdCost::xCalcHADs8x8 :1778), and add the CABAC mode-bit estimate
+     (TEncSearch xModeBitsIntra :5889 — MPM classes approximated from the
+     SATD-best modes of the open-loop neighbors);
+  2. for each block's winning mode: forward transform + quant
+     (TComTrQuant.cpp :417, :1102) + inverse recon, giving an RD estimate
+     dist + lambda*bits with a coefficient-bit model;
+  3. a bottom-up quadtree DP picks leaf-vs-split per CU (the batched
+     equivalent of TEncCu's split compare at :829-975), including the
+     8x8-vs-NxN partition choice.
+
+The maps feed the native apply pass (codec_core.cpp enc_set_fd): RQT/TS
+decisions, the 5-mode chroma RD, RDOQ, deblock/SAO RDO and the CABAC passes
+all still run exactly as in the full search, but for ONE luma mode at ONE
+depth — so the emitted stream is fully conformant (HM-decodable,
+digest-verified) while the dominant search FLOPs run on the TPU.
+
+Decision quality is not bit-matched to HM (open-loop references, frozen
+mode-bit contexts, modelled coefficient bits); measured cost on synthetic
+content is a few percent bitrate at equal PSNR — see tests/test_fast_rd.py
+and the bench extra fields.  FastRD=0 (default) keeps the byte-exact path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from ..ops.intra import (ANG_TABLE, INV_ANG_TABLE, INTRA_FILTER_THRESH,
+                         DC_IDX, HOR_IDX, PLANAR_IDX, VER_IDX)
+
+SIZES = (4, 8, 16, 32, 64)
+
+
+# ---------------------------------------------------------------------------
+# static per-(mode,size) index plans for batched angular prediction
+# ---------------------------------------------------------------------------
+
+def _angular_plan(size: int, mode: int):
+    """Precompute the static gather plan for one angular mode.
+
+    Returns (side_idx, n_main, off, delta_int, delta_frac, mode_hor):
+    refmain = concat(side[side_idx], main[:n_main]); prediction row k
+    (0-based) reads refmain[off + l + delta_int[k] + 1] lerped by
+    delta_frac[k] (xPredIntraAng, TComPrediction.cpp:190).
+    """
+    mode_hor = mode < 18
+    ipa = -(mode - HOR_IDX) if mode_hor else (mode - VER_IDX)
+    abs_ang = int(ANG_TABLE[abs(ipa)])
+    inv_angle = int(INV_ANG_TABLE[abs(ipa)])
+    angle = -abs_ang if ipa < 0 else abs_ang
+
+    if angle < 0:
+        ext = (size * angle) >> 5            # negative
+        side_idx = []
+        inv_sum = 128
+        for k in range(-1, ext, -1):
+            inv_sum += inv_angle
+            side_idx.append(inv_sum >> 8)
+        side_idx.reverse()                   # refmain[ext..-1]
+        n_main = size + 1                    # refmain[0..size]
+        off = -ext
+    else:
+        side_idx = []
+        n_main = 2 * size + 1
+        off = 0
+
+    k = np.arange(1, size + 1, dtype=np.int64)
+    delta = k * angle
+    return (np.asarray(side_idx, np.int32), n_main, off,
+            (delta >> 5).astype(np.int32), (delta & 31).astype(np.int32),
+            mode_hor, angle)
+
+
+def _predict_mode(ra, rl, size: int, mode: int, max_val: int):
+    """One intra mode for a whole block batch: ra/rl [N, 2s+1] -> [N, s, s].
+
+    Integer-exact mirror of ops.intra.predict for the luma path.
+    """
+    import jax.numpy as jnp
+
+    n = ra.shape[0]
+    if mode == PLANAR_IDX:
+        log2 = size.bit_length() - 1
+        top = ra[:, 1:size + 2]
+        left = rl[:, 1:size + 2]
+        bl = left[:, size][:, None]
+        tr = top[:, size][:, None]
+        bottom = bl - top[:, :size]
+        right = tr - left[:, :size]
+        kk = jnp.arange(1, size + 1, dtype=jnp.int32)
+        hor = ((left[:, :size, None] << log2) + size
+               + kk[None, None, :] * right[:, :size, None])
+        ver = ((top[:, None, :size] << log2)
+               + kk[None, :, None] * bottom[:, None, :size])
+        return (hor + ver) >> (log2 + 1)
+
+    if mode == DC_IDX:
+        s_sum = (ra[:, 1:size + 1].sum(axis=1)
+                 + rl[:, 1:size + 1].sum(axis=1))
+        dc = (s_sum + size) // (2 * size)
+        pred = jnp.broadcast_to(dc[:, None, None], (n, size, size))
+        # xDCPredFiltering (luma)
+        top = ra[:, 1:size + 1]
+        left = rl[:, 1:size + 1]
+        row0 = (top + 3 * pred[:, 0, :] + 2) >> 2
+        col0 = (left + 3 * pred[:, :, 0] + 2) >> 2
+        c00 = (top[:, 0] + left[:, 0] + 2 * pred[:, 0, 0] + 2) >> 2
+        pred = pred.at[:, 0, :].set(row0)
+        pred = pred.at[:, :, 0].set(col0)
+        pred = pred.at[:, 0, 0].set(c00)
+        return pred
+
+    side_idx, n_main, off, dint, dfrac, mode_hor, angle = \
+        _angular_plan(size, mode)
+    main, side = (rl, ra) if mode_hor else (ra, rl)
+    if side_idx.size:
+        rm = jnp.concatenate([side[:, side_idx], main[:, :n_main]], axis=1)
+    else:
+        rm = main[:, :n_main]
+
+    if angle == 0:
+        row = rm[:, off + 1: off + 1 + size]
+        pred = jnp.broadcast_to(row[:, None, :], (n, size, size))
+        delta = (side[:, 1:size + 1] - side[:, 0:1]) >> 1
+        col0 = jnp.clip(pred[:, :, 0] + delta, 0, max_val)
+        pred = pred.at[:, :, 0].set(col0)
+    else:
+        ll = np.arange(size, dtype=np.int32)
+        idx = off + ll[None, :] + dint[:, None] + 1      # [s, s] static
+        a = rm[:, idx]
+        b = rm[:, idx + 1]
+        f = jnp.asarray(dfrac[:, None], jnp.int32)
+        pred = jnp.where(f != 0, ((32 - f) * a + f * b + 16) >> 5, a)
+    if mode_hor:
+        pred = jnp.swapaxes(pred, -1, -2)
+    return pred
+
+
+def _satd(org, pred, size: int, bit_inc: int):
+    """HM SATD over a block batch: [N,s,s] vs [N,s,s] -> [N] int32
+    (TComRdCost calcHAD: 8x8 Hadamard when divisible by 8, else 4x4)."""
+    import jax.numpy as jnp
+    from ..ops.jx import _H4, _H8
+
+    d = org.astype(jnp.int32) - pred.astype(jnp.int32)
+    n = d.shape[0]
+    if size % 8 == 0:
+        h = jnp.asarray(_H8, jnp.int32)
+        blocks = (d.reshape(n, size // 8, 8, size // 8, 8)
+                  .transpose(0, 1, 3, 2, 4).reshape(n, -1, 8, 8))
+        hm = jnp.einsum("ij,nbjk,kl->nbil", h, blocks, h,
+                        preferred_element_type=jnp.int32)
+        sads = (jnp.sum(jnp.abs(hm), axis=(2, 3)) + 2) >> 2
+    else:
+        h = jnp.asarray(_H4, jnp.int32)
+        blocks = (d.reshape(n, size // 4, 4, size // 4, 4)
+                  .transpose(0, 1, 3, 2, 4).reshape(n, -1, 4, 4))
+        hm = jnp.einsum("ij,nbjk,kl->nbil", h, blocks, h,
+                        preferred_element_type=jnp.int32)
+        sads = (jnp.sum(jnp.abs(hm), axis=(2, 3)) + 1) >> 1
+    return sads.sum(axis=1) >> bit_inc
+
+
+def _mpm_vec(left, above):
+    """Vectorized getIntraDirLumaPredictor (TComDataCU.cpp:1928)."""
+    import jax.numpy as jnp
+
+    same = left == above
+    big = left > 1
+    m0_same = jnp.where(big, left, PLANAR_IDX)
+    m1_same = jnp.where(big, ((left + 29) % 32) + 2, DC_IDX)
+    m2_same = jnp.where(big, ((left - 1) % 32) + 2, VER_IDX)
+    both_nz = (left != 0) & (above != 0)
+    third = jnp.where(both_nz, PLANAR_IDX,
+                      jnp.where(left + above < 2, VER_IDX, DC_IDX))
+    m0 = jnp.where(same, m0_same, left)
+    m1 = jnp.where(same, m1_same, above)
+    m2 = jnp.where(same, m2_same, third)
+    return m0, m1, m2
+
+
+def _coeff_bits_est(levels, size: int):
+    """Coefficient-bit model in whole bits (float32): sig flag + unary/Rice
+    level cost per nonzero, per-coded-subblock overhead, last-position.
+    A coarse stand-in for the exact TEncSbac::codeCoeffNxN accounting —
+    only decision ranking matters here."""
+    import jax.numpy as jnp
+
+    absl = jnp.abs(levels).astype(jnp.float32)
+    nz = absl > 0
+    level_bits = jnp.where(nz, 1.7 + 2.0 * jnp.log2(absl + 1.0), 0.0)
+    bits = level_bits.sum(axis=(-2, -1))
+    if size > 4:
+        cg = nz.reshape(nz.shape[0], size // 4, 4, size // 4, 4)
+        cg_any = cg.any(axis=(2, 4))
+        bits = bits + 1.5 * cg_any.sum(axis=(1, 2)).astype(jnp.float32)
+    any_nz = nz.any(axis=(-2, -1))
+    log2 = size.bit_length() - 1
+    bits = jnp.where(any_nz, bits + 2.0 * log2 + 1.0, 0.5)
+    return bits
+
+
+def _leaf_rd(org, pred, size: int, qp_scaled: int, bit_inc: int,
+             max_val: int):
+    """RD estimate for one chosen mode per block: (dist [N], bits [N])."""
+    import jax.numpy as jnp
+    from ..ops import jx
+
+    n = org.shape[0]
+    resi = org.astype(jnp.int32) - pred.astype(jnp.int32)
+    if size == 64:
+        # max TU is 32: evaluate the four 32x32 quadrants
+        resi = (resi.reshape(n, 2, 32, 2, 32).transpose(0, 1, 3, 2, 4)
+                .reshape(4 * n, 32, 32))
+        porg = (org.astype(jnp.int32).reshape(n, 2, 32, 2, 32)
+                .transpose(0, 1, 3, 2, 4).reshape(4 * n, 32, 32))
+        ppred = (pred.astype(jnp.int32).reshape(n, 2, 32, 2, 32)
+                 .transpose(0, 1, 3, 2, 4).reshape(4 * n, 32, 32))
+        tsize = 32
+    else:
+        porg, ppred, tsize = org.astype(jnp.int32), pred, size
+    qp = jnp.full((resi.shape[0],), qp_scaled, jnp.int32)
+    use_dst = tsize == 4
+    coeff = jx.forward_transform(resi, use_dst, bit_inc)
+    levels, _ = jx.quant(coeff, qp, True, bit_inc)
+    bits = _coeff_bits_est(levels, tsize)
+    recon = jx.tu_recon_pipeline(ppred, levels, qp, use_dst, bit_inc,
+                                 max_val)
+    d = porg - recon.astype(jnp.int32)
+    dist = (d * d).sum(axis=(-2, -1)) >> (2 * bit_inc)
+    if size == 64:
+        dist = dist.reshape(n, 4).sum(axis=1)
+        bits = bits.reshape(n, 4).sum(axis=1)
+    return dist, bits
+
+
+def _size_pass_impl(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3,
+                    bit_inc, max_val, ctu_size):
+    """One size class over the whole frame -> (best_mode, dist, bits)
+    each [nby, nbx] (bits includes the mode bits, in whole bits)."""
+    import jax.numpy as jnp
+
+    s = size
+    ys = np.arange(nby, dtype=np.int32) * s
+    xs = np.arange(nbx, dtype=np.int32) * s
+    # ppad has 1 row/col of edge padding on top/left, >=2s on bottom/right
+    rows_above = ppad[ys, :]                           # [nby, Wp]
+    ra = rows_above[:, xs[:, None] + np.arange(2 * s + 1, dtype=np.int32)]
+    cols_left = jnp.swapaxes(ppad[:, xs], 0, 1)        # [nbx, Hp]
+    rl = cols_left[:, ys[:, None] + np.arange(2 * s + 1, dtype=np.int32)]
+    rl = jnp.swapaxes(rl, 0, 1)                        # [nby, nbx, 2s+1]
+    nb = nby * nbx
+    ra = ra.reshape(nb, 2 * s + 1).astype(jnp.int32)
+    rl = rl.reshape(nb, 2 * s + 1).astype(jnp.int32)
+
+    org = ppad[1:1 + nby * s, 1:1 + nbx * s]
+    org = (org.reshape(nby, s, nbx, s).transpose(0, 2, 1, 3)
+           .reshape(nb, s, s).astype(jnp.int32))
+
+    # [1 2 1] smoothed reference line (initAdiPattern, TComPattern.cpp:283)
+    def smooth(a, other):
+        mid = (a[:, :-2] + 2 * a[:, 1:-1] + a[:, 2:] + 2) >> 2
+        corner = (other[:, 1] + 2 * a[:, 0] + a[:, 1] + 2) >> 2
+        return jnp.concatenate(
+            [corner[:, None], mid, a[:, -1:]], axis=1)
+
+    ra_f = smooth(ra, rl)
+    rl_f = smooth(rl, ra)
+
+    log2 = s.bit_length() - 1
+    satds = []
+    preds = []
+    for mode in range(35):
+        if mode == DC_IDX:
+            filt = False
+        else:
+            diff = min(abs(mode - HOR_IDX), abs(mode - VER_IDX))
+            filt = diff > INTRA_FILTER_THRESH[log2]
+        pra, prl = (ra_f, rl_f) if filt else (ra, rl)
+        pred = _predict_mode(pra, prl, s, mode, max_val)
+        preds.append(pred.astype(jnp.int16))
+        satds.append(_satd(org, pred, s, bit_inc))
+    satd_all = jnp.stack(satds, axis=1)                # [N, 35]
+    preds_all = jnp.stack(preds, axis=1)               # [N, 35, s, s] int16
+
+    # open-loop MPM: neighbors' SATD-best modes
+    bestA = jnp.argmin(satd_all, axis=1).astype(jnp.int32).reshape(nby, nbx)
+    left = jnp.concatenate(
+        [jnp.full((nby, 1), DC_IDX, jnp.int32), bestA[:, :-1]], axis=1)
+    above = jnp.concatenate(
+        [jnp.full((1, nbx), DC_IDX, jnp.int32), bestA[:-1, :]], axis=0)
+    # above PU outside the current CTU row reads as DC (TComDataCU.cpp:1931)
+    if s < ctu_size:
+        above_in_ctu = (ys % ctu_size) != 0
+        above = jnp.where(jnp.asarray(above_in_ctu)[:, None], above, DC_IDX)
+    else:
+        above = jnp.full((nby, nbx), DC_IDX, jnp.int32)
+    m0, m1, m2 = _mpm_vec(left.reshape(-1), above.reshape(-1))
+
+    modes = jnp.arange(35, dtype=jnp.int32)[None, :]
+    (b0, b12, bo), sqrt_lam, lam = sqrt_lam_bits3
+    bits_plain = jnp.where(
+        modes == m0[:, None], b0,
+        jnp.where((modes == m1[:, None]) | (modes == m2[:, None]), b12, bo))
+    cost = satd_all.astype(jnp.float32) + bits_plain * sqrt_lam
+
+    # carry the top-K SATD+bits candidates into a true-RD estimate
+    # (transform/quant/recon on device) and decide by RD, like the exact
+    # path's candidate-list full RD (TEncSearch.cpp:2560-2590)
+    import jax
+    k = 3
+    _, topk = jax.lax.top_k(-cost, k)                  # [N, k]
+    preds_k = jnp.take_along_axis(
+        preds_all, topk[:, :, None, None], axis=1)     # [N, k, s, s]
+    org_k = jnp.broadcast_to(org[:, None], (nb, k, s, s))
+    dist_k, cbits_k = _leaf_rd(org_k.reshape(nb * k, s, s),
+                               preds_k.reshape(nb * k, s, s),
+                               s, qp_scaled, bit_inc, max_val)
+    dist_k = dist_k.reshape(nb, k)
+    cbits_k = cbits_k.reshape(nb, k)
+    mbits_k = jnp.take_along_axis(bits_plain, topk, axis=1)
+    rd_k = dist_k.astype(jnp.float32) + lam * (cbits_k + mbits_k)
+    sel = jnp.argmin(rd_k, axis=1)
+    best = jnp.take_along_axis(topk, sel[:, None], axis=1)[:, 0]
+    dist = jnp.take_along_axis(dist_k, sel[:, None], axis=1)[:, 0]
+    bits = jnp.take_along_axis(cbits_k + mbits_k, sel[:, None],
+                               axis=1)[:, 0]
+    return (best.reshape(nby, nbx), dist.reshape(nby, nbx),
+            bits.reshape(nby, nbx))
+
+
+_size_pass_cache = {}
+
+
+def _size_pass(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3, bit_inc,
+               max_val, ctu_size):
+    import jax
+    key = (size, nby, nbx, qp_scaled, sqrt_lam_bits3, bit_inc, max_val,
+           ctu_size)
+    fn = _size_pass_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p: _size_pass_impl(
+            p, size, nby, nbx, qp_scaled, sqrt_lam_bits3, bit_inc, max_val,
+            ctu_size))
+        _size_pass_cache[key] = fn
+    return fn(ppad)
+
+
+# per-CU header-bit constants for the DP (split flag, part size, chroma
+# mode, chroma cbf scaffolding) — coarse, tuned on synthetic content
+_CU_BITS = 5.0
+_SPLIT_BITS = 1.0
+_NXN_BITS = 3.0
+
+
+def decide_frame(org_y: np.ndarray, width: int, height: int, qp_scaled: int,
+                 lambda_: float, sqrt_lambda: float, bits3: tuple,
+                 max_sig: int, min_tr_log2: int, ctu_size: int = 64,
+                 bit_inc: int = 0, max_val: int = 255):
+    """Run the decision pass for one frame.
+
+    org_y: source luma [H, W] int16; bits3: (mpm0, mpm12, other) intra-dir
+    bit estimates in whole bits.  Returns (fd_depth, fd_mode, fd_nxn) per
+    4x4 unit, ready for enc_set_fd.
+    """
+    import jax.numpy as jnp
+
+    pad = ctu_size * 2
+    wp = -(-width // ctu_size) * ctu_size
+    hp = -(-height // ctu_size) * ctu_size
+    ppad = np.pad(org_y, ((1, hp - height + pad), (1, wp - width + pad)),
+                  mode="edge")
+    ppad = jnp.asarray(ppad, jnp.int32)
+
+    sqrt_bits3 = (tuple(float(b) for b in bits3), float(sqrt_lambda),
+                  float(lambda_))
+
+    res = {}
+    for s in SIZES:
+        if s > ctu_size:
+            continue
+        nby, nbx = hp // s, wp // s
+        mode, dist, bits = _size_pass(ppad, s, nby, nbx, qp_scaled,
+                                      sqrt_bits3, bit_inc, max_val,
+                                      ctu_size)
+        res[s] = (np.asarray(mode), np.asarray(dist, np.float64),
+                  np.asarray(bits, np.float64))
+
+    lam = float(lambda_)
+    # bottom-up DP: cost[s] = min(leaf, sum children + split)
+    cost = {}
+    choice = {}          # per block: 0 = leaf, 1 = split/NxN
+    for s in SIZES:
+        if s > ctu_size:
+            continue
+        mode, dist, bits = res[s]
+        leaf = dist + lam * (bits + _CU_BITS)
+        # blocks crossing the real frame edge cannot be leaves
+        nby, nbx = leaf.shape
+        ys = (np.arange(nby) * s)[:, None]
+        xs = (np.arange(nbx) * s)[None, :]
+        crosses = ((ys < height) & (ys + s > height)) | \
+                  ((xs < width) & (xs + s > width))
+        outside = (ys >= height) | (xs >= width)
+        leaf = np.where(crosses, np.inf, leaf)
+        leaf = np.where(outside, 0.0, leaf)
+        if s == 4:
+            cost[4] = leaf
+            choice[4] = np.zeros_like(leaf, np.int8)
+            continue
+        child = cost[s // 2]
+        csum = (child[0::2, 0::2] + child[0::2, 1::2]
+                + child[1::2, 0::2] + child[1::2, 1::2])
+        if s == 8:
+            split = csum + lam * _NXN_BITS      # NxN partition, not CU split
+        else:
+            split = csum + lam * _SPLIT_BITS
+        take_split = split < leaf
+        cost[s] = np.where(take_split, split, leaf)
+        choice[s] = take_split.astype(np.int8)
+
+    # expand into per-4x4-unit maps
+    uw, uh = wp // 4, hp // 4
+    fd_depth = np.zeros((uh, uw), np.int8)
+    fd_mode = np.full((uh, uw), DC_IDX, np.int8)
+    fd_nxn = np.zeros((uh, uw), np.uint8)
+
+    min_cu = ctu_size >> max_sig
+
+    def emit(by, bx, s, depth):
+        u0y, u0x = by * s // 4, bx * s // 4
+        un = s // 4
+        can_descend = (s > min_cu) or (s == 8 and 8 > (1 << min_tr_log2))
+        if can_descend and choice[s][by, bx]:
+            if s == 8:
+                # 8x8 CU with NxN PUs: per-4x4 modes from the 4x4 pass
+                fd_depth[u0y:u0y + un, u0x:u0x + un] = depth
+                fd_nxn[u0y:u0y + un, u0x:u0x + un] = 1
+                m4 = res[4][0]
+                fd_mode[u0y, u0x] = m4[2 * by, 2 * bx]
+                fd_mode[u0y, u0x + 1] = m4[2 * by, 2 * bx + 1]
+                fd_mode[u0y + 1, u0x] = m4[2 * by + 1, 2 * bx]
+                fd_mode[u0y + 1, u0x + 1] = m4[2 * by + 1, 2 * bx + 1]
+            else:
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        emit(2 * by + dy, 2 * bx + dx, s // 2, depth + 1)
+        else:
+            fd_depth[u0y:u0y + un, u0x:u0x + un] = depth
+            fd_mode[u0y:u0y + un, u0x:u0x + un] = res[s][0][by, bx]
+
+    top = min(ctu_size, max(SIZES))
+    for by in range(hp // top):
+        for bx in range(wp // top):
+            emit(by, bx, top, 0)
+
+    return fd_depth, fd_mode, fd_nxn
+
+
+def mode_bits3(sh, pps, init_ctx) -> tuple:
+    """The three xModeBitsIntra bit classes (mpm idx 0 / mpm idx 1-2 /
+    non-mpm) at slice-init context, in whole bits."""
+    from ..cabac import contexts as cc
+    from ..cabac.tables import ENTROPY_BITS
+
+    st = int(init_ctx[cc.O_INTRA_PRED])
+    b_flag1 = int(ENTROPY_BITS[st ^ 1])
+    b_flag0 = int(ENTROPY_BITS[st ^ 0])
+    ep = 32768
+    return ((b_flag1 + ep) / 32768.0,
+            (b_flag1 + 2 * ep) / 32768.0,
+            (b_flag0 + 5 * ep) / 32768.0)

@@ -28,6 +28,17 @@ class NativeCuEncoder:
     def compress_ctu(self, ctu_addr: int) -> int:
         return int(self.lib.enc_compress_ctu(self.handle, ctu_addr))
 
+    def set_fd(self, fd_depth, fd_mode, fd_nxn) -> None:
+        """Bind fast-RD decision maps (encoder/fast_intra.py) — the CTU
+        loop then applies them instead of running the full search."""
+        import numpy as np
+        fd_depth = np.ascontiguousarray(fd_depth, np.int8)
+        fd_mode = np.ascontiguousarray(fd_mode, np.int8)
+        fd_nxn = np.ascontiguousarray(fd_nxn, np.uint8)
+        self._fd_keep = (fd_depth, fd_mode, fd_nxn)
+        self.lib.enc_set_fd(self.handle, fd_depth.ctypes.data,
+                            fd_mode.ctypes.data, fd_nxn.ctypes.data)
+
     def get_go_frac(self) -> int:
         return int(self.lib.enc_get_go_frac(self.handle))
 

@@ -539,6 +539,21 @@ class PictureCompressor:
                 and start == 0 and bounding >= f.num_ctus * parts):
             from .native_enc import make_native_encoder
             nat = make_native_encoder(cu)
+            if nat is not None and self.cfg.fast_rd \
+                    and sh.slice_type == I_SLICE:
+                # fast-RD mode: device-batched open-loop decisions replace
+                # the full search; the native CTU loop applies them
+                from .fast_intra import decide_frame, mode_bits3
+                bits3 = mode_bits3(sh, cu.pps, self._init_ctx)
+                fd = decide_frame(
+                    cu.org_y, f.width, f.height,
+                    sh.slice_qp + cu.sps.qp_bd_offset_y,
+                    cu.rd.lambda_, cu.rd.sqrt_lambda, bits3,
+                    f.max_depth - cu.sps.add_cu_depth,
+                    cu.sps.quadtree_tu_log2_min_size, f.ctu_size,
+                    cu.sps.bit_increment,
+                    (1 << cu.sps.internal_bit_depth) - 1)
+                nat.set_fd(*fd)
             if nat is not None:
                 for enc in range(f.num_ctus):
                     ctu = int(f.ctu_order[enc])
