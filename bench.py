@@ -107,6 +107,7 @@ def main():
         "***ERROR***" not in dec.stdout, "HM decoder digest check failed"
 
     extra = {"frames": FRAMES, "cores": CORES}
+    extra.update(_bench_fastrd_encode(clip, len(stream)))
     extra["encode_fps_ldp_1080p"] = _bench_ldp_encode()
     _, d_late = _headline_pass()          # third sample, minutes later
     dt = min(dt, d_late)
@@ -123,6 +124,51 @@ def main():
         "vs_baseline": round(fps / 30.0, 4),
         "extra": extra,
     }))
+
+
+def _bench_fastrd_encode(clip: str, exact_bytes: int) -> dict:
+    """1080p all-intra encode with FastRD=1: the open-loop device-batched
+    decision pass (encoder/fast_intra.py) replaces the sequential RD walk.
+    Streams are conformant, not byte-exact — the gate is the HM decoder
+    verifying every embedded MD5 picture digest; the bitrate overhead vs
+    the byte-exact stream is reported alongside the fps."""
+    from thevc_tpu.utils.cfg import parse_args
+    from thevc_tpu.encoder.top import Encoder
+
+    argv = ["-c", "/root/reference/cfg/encoder_intra_main.cfg",
+            "-i", clip, "-wdt", "1920", "-hgt", "1080",
+            "-f", str(FRAMES), "-fr", "30", "-b", "/dev/null",
+            "-o", "/dev/null", "--SEIpictureDigest=1", "--FastRD=1"]
+
+    def _pass():
+        cfg = parse_args(argv)
+        enc = Encoder(cfg)
+        enc.verbose = False
+        t0 = time.time()
+        s = enc.encode(None)
+        return s, time.time() - t0
+
+    _pass()                       # warm: jit compiles (persistent-cached)
+    dt = None
+    stream = b""
+    for _ in range(2):            # best-of-2 (host frequency drift)
+        stream, d = _pass()
+        dt = d if dt is None else min(dt, d)
+
+    out_bin = os.path.join(TESTDATA, "bench_fastrd_out.bin")
+    with open(out_bin, "wb") as fh:
+        fh.write(stream)
+    dec = subprocess.run([ORACLE_DEC, "-b", out_bin, "-o", "/dev/null"],
+                         capture_output=True, text=True)
+    n_ok = dec.stdout.count("(OK)")
+    assert dec.returncode == 0 and n_ok == FRAMES and \
+        "***ERROR***" not in dec.stdout, \
+        "HM decoder digest check failed on the fast-RD stream"
+    return {
+        "encode_fps_fastrd_1080p": round(FRAMES / dt, 4),
+        "fastrd_bits_overhead_pct":
+            round((len(stream) / exact_bytes - 1) * 100, 2),
+    }
 
 
 def _bench_ldp_encode() -> float:

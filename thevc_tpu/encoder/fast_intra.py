@@ -85,6 +85,91 @@ def _angular_plan(size: int, mode: int):
             mode_hor, angle)
 
 
+_unified_plan_cache = {}
+
+
+def _unified_plan(size: int):
+    """Static gather plan for ALL 33 angular modes at once.
+
+    The canonical reference array per block is c = concat(rl, ra[1:])
+    (length L = 4s+1; index 0 is the shared corner), doubled as
+    C = concat(c, c_filtered) so the per-mode [1 2 1]-filter choice
+    (TComPrediction.cpp:385, INTRA_FILTER_THRESH) is just an index
+    offset.  Returns (idx_a, idx_b, frac): three [33, s, s] int32 maps
+    so every angular prediction (xPredIntraAng, TComPrediction.cpp:190)
+    becomes ONE static gather + lerp — one XLA kernel instead of 33
+    separately-compiled graphs (cold 1080p compile: minutes -> seconds).
+    Horizontal modes bake the output transpose into the maps.
+    """
+    plan = _unified_plan_cache.get(size)
+    if plan is not None:
+        return plan
+    s = size
+    L = 4 * s + 1
+    log2 = s.bit_length() - 1
+
+    def cidx(is_ra: bool, j: int) -> int:
+        # index of ra[j]/rl[j] inside c = concat(rl, ra[1:])
+        if j == 0:
+            return 0
+        return 2 * s + j if is_ra else j
+
+    idx_a = np.zeros((33, s, s), np.int64)
+    idx_b = np.zeros((33, s, s), np.int64)
+    frac = np.zeros((33, s, s), np.int64)
+    for mode in range(2, 35):
+        side_idx, n_main, off, dint, dfrac, mode_hor, angle = \
+            _angular_plan(s, mode)
+        main_is_ra = not mode_hor
+        refidx = [cidx(not main_is_ra, int(j)) for j in side_idx] + \
+                 [cidx(main_is_ra, j) for j in range(n_main)]
+        refidx = np.asarray(refidx, np.int64)
+        ll = np.arange(s, dtype=np.int64)
+        p = off + ll[None, :] + dint[:, None].astype(np.int64) + 1  # [s, s]
+        ia = refidx[p]
+        # b is only read where frac != 0; p+1 can run one past the end on
+        # the frac==0 rows of mode 2/34-style full-stride angles — clamp
+        ib = refidx[np.minimum(p + 1, len(refidx) - 1)]
+        fr = np.broadcast_to(dfrac[:, None].astype(np.int64), (s, s))
+        if mode_hor:
+            ia, ib, fr = ia.T, ib.T, fr.T
+        diff = min(abs(mode - HOR_IDX), abs(mode - VER_IDX))
+        if diff > INTRA_FILTER_THRESH[log2]:
+            ia = ia + L
+            ib = ib + L
+        m = mode - 2
+        idx_a[m], idx_b[m], frac[m] = ia, ib, fr
+    plan = (idx_a.astype(np.int32), idx_b.astype(np.int32),
+            frac.astype(np.int32))
+    _unified_plan_cache[size] = plan
+    return plan
+
+
+def _predict_all_angular(ra, rl, ra_f, rl_f, size: int, max_val: int):
+    """All 33 angular modes for a block batch in one gather:
+    [N, 2s+1] x4 -> [N, 33, s, s] (modes 2..34 in order)."""
+    import jax.numpy as jnp
+
+    idx_a, idx_b, frac = _unified_plan(size)
+    c = jnp.concatenate([rl, ra[:, 1:], rl_f, ra_f[:, 1:]], axis=1)
+    a = c[:, idx_a]
+    b = c[:, idx_b]
+    f = jnp.asarray(frac)
+    pred = ((32 - f) * a + f * b + 16) >> 5     # f==0 reduces to a exactly
+
+    s = size
+    # pure-copy modes get the edge boundary filter (xPredIntraAng :268):
+    # vertical (26) on its first column from the left deltas, horizontal
+    # (10, transposed) on its first row from the top deltas
+    d26 = (rl[:, 1:s + 1] - rl[:, 0:1]) >> 1
+    pred = pred.at[:, 26 - 2, :, 0].set(
+        jnp.clip(pred[:, 26 - 2, :, 0] + d26, 0, max_val))
+    d10 = (ra[:, 1:s + 1] - ra[:, 0:1]) >> 1
+    pred = pred.at[:, 10 - 2, 0, :].set(
+        jnp.clip(pred[:, 10 - 2, 0, :] + d10, 0, max_val))
+    return pred
+
+
 def _predict_mode(ra, rl, size: int, mode: int, max_val: int):
     """One intra mode for a whole block batch: ra/rl [N, 2s+1] -> [N, s, s].
 
@@ -154,9 +239,15 @@ def _satd(org, pred, size: int, bit_inc: int):
     """HM SATD over a block batch: [N,s,s] vs [N,s,s] -> [N] int32
     (TComRdCost calcHAD: 8x8 Hadamard when divisible by 8, else 4x4)."""
     import jax.numpy as jnp
+
+    return _satd_d(org.astype(jnp.int32) - pred.astype(jnp.int32),
+                   size, bit_inc)
+
+
+def _satd_d(d, size: int, bit_inc: int):
+    import jax.numpy as jnp
     from ..ops.jx import _H4, _H8
 
-    d = org.astype(jnp.int32) - pred.astype(jnp.int32)
     n = d.shape[0]
     if size % 8 == 0:
         h = jnp.asarray(_H8, jnp.int32)
@@ -249,7 +340,7 @@ def _leaf_rd(org, pred, size: int, qp_scaled: int, bit_inc: int,
 
 
 def _size_pass_impl(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3,
-                    bit_inc, max_val, ctu_size):
+                    bit_inc, max_val, ctu_size, unified):
     """One size class over the whole frame -> (best_mode, dist, bits)
     each [nby, nbx] (bits includes the mode bits, in whole bits)."""
     import jax.numpy as jnp
@@ -282,20 +373,42 @@ def _size_pass_impl(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3,
     rl_f = smooth(rl, ra)
 
     log2 = s.bit_length() - 1
-    satds = []
-    preds = []
-    for mode in range(35):
-        if mode == DC_IDX:
-            filt = False
-        else:
-            diff = min(abs(mode - HOR_IDX), abs(mode - VER_IDX))
-            filt = diff > INTRA_FILTER_THRESH[log2]
-        pra, prl = (ra_f, rl_f) if filt else (ra, rl)
-        pred = _predict_mode(pra, prl, s, mode, max_val)
-        preds.append(pred.astype(jnp.int16))
-        satds.append(_satd(org, pred, s, bit_inc))
-    satd_all = jnp.stack(satds, axis=1)                # [N, 35]
-    preds_all = jnp.stack(preds, axis=1)               # [N, 35, s, s] int16
+    filt_pl = (min(abs(PLANAR_IDX - HOR_IDX), abs(PLANAR_IDX - VER_IDX))
+               > INTRA_FILTER_THRESH[log2])
+    pred_pl = _predict_mode(ra_f if filt_pl else ra,
+                            rl_f if filt_pl else rl, s, PLANAR_IDX, max_val)
+    pred_dc = _predict_mode(ra, rl, s, DC_IDX, max_val)
+    import jax
+    if unified:
+        # accelerator form: ONE static gather covers all 33 angular
+        # modes — one launch, seconds to compile
+        pred_ang = _predict_all_angular(ra, rl, ra_f, rl_f, s, max_val)
+        preds_all = jnp.concatenate(
+            [pred_pl[:, None], pred_dc[:, None], pred_ang],
+            axis=1).astype(jnp.int16)                  # [N, 35, s, s]
+        diff = org[:, None] - preds_all.astype(jnp.int32)
+        satd_all = _satd_d(diff.reshape(nb * 35, s, s),
+                           s, bit_inc).reshape(nb, 35)  # [N, 35]
+    else:
+        # CPU form: one fused kernel per mode built from the NARROW
+        # per-mode refmain (_predict_mode) — XLA:CPU vectorizes gathers
+        # from these <=2s+1-wide rows, while every all-modes-at-once
+        # formulation tried (one big gather from a 4L-wide canonical
+        # line, lax.scan over plans, banded launches) measured 5-10x
+        # slower end to end.  The cost is compile time (unrolled 35-mode
+        # graph: ~3 min cold at 1080p, once per process).
+        preds = [pred_pl.astype(jnp.int16), pred_dc.astype(jnp.int16)]
+        satds = [_satd(org, pred_pl, s, bit_inc),
+                 _satd(org, pred_dc, s, bit_inc)]
+        for mode in range(2, 35):
+            diffm = min(abs(mode - HOR_IDX), abs(mode - VER_IDX))
+            filt = diffm > INTRA_FILTER_THRESH[log2]
+            pra, prl = (ra_f, rl_f) if filt else (ra, rl)
+            pred = _predict_mode(pra, prl, s, mode, max_val)
+            preds.append(pred.astype(jnp.int16))
+            satds.append(_satd(org, pred, s, bit_inc))
+        preds_all = jnp.stack(preds, axis=1)           # [N, 35, s, s]
+        satd_all = jnp.stack(satds, axis=1)            # [N, 35]
 
     # open-loop MPM: neighbors' SATD-best modes
     bestA = jnp.argmin(satd_all, axis=1).astype(jnp.int32).reshape(nby, nbx)
@@ -321,7 +434,6 @@ def _size_pass_impl(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3,
     # carry the top-K SATD+bits candidates into a true-RD estimate
     # (transform/quant/recon on device) and decide by RD, like the exact
     # path's candidate-list full RD (TEncSearch.cpp:2560-2590)
-    import jax
     k = 3
     _, topk = jax.lax.top_k(-cost, k)                  # [N, k]
     preds_k = jnp.take_along_axis(
@@ -343,21 +455,72 @@ def _size_pass_impl(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3,
             bits.reshape(nby, nbx))
 
 
-_size_pass_cache = {}
 
-
-def _size_pass(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3, bit_inc,
-               max_val, ctu_size):
+def _decision_device():
+    """Device for the decision pass: honors THEVC_DEVICE — when offload is
+    off (or unset with no chip reachable) the pass must stay on host CPU
+    rather than silently riding a tunneled accelerator."""
     import jax
-    key = (size, nby, nbx, qp_scaled, sqrt_lam_bits3, bit_inc, max_val,
-           ctu_size)
-    fn = _size_pass_cache.get(key)
-    if fn is None:
-        fn = jax.jit(lambda p: _size_pass_impl(
-            p, size, nby, nbx, qp_scaled, sqrt_lam_bits3, bit_inc, max_val,
-            ctu_size))
-        _size_pass_cache[key] = fn
-    return fn(ppad)
+    from ..ops.device import device_enabled
+    if device_enabled():
+        return jax.devices()[0]
+    return jax.devices("cpu")[0]
+
+
+_frame_pass_cache = {}
+
+
+def _frame_pass(ppad, wp, hp, qp_scaled, sqrt_lam_bits3, bit_inc, max_val,
+                ctu_size):
+    """All size classes for the whole frame in ONE jitted launch.
+
+    One dispatch per frame: per-op thunk overhead on this backend is
+    ~50 us and the decision graph has hundreds of ops, so fine-grained
+    launches (e.g. one per CTU-row band) cost 5+ s/frame in overhead
+    alone; full-frame batches amortize it to noise."""
+    import jax
+
+    unified = _decision_device().platform != "cpu"
+    if unified:
+        from ..ops.device import _enable_compile_cache
+        _enable_compile_cache()   # accelerator compiles are cache-safe
+        key = (ppad.shape, ppad.dtype.name, wp, hp, qp_scaled,
+               sqrt_lam_bits3, bit_inc, max_val, ctu_size)
+        fn = _frame_pass_cache.get(key)
+        if fn is None:
+            def body(p):
+                import jax.numpy as jnp
+                p = p.astype(jnp.int32)   # shipped narrow (uint8/int16)
+                out = {}
+                for s in SIZES:
+                    if s > ctu_size:
+                        continue
+                    out[s] = _size_pass_impl(
+                        p, s, hp // s, wp // s, qp_scaled,
+                        sqrt_lam_bits3, bit_inc, max_val, ctu_size, True)
+                return out
+            fn = jax.jit(body)
+            _frame_pass_cache[key] = fn
+        return fn(ppad)
+    # CPU: one jit per size class (matches the fused-per-mode kernels'
+    # memory behavior; a single all-sizes graph keeps every size's
+    # [N,35,s,s] buffers live at once)
+    out = {}
+    for s in SIZES:
+        if s > ctu_size:
+            continue
+        key = (ppad.shape, ppad.dtype.name, s, wp, hp, qp_scaled,
+               sqrt_lam_bits3, bit_inc, max_val, ctu_size)
+        fn = _frame_pass_cache.get(key)
+        if fn is None:
+            fn = jax.jit(partial(
+                _size_pass_impl, size=s, nby=hp // s, nbx=wp // s,
+                qp_scaled=qp_scaled, sqrt_lam_bits3=sqrt_lam_bits3,
+                bit_inc=bit_inc, max_val=max_val, ctu_size=ctu_size,
+                unified=False))
+            _frame_pass_cache[key] = fn
+        out[s] = fn(ppad)
+    return out
 
 
 # per-CU header-bit constants for the DP (split flag, part size, chroma
@@ -377,27 +540,43 @@ def decide_frame(org_y: np.ndarray, width: int, height: int, qp_scaled: int,
     bit estimates in whole bits.  Returns (fd_depth, fd_mode, fd_nxn) per
     4x4 unit, ready for enc_set_fd.
     """
-    import jax.numpy as jnp
+    import jax
 
     pad = ctu_size * 2
     wp = -(-width // ctu_size) * ctu_size
     hp = -(-height // ctu_size) * ctu_size
     ppad = np.pad(org_y, ((1, hp - height + pad), (1, wp - width + pad)),
                   mode="edge")
-    ppad = jnp.asarray(ppad, jnp.int32)
 
     sqrt_bits3 = (tuple(float(b) for b in bits3), float(sqrt_lambda),
                   float(lambda_))
 
+    # Process in bands of one CTU row.  The open-loop MPM's above-neighbor
+    # already resets at CTU-row boundaries (above_in_ctu below), so bands
+    # are EXACTLY equivalent to a whole-frame pass — they just keep every
+    # launch's working set cache-resident on CPU hosts (a whole-frame
+    # [N,35,s,s] batch at 1080p is ~300 MB and runs memory-bound) while
+    # all bands share one compiled shape.
+    if _decision_device().platform == "cpu":
+        import jax.numpy as jnp
+        ppad_j = jnp.asarray(ppad, jnp.int32)   # uncommitted: jit fastpath
+    else:
+        # jit placement follows the committed input device (a
+        # jax.default_device CONTEXT would route every call through the
+        # slow dispatch path: measured 125 ms/call vs <1 ms); ship the
+        # narrowest dtype — over a tunneled chip the plane upload is the
+        # only bulk transfer, and 8-bit content fits uint8
+        ship = np.uint8 if max_val <= 255 else np.int16
+        ppad_j = jax.device_put(ppad.astype(ship), _decision_device())
+    outs = _frame_pass(ppad_j, wp, hp, qp_scaled, sqrt_bits3, bit_inc,
+                       max_val, ctu_size)
     res = {}
     for s in SIZES:
         if s > ctu_size:
             continue
-        nby, nbx = hp // s, wp // s
-        mode, dist, bits = _size_pass(ppad, s, nby, nbx, qp_scaled,
-                                      sqrt_bits3, bit_inc, max_val,
-                                      ctu_size)
-        res[s] = (np.asarray(mode), np.asarray(dist, np.float64),
+        mode, dist, bits = outs[s]
+        res[s] = (np.asarray(mode),
+                  np.asarray(dist, np.float64),
                   np.asarray(bits, np.float64))
 
     lam = float(lambda_)

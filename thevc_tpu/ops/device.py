@@ -61,6 +61,12 @@ def _enable_compile_cache() -> None:
     if "cc" in _cache:
         return
     _cache["cc"] = True
+    if effective_platform() == "cpu":
+        # XLA:CPU AOT cache entries carry prefer-no-gather/no-scatter
+        # machine features; reloaded executables run ~10x slower than a
+        # fresh compile (measured on the decision pass: 0.8 -> 7.8
+        # s/frame @1080p).  Persist only for real accelerators.
+        return
     try:
         import jax
         path = os.path.expanduser("~/.cache/thevc_jax")
