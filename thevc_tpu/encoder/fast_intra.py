@@ -468,6 +468,7 @@ def _decision_device():
 
 
 _frame_pass_cache = {}
+_frame_pass_lock = None
 
 
 def _frame_pass(ppad, wp, hp, qp_scaled, sqrt_lam_bits3, bit_inc, max_val,
@@ -477,7 +478,13 @@ def _frame_pass(ppad, wp, hp, qp_scaled, sqrt_lam_bits3, bit_inc, max_val,
     One dispatch per frame: per-op thunk overhead on this backend is
     ~50 us and the decision graph has hundreds of ops, so fine-grained
     launches (e.g. one per CTU-row band) cost 5+ s/frame in overhead
-    alone; full-frame batches amortize it to noise."""
+    alone; full-frame batches amortize it to noise.
+
+    Accelerator form returns TWO packed arrays (ints [2K] int32 holding
+    best-mode and dist per block across size classes, bits [K] float32)
+    instead of 3 arrays per size class: each device->host fetch over the
+    tunneled chip pays a ~30 ms round trip, so 15 fetches cost ~0.45 s
+    per 1080p frame while 2 cost ~0.06 s."""
     import jax
 
     unified = _decision_device().platform != "cpu"
@@ -486,22 +493,31 @@ def _frame_pass(ppad, wp, hp, qp_scaled, sqrt_lam_bits3, bit_inc, max_val,
         _enable_compile_cache()   # accelerator compiles are cache-safe
         key = (ppad.shape, ppad.dtype.name, wp, hp, qp_scaled,
                sqrt_lam_bits3, bit_inc, max_val, ctu_size)
-        fn = _frame_pass_cache.get(key)
-        if fn is None:
-            def body(p):
-                import jax.numpy as jnp
-                p = p.astype(jnp.int32)   # shipped narrow (uint8/int16)
-                out = {}
-                for s in SIZES:
-                    if s > ctu_size:
-                        continue
-                    out[s] = _size_pass_impl(
-                        p, s, hp // s, wp // s, qp_scaled,
-                        sqrt_lam_bits3, bit_inc, max_val, ctu_size, True)
-                return out
-            fn = jax.jit(body)
-            _frame_pass_cache[key] = fn
-        return fn(ppad)
+        global _frame_pass_lock
+        if _frame_pass_lock is None:
+            import threading
+            _frame_pass_lock = threading.Lock()
+        with _frame_pass_lock:
+            fn = _frame_pass_cache.get(key)
+            if fn is None:
+                def body(p):
+                    import jax.numpy as jnp
+                    p = p.astype(jnp.int32)   # shipped narrow (uint8/int16)
+                    ints, bits = [], []
+                    for s in SIZES:
+                        if s > ctu_size:
+                            continue
+                        best, dist, b = _size_pass_impl(
+                            p, s, hp // s, wp // s, qp_scaled,
+                            sqrt_lam_bits3, bit_inc, max_val, ctu_size,
+                            True)
+                        ints.append(best.ravel().astype(jnp.int32))
+                        ints.append(dist.ravel().astype(jnp.int32))
+                        bits.append(b.ravel().astype(jnp.float32))
+                    return (jnp.concatenate(ints), jnp.concatenate(bits))
+                fn = jax.jit(body)
+                _frame_pass_cache[key] = fn
+        return fn(ppad)           # device arrays, not yet fetched
     # CPU: one jit per size class (matches the fused-per-mode kernels'
     # memory behavior; a single all-sizes graph keeps every size's
     # [N,35,s,s] buffers live at once)
@@ -530,15 +546,17 @@ _SPLIT_BITS = 1.0
 _NXN_BITS = 3.0
 
 
-def decide_frame(org_y: np.ndarray, width: int, height: int, qp_scaled: int,
-                 lambda_: float, sqrt_lambda: float, bits3: tuple,
-                 max_sig: int, min_tr_log2: int, ctu_size: int = 64,
-                 bit_inc: int = 0, max_val: int = 255):
-    """Run the decision pass for one frame.
+def dispatch_frame(org_y: np.ndarray, width: int, height: int,
+                   qp_scaled: int, lambda_: float, sqrt_lambda: float,
+                   bits3: tuple, max_sig: int, min_tr_log2: int,
+                   ctu_size: int = 64, bit_inc: int = 0,
+                   max_val: int = 255):
+    """Start the decision pass for one frame: upload + device dispatch only.
 
-    org_y: source luma [H, W] int16; bits3: (mpm0, mpm12, other) intra-dir
-    bit estimates in whole bits.  Returns (fd_depth, fd_mode, fd_nxn) per
-    4x4 unit, ready for enc_set_fd.
+    Returns an opaque token for collect_frame.  The device computes
+    asynchronously after this returns, so a caller can overlap the pass
+    for frame N+1 with the host apply loop for frame N (all-intra
+    decisions are open-loop: they depend only on the source picture).
     """
     import jax
 
@@ -551,12 +569,6 @@ def decide_frame(org_y: np.ndarray, width: int, height: int, qp_scaled: int,
     sqrt_bits3 = (tuple(float(b) for b in bits3), float(sqrt_lambda),
                   float(lambda_))
 
-    # Process in bands of one CTU row.  The open-loop MPM's above-neighbor
-    # already resets at CTU-row boundaries (above_in_ctu below), so bands
-    # are EXACTLY equivalent to a whole-frame pass — they just keep every
-    # launch's working set cache-resident on CPU hosts (a whole-frame
-    # [N,35,s,s] batch at 1080p is ~300 MB and runs memory-bound) while
-    # all bands share one compiled shape.
     if _decision_device().platform == "cpu":
         import jax.numpy as jnp
         ppad_j = jnp.asarray(ppad, jnp.int32)   # uncommitted: jit fastpath
@@ -570,14 +582,39 @@ def decide_frame(org_y: np.ndarray, width: int, height: int, qp_scaled: int,
         ppad_j = jax.device_put(ppad.astype(ship), _decision_device())
     outs = _frame_pass(ppad_j, wp, hp, qp_scaled, sqrt_bits3, bit_inc,
                        max_val, ctu_size)
+    return (outs, width, height, lambda_, max_sig, min_tr_log2, ctu_size,
+            wp, hp)
+
+
+def collect_frame(token):
+    """Finish a dispatched decision pass: fetch, quadtree DP, unit maps."""
+    (outs, width, height, lambda_, max_sig, min_tr_log2, ctu_size,
+     wp, hp) = token
     res = {}
-    for s in SIZES:
-        if s > ctu_size:
-            continue
-        mode, dist, bits = outs[s]
-        res[s] = (np.asarray(mode),
-                  np.asarray(dist, np.float64),
-                  np.asarray(bits, np.float64))
+    if isinstance(outs, tuple):
+        # accelerator form: two packed arrays -> two D2H fetches
+        ints = np.asarray(outs[0])
+        bitsv = np.asarray(outs[1], np.float64)
+        oi = ob = 0
+        for s in SIZES:
+            if s > ctu_size:
+                continue
+            nby, nbx = hp // s, wp // s
+            n = nby * nbx
+            res[s] = (ints[oi:oi + n].reshape(nby, nbx),
+                      ints[oi + n:oi + 2 * n].reshape(nby, nbx)
+                      .astype(np.float64),
+                      bitsv[ob:ob + n].reshape(nby, nbx))
+            oi += 2 * n
+            ob += n
+    else:
+        for s in SIZES:
+            if s > ctu_size:
+                continue
+            mode, dist, bits = outs[s]
+            res[s] = (np.asarray(mode),
+                      np.asarray(dist, np.float64),
+                      np.asarray(bits, np.float64))
 
     lam = float(lambda_)
     # bottom-up DP: cost[s] = min(leaf, sum children + split)
@@ -612,7 +649,8 @@ def decide_frame(org_y: np.ndarray, width: int, height: int, qp_scaled: int,
         cost[s] = np.where(take_split, split, leaf)
         choice[s] = take_split.astype(np.int8)
 
-    # expand into per-4x4-unit maps
+    # expand into per-4x4-unit maps (vectorized level walk: the recursive
+    # per-block emit measured ~0.1 s/frame of pure Python at 1080p)
     uw, uh = wp // 4, hp // 4
     fd_depth = np.zeros((uh, uw), np.int8)
     fd_mode = np.full((uh, uw), DC_IDX, np.int8)
@@ -620,34 +658,50 @@ def decide_frame(org_y: np.ndarray, width: int, height: int, qp_scaled: int,
 
     min_cu = ctu_size >> max_sig
 
-    def emit(by, bx, s, depth):
-        u0y, u0x = by * s // 4, bx * s // 4
-        un = s // 4
-        can_descend = (s > min_cu) or (s == 8 and 8 > (1 << min_tr_log2))
-        if can_descend and choice[s][by, bx]:
-            if s == 8:
-                # 8x8 CU with NxN PUs: per-4x4 modes from the 4x4 pass
-                fd_depth[u0y:u0y + un, u0x:u0x + un] = depth
-                fd_nxn[u0y:u0y + un, u0x:u0x + un] = 1
-                m4 = res[4][0]
-                fd_mode[u0y, u0x] = m4[2 * by, 2 * bx]
-                fd_mode[u0y, u0x + 1] = m4[2 * by, 2 * bx + 1]
-                fd_mode[u0y + 1, u0x] = m4[2 * by + 1, 2 * bx]
-                fd_mode[u0y + 1, u0x + 1] = m4[2 * by + 1, 2 * bx + 1]
-            else:
-                for dy in (0, 1):
-                    for dx in (0, 1):
-                        emit(2 * by + dy, 2 * bx + dx, s // 2, depth + 1)
-        else:
-            fd_depth[u0y:u0y + un, u0x:u0x + un] = depth
-            fd_mode[u0y:u0y + un, u0x:u0x + un] = res[s][0][by, bx]
+    def up(a, un):
+        return np.repeat(np.repeat(a, un, axis=0), un, axis=1)
 
     top = min(ctu_size, max(SIZES))
-    for by in range(hp // top):
-        for bx in range(wp // top):
-            emit(by, bx, top, 0)
+    open_ = np.ones((hp // top, wp // top), bool)
+    s = top
+    depth = 0
+    while s >= 4:
+        can_descend = (s > min_cu) or (s == 8 and 8 > (1 << min_tr_log2))
+        split_here = (open_ & (choice[s] != 0)) if can_descend \
+            else np.zeros_like(open_)
+        leaf_here = open_ & ~split_here
+        un = s // 4
+        lm = up(leaf_here, un)
+        fd_depth[lm] = depth
+        fd_mode = np.where(lm, up(res[s][0].astype(np.int8), un), fd_mode)
+        if s == 8:
+            # split at 8 means an NxN-PU 8x8 CU, not a CU split: per-4x4
+            # modes come from the 4x4 pass (already at unit granularity)
+            nm = up(split_here, 2)
+            fd_depth[nm] = depth
+            fd_nxn[nm] = 1
+            fd_mode = np.where(nm, res[4][0].astype(np.int8), fd_mode)
+            break
+        open_ = up(split_here, 2)
+        s //= 2
+        depth += 1
 
     return fd_depth, fd_mode, fd_nxn
+
+
+def decide_frame(org_y: np.ndarray, width: int, height: int, qp_scaled: int,
+                 lambda_: float, sqrt_lambda: float, bits3: tuple,
+                 max_sig: int, min_tr_log2: int, ctu_size: int = 64,
+                 bit_inc: int = 0, max_val: int = 255):
+    """Run the decision pass for one frame synchronously.
+
+    org_y: source luma [H, W] int16; bits3: (mpm0, mpm12, other) intra-dir
+    bit estimates in whole bits.  Returns (fd_depth, fd_mode, fd_nxn) per
+    4x4 unit, ready for enc_set_fd.
+    """
+    return collect_frame(dispatch_frame(
+        org_y, width, height, qp_scaled, lambda_, sqrt_lambda, bits3,
+        max_sig, min_tr_log2, ctu_size, bit_inc, max_val))
 
 
 def mode_bits3(sh, pps, init_ctx) -> tuple:

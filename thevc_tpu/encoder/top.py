@@ -984,8 +984,15 @@ class Encoder:
             frames.drop(poc)
             return w, data, rec
 
-        workers = int(os.environ.get("THEVC_THREADS", "0")) or \
-            min(os.cpu_count() or 4, 16)
+        req = int(os.environ.get("THEVC_THREADS", "0"))
+        workers = req or min(os.cpu_count() or 4, 16)
+        if not req and self.cfg.fast_rd:
+            from ..ops.device import device_enabled
+            if device_enabled():
+                # the fast-RD decision pass waits on the device/tunnel
+                # with the GIL released; extra threads overlap those
+                # waits with the native apply loop even on 1-core hosts
+                workers = max(workers, 4)
         chunks = []
         with ThreadPoolExecutor(max_workers=workers) as ex:
             results = list(ex.map(job, range(n)))
