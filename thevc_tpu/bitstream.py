@@ -83,8 +83,19 @@ class OutputBitstream:
 
     def add_substream(self, sub: "OutputBitstream") -> None:
         """Append another bitstream bit-by-bit (TComOutputBitstream::addSubstream)."""
-        for byte in sub._fifo:
-            self.write(byte, 8)
+        if self._num_held == 0:
+            # byte-aligned destination (slice data always starts aligned):
+            # whole-buffer append instead of the per-byte bit loop
+            self._fifo.extend(sub._fifo)
+        else:
+            # _held keeps its k bits MSB-aligned (see write())
+            k = self._num_held
+            held = self._held
+            fifo = self._fifo
+            for byte in sub._fifo:
+                fifo.append(held | (byte >> k))
+                held = (byte << (8 - k)) & 0xFF
+            self._held = held
         if sub._num_held:
             self.write(sub._held >> (8 - sub._num_held), sub._num_held)
 

@@ -2,10 +2,11 @@
 
 This is the SURVEY.md §7 design move the exact path cannot make: instead of
 HM's sequential best-vs-temp RD walk (TEncCu.cpp:386, where every candidate
-prediction depends on previously reconstructed neighbors), the CU quadtree
-and per-PU luma modes are decided OPEN-LOOP — reference samples come from
-the *source* picture, so every block of the frame is independent and the
-whole decision problem becomes a handful of batched device kernels:
+prediction depends on previously reconstructed neighbors), the CU quadtree,
+per-PU luma modes and per-CU chroma modes are decided OPEN-LOOP — reference
+samples come from the *source* picture, so every block of the frame is
+independent and the whole decision problem becomes a handful of batched
+device kernels:
 
   1. per size class (4..64): gather reference lines for every block of the
      frame at once, run all 35 intra predictions (same integer math as
@@ -14,18 +15,30 @@ whole decision problem becomes a handful of batched device kernels:
      (TComRdCost::xCalcHADs8x8 :1778), and add the CABAC mode-bit estimate
      (TEncSearch xModeBitsIntra :5889 — MPM classes approximated from the
      SATD-best modes of the open-loop neighbors);
-  2. for each block's winning mode: forward transform + quant
+  2. for each block's top-K modes: forward transform + quant
      (TComTrQuant.cpp :417, :1102) + inverse recon, giving an RD estimate
-     dist + lambda*bits with a coefficient-bit model;
-  3. a bottom-up quadtree DP picks leaf-vs-split per CU (the batched
-     equivalent of TEncCu's split compare at :829-975), including the
-     8x8-vs-NxN partition choice.
+     dist + lambda*bits with a coefficient-bit model; the winner's RD
+     feeds the tree decision;
+  3. per size class >= 8: the 5-candidate chroma mode RD
+     (TEncSearch::estIntraPredChromaQT :2806 — planar/ver/hor/dc with the
+     luma-duplicate slot replaced by mode 34, plus DM) batched the same
+     way, with open-loop chroma references;
+  4. a bottom-up quadtree DP (on device) picks leaf-vs-split per CU from
+     the combined luma+chroma RD (the batched equivalent of TEncCu's split
+     compare at :829-975), including the 8x8-vs-NxN partition choice, and
+     expands the tree into flat per-4x4-unit decision maps.
 
-The maps feed the native apply pass (codec_core.cpp enc_set_fd): RQT/TS
-decisions, the 5-mode chroma RD, RDOQ, deblock/SAO RDO and the CABAC passes
-all still run exactly as in the full search, but for ONE luma mode at ONE
-depth — so the emitted stream is fully conformant (HM-decodable,
-digest-verified) while the dominant search FLOPs run on the TPU.
+Everything above runs as ONE jitted launch per frame on an accelerator;
+the only device->host fetch is the packed int8 decision map (4 planes of
+[H/4, W/4] — ~0.5 MB at 1080p), which matters on tunneled chips where
+device->host bandwidth, not compute, is the ceiling.
+
+The maps feed the native apply pass (codec_core.cpp enc_set_fd): the CTU
+loop predicts from real reconstructed neighbors, transforms/quantizes with
+RDOQ, and runs both CABAC passes for ONE luma mode at ONE depth with a
+FIXED TU split and ONE chroma mode — so the emitted stream is fully
+conformant (HM-decodable, digest-verified) while the dominant search FLOPs
+run on the TPU.
 
 Decision quality is not bit-matched to HM (open-loop references, frozen
 mode-bit contexts, modelled coefficient bits); measured cost on synthetic
@@ -43,6 +56,7 @@ from ..ops.intra import (ANG_TABLE, INV_ANG_TABLE, INTRA_FILTER_THRESH,
                          DC_IDX, HOR_IDX, PLANAR_IDX, VER_IDX)
 
 SIZES = (4, 8, 16, 32, 64)
+DM_CHROMA_IDX = 36
 
 
 # ---------------------------------------------------------------------------
@@ -88,20 +102,21 @@ def _angular_plan(size: int, mode: int):
 _unified_plan_cache = {}
 
 
-def _unified_plan(size: int):
+def _unified_plan(size: int, luma: bool):
     """Static gather plan for ALL 33 angular modes at once.
 
     The canonical reference array per block is c = concat(rl, ra[1:])
     (length L = 4s+1; index 0 is the shared corner), doubled as
     C = concat(c, c_filtered) so the per-mode [1 2 1]-filter choice
     (TComPrediction.cpp:385, INTRA_FILTER_THRESH) is just an index
-    offset.  Returns (idx_a, idx_b, frac): three [33, s, s] int32 maps
+    offset (chroma never filters: the caller passes the raw line twice).
+    Returns (idx_a, idx_b, frac): three [33, s, s] int32 maps
     so every angular prediction (xPredIntraAng, TComPrediction.cpp:190)
     becomes ONE static gather + lerp — one XLA kernel instead of 33
     separately-compiled graphs (cold 1080p compile: minutes -> seconds).
     Horizontal modes bake the output transpose into the maps.
     """
-    plan = _unified_plan_cache.get(size)
+    plan = _unified_plan_cache.get((size, luma))
     if plan is not None:
         return plan
     s = size
@@ -134,29 +149,37 @@ def _unified_plan(size: int):
         if mode_hor:
             ia, ib, fr = ia.T, ib.T, fr.T
         diff = min(abs(mode - HOR_IDX), abs(mode - VER_IDX))
-        if diff > INTRA_FILTER_THRESH[log2]:
+        if luma and diff > INTRA_FILTER_THRESH[log2]:
             ia = ia + L
             ib = ib + L
         m = mode - 2
         idx_a[m], idx_b[m], frac[m] = ia, ib, fr
     plan = (idx_a.astype(np.int32), idx_b.astype(np.int32),
             frac.astype(np.int32))
-    _unified_plan_cache[size] = plan
+    _unified_plan_cache[(size, luma)] = plan
     return plan
 
 
-def _predict_all_angular(ra, rl, ra_f, rl_f, size: int, max_val: int):
+def _predict_all_angular(ra, rl, ra_f, rl_f, size: int, max_val: int,
+                         luma: bool = True):
     """All 33 angular modes for a block batch in one gather:
-    [N, 2s+1] x4 -> [N, 33, s, s] (modes 2..34 in order)."""
+    [N, 2s+1] x4 -> [N, 33, s, s] (modes 2..34 in order).  For chroma
+    (luma=False) the refs are never filtered and the mode 10/26 edge
+    boundary filter is skipped (TComPrediction.cpp:268 bLuma gate)."""
     import jax.numpy as jnp
 
-    idx_a, idx_b, frac = _unified_plan(size)
-    c = jnp.concatenate([rl, ra[:, 1:], rl_f, ra_f[:, 1:]], axis=1)
+    idx_a, idx_b, frac = _unified_plan(size, luma)
+    if luma:
+        c = jnp.concatenate([rl, ra[:, 1:], rl_f, ra_f[:, 1:]], axis=1)
+    else:
+        c = jnp.concatenate([rl, ra[:, 1:]], axis=1)
     a = c[:, idx_a]
     b = c[:, idx_b]
     f = jnp.asarray(frac)
     pred = ((32 - f) * a + f * b + 16) >> 5     # f==0 reduces to a exactly
 
+    if not luma:
+        return pred
     s = size
     # pure-copy modes get the edge boundary filter (xPredIntraAng :268):
     # vertical (26) on its first column from the left deltas, horizontal
@@ -170,10 +193,11 @@ def _predict_all_angular(ra, rl, ra_f, rl_f, size: int, max_val: int):
     return pred
 
 
-def _predict_mode(ra, rl, size: int, mode: int, max_val: int):
+def _predict_mode(ra, rl, size: int, mode: int, max_val: int,
+                  luma: bool = True):
     """One intra mode for a whole block batch: ra/rl [N, 2s+1] -> [N, s, s].
 
-    Integer-exact mirror of ops.intra.predict for the luma path.
+    Integer-exact mirror of ops.intra.predict.
     """
     import jax.numpy as jnp
 
@@ -198,7 +222,9 @@ def _predict_mode(ra, rl, size: int, mode: int, max_val: int):
                  + rl[:, 1:size + 1].sum(axis=1))
         dc = (s_sum + size) // (2 * size)
         pred = jnp.broadcast_to(dc[:, None, None], (n, size, size))
-        # xDCPredFiltering (luma)
+        if not luma:
+            return pred
+        # xDCPredFiltering (luma only)
         top = ra[:, 1:size + 1]
         left = rl[:, 1:size + 1]
         row0 = (top + 3 * pred[:, 0, :] + 2) >> 2
@@ -220,9 +246,10 @@ def _predict_mode(ra, rl, size: int, mode: int, max_val: int):
     if angle == 0:
         row = rm[:, off + 1: off + 1 + size]
         pred = jnp.broadcast_to(row[:, None, :], (n, size, size))
-        delta = (side[:, 1:size + 1] - side[:, 0:1]) >> 1
-        col0 = jnp.clip(pred[:, :, 0] + delta, 0, max_val)
-        pred = pred.at[:, :, 0].set(col0)
+        if luma:
+            delta = (side[:, 1:size + 1] - side[:, 0:1]) >> 1
+            col0 = jnp.clip(pred[:, :, 0] + delta, 0, max_val)
+            pred = pred.at[:, :, 0].set(col0)
     else:
         ll = np.arange(size, dtype=np.int32)
         idx = off + ll[None, :] + dint[:, None] + 1      # [s, s] static
@@ -305,26 +332,34 @@ def _coeff_bits_est(levels, size: int):
     return bits
 
 
-def _leaf_rd(org, pred, size: int, qp_scaled: int, bit_inc: int,
-             max_val: int):
-    """RD estimate for one chosen mode per block: (dist [N], bits [N])."""
+def _tq_rd(org, pred, size: int, qp_scaled, bit_inc: int, max_val: int):
+    """Forward T + quant + recon RD for one prediction per block:
+    [N,s,s] -> (dist [N] int32, bits [N] float32).  size 64 evaluates the
+    four 32x32 quadrants (max TU is 32); size 32 with q16=True evaluates
+    16x16 quadrants (the chroma TU grid of a 64 CU)."""
     import jax.numpy as jnp
     from ..ops import jx
 
     n = org.shape[0]
     resi = org.astype(jnp.int32) - pred.astype(jnp.int32)
-    if size == 64:
-        # max TU is 32: evaluate the four 32x32 quadrants
-        resi = (resi.reshape(n, 2, 32, 2, 32).transpose(0, 1, 3, 2, 4)
-                .reshape(4 * n, 32, 32))
-        porg = (org.astype(jnp.int32).reshape(n, 2, 32, 2, 32)
-                .transpose(0, 1, 3, 2, 4).reshape(4 * n, 32, 32))
-        ppred = (pred.astype(jnp.int32).reshape(n, 2, 32, 2, 32)
-                 .transpose(0, 1, 3, 2, 4).reshape(4 * n, 32, 32))
-        tsize = 32
+    if size in (64, -32):
+        s, t = (64, 32) if size == 64 else (32, 16)
+        h = s // t
+        resi = (resi.reshape(n, h, t, h, t).transpose(0, 1, 3, 2, 4)
+                .reshape(h * h * n, t, t))
+        porg = (org.astype(jnp.int32).reshape(n, h, t, h, t)
+                .transpose(0, 1, 3, 2, 4).reshape(h * h * n, t, t))
+        ppred = (pred.astype(jnp.int32).reshape(n, h, t, h, t)
+                 .transpose(0, 1, 3, 2, 4).reshape(h * h * n, t, t))
+        tsize = t
+        nq = h * h
     else:
-        porg, ppred, tsize = org.astype(jnp.int32), pred, size
-    qp = jnp.full((resi.shape[0],), qp_scaled, jnp.int32)
+        porg, ppred, tsize, nq = org.astype(jnp.int32), pred, size, 1
+    if qp_scaled.ndim:                       # per-block QP, tiled over quads
+        qp = jnp.repeat(qp_scaled.astype(jnp.int32), nq) if nq > 1 \
+            else qp_scaled.astype(jnp.int32)
+    else:
+        qp = jnp.full((resi.shape[0],), qp_scaled, jnp.int32)
     use_dst = tsize == 4
     coeff = jx.forward_transform(resi, use_dst, bit_inc)
     levels, _ = jx.quant(coeff, qp, True, bit_inc)
@@ -333,30 +368,44 @@ def _leaf_rd(org, pred, size: int, qp_scaled: int, bit_inc: int,
                                  max_val)
     d = porg - recon.astype(jnp.int32)
     dist = (d * d).sum(axis=(-2, -1)) >> (2 * bit_inc)
-    if size == 64:
-        dist = dist.reshape(n, 4).sum(axis=1)
-        bits = bits.reshape(n, 4).sum(axis=1)
+    if nq > 1:
+        dist = dist.reshape(n, nq).sum(axis=1)
+        bits = bits.reshape(n, nq).sum(axis=1)
     return dist, bits
 
 
-def _size_pass_impl(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3,
-                    bit_inc, max_val, ctu_size, unified):
-    """One size class over the whole frame -> (best_mode, dist, bits)
-    each [nby, nbx] (bits includes the mode bits, in whole bits)."""
+def _leaf_rd(org, pred, size: int, qp_scaled, bit_inc: int,
+             max_val: int):
+    """Luma RD estimate for one chosen mode per block."""
     import jax.numpy as jnp
+    return _tq_rd(org, pred, size, jnp.asarray(qp_scaled), bit_inc, max_val)
 
-    s = size
+
+def _gather_lines(ppad, s, nby, nbx):
+    """Per-block above/left reference lines from a padded plane (1 row/col
+    of edge padding on top/left, >= 2s on bottom/right): [nby*nbx, 2s+1]."""
+    import jax.numpy as jnp
     ys = np.arange(nby, dtype=np.int32) * s
     xs = np.arange(nbx, dtype=np.int32) * s
-    # ppad has 1 row/col of edge padding on top/left, >=2s on bottom/right
     rows_above = ppad[ys, :]                           # [nby, Wp]
     ra = rows_above[:, xs[:, None] + np.arange(2 * s + 1, dtype=np.int32)]
     cols_left = jnp.swapaxes(ppad[:, xs], 0, 1)        # [nbx, Hp]
     rl = cols_left[:, ys[:, None] + np.arange(2 * s + 1, dtype=np.int32)]
     rl = jnp.swapaxes(rl, 0, 1)                        # [nby, nbx, 2s+1]
     nb = nby * nbx
-    ra = ra.reshape(nb, 2 * s + 1).astype(jnp.int32)
-    rl = rl.reshape(nb, 2 * s + 1).astype(jnp.int32)
+    return (ra.reshape(nb, 2 * s + 1).astype(jnp.int32),
+            rl.reshape(nb, 2 * s + 1).astype(jnp.int32))
+
+
+def _size_pass_impl(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3,
+                    bit_inc, max_val, ctu_size, unified):
+    """One luma size class over the whole frame -> (best_mode, dist, bits)
+    each [nby, nbx] (bits includes the mode bits, in whole bits)."""
+    import jax.numpy as jnp
+
+    s = size
+    ra, rl = _gather_lines(ppad, s, nby, nbx)
+    nb = nby * nbx
 
     org = ppad[1:1 + nby * s, 1:1 + nbx * s]
     org = (org.reshape(nby, s, nbx, s).transpose(0, 2, 1, 3)
@@ -417,6 +466,7 @@ def _size_pass_impl(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3,
     above = jnp.concatenate(
         [jnp.full((1, nbx), DC_IDX, jnp.int32), bestA[:-1, :]], axis=0)
     # above PU outside the current CTU row reads as DC (TComDataCU.cpp:1931)
+    ys = np.arange(nby, dtype=np.int32) * s
     if s < ctu_size:
         above_in_ctu = (ys % ctu_size) != 0
         above = jnp.where(jnp.asarray(above_in_ctu)[:, None], above, DC_IDX)
@@ -451,9 +501,209 @@ def _size_pass_impl(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3,
     dist = jnp.take_along_axis(dist_k, sel[:, None], axis=1)[:, 0]
     bits = jnp.take_along_axis(cbits_k + mbits_k, sel[:, None],
                                axis=1)[:, 0]
+    # runner-up mode: the apply pass re-evaluates {best, second} against
+    # real reconstructed neighbors and real CABAC bits (the open-loop
+    # ranking between close candidates is the main decision-quality gap)
+    rd_masked = rd_k.at[jnp.arange(nb), sel].set(jnp.inf)
+    sel2 = jnp.argmin(rd_masked, axis=1)
+    mode2 = jnp.take_along_axis(topk, sel2[:, None], axis=1)[:, 0]
     return (best.reshape(nby, nbx), dist.reshape(nby, nbx),
-            bits.reshape(nby, nbx))
+            bits.reshape(nby, nbx), mode2.reshape(nby, nbx))
 
+
+def _chroma_pass_impl(cbpad, crpad, size, nby, nbx, luma_best, dm,
+                      qp_cb, qp_cr, lam_w_bits2, bit_inc, max_val):
+    """The 5-candidate chroma mode RD for luma-size-class `size` CUs:
+    candidates {planar, ver, hor, dc} with the luma-duplicate slot
+    replaced by angular 34, plus DM (TEncSearch::estIntraPredChromaQT,
+    TComDataCU::getAllowedChromaDir TComDataCU.cpp:2032).  `dm` is the
+    DM-reference luma mode per block (the CU mode, or part-0's mode for
+    an NxN 8x8).  Returns (stored chroma dir [nby,nbx] int32 — the mode
+    value, or 36 for DM — and the RD cost [nby,nbx] float32 of the
+    winner: weighted dist + lambda * (coeff bits + mode bits))."""
+    import jax.numpy as jnp
+
+    (bits_dm, bits_oth), lam, cw = lam_w_bits2
+    c = size // 2                      # chroma block size (>= 4)
+    nb = nby * nbx
+    ra_b, rl_b = _gather_lines(cbpad, c, nby, nbx)
+    ra_r, rl_r = _gather_lines(crpad, c, nby, nbx)
+    dm = dm.reshape(-1).astype(jnp.int32)
+    luma_best = luma_best.reshape(-1).astype(jnp.int32)
+
+    def org_of(ppad):
+        o = ppad[1:1 + nby * c, 1:1 + nbx * c]
+        return (o.reshape(nby, c, nbx, c).transpose(0, 2, 1, 3)
+                .reshape(nb, c, c).astype(jnp.int32))
+
+    org_cb, org_cr = org_of(cbpad), org_of(crpad)
+
+    def preds_of(ra, rl):
+        # full 35-mode stack (chroma: unfiltered refs, no DC/edge filters)
+        p_pl = _predict_mode(ra, rl, c, PLANAR_IDX, max_val, luma=False)
+        p_dc = _predict_mode(ra, rl, c, DC_IDX, max_val, luma=False)
+        p_ang = _predict_all_angular(ra, rl, ra, rl, c, max_val,
+                                     luma=False)
+        return jnp.concatenate([p_pl[:, None], p_dc[:, None], p_ang],
+                               axis=1)                 # [N, 35, c, c]
+
+    pred_cb = preds_of(ra_b, rl_b)
+    pred_cr = preds_of(ra_r, rl_r)
+
+    fixed = (PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX)
+
+    def cands_of(pred_all):
+        p34 = pred_all[:, 34]
+        outs = []
+        for fm in fixed:
+            sub = (luma_best == fm)[:, None, None]
+            outs.append(jnp.where(sub, p34, pred_all[:, fm]))
+        p_dm = jnp.take_along_axis(
+            pred_all, dm[:, None, None, None], axis=1)[:, 0]
+        outs.append(p_dm)
+        return jnp.stack(outs, axis=1)                 # [N, 5, c, c]
+
+    cb5 = cands_of(pred_cb).reshape(nb * 5, c, c)
+    cr5 = cands_of(pred_cr).reshape(nb * 5, c, c)
+    ocb = jnp.broadcast_to(org_cb[:, None], (nb, 5, c, c)).reshape(
+        nb * 5, c, c)
+    ocr = jnp.broadcast_to(org_cr[:, None], (nb, 5, c, c)).reshape(
+        nb * 5, c, c)
+    # a 64-CU's chroma transforms at 16 (the luma TU split to 32 is
+    # mandatory, so the chroma tree follows): quadrant transforms
+    tq_size = -32 if c == 32 else c
+    qpb = jnp.full((nb * 5,), qp_cb, jnp.int32)
+    qpr = jnp.full((nb * 5,), qp_cr, jnp.int32)
+    d_cb, b_cb = _tq_rd(ocb, cb5, tq_size, qpb, bit_inc, max_val)
+    d_cr, b_cr = _tq_rd(ocr, cr5, tq_size, qpr, bit_inc, max_val)
+    dist = (d_cb + d_cr).reshape(nb, 5).astype(jnp.float32)
+    cbits = (b_cb + b_cr).reshape(nb, 5)
+    mbits = jnp.stack([jnp.asarray(b, jnp.float32) for b in
+                       (bits_oth, bits_oth, bits_oth, bits_oth,
+                        bits_dm)])[None, :]
+    cost = cw * dist + lam * (cbits + mbits)
+    sel = jnp.argmin(cost, axis=1)                     # [N]
+    best_cost = jnp.take_along_axis(cost, sel[:, None], axis=1)[:, 0]
+    # the stored direction value per candidate slot
+    vals = []
+    for fm in fixed:
+        vals.append(jnp.where(luma_best == fm, 34, fm))
+    vals.append(jnp.full((nb,), DM_CHROMA_IDX, jnp.int32))
+    vals = jnp.stack(vals, axis=1)                     # [N, 5]
+    best_val = jnp.take_along_axis(vals, sel[:, None], axis=1)[:, 0]
+    return (best_val.reshape(nby, nbx), best_cost.reshape(nby, nbx))
+
+
+# per-CU header-bit constants for the DP (split flag, part size, cbf
+# scaffolding) — coarse, tuned on synthetic content
+_CU_BITS = 5.0
+_SPLIT_BITS = 1.0
+_NXN_BITS = 3.0
+
+
+def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
+               min_tr_log2, ctu_size, wp, hp):
+    """Bottom-up quadtree DP + per-4x4-unit map expansion, in jnp (runs
+    inside the device launch; the packed maps are the only fetch).
+
+    res[s] = (mode, dist, bits) luma per block; cres[s] = (cdir, ccost)
+    for s >= 8; cres8_nxn = the NxN-variant chroma decision at s=8.
+    Returns int8 maps (fd_depth, fd_mode, fd_nxn, fd_chroma), each
+    [hp//4, wp//4].
+    """
+    import jax.numpy as jnp
+
+    BIG = jnp.float32(1e30)
+    lamf = jnp.asarray(lam, jnp.float32)
+    cost = {}
+    choice = {}
+    min_cu = ctu_size >> max_sig
+    for s in SIZES:
+        if s > ctu_size:
+            continue
+        mode, dist, bits, _mode2 = res[s]
+        leaf = (dist.astype(jnp.float32)
+                + lamf * (bits + jnp.float32(_CU_BITS)))
+        if s >= 8:
+            leaf = leaf + cres[s][1]
+        nby, nbx = leaf.shape
+        ys = (np.arange(nby) * s)[:, None]
+        xs = (np.arange(nbx) * s)[None, :]
+        crosses = ((ys < height) & (ys + s > height)) | \
+                  ((xs < width) & (xs + s > width))
+        outside = (ys >= height) | (xs >= width)
+        leaf = jnp.where(jnp.asarray(crosses), BIG, leaf)
+        leaf = jnp.where(jnp.asarray(outside), jnp.float32(0.0), leaf)
+        if s == 4:
+            cost[4] = leaf
+            continue
+        if s == 8:
+            child = cost[4]
+            csum = (child[0::2, 0::2] + child[0::2, 1::2]
+                    + child[1::2, 0::2] + child[1::2, 1::2])
+            # NxN partition (not a CU split): add its chroma cost
+            split = csum + cres8_nxn[1] + lamf * jnp.float32(_NXN_BITS)
+            can = 8 > (1 << min_tr_log2) and 4 >= min_cu
+        else:
+            child = cost[s // 2]
+            csum = (child[0::2, 0::2] + child[0::2, 1::2]
+                    + child[1::2, 0::2] + child[1::2, 1::2])
+            split = csum + lamf * jnp.float32(_SPLIT_BITS)
+            can = s > min_cu
+        if can:
+            take = split < leaf
+            cost[s] = jnp.where(take, split, leaf)
+            choice[s] = take
+        else:
+            cost[s] = leaf
+            choice[s] = jnp.zeros_like(leaf, bool)
+
+    uw, uh = wp // 4, hp // 4
+
+    def up(a, un):
+        return jnp.repeat(jnp.repeat(a, un, axis=0), un, axis=1)
+
+    fd_depth = jnp.zeros((uh, uw), jnp.int8)
+    fd_mode = jnp.full((uh, uw), DC_IDX, jnp.int8)
+    fd_nxn = jnp.zeros((uh, uw), jnp.int8)
+    fd_chroma = jnp.full((uh, uw), DM_CHROMA_IDX, jnp.int8)
+    fd_mode2 = jnp.full((uh, uw), DC_IDX, jnp.int8)
+
+    top = min(ctu_size, max(SIZES))
+    open_ = jnp.ones((hp // top, wp // top), bool)
+    s = top
+    depth = 0
+    mode4 = res[4][0].astype(jnp.int8)
+    mode4b = res[4][3].astype(jnp.int8)
+    while s >= 8:
+        can_descend = (s > min_cu) or (s == 8 and 8 > (1 << min_tr_log2))
+        split_here = (open_ & choice[s]) if can_descend \
+            else jnp.zeros_like(open_)
+        leaf_here = open_ & ~split_here
+        un = s // 4
+        lm = up(leaf_here, un)
+        fd_depth = jnp.where(lm, jnp.int8(depth), fd_depth)
+        fd_mode = jnp.where(lm, up(res[s][0].astype(jnp.int8), un), fd_mode)
+        fd_mode2 = jnp.where(lm, up(res[s][3].astype(jnp.int8), un),
+                             fd_mode2)
+        fd_chroma = jnp.where(lm, up(cres[s][0].astype(jnp.int8), un),
+                              fd_chroma)
+        if s == 8:
+            # split at 8 means an NxN-PU 8x8 CU, not a CU split: per-4x4
+            # modes come from the 4x4 pass (already at unit granularity)
+            nm = up(split_here, 2)
+            fd_depth = jnp.where(nm, jnp.int8(depth), fd_depth)
+            fd_nxn = jnp.where(nm, jnp.int8(1), fd_nxn)
+            fd_mode = jnp.where(nm, mode4, fd_mode)
+            fd_mode2 = jnp.where(nm, mode4b, fd_mode2)
+            fd_chroma = jnp.where(nm, up(cres8_nxn[0].astype(jnp.int8), 2),
+                                  fd_chroma)
+            break
+        open_ = up(split_here, 2)
+        s //= 2
+        depth += 1
+
+    return jnp.stack([fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2])
 
 
 def _decision_device():
@@ -471,84 +721,106 @@ _frame_pass_cache = {}
 _frame_pass_lock = None
 
 
-def _frame_pass(ppad, wp, hp, qp_scaled, sqrt_lam_bits3, bit_inc, max_val,
-                ctu_size):
-    """All size classes for the whole frame in ONE jitted launch.
+def _frame_body(py, pcb, pcr, iscal, fscal, wp, hp, statics, max_sig,
+                min_tr_log2, unified):
+    """The whole decision problem for one frame: luma size classes,
+    chroma candidates, quadtree DP, unit-map expansion -> packed int8
+    [5, hp//4, wp//4] (depth, mode, nxn, chroma, mode2).
+
+    iscal/fscal carry the per-frame scalars (QPs, lambda, mode-bit
+    estimates) as TRACED values so a QP or lambda change never
+    recompiles — only the frame geometry is baked into the graph."""
+    import jax.numpy as jnp
+
+    (width, height, bit_inc, max_val, ctu_size) = statics
+    qp_scaled, qp_cb, qp_cr = iscal[0], iscal[1], iscal[2]
+    lam, sqrt_lam = fscal[0], fscal[1]
+    bits3 = (fscal[2], fscal[3], fscal[4])
+    c_dm, c_oth, cw = fscal[5], fscal[6], fscal[7]
+    sqrt_lam_bits3 = (bits3, sqrt_lam, lam)
+    py = py.astype(jnp.int32)
+    pcb = pcb.astype(jnp.int32)
+    pcr = pcr.astype(jnp.int32)
+    res = {}
+    for s in SIZES:
+        if s > ctu_size:
+            continue
+        res[s] = _size_pass_impl(py, s, hp // s, wp // s, qp_scaled,
+                                 sqrt_lam_bits3, bit_inc, max_val,
+                                 ctu_size, unified)
+    cres = {}
+    lam_w_bits2 = ((c_dm, c_oth), lam, cw)
+    for s in SIZES:
+        if s > ctu_size or s < 8:
+            continue
+        cres[s] = _chroma_pass_impl(
+            pcb, pcr, s, hp // s, wp // s, res[s][0], res[s][0],
+            qp_cb, qp_cr, lam_w_bits2, bit_inc, max_val)
+    # NxN 8x8 variant: DM is part 0's (top-left 4x4's) mode
+    dm_nxn = res[4][0][0::2, 0::2]
+    cres8_nxn = _chroma_pass_impl(
+        pcb, pcr, 8, hp // 8, wp // 8, dm_nxn, dm_nxn,
+        qp_cb, qp_cr, lam_w_bits2, bit_inc, max_val)
+    return _dp_expand(res, cres, cres8_nxn, width, height, lam,
+                      max_sig, min_tr_log2, ctu_size, wp, hp)
+
+
+def _frame_pass(py, pcb, pcr, iscal, fscal, wp, hp, statics, max_sig,
+                min_tr_log2):
+    """All decision work for the whole frame in ONE jitted launch.
 
     One dispatch per frame: per-op thunk overhead on this backend is
     ~50 us and the decision graph has hundreds of ops, so fine-grained
     launches (e.g. one per CTU-row band) cost 5+ s/frame in overhead
     alone; full-frame batches amortize it to noise.
 
-    Accelerator form returns TWO packed arrays (ints [2K] int32 holding
-    best-mode and dist per block across size classes, bits [K] float32)
-    instead of 3 arrays per size class: each device->host fetch over the
-    tunneled chip pays a ~30 ms round trip, so 15 fetches cost ~0.45 s
-    per 1080p frame while 2 cost ~0.06 s."""
+    The launch returns ONE packed int8 [4, uh, uw] array: each
+    device->host fetch over a tunneled chip pays a ~30 ms round trip and
+    device->host bandwidth is the scarce direction, so the fetch is the
+    final decision maps only (~0.5 MB at 1080p), not per-size
+    intermediates (~2 MB and 15 arrays in the previous design)."""
     import jax
 
     unified = _decision_device().platform != "cpu"
+    key = (py.shape, py.dtype.name, wp, hp, statics, max_sig, min_tr_log2,
+           unified)
+    global _frame_pass_lock
+    if _frame_pass_lock is None:
+        import threading
+        _frame_pass_lock = threading.Lock()
     if unified:
         from ..ops.device import _enable_compile_cache
         _enable_compile_cache()   # accelerator compiles are cache-safe
-        key = (ppad.shape, ppad.dtype.name, wp, hp, qp_scaled,
-               sqrt_lam_bits3, bit_inc, max_val, ctu_size)
-        global _frame_pass_lock
-        if _frame_pass_lock is None:
-            import threading
-            _frame_pass_lock = threading.Lock()
-        with _frame_pass_lock:
-            fn = _frame_pass_cache.get(key)
-            if fn is None:
-                def body(p):
-                    import jax.numpy as jnp
-                    p = p.astype(jnp.int32)   # shipped narrow (uint8/int16)
-                    ints, bits = [], []
-                    for s in SIZES:
-                        if s > ctu_size:
-                            continue
-                        best, dist, b = _size_pass_impl(
-                            p, s, hp // s, wp // s, qp_scaled,
-                            sqrt_lam_bits3, bit_inc, max_val, ctu_size,
-                            True)
-                        ints.append(best.ravel().astype(jnp.int32))
-                        ints.append(dist.ravel().astype(jnp.int32))
-                        bits.append(b.ravel().astype(jnp.float32))
-                    return (jnp.concatenate(ints), jnp.concatenate(bits))
-                fn = jax.jit(body)
-                _frame_pass_cache[key] = fn
-        return fn(ppad)           # device arrays, not yet fetched
-    # CPU: one jit per size class (matches the fused-per-mode kernels'
-    # memory behavior; a single all-sizes graph keeps every size's
-    # [N,35,s,s] buffers live at once)
-    out = {}
-    for s in SIZES:
-        if s > ctu_size:
-            continue
-        key = (ppad.shape, ppad.dtype.name, s, wp, hp, qp_scaled,
-               sqrt_lam_bits3, bit_inc, max_val, ctu_size)
+    with _frame_pass_lock:
         fn = _frame_pass_cache.get(key)
         if fn is None:
-            fn = jax.jit(partial(
-                _size_pass_impl, size=s, nby=hp // s, nbx=wp // s,
-                qp_scaled=qp_scaled, sqrt_lam_bits3=sqrt_lam_bits3,
-                bit_inc=bit_inc, max_val=max_val, ctu_size=ctu_size,
-                unified=False))
+            fn = jax.jit(partial(_frame_body, wp=wp, hp=hp,
+                                 statics=statics,
+                                 max_sig=max_sig, min_tr_log2=min_tr_log2,
+                                 unified=unified))
             _frame_pass_cache[key] = fn
-        out[s] = fn(ppad)
-    return out
+    return fn(py, pcb, pcr, iscal, fscal)   # device array, not yet fetched
 
 
-# per-CU header-bit constants for the DP (split flag, part size, chroma
-# mode, chroma cbf scaffolding) — coarse, tuned on synthetic content
-_CU_BITS = 5.0
-_SPLIT_BITS = 1.0
-_NXN_BITS = 3.0
+def chroma_bits2(init_ctx, chroma_weight: float) -> tuple:
+    """The two intra_chroma_pred_mode bit classes at slice-init context,
+    in whole bits: DM (one '0' ctx bin) vs the rest ('1' ctx bin + 2 EP
+    bins) (TEncSbac::codeIntraDirChroma)."""
+    from ..cabac import contexts as cc
+    from ..cabac.tables import ENTROPY_BITS
+
+    st = int(init_ctx[cc.O_CHROMA_PRED])
+    b1 = int(ENTROPY_BITS[st ^ 1])
+    b0 = int(ENTROPY_BITS[st ^ 0])
+    ep = 32768
+    return (b0 / 32768.0, (b1 + 2 * ep) / 32768.0, float(chroma_weight))
 
 
-def dispatch_frame(org_y: np.ndarray, width: int, height: int,
-                   qp_scaled: int, lambda_: float, sqrt_lambda: float,
-                   bits3: tuple, max_sig: int, min_tr_log2: int,
+def dispatch_frame(org_y: np.ndarray, org_cb: np.ndarray,
+                   org_cr: np.ndarray, width: int, height: int,
+                   qp_scaled: int, qp_cb: int, qp_cr: int, lambda_: float,
+                   sqrt_lambda: float, bits3: tuple, cbits2: tuple,
+                   max_sig: int, min_tr_log2: int,
                    ctu_size: int = 64, bit_inc: int = 0,
                    max_val: int = 255):
     """Start the decision pass for one frame: upload + device dispatch only.
@@ -565,143 +837,67 @@ def dispatch_frame(org_y: np.ndarray, width: int, height: int,
     hp = -(-height // ctu_size) * ctu_size
     ppad = np.pad(org_y, ((1, hp - height + pad), (1, wp - width + pad)),
                   mode="edge")
+    cpad = ctu_size
+    wc, hc = width // 2, height // 2
+    cbp = np.pad(org_cb, ((1, hp // 2 - hc + cpad), (1, wp // 2 - wc + cpad)),
+                 mode="edge")
+    crp = np.pad(org_cr, ((1, hp // 2 - hc + cpad), (1, wp // 2 - wc + cpad)),
+                 mode="edge")
 
-    sqrt_bits3 = (tuple(float(b) for b in bits3), float(sqrt_lambda),
-                  float(lambda_))
+    statics = (width, height, bit_inc, max_val, ctu_size)
+    iscal_np = np.asarray([qp_scaled, qp_cb, qp_cr], np.int32)
+    fscal_np = np.asarray(
+        [lambda_, sqrt_lambda, bits3[0], bits3[1], bits3[2],
+         cbits2[0], cbits2[1], cbits2[2]], np.float32)
 
-    if _decision_device().platform == "cpu":
+    dev = _decision_device()
+    if dev.platform == "cpu":
         import jax.numpy as jnp
-        ppad_j = jnp.asarray(ppad, jnp.int32)   # uncommitted: jit fastpath
+        py = jnp.asarray(ppad, jnp.int32)   # uncommitted: jit fastpath
+        pcb = jnp.asarray(cbp, jnp.int32)
+        pcr = jnp.asarray(crp, jnp.int32)
+        iscal, fscal = jnp.asarray(iscal_np), jnp.asarray(fscal_np)
     else:
         # jit placement follows the committed input device (a
         # jax.default_device CONTEXT would route every call through the
         # slow dispatch path: measured 125 ms/call vs <1 ms); ship the
-        # narrowest dtype — over a tunneled chip the plane upload is the
-        # only bulk transfer, and 8-bit content fits uint8
+        # narrowest dtype — host->device transfer is cheap but not free
         ship = np.uint8 if max_val <= 255 else np.int16
-        ppad_j = jax.device_put(ppad.astype(ship), _decision_device())
-    outs = _frame_pass(ppad_j, wp, hp, qp_scaled, sqrt_bits3, bit_inc,
-                       max_val, ctu_size)
-    return (outs, width, height, lambda_, max_sig, min_tr_log2, ctu_size,
-            wp, hp)
+        py = jax.device_put(ppad.astype(ship), dev)
+        pcb = jax.device_put(cbp.astype(ship), dev)
+        pcr = jax.device_put(crp.astype(ship), dev)
+        iscal = jax.device_put(iscal_np, dev)
+        fscal = jax.device_put(fscal_np, dev)
+    out = _frame_pass(py, pcb, pcr, iscal, fscal, wp, hp, statics,
+                      max_sig, min_tr_log2)
+    return (out, wp, hp)
 
 
 def collect_frame(token):
-    """Finish a dispatched decision pass: fetch, quadtree DP, unit maps."""
-    (outs, width, height, lambda_, max_sig, min_tr_log2, ctu_size,
-     wp, hp) = token
-    res = {}
-    if isinstance(outs, tuple):
-        # accelerator form: two packed arrays -> two D2H fetches
-        ints = np.asarray(outs[0])
-        bitsv = np.asarray(outs[1], np.float64)
-        oi = ob = 0
-        for s in SIZES:
-            if s > ctu_size:
-                continue
-            nby, nbx = hp // s, wp // s
-            n = nby * nbx
-            res[s] = (ints[oi:oi + n].reshape(nby, nbx),
-                      ints[oi + n:oi + 2 * n].reshape(nby, nbx)
-                      .astype(np.float64),
-                      bitsv[ob:ob + n].reshape(nby, nbx))
-            oi += 2 * n
-            ob += n
-    else:
-        for s in SIZES:
-            if s > ctu_size:
-                continue
-            mode, dist, bits = outs[s]
-            res[s] = (np.asarray(mode),
-                      np.asarray(dist, np.float64),
-                      np.asarray(bits, np.float64))
-
-    lam = float(lambda_)
-    # bottom-up DP: cost[s] = min(leaf, sum children + split)
-    cost = {}
-    choice = {}          # per block: 0 = leaf, 1 = split/NxN
-    for s in SIZES:
-        if s > ctu_size:
-            continue
-        mode, dist, bits = res[s]
-        leaf = dist + lam * (bits + _CU_BITS)
-        # blocks crossing the real frame edge cannot be leaves
-        nby, nbx = leaf.shape
-        ys = (np.arange(nby) * s)[:, None]
-        xs = (np.arange(nbx) * s)[None, :]
-        crosses = ((ys < height) & (ys + s > height)) | \
-                  ((xs < width) & (xs + s > width))
-        outside = (ys >= height) | (xs >= width)
-        leaf = np.where(crosses, np.inf, leaf)
-        leaf = np.where(outside, 0.0, leaf)
-        if s == 4:
-            cost[4] = leaf
-            choice[4] = np.zeros_like(leaf, np.int8)
-            continue
-        child = cost[s // 2]
-        csum = (child[0::2, 0::2] + child[0::2, 1::2]
-                + child[1::2, 0::2] + child[1::2, 1::2])
-        if s == 8:
-            split = csum + lam * _NXN_BITS      # NxN partition, not CU split
-        else:
-            split = csum + lam * _SPLIT_BITS
-        take_split = split < leaf
-        cost[s] = np.where(take_split, split, leaf)
-        choice[s] = take_split.astype(np.int8)
-
-    # expand into per-4x4-unit maps (vectorized level walk: the recursive
-    # per-block emit measured ~0.1 s/frame of pure Python at 1080p)
-    uw, uh = wp // 4, hp // 4
-    fd_depth = np.zeros((uh, uw), np.int8)
-    fd_mode = np.full((uh, uw), DC_IDX, np.int8)
-    fd_nxn = np.zeros((uh, uw), np.uint8)
-
-    min_cu = ctu_size >> max_sig
-
-    def up(a, un):
-        return np.repeat(np.repeat(a, un, axis=0), un, axis=1)
-
-    top = min(ctu_size, max(SIZES))
-    open_ = np.ones((hp // top, wp // top), bool)
-    s = top
-    depth = 0
-    while s >= 4:
-        can_descend = (s > min_cu) or (s == 8 and 8 > (1 << min_tr_log2))
-        split_here = (open_ & (choice[s] != 0)) if can_descend \
-            else np.zeros_like(open_)
-        leaf_here = open_ & ~split_here
-        un = s // 4
-        lm = up(leaf_here, un)
-        fd_depth[lm] = depth
-        fd_mode = np.where(lm, up(res[s][0].astype(np.int8), un), fd_mode)
-        if s == 8:
-            # split at 8 means an NxN-PU 8x8 CU, not a CU split: per-4x4
-            # modes come from the 4x4 pass (already at unit granularity)
-            nm = up(split_here, 2)
-            fd_depth[nm] = depth
-            fd_nxn[nm] = 1
-            fd_mode = np.where(nm, res[4][0].astype(np.int8), fd_mode)
-            break
-        open_ = up(split_here, 2)
-        s //= 2
-        depth += 1
-
-    return fd_depth, fd_mode, fd_nxn
+    """Finish a dispatched decision pass: one packed fetch -> unit maps."""
+    out, wp, hp = token
+    packed = np.asarray(out)
+    fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2 = packed
+    return (fd_depth, fd_mode, np.ascontiguousarray(fd_nxn, np.uint8),
+            fd_chroma, fd_mode2)
 
 
-def decide_frame(org_y: np.ndarray, width: int, height: int, qp_scaled: int,
+def decide_frame(org_y, org_cb, org_cr, width: int, height: int,
+                 qp_scaled: int, qp_cb: int, qp_cr: int,
                  lambda_: float, sqrt_lambda: float, bits3: tuple,
-                 max_sig: int, min_tr_log2: int, ctu_size: int = 64,
-                 bit_inc: int = 0, max_val: int = 255):
+                 cbits2: tuple, max_sig: int, min_tr_log2: int,
+                 ctu_size: int = 64, bit_inc: int = 0, max_val: int = 255):
     """Run the decision pass for one frame synchronously.
 
-    org_y: source luma [H, W] int16; bits3: (mpm0, mpm12, other) intra-dir
-    bit estimates in whole bits.  Returns (fd_depth, fd_mode, fd_nxn) per
-    4x4 unit, ready for enc_set_fd.
+    org_*: source planes int16; bits3: (mpm0, mpm12, other) intra-dir
+    bit estimates in whole bits; cbits2: (dm, other, chroma_weight).
+    Returns (fd_depth, fd_mode, fd_nxn, fd_chroma) per 4x4 unit, ready
+    for enc_set_fd.
     """
     return collect_frame(dispatch_frame(
-        org_y, width, height, qp_scaled, lambda_, sqrt_lambda, bits3,
-        max_sig, min_tr_log2, ctu_size, bit_inc, max_val))
+        org_y, org_cb, org_cr, width, height, qp_scaled, qp_cb, qp_cr,
+        lambda_, sqrt_lambda, bits3, cbits2, max_sig, min_tr_log2,
+        ctu_size, bit_inc, max_val))
 
 
 def mode_bits3(sh, pps, init_ctx) -> tuple:

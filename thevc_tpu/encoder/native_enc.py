@@ -28,16 +28,28 @@ class NativeCuEncoder:
     def compress_ctu(self, ctu_addr: int) -> int:
         return int(self.lib.enc_compress_ctu(self.handle, ctu_addr))
 
-    def set_fd(self, fd_depth, fd_mode, fd_nxn) -> None:
+    def set_fd(self, fd_depth, fd_mode, fd_nxn, fd_chroma=None,
+               fd_mode2=None, fix_tu: bool = True) -> None:
         """Bind fast-RD decision maps (encoder/fast_intra.py) — the CTU
-        loop then applies them instead of running the full search."""
+        loop then applies them instead of running the full search.
+        fd_chroma fixes the chroma mode too (None keeps the 5-mode RD);
+        fd_mode2 adds the runner-up mode for closed-loop re-ranking;
+        fix_tu pins the TU tree at the CU size (no RQT split RD)."""
         import numpy as np
         fd_depth = np.ascontiguousarray(fd_depth, np.int8)
         fd_mode = np.ascontiguousarray(fd_mode, np.int8)
         fd_nxn = np.ascontiguousarray(fd_nxn, np.uint8)
-        self._fd_keep = (fd_depth, fd_mode, fd_nxn)
+        cptr = m2ptr = 0
+        if fd_chroma is not None:
+            fd_chroma = np.ascontiguousarray(fd_chroma, np.int8)
+            cptr = fd_chroma.ctypes.data
+        if fd_mode2 is not None:
+            fd_mode2 = np.ascontiguousarray(fd_mode2, np.int8)
+            m2ptr = fd_mode2.ctypes.data
+        self._fd_keep = (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2)
         self.lib.enc_set_fd(self.handle, fd_depth.ctypes.data,
-                            fd_mode.ctypes.data, fd_nxn.ctypes.data)
+                            fd_mode.ctypes.data, fd_nxn.ctypes.data,
+                            cptr, m2ptr, int(fix_tu))
 
     def get_go_frac(self) -> int:
         return int(self.lib.enc_get_go_frac(self.handle))

@@ -543,17 +543,34 @@ class PictureCompressor:
                     and sh.slice_type == I_SLICE:
                 # fast-RD mode: device-batched open-loop decisions replace
                 # the full search; the native CTU loop applies them
-                from .fast_intra import decide_frame, mode_bits3
+                from ..ops import transforms as tops
+                from .fast_intra import (chroma_bits2, decide_frame,
+                                         mode_bits3)
                 bits3 = mode_bits3(sh, cu.pps, self._init_ctx)
+                cbits2 = chroma_bits2(self._init_ctx,
+                                      cu.rd.chroma_distortion_weight)
+                qp_cb = tops.qp_scaled(
+                    sh.slice_qp, False, cu.sps.qp_bd_offset_c,
+                    cu.pps.chroma_cb_qp_offset + sh.slice_qp_delta_cb)
+                qp_cr = tops.qp_scaled(
+                    sh.slice_qp, False, cu.sps.qp_bd_offset_c,
+                    cu.pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr)
                 fd = decide_frame(
-                    cu.org_y, f.width, f.height,
-                    sh.slice_qp + cu.sps.qp_bd_offset_y,
-                    cu.rd.lambda_, cu.rd.sqrt_lambda, bits3,
+                    cu.org_y, cu.org_cb, cu.org_cr, f.width, f.height,
+                    sh.slice_qp + cu.sps.qp_bd_offset_y, qp_cb, qp_cr,
+                    cu.rd.lambda_, cu.rd.sqrt_lambda, bits3, cbits2,
                     f.max_depth - cu.sps.add_cu_depth,
                     cu.sps.quadtree_tu_log2_min_size, f.ctu_size,
                     cu.sps.bit_increment,
                     (1 << cu.sps.internal_bit_depth) - 1)
-                nat.set_fd(*fd)
+                import os as _os
+                fix_tu = _os.environ.get("THEVC_FASTRD_FIXTU", "1") != "0"
+                dev_chroma = _os.environ.get(
+                    "THEVC_FASTRD_DEVCHROMA", "1") != "0"
+                top2 = _os.environ.get("THEVC_FASTRD_TOP2", "1") != "0"
+                nat.set_fd(fd[0], fd[1], fd[2],
+                           fd[3] if dev_chroma else None,
+                           fd[4] if top2 else None, fix_tu)
             if nat is not None:
                 for enc in range(f.num_ctus):
                     ctu = int(f.ctu_order[enc])

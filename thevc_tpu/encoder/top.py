@@ -788,7 +788,10 @@ class Encoder:
         # AC/DC stats of the original picture for later WP estimation
         # (WeightPredAnalysis::xCalcACDCParamSlice)
         dpb_pic.wp_acdc = getattr(sh, "wp_acdc", None)
-        dpb_pic.compress_motion()
+        if not sh.is_intra:
+            # an all-intra picture's motion field is uniform (no MVs,
+            # ref_idx -1, MODE_INTRA everywhere), so compressMV is a no-op
+            dpb_pic.compress_motion()
         self.dpb.add(dpb_pic)
 
         if stage_t is not None:
@@ -833,8 +836,10 @@ class Encoder:
                 h, w = o.shape
                 o = o[: h - py // d, : w - px // d]
                 r = r[: h - py // d, : w - px // d]
-            d = o.astype(np.int64) - r.astype(np.int64)
-            sse = float(np.sum(d * d))
+            # float64 dot: exact for 14-bit samples (d^2*count < 2^53)
+            # and ~10x the int64 elementwise product's speed at 1080p
+            d = (o - r).astype(np.float64).ravel()
+            sse = float(np.dot(d, d))
             if sse == 0.0:
                 psnr = 99.99
             else:

@@ -76,15 +76,35 @@ def rbsp_to_ebsp(rbsp: bytes) -> bytes:
     """Insert emulation_prevention_three_byte so no byte-aligned
     00 00 {00,01,02,03} sequence remains; append a trailing 03 if the
     payload ends in 00 (cabac_zero_word rule).  NALwrite.cpp:110+.
+
+    Vectorized: a raw scan finds candidate 00 00 0X positions (a
+    superset of the true insertion points — an earlier insertion resets
+    the zero run), then a short sequential pass over just the candidates
+    applies the run-reset rule.  CABAC payloads have few candidates, so
+    this replaces a per-byte Python loop with one numpy pass.
     """
+    import numpy as np
+
+    if len(rbsp) < 3:
+        if rbsp and rbsp[-1] == 0:
+            return bytes(rbsp) + b"\x03"
+        return bytes(rbsp)
+    a = np.frombuffer(rbsp, np.uint8)
+    cand = np.nonzero((a[:-2] == 0) & (a[1:-1] == 0) & (a[2:] <= 3))[0] + 2
     out = bytearray()
-    zeros = 0
-    for b in rbsp:
-        if zeros >= 2 and b <= 3:
-            out.append(3)
-            zeros = 0
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
+    prev = 0          # start of the unprocessed tail
+    guard = -10       # position just after the last insertion's reset
+    for i in cand:
+        i = int(i)
+        # valid only if the two zeros before i were not consumed by an
+        # earlier insertion (insertion at j protects positions j, j+1)
+        if i - 2 < guard:
+            continue
+        out += rbsp[prev:i]
+        out.append(3)
+        prev = i
+        guard = i
+    out += rbsp[prev:]
     if out and out[-1] == 0:
         out.append(3)
     return bytes(out)

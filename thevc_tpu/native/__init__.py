@@ -357,7 +357,8 @@ def get_lib():
         lib.enc_set_fd.restype = None
         lib.enc_set_fd.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32]
         lib.enc_set_slice_ctx.restype = None
         lib.enc_set_slice_ctx.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]

@@ -5326,6 +5326,10 @@ struct EncState {
   const int8_t* fd_depth;
   const int8_t* fd_mode;
   const uint8_t* fd_nxn;
+  const int8_t* fd_chroma;   // chosen chroma dir (or 36 = DM); may be NULL
+  const int8_t* fd_mode2;    // runner-up luma mode for closed-loop
+                             // re-ranking; may be NULL
+  int fd_fix_tu;             // 1 = TU split fixed at the CU (no RQT RD)
   int fd_on;
   // ---- inter-slice state (valid when has_inter != 0) ----
   int has_inter;
@@ -6891,22 +6895,26 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   int log2 = 0; while ((1 << log2) < size) log2++;
   int units = units_at_depth(fa, depth + init_tr_depth);
 
-  if (S->fd_on) {
-    // fast-RD: the luma mode is fixed by the decision maps; run one full
-    // RQT RD pass (TU split + transform-skip decided here, like the
-    // final pass of the exact path) for that single mode
-    int mode = S->fd_mode[(int64_t)uy * fa->uw + ux];
-    if (mode < 0 || mode > 34) mode = DC_IDX;
-    set_region<int8_t>(fa, fa->luma_dir, ux, uy, units, (int8_t)mode);
-    es_load(S, depth, ECI_CURR_BEST);
-    double cost;
-    PROF_BEGIN(4);
-    int64_t dist = es_recur_intra_luma(S, part, depth, init_tr_depth, 0,
-                                       &cost);
-    PROF_END(4);
-    return dist;
-  }
+  int rd_list[10];
+  int rd_n = 0;
 
+  if (S->fd_on) {
+    // fast-RD: the candidate modes come from the device decision maps —
+    // the chosen mode plus (when provided) the runner-up, re-ranked
+    // below against real reconstructed neighbors and real CABAC bits.
+    // With fd_fix_tu the TU tree is fixed at the CU size (check_first=1
+    // evaluates the full TU only — the device DP already chose between
+    // CU sizes, which subsumes the transform-size tradeoff) and the
+    // full-RQT final pass is skipped; otherwise the exact path's
+    // HHI_RQT_INTRA_SPEEDUP structure runs for the winner.
+    int m1 = S->fd_mode[(int64_t)uy * fa->uw + ux];
+    if (m1 < 0 || m1 > 34) m1 = DC_IDX;
+    rd_list[rd_n++] = m1;
+    if (S->fd_mode2) {
+      int m2 = S->fd_mode2[(int64_t)uy * fa->uw + ux];
+      if (m2 >= 0 && m2 <= 34 && m2 != m1) rd_list[rd_n++] = m2;
+    }
+  } else {
   int32_t line_raw[4 * 64 + 8], line_filt[4 * 64 + 8];
   PROF_BEGIN(13);
   es_adi_luma(S, px, py, size, line_raw, line_filt);
@@ -6985,8 +6993,7 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
   int preds[3];
   intra_mpm(fa, ux, uy, preds);
   int num_cand = left_dir == above_dir ? 1 : 2;
-  int rd_list[10];
-  int rd_n = num_full;
+  rd_n = num_full;
   for (int i = 0; i < num_full; i++) rd_list[i] = cand_modes[i];
   for (int j = 0; j < num_cand; j++) {
     int found = 0;
@@ -6994,6 +7001,7 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
       if (rd_list[i] == preds[j]) found = 1;
     if (!found) rd_list[rd_n++] = preds[j];
   }
+  }  // !fd_on
 
   int best_mode = 0;
   int64_t best_dist = 0;
@@ -7022,20 +7030,22 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
     }
   }
 
-  set_region<int8_t>(fa, fa->luma_dir, ux, uy, units, (int8_t)best_mode);
-  es_load(S, depth, ECI_CURR_BEST);
-  double cost2;
-  PROF_BEGIN(15);
-  int64_t dist2 = es_final_intra_luma(S, part, depth, init_tr_depth,
-                                      best_cost, best_dist, best_store,
-                                      best_ctx_after, best_frac_after,
-                                      &cost2);
-  PROF_END(15);
-  if (cost2 < best_cost) {
-    best_cost = cost2;
-    best_dist = dist2;
-    es_save_luma_result(S, part, depth, init_tr_depth, best_store);
-    have_store = 1;
+  if (!(S->fd_on && S->fd_fix_tu)) {
+    set_region<int8_t>(fa, fa->luma_dir, ux, uy, units, (int8_t)best_mode);
+    es_load(S, depth, ECI_CURR_BEST);
+    double cost2;
+    PROF_BEGIN(15);
+    int64_t dist2 = es_final_intra_luma(S, part, depth, init_tr_depth,
+                                        best_cost, best_dist, best_store,
+                                        best_ctx_after, best_frac_after,
+                                        &cost2);
+    PROF_END(15);
+    if (cost2 < best_cost) {
+      best_cost = cost2;
+      best_dist = dist2;
+      es_save_luma_result(S, part, depth, init_tr_depth, best_store);
+      have_store = 1;
+    }
   }
   (void)have_store;
   es_restore_luma_result(S, part, depth, init_tr_depth, best_store);
@@ -7420,11 +7430,25 @@ static int64_t es_est_intra_chroma(EncState* S, int abs_part, int depth) {
   int units = units_at_depth(fa, depth);
   int mode_list[5];
   es_allowed_chroma(S, ux, uy, mode_list);
+  int n_try = 5;
+  if (S->fd_on && S->fd_chroma) {
+    // fast-RD: the chroma mode comes from the device decision maps —
+    // apply it alone when it is one of the legal candidates (the device
+    // mirrors getAllowedChromaDir, so this always holds for maps it
+    // produced; the check keeps a stale/foreign map conformant)
+    int want = S->fd_chroma[(int64_t)uy * fa->uw + ux];
+    for (int mi = 0; mi < 5; mi++)
+      if (mode_list[mi] == want) {
+        mode_list[0] = want;
+        n_try = 1;
+        break;
+      }
+  }
   int best_mode = 0;
   int64_t best_dist = 0;
   double best_cost = MAX_DOUBLE_C;
   ChromaStore* best_store = S->chroma_store[depth];
-  for (int mi = 0; mi < 5; mi++) {
+  for (int mi = 0; mi < n_try; mi++) {
     int mode = mode_list[mi];
     es_load(S, depth, ECI_CURR_BEST);
     set_region<int8_t>(fa, fa->chroma_dir, ux, uy, units, (int8_t)mode);
@@ -10847,11 +10871,16 @@ void enc_set_inter(void* handle, const SliceParams* sp,
 // bind the fast-RD decision maps (per 4x4 unit, raster order); pass
 // nulls to return to the full-search path
 void enc_set_fd(void* handle, const int8_t* depth_map,
-                const int8_t* mode_map, const uint8_t* nxn_map) {
+                const int8_t* mode_map, const uint8_t* nxn_map,
+                const int8_t* chroma_map, const int8_t* mode2_map,
+                int fix_tu) {
   EncState* S = (EncState*)handle;
   S->fd_depth = depth_map;
   S->fd_mode = mode_map;
   S->fd_nxn = nxn_map;
+  S->fd_chroma = chroma_map;
+  S->fd_mode2 = mode2_map;
+  S->fd_fix_tu = fix_tu;
   S->fd_on = depth_map != NULL && mode_map != NULL && nxn_map != NULL;
 }
 
