@@ -628,6 +628,14 @@ def test_encoder_auto_inter_rps_byte_exact(oracle, test_clip_small, tmp_path):
      ["--AdaptiveQP=1"], "aq_intra"),
     ("encoder_intra_main.cfg", 1,
      ["--AdaptiveQP=1", "--MaxQPAdaptationRange=4"], "aq_r4"),
+    # MaxCuDQPDepth>0: per-depth psycho-visual offsets with sub-CTU dQP
+    # coding (TEncCu.cpp:425-446 QP gating, TEncPic AQ layers)
+    ("encoder_intra_main.cfg", 1,
+     ["--AdaptiveQP=1", "--MaxCuDQPDepth=1"], "aq_dqd1"),
+    ("encoder_intra_main.cfg", 1,
+     ["--AdaptiveQP=1", "--MaxCuDQPDepth=2"], "aq_dqd2"),
+    ("encoder_lowdelay_P_main.cfg", 3,
+     ["--AdaptiveQP=1", "--MaxCuDQPDepth=2"], "aq_dqd2_ldp"),
     ("encoder_lowdelay_P_main.cfg", 3,
      ["--AdaptiveQP=1"], "aq_ldp"),
 ])

@@ -83,6 +83,11 @@ class CuEncoder:
             if sps.scaling_list_enabled_flag else None
         # rate-control unit QP override (TEncCu.cpp:449-455/:812-817)
         self.unit_qp = None
+        # AdaptiveQP layers for per-depth QP (xComputeQP, TEncCu.cpp:1113);
+        # set by PictureCompressor when MaxCuDQPDepth > 0
+        self.aq_layers = None
+        self.qp_adaptation_range = 6
+        self._depth_qp = None
 
         from .slice_encoder import enc_init_type
         init = cc.make_context_states_idx(enc_init_type(sh, pps),
@@ -248,13 +253,30 @@ class CuEncoder:
         f.mvp_idx[:, sl[0], sl[1]] = 0
         self._compress_cu(0, 0)
 
+    def _compute_qp(self, px: int, py: int, depth: int,
+                    inherited: int) -> int:
+        """xComputeQP + the iMinQP/iMaxQP gating (TEncCu.cpp:425-446):
+        AQ layers give slice_qp + a psycho-visual offset while the CU is
+        at least MinCuDQPSize; smaller CUs inherit the parent's QP."""
+        if self.aq_layers is None:
+            return inherited
+        if (self.f.ctu_size >> depth) < self._min_cu_dqp_size:
+            return inherited
+        from .preanalyzer import compute_qp_offset
+        off = compute_qp_offset(self.aq_layers, depth, px, py,
+                                self.qp_adaptation_range)
+        return max(-self.sps.qp_bd_offset_y,
+                   min(51, self.sh.slice_qp + off))
+
     def _compress_cu(self, abs_part: int, depth: int,
-                     parent_part: int = -1) -> dict:
+                     parent_part: int = -1, qp_in: int | None = None
+                     ) -> dict:
         """xCompressCU (TEncCu.cpp:386); frame ends holding this CU's best.
 
         Returns the best snapshot dict (bits/dist/cost feed the parent's
         split accounting).  parent_part: best partition size of the parent
         CU (AMP_ENC_SPEEDUP), -1 = SIZE_NONE (parent intra / top).
+        qp_in: the QP this CU inherits (initSubCU's iQP); None = slice QP.
         """
         f = self.f
         sps = self.sps
@@ -267,8 +289,13 @@ class CuEncoder:
         best = None
         ux, uy = self._unit_xy(abs_part)
 
+        inherited = qp_in if qp_in is not None else (
+            self.sh.slice_qp if self.unit_qp is None else self.unit_qp)
+        cu_qp = self._compute_qp(px, py, depth, inherited)
+        self._depth_qp = cu_qp if self.aq_layers is not None else None
+
         if inside:
-            qp = self.sh.slice_qp if self.unit_qp is None else self.unit_qp
+            qp = cu_qp
             is_inter_slice = self.sh.slice_type != I_SLICE
             if is_inter_slice:
                 best = self._check_rd_merge_2nx2n(abs_part, depth, best)
@@ -336,7 +363,7 @@ class CuEncoder:
                         self._copy_snap(depth + 1, CI_NEXT_BEST,
                                         depth + 1, CI_CURR_BEST)
                     sub_best = self._compress_cu(part, depth + 1,
-                                                 sub_parent)
+                                                 sub_parent, cu_qp)
                     split_bits += sub_best["bits"]
                     split_dist += sub_best["dist"]
                 else:
@@ -446,7 +473,8 @@ class CuEncoder:
         ux, uy = self._unit_xy(abs_part)
         units = f.units_per_row >> depth
         reg = (slice(uy, uy + units), slice(ux, ux + units))
-        qp = self.sh.slice_qp if self.unit_qp is None else self.unit_qp
+        qp = self._depth_qp if self._depth_qp is not None else (
+            self.sh.slice_qp if self.unit_qp is None else self.unit_qp)
         f.skip[reg] = False
         f.ipcm[reg] = True
         f.part_size_arr[reg] = SIZE_2Nx2N
@@ -536,7 +564,8 @@ class CuEncoder:
         f.part_size_arr[reg] = part_size
         f.pred_mode[reg] = MODE_INTER
         f.depth[reg] = depth
-        f.qp[reg] = self.sh.slice_qp if self.unit_qp is None else self.unit_qp
+        f.qp[reg] = self._depth_qp if self._depth_qp is not None else (
+            self.sh.slice_qp if self.unit_qp is None else self.unit_qp)
         f.ipcm[reg] = False
         f.tr_idx[reg] = 0
         f.cbf[:, reg[0], reg[1]] = 0

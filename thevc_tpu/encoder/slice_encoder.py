@@ -622,14 +622,20 @@ class PictureCompressor:
                                      self.rc.gop_id())
                 cu.unit_qp = max(0, min(51, self.rc.get_unit_qp()))
             elif self.aq is not None:
-                # xComputeQP (TEncCu.cpp:1113): per-CTU psycho-visual QP
-                # (MaxCuDQPDepth=0, so the offset is depth-invariant)
-                from .preanalyzer import compute_qp_offset
-                off = compute_qp_offset(
-                    self.aq, 0, col * f.ctu_size, lin * f.ctu_size,
-                    self.cfg.qp_adaptation_range)
-                cu.unit_qp = max(-cu.sps.qp_bd_offset_y,
-                                 min(51, sh.slice_qp + off))
+                if cu.pps.max_cu_dqp_depth > 0:
+                    # per-depth offsets: the CU recursion computes its own
+                    # QP from the AQ layers (xComputeQP, TEncCu.cpp:425)
+                    cu.aq_layers = self.aq
+                    cu.qp_adaptation_range = self.cfg.qp_adaptation_range
+                else:
+                    # xComputeQP (TEncCu.cpp:1113): per-CTU psycho-visual
+                    # QP (MaxCuDQPDepth=0: the offset is depth-invariant)
+                    from .preanalyzer import compute_qp_offset
+                    off = compute_qp_offset(
+                        self.aq, 0, col * f.ctu_size, lin * f.ctu_size,
+                        self.cfg.qp_adaptation_range)
+                    cu.unit_qp = max(-cu.sps.qp_bd_offset_y,
+                                     min(51, sh.slice_qp + off))
 
             cu.compress_ctu(ctu)
             # final-pass re-encode advancing [0][CI_CURR_BEST]
@@ -771,9 +777,14 @@ class PictureCompressor:
                 sao_write(w, ctu, ctu - slice_start_raster_lcu,
                           tile_ok_l, tile_ok_u)
             nat = getattr(cu, "_native", None)
-            if nat is not None:
+            from . import sbac_writer as _sw
+            if nat is not None and _sw.TRACE is None:
                 nat.encode_ctu_real(ctu, eng, subs[sub])
             else:
+                # the native compressor stores all decisions + coeffs in
+                # the shared FrameModel arrays, so the Python writer
+                # replays the identical final syntax — with symbol
+                # tracing (sbac_writer.TRACE) usable on the NATIVE path
                 cu.encode_ctu(ctu, w)
 
             if (col == tile_lcux + 1

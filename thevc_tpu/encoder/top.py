@@ -640,9 +640,6 @@ class Encoder:
         pc = se.PictureCompressor(cu, cfg)
         pc.rc = self.rate_ctrl
         if cfg.use_adaptive_qp:
-            if pps.max_cu_dqp_depth > 0:
-                raise NotImplementedError(
-                    "AdaptiveQP with MaxCuDQPDepth>0 (per-depth offsets)")
             from .preanalyzer import preanalyze
             pc.aq = preanalyze(org.y, sps.max_cu_width,
                                pps.max_cu_dqp_depth + 1)
