@@ -1,0 +1,533 @@
+"""Fast-RD inter decisions: device-batched motion search for P slices.
+
+The decoupled two-pass design of fast_intra extended to inter pictures
+(SURVEY.md section 7 hard part (c): the reference's TZ search —
+TEncSearch.cpp:4302 — is a data-dependent walk; the device replaces it
+with fixed-shape sweeps):
+
+  1. coarse motion field: quarter-resolution FULL search over the whole
+     +-search_range window for every reference picture, as a lax.scan
+     over (ref, dy) with the dx row statically vectorized — fixed
+     iteration count, no data-dependent control flow;
+  2. per-block integer refinement: +-3 full-pel window around the coarse
+     winner of the chosen reference (per-block reference windows gathered
+     once with interpolation margins);
+  3. quarter-pel refinement: all 48 sub-pel offsets around the integer
+     winner evaluated with the real HEVC 8-tap interpolation
+     (ops.jx_mc.mc_batch — the same kernels the decoder uses) and
+     Hadamard SATD, mirroring xPatternSearchFracDIF (TEncSearch.cpp:4476);
+  4. RD leaves: transform/quant residual estimates for the motion winner
+     (luma + both chroma planes through the 4-tap chroma MC), a skip
+     model at the neighborhood-median MV, and the intra leaf costs from
+     fast_intra's passes;
+  5. the quadtree DP picks depth and intra-vs-inter per CU and expands
+     unit maps (depth, intra maps, pred flag, ref idx, quarter-pel MV).
+
+The native apply then re-ranks each inter CU between the forced-MV
+AMVP candidate and the REAL closed-loop merge/skip RD (all candidates,
+real neighbors — codec_core.cpp es_check_rd_merge_2nx2n), so the stream
+is fully conformant and static regions recover the skip savings the
+open-loop pass can only approximate.
+
+v1 scope: P slices (uni-L0), 2Nx2N inter PUs; B slices keep the exact
+search.  Conformance does not depend on any of the approximations
+(only decision quality does).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .fast_intra import _satd_d, _tq_rd
+
+MARGIN = 12          # per-block window margin: 3 int refine + 4 taps + slack
+INTER_SIZES = (8, 16, 32, 64)
+
+
+def _avgpool(x, k: int):
+    h, w = x.shape
+    return (x.reshape(h // k, k, w // k, k).sum(axis=(1, 3))
+            + k * k // 2) // (k * k)
+
+
+def _block_sum(x, s: int):
+    h, w = x.shape
+    return x.reshape(h // s, s, w // s, s).sum(axis=(1, 3))
+
+
+def _golomb_bits(v):
+    """xGetComponentBits: 2*len(2|v|+1)-1 (unary-exp-golomb length)."""
+    import jax.numpy as jnp
+    code = 2 * jnp.abs(v) + 1
+    ln = jnp.floor(jnp.log2(code.astype(jnp.float32))).astype(jnp.int32) + 1
+    return 2 * ln - 1
+
+
+def _mv_pred_median(mvx, mvy):
+    """Neighborhood-median MV predictor over a block grid (open-loop
+    stand-in for AMVP/merge): median of left, above, above-right."""
+    import jax.numpy as jnp
+
+    def shift(a, dy, dx):
+        p = jnp.pad(a, ((max(dy, 0), max(-dy, 0)),
+                        (max(dx, 0), max(-dx, 0))))
+        h, w = a.shape
+        return p[max(-dy, 0):max(-dy, 0) + h, max(-dx, 0):max(-dx, 0) + w]
+
+    outs = []
+    for a in (mvx, mvy):
+        l = shift(a, 0, 1)
+        u = shift(a, 1, 0)
+        ur = shift(a, 1, -1)
+        med = jnp.maximum(jnp.minimum(jnp.maximum(l, u), ur),
+                          jnp.minimum(l, u))
+        outs.append(med)
+    return outs
+
+
+def _coarse_fields(org_q, refs_q, rng_q: int, hq: int, wq: int,
+                   sqrt_lam, ctu_size: int, n_act=None):
+    """Quarter-res full motion search for every tracked size class at
+    once.  org_q [hq, wq]; refs_q [R, hq + 2*rng_q, wq + 2*rng_q] (edge-
+    padded so every offset is a slice).  lax.scan over (ref, dy); the dx
+    sweep inside the body is statically vectorized.  Returns per size s:
+    (dy, dx, ref) full-pel int32 [hq*4//s, wq*4//s]."""
+    import jax
+    import jax.numpy as jnp
+
+    n_off = 2 * rng_q + 1
+    r_count = refs_q.shape[0]
+    sizes = [s for s in INTER_SIZES if s <= ctu_size]
+    base = sizes[0] // 4                 # smallest block, quarter-res px
+
+    rd_idx = np.arange(r_count * n_off, dtype=np.int32)
+    xs = jnp.asarray(np.stack([rd_idx // n_off, rd_idx % n_off], 1))
+
+    def body(carry, x):
+        r, dyi = x[0], x[1]
+        refp = jax.lax.dynamic_index_in_dim(refs_q, r, keepdims=False)
+        rows = jax.lax.dynamic_slice_in_dim(refp, dyi, hq, axis=0)
+        # the ref stack is PADDED to a fixed count so ref-list growth
+        # never recompiles; padded slots are masked out here
+        pad_penalty = jnp.where(r < n_act, jnp.float32(0.0),
+                                jnp.float32(np.inf))
+        new = []
+        for si, s in enumerate(sizes):
+            sq = s // 4
+            bc, bcode = carry[si]
+            cost_s = None
+            code_s = None
+            for dx in range(n_off):
+                win = rows[:, dx: dx + wq]
+                sad = _block_sum(jnp.abs(org_q - win), sq).astype(
+                    jnp.float32) * 4.0
+                # MV-bit prior in quarter-pel units (offset*4 full pel)
+                mvq = (jnp.abs(dyi - rng_q) + jnp.abs(jnp.int32(dx)
+                                                      - rng_q)) * 16
+                bits = 2 * jnp.ceil(jnp.log2(mvq.astype(jnp.float32)
+                                             + 2.0)) + r.astype(jnp.float32)
+                cost = sad + sqrt_lam * bits + pad_penalty
+                code = ((r * n_off + dyi) * n_off + dx).astype(jnp.int32)
+                if cost_s is None:
+                    cost_s = cost
+                    code_s = jnp.full(cost.shape, 0, jnp.int32) + code
+                else:
+                    take = cost < cost_s
+                    cost_s = jnp.where(take, cost, cost_s)
+                    code_s = jnp.where(take, code, code_s)
+            take = cost_s < bc
+            new.append((jnp.where(take, cost_s, bc),
+                        jnp.where(take, code_s, bcode)))
+        return new, None
+
+    init = []
+    for s in sizes:
+        sq = s // 4
+        shape = (hq // sq, wq // sq)
+        init.append((jnp.full(shape, jnp.inf, jnp.float32),
+                     jnp.zeros(shape, jnp.int32)))
+    final, _ = jax.lax.scan(body, init, xs)
+
+    out = {}
+    for si, s in enumerate(sizes):
+        code = final[si][1]
+        dx = code % n_off - rng_q
+        dy = (code // n_off) % n_off - rng_q
+        r = code // (n_off * n_off)
+        out[s] = (dy * 4, dx * 4, r)     # full-pel units
+    return out
+
+
+def _gather_windows(refs, ref_idx, y0, x0, win: int):
+    """Per-block windows [N, win, win] from stacked padded refs [R, H, W]
+    at dynamic (ref, y, x) starts (y0/x0 already include the pad offset)."""
+    import jax.numpy as jnp
+    rows = y0[:, None] + jnp.arange(win)[None, :]            # [N, win]
+    cols = x0[:, None] + jnp.arange(win)[None, :]
+    return refs[ref_idx[:, None, None], rows[:, :, None], cols[:, None, :]]
+
+
+def _qsplit(q: int):
+    """Static quarter-pel offset -> (int_pel, frac) with frac in 0..3."""
+    return (q - (q & 3)) // 4, q & 3
+
+
+def _inter_size_pass(org_full, org_cb, org_cr, refs_y, refs_cb, refs_cr,
+                     s, nby, nbx, coarse, pad_full, pad_c, qp_scaled,
+                     qp_cb, qp_cr, lam, sqrt_lam, cw, bit_inc, max_val):
+    """One inter size class: refine the coarse field, sub-pel search,
+    RD-estimate the winner and a skip model.  Returns
+    (rd cost float32, mvx, mvy (quarter-pel int32), ref) each [nby,nbx]."""
+    import jax.numpy as jnp
+    from ..ops.jx_mc import mc_batch
+
+    nb = nby * nbx
+    bd = 8 + bit_inc
+    c_dy, c_dx, c_ref = coarse           # full-pel int32 [nby, nbx]
+
+    ys = (np.arange(nby, dtype=np.int32) * s)[:, None]
+    xs = (np.arange(nbx, dtype=np.int32) * s)[None, :]
+    by = jnp.asarray(np.broadcast_to(ys, (nby, nbx)).reshape(-1))
+    bx = jnp.asarray(np.broadcast_to(xs, (nby, nbx)).reshape(-1))
+
+    org = org_full[:nby * s, :nbx * s]
+    org_b = (org.reshape(nby, s, nbx, s).transpose(0, 2, 1, 3)
+             .reshape(nb, s, s).astype(jnp.int32))
+
+    mv_px, mv_py = _mv_pred_median(c_dx * 4, c_dy * 4)
+    pred_x = mv_px.reshape(-1)           # quarter-pel predictor
+    pred_y = mv_py.reshape(-1)
+
+    ref = c_ref.reshape(-1)
+    dy0 = c_dy.reshape(-1)
+    dx0 = c_dx.reshape(-1)
+
+    # ---- integer refinement: +-3 around the coarse winner -------------
+    win = s + 2 * MARGIN
+    y0 = by + dy0 + (pad_full - MARGIN)
+    x0 = bx + dx0 + (pad_full - MARGIN)
+    W = _gather_windows(refs_y, ref, y0, x0, win).astype(jnp.int32)
+
+    best_cost = None
+    best_d = None
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            cand = W[:, MARGIN + dy: MARGIN + dy + s,
+                     MARGIN + dx: MARGIN + dx + s]
+            sad = jnp.abs(org_b - cand).sum(axis=(1, 2)) >> bit_inc
+            mvqx = (dx0 + dx) * 4
+            mvqy = (dy0 + dy) * 4
+            bits = (_golomb_bits(mvqx - pred_x)
+                    + _golomb_bits(mvqy - pred_y) + 2)
+            cost = (sad.astype(jnp.float32)
+                    + sqrt_lam * bits.astype(jnp.float32))
+            code = (dy + 3) * 7 + (dx + 3)
+            if best_cost is None:
+                best_cost = cost
+                best_d = jnp.full_like(ref, code)
+            else:
+                take = cost < best_cost
+                best_cost = jnp.where(take, cost, best_cost)
+                best_d = jnp.where(take, code, best_d)
+    int_my = dy0 + best_d // 7 - 3
+    int_mx = dx0 + best_d % 7 - 3
+
+    # re-anchor the window on the integer winner so every sub-pel
+    # candidate is a STATIC slice (the +-3 refine keeps it in range)
+    y0 = by + int_my + (pad_full - MARGIN)
+    x0 = bx + int_mx + (pad_full - MARGIN)
+    W = _gather_windows(refs_y, ref, y0, x0, win).astype(jnp.int16)
+    zero = jnp.zeros((nb,), jnp.int32)
+
+    # ---- quarter-pel refinement: the full 7x7 sub-pel window -----------
+    # (xPatternSearchFracDIF walks half then quarter rings; the dense
+    # window is a superset decided by the same SATD metric)
+    best_cost = None
+    best_q = None
+    for qdy in range(-3, 4):
+        for qdx in range(-3, 4):
+            iy, fy = _qsplit(qdy)
+            ix, fx = _qsplit(qdx)
+            wy = MARGIN + iy - 3
+            wx = MARGIN + ix - 3
+            sub = W[:, wy: wy + s + 7, wx: wx + s + 7]
+            if fx == 0 and fy == 0:
+                pred = sub[:, 3:3 + s, 3:3 + s].astype(jnp.int32)
+            elif fy == 0:
+                pred = mc_batch(sub[:, 3:3 + s, :], zero + fx, zero,
+                                case="hor", luma=True, bd=bd, bi=False,
+                                out_h=s, out_w=s).astype(jnp.int32)
+            elif fx == 0:
+                pred = mc_batch(sub[:, :, 3:3 + s], zero, zero + fy,
+                                case="ver", luma=True, bd=bd, bi=False,
+                                out_h=s, out_w=s).astype(jnp.int32)
+            else:
+                pred = mc_batch(sub, zero + fx, zero + fy,
+                                case="2d", luma=True, bd=bd, bi=False,
+                                out_h=s, out_w=s).astype(jnp.int32)
+            satd = _satd_d(org_b - pred, s, bit_inc)
+            mvqx = int_mx * 4 + qdx
+            mvqy = int_my * 4 + qdy
+            bits = (_golomb_bits(mvqx - pred_x)
+                    + _golomb_bits(mvqy - pred_y) + 2)
+            cost = (satd.astype(jnp.float32)
+                    + sqrt_lam * bits.astype(jnp.float32))
+            code = (qdy + 3) * 7 + (qdx + 3)
+            if best_cost is None:
+                best_cost = cost
+                best_q = jnp.full_like(ref, code)
+            else:
+                take = cost < best_cost
+                best_cost = jnp.where(take, cost, best_cost)
+                best_q = jnp.where(take, code, best_q)
+    mv_qx = int_mx * 4 + best_q % 7 - 3
+    mv_qy = int_my * 4 + best_q // 7 - 3
+
+    # ---- RD estimate at the winner --------------------------------------
+    def pred_luma_at(mvq_x, mvq_y):
+        ix = mvq_x >> 2
+        iy = mvq_y >> 2
+        fx = (mvq_x & 3).astype(jnp.int32)
+        fy = (mvq_y & 3).astype(jnp.int32)
+        yy0 = by + iy + (pad_full - 3)
+        xx0 = bx + ix + (pad_full - 3)
+        Wp = _gather_windows(refs_y, ref, yy0, xx0, s + 7).astype(jnp.int16)
+        return mc_batch(Wp, fx, fy, case="2d", luma=True, bd=bd, bi=False,
+                        out_h=s, out_w=s).astype(jnp.int32)
+
+    pred_l = pred_luma_at(mv_qx, mv_qy)
+    qpv = jnp.full((nb,), 1, jnp.int32) * qp_scaled
+    d_y, b_y = _tq_rd(org_b, pred_l, s, qpv, bit_inc, max_val,
+                      is_intra=False)
+
+    cs = s // 2
+    cby = by // 2
+    cbx = bx // 2
+
+    def cblocks(p):
+        o = p[:nby * cs, :nbx * cs]
+        return (o.reshape(nby, cs, nbx, cs).transpose(0, 2, 1, 3)
+                .reshape(nb, cs, cs).astype(jnp.int32))
+
+    def chroma_rd(refs_c, org_c, qp_c):
+        ix = mv_qx >> 3
+        iy = mv_qy >> 3
+        fx = (mv_qx & 7).astype(jnp.int32)
+        fy = (mv_qy & 7).astype(jnp.int32)
+        yy0 = cby + iy + (pad_c - 1)
+        xx0 = cbx + ix + (pad_c - 1)
+        Wc = _gather_windows(refs_c, ref, yy0, xx0,
+                             cs + 4).astype(jnp.int16)
+        predc = mc_batch(Wc, fx, fy, case="2d", luma=False, bd=bd,
+                         bi=False, out_h=cs, out_w=cs).astype(jnp.int32)
+        qpcv = jnp.full((nb,), 1, jnp.int32) * qp_c
+        return _tq_rd(org_c, predc, -32 if cs == 32 else cs, qpcv,
+                      bit_inc, max_val, is_intra=False)
+
+    d_cb, b_cb = chroma_rd(refs_cb, cblocks(org_cb), qp_cb)
+    d_cr, b_cr = chroma_rd(refs_cr, cblocks(org_cr), qp_cr)
+
+    mv_bits = (_golomb_bits(mv_qx - pred_x) + _golomb_bits(mv_qy - pred_y)
+               + 2 + ref.astype(jnp.int32) + 4)
+    rd = (d_y.astype(jnp.float32)
+          + cw * (d_cb + d_cr).astype(jnp.float32)
+          + lam * (b_y + b_cb + b_cr + mv_bits.astype(jnp.float32)))
+
+    # ---- skip/merge model: median-MV prediction, no residual -----------
+    pred_s = pred_luma_at(pred_x, pred_y)
+    d_s = ((org_b - pred_s) ** 2).sum(axis=(1, 2)) >> (2 * bit_inc)
+    skip_rd = d_s.astype(jnp.float32) + lam * 2.0
+    use_skip = skip_rd < rd
+    rd = jnp.minimum(rd, skip_rd)
+    mv_qx = jnp.where(use_skip, pred_x, mv_qx)
+    mv_qy = jnp.where(use_skip, pred_y, mv_qy)
+    ref = jnp.where(use_skip, 0, ref)
+
+    return (rd.reshape(nby, nbx), mv_qx.reshape(nby, nbx),
+            mv_qy.reshape(nby, nbx), ref.reshape(nby, nbx))
+
+
+# ---------------------------------------------------------------------------
+# whole-frame decision pass for P slices
+# ---------------------------------------------------------------------------
+
+PAD_FULL = 80        # ref padding: search range 64 + refine 3 + taps + slack
+PAD_C = 44
+
+
+def _frame_body_p(py, pcb, pcr, refs_y, refs_cb, refs_cr, iscal, fscal,
+                  wp, hp, statics, max_sig, min_tr_log2, unified):
+    """The whole P-slice decision problem in one launch: intra size
+    classes + chroma (fast_intra), inter motion search per size class,
+    combined quadtree DP, unit-map expansion -> packed int8
+    [11, hp//4, wp//4]."""
+    import jax.numpy as jnp
+    from .fast_intra import SIZES, _chroma_pass_impl, _dp_expand, \
+        _size_pass_impl
+
+    (width, height, bit_inc, max_val, ctu_size, search_range) = statics
+    qp_scaled, qp_cb, qp_cr = iscal[0], iscal[1], iscal[2]
+    lam, sqrt_lam = fscal[0], fscal[1]
+    bits3 = (fscal[2], fscal[3], fscal[4])
+    c_dm, c_oth, cw = fscal[5], fscal[6], fscal[7]
+    sqrt_lam_me = fscal[8]
+    sqrt_lam_bits3 = (bits3, sqrt_lam, lam)
+    py = py.astype(jnp.int32)
+    pcb = pcb.astype(jnp.int32)
+    pcr = pcr.astype(jnp.int32)
+    refs_y = refs_y.astype(jnp.int32)
+
+    # ---- intra leaves (same passes as the I-slice body) ----------------
+    res = {}
+    for s in SIZES:
+        if s > ctu_size:
+            continue
+        res[s] = _size_pass_impl(py, s, hp // s, wp // s, qp_scaled,
+                                 sqrt_lam_bits3, bit_inc, max_val,
+                                 ctu_size, unified)
+    cres = {}
+    lam_w_bits2 = ((c_dm, c_oth), lam, cw)
+    for s in SIZES:
+        if s > ctu_size or s < 8:
+            continue
+        cres[s] = _chroma_pass_impl(
+            pcb, pcr, s, hp // s, wp // s, res[s][0], res[s][0],
+            qp_cb, qp_cr, lam_w_bits2, bit_inc, max_val)
+    dm_nxn = res[4][0][0::2, 0::2]
+    cres8_nxn = _chroma_pass_impl(
+        pcb, pcr, 8, hp // 8, wp // 8, dm_nxn, dm_nxn,
+        qp_cb, qp_cr, lam_w_bits2, bit_inc, max_val)
+
+    # ---- inter leaves ----------------------------------------------------
+    org_full = py[1:1 + hp, 1:1 + wp]
+    org_cb_full = pcb[1:1 + hp // 2, 1:1 + wp // 2]
+    org_cr_full = pcr[1:1 + hp // 2, 1:1 + wp // 2]
+    rng_q = search_range // 4
+    org_q = _avgpool(org_full, 4)
+    hq, wq = hp // 4, wp // 4
+    # quarter-res padded refs: pool the +-search_range band of the padded
+    # full-res refs so every coarse offset is a slice
+    band = refs_y[:, PAD_FULL - 4 * rng_q: PAD_FULL + hp + 4 * rng_q,
+                  PAD_FULL - 4 * rng_q: PAD_FULL + wp + 4 * rng_q]
+    r_count = band.shape[0]
+    refs_q = jnp.stack([_avgpool(band[r], 4) for r in range(r_count)])
+
+    n_act = iscal[3]
+    coarse = _coarse_fields(org_q, refs_q, rng_q, hq, wq, sqrt_lam_me,
+                            ctu_size, n_act)
+    inter = {}
+    for s in INTER_SIZES:
+        if s > ctu_size:
+            continue
+        inter[s] = _inter_size_pass(
+            org_full, org_cb_full, org_cr_full, refs_y, refs_cb, refs_cr,
+            s, hp // s, wp // s, coarse[s], PAD_FULL, PAD_C, qp_scaled,
+            qp_cb, qp_cr, lam, sqrt_lam_me, cw, bit_inc, max_val)
+
+    return _dp_expand(res, cres, cres8_nxn, width, height, lam,
+                      max_sig, min_tr_log2, ctu_size, wp, hp, inter=inter)
+
+
+_frame_pass_cache_p = {}
+_lock_p = None
+
+
+def dispatch_frame_p(org_y, org_cb, org_cr, ref_pics, width: int,
+                     height: int, qp_scaled: int, qp_cb: int, qp_cr: int,
+                     lambda_: float, sqrt_lambda: float,
+                     sqrt_lambda_me: float, bits3: tuple, cbits2: tuple,
+                     max_sig: int, min_tr_log2: int, search_range: int,
+                     ctu_size: int = 64, bit_inc: int = 0,
+                     max_val: int = 255):
+    """Start the P-slice decision pass: upload + dispatch (async).
+
+    ref_pics: list of (rec_y, rec_cb, rec_cr) numpy planes of the L0
+    references in list order.  Returns a token for collect_frame_p.
+    """
+    import jax
+    from .fast_intra import _decision_device, _frame_pass_lock  # noqa: F401
+
+    pad = ctu_size * 2
+    wp = -(-width // ctu_size) * ctu_size
+    hp = -(-height // ctu_size) * ctu_size
+    ppad = np.pad(org_y, ((1, hp - height + pad), (1, wp - width + pad)),
+                  mode="edge")
+    cpad = ctu_size
+    wc, hc = width // 2, height // 2
+    cbp = np.pad(org_cb, ((1, hp // 2 - hc + cpad),
+                          (1, wp // 2 - wc + cpad)), mode="edge")
+    crp = np.pad(org_cr, ((1, hp // 2 - hc + cpad),
+                          (1, wp // 2 - wc + cpad)), mode="edge")
+
+    def padref(p, tgt_h, tgt_w, m):
+        return np.pad(p, ((m, m + tgt_h - p.shape[0]),
+                          (m, m + tgt_w - p.shape[1])), mode="edge")
+
+    # fixed ref-stack depth: a growing L0 (frames 1..4 of a stream) must
+    # not recompile — padded slots repeat the last ref and are masked in
+    # the coarse search by the traced active count
+    n_act = len(ref_pics)
+    pics = list(ref_pics) + [ref_pics[-1]] * (max(4, n_act) - n_act)
+    ry = np.stack([padref(p[0], hp, wp, PAD_FULL) for p in pics])
+    rcb = np.stack([padref(p[1], hp // 2, wp // 2, PAD_C)
+                    for p in pics])
+    rcr = np.stack([padref(p[2], hp // 2, wp // 2, PAD_C)
+                    for p in pics])
+
+    statics = (width, height, bit_inc, max_val, ctu_size, search_range)
+    iscal_np = np.asarray([qp_scaled, qp_cb, qp_cr, n_act], np.int32)
+    fscal_np = np.asarray(
+        [lambda_, sqrt_lambda, bits3[0], bits3[1], bits3[2],
+         cbits2[0], cbits2[1], cbits2[2], sqrt_lambda_me], np.float32)
+
+    dev = _decision_device()
+    unified = dev.platform != "cpu"
+    import jax.numpy as jnp
+    if not unified:
+        arrs = [jnp.asarray(a) for a in
+                (ppad.astype(np.int32), cbp.astype(np.int32),
+                 crp.astype(np.int32), ry.astype(np.int16),
+                 rcb.astype(np.int16), rcr.astype(np.int16),
+                 iscal_np, fscal_np)]
+    else:
+        ship = np.uint8 if max_val <= 255 else np.int16
+        arrs = [jax.device_put(a, dev) for a in
+                (ppad.astype(ship), cbp.astype(ship), crp.astype(ship),
+                 ry.astype(ship), rcb.astype(ship), rcr.astype(ship),
+                 iscal_np, fscal_np)]
+
+    key = (ppad.shape, ry.shape, statics, max_sig, min_tr_log2, unified)
+    global _lock_p
+    if _lock_p is None:
+        import threading
+        _lock_p = threading.Lock()
+    if unified:
+        from ..ops.device import _enable_compile_cache
+        _enable_compile_cache()
+    from functools import partial
+    with _lock_p:
+        fn = _frame_pass_cache_p.get(key)
+        if fn is None:
+            fn = jax.jit(partial(
+                _frame_body_p, wp=wp, hp=hp, statics=statics,
+                max_sig=max_sig, min_tr_log2=min_tr_log2, unified=unified))
+            _frame_pass_cache_p[key] = fn
+    out = fn(*arrs)
+    return (out, wp, hp)
+
+
+def collect_frame_p(token):
+    """Finish a dispatched P decision pass: one packed fetch -> maps.
+
+    Returns (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2, fd_pred,
+    fd_ref, fd_mvx, fd_mvy) — MVs int16 quarter-pel per 4x4 unit."""
+    out, wp, hp = token
+    packed = np.asarray(out)
+    (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2, fd_pred, fd_ref,
+     mvx_lo, mvx_hi, mvy_lo, mvy_hi) = packed
+    mvx = (mvx_lo.astype(np.uint8).astype(np.int16)
+           | (mvx_hi.astype(np.int16) << 8))
+    mvy = (mvy_lo.astype(np.uint8).astype(np.int16)
+           | (mvy_hi.astype(np.int16) << 8))
+    return (fd_depth, fd_mode, np.ascontiguousarray(fd_nxn, np.uint8),
+            fd_chroma, fd_mode2, fd_pred, fd_ref, mvx, mvy)

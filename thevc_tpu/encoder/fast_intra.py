@@ -332,11 +332,12 @@ def _coeff_bits_est(levels, size: int):
     return bits
 
 
-def _tq_rd(org, pred, size: int, qp_scaled, bit_inc: int, max_val: int):
+def _tq_rd(org, pred, size: int, qp_scaled, bit_inc: int, max_val: int,
+           is_intra: bool = True):
     """Forward T + quant + recon RD for one prediction per block:
     [N,s,s] -> (dist [N] int32, bits [N] float32).  size 64 evaluates the
-    four 32x32 quadrants (max TU is 32); size 32 with q16=True evaluates
-    16x16 quadrants (the chroma TU grid of a 64 CU)."""
+    four 32x32 quadrants (max TU is 32); size -32 evaluates a 32-sized
+    block as 16x16 quadrants (the chroma TU grid of a 64 CU)."""
     import jax.numpy as jnp
     from ..ops import jx
 
@@ -360,9 +361,9 @@ def _tq_rd(org, pred, size: int, qp_scaled, bit_inc: int, max_val: int):
             else qp_scaled.astype(jnp.int32)
     else:
         qp = jnp.full((resi.shape[0],), qp_scaled, jnp.int32)
-    use_dst = tsize == 4
+    use_dst = tsize == 4 and is_intra
     coeff = jx.forward_transform(resi, use_dst, bit_inc)
-    levels, _ = jx.quant(coeff, qp, True, bit_inc)
+    levels, _ = jx.quant(coeff, qp, is_intra, bit_inc)
     bits = _coeff_bits_est(levels, tsize)
     recon = jx.tu_recon_pipeline(ppred, levels, qp, use_dst, bit_inc,
                                  max_val)
@@ -602,14 +603,15 @@ _NXN_BITS = 3.0
 
 
 def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
-               min_tr_log2, ctu_size, wp, hp):
+               min_tr_log2, ctu_size, wp, hp, inter=None):
     """Bottom-up quadtree DP + per-4x4-unit map expansion, in jnp (runs
     inside the device launch; the packed maps are the only fetch).
 
-    res[s] = (mode, dist, bits) luma per block; cres[s] = (cdir, ccost)
-    for s >= 8; cres8_nxn = the NxN-variant chroma decision at s=8.
-    Returns int8 maps (fd_depth, fd_mode, fd_nxn, fd_chroma), each
-    [hp//4, wp//4].
+    res[s] = (mode, dist, bits, mode2) luma per block; cres[s] =
+    (cdir, ccost) for s >= 8; cres8_nxn = the NxN-variant chroma decision
+    at s=8.  inter (P slices): {s: (rd, mvx, mvy, ref)} — the leaf then
+    takes min(intra, inter) and the maps gain pred/ref/MV planes.
+    Returns stacked int8 maps [5 or 11, hp//4, wp//4].
     """
     import jax.numpy as jnp
 
@@ -617,6 +619,7 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
     lamf = jnp.asarray(lam, jnp.float32)
     cost = {}
     choice = {}
+    pred_inter = {}
     min_cu = ctu_size >> max_sig
     for s in SIZES:
         if s > ctu_size:
@@ -626,6 +629,10 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
                 + lamf * (bits + jnp.float32(_CU_BITS)))
         if s >= 8:
             leaf = leaf + cres[s][1]
+        if inter is not None and s in inter:
+            ileaf = inter[s][0] + lamf * jnp.float32(3.0)
+            pred_inter[s] = ileaf < leaf
+            leaf = jnp.minimum(leaf, ileaf)
         nby, nbx = leaf.shape
         ys = (np.arange(nby) * s)[:, None]
         xs = (np.arange(nbx) * s)[None, :]
@@ -668,6 +675,11 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
     fd_nxn = jnp.zeros((uh, uw), jnp.int8)
     fd_chroma = jnp.full((uh, uw), DM_CHROMA_IDX, jnp.int8)
     fd_mode2 = jnp.full((uh, uw), DC_IDX, jnp.int8)
+    if inter is not None:
+        fd_pred = jnp.zeros((uh, uw), jnp.int8)
+        fd_ref = jnp.zeros((uh, uw), jnp.int8)
+        fd_mvx = jnp.zeros((uh, uw), jnp.int32)
+        fd_mvy = jnp.zeros((uh, uw), jnp.int32)
 
     top = min(ctu_size, max(SIZES))
     open_ = jnp.ones((hp // top, wp // top), bool)
@@ -688,6 +700,13 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
                              fd_mode2)
         fd_chroma = jnp.where(lm, up(cres[s][0].astype(jnp.int8), un),
                               fd_chroma)
+        if inter is not None and s in inter:
+            im = lm & up(pred_inter[s], un)
+            fd_pred = jnp.where(im, jnp.int8(1), fd_pred)
+            fd_ref = jnp.where(im, up(inter[s][3].astype(jnp.int8), un),
+                               fd_ref)
+            fd_mvx = jnp.where(im, up(inter[s][1], un), fd_mvx)
+            fd_mvy = jnp.where(im, up(inter[s][2], un), fd_mvy)
         if s == 8:
             # split at 8 means an NxN-PU 8x8 CU, not a CU split: per-4x4
             # modes come from the 4x4 pass (already at unit granularity)
@@ -703,7 +722,16 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
         s //= 2
         depth += 1
 
-    return jnp.stack([fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2])
+    planes = [fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2]
+    if inter is not None:
+        mvx16 = fd_mvx.astype(jnp.int16)
+        mvy16 = fd_mvy.astype(jnp.int16)
+        planes += [fd_pred, fd_ref,
+                   (mvx16 & 0xFF).astype(jnp.int8),
+                   (mvx16 >> 8).astype(jnp.int8),
+                   (mvy16 & 0xFF).astype(jnp.int8),
+                   (mvy16 >> 8).astype(jnp.int8)]
+    return jnp.stack(planes)
 
 
 def _decision_device():
@@ -780,8 +808,10 @@ def _frame_pass(py, pcb, pcr, iscal, fscal, wp, hp, statics, max_sig,
     final decision maps only (~0.5 MB at 1080p), not per-size
     intermediates (~2 MB and 15 arrays in the previous design)."""
     import jax
+    import os
 
-    unified = _decision_device().platform != "cpu"
+    unified = (_decision_device().platform != "cpu"
+               or os.environ.get("THEVC_FASTRD_UNIFIED") == "1")
     key = (py.shape, py.dtype.name, wp, hp, statics, max_sig, min_tr_log2,
            unified)
     global _frame_pass_lock

@@ -51,6 +51,19 @@ class NativeCuEncoder:
                             fd_mode.ctypes.data, fd_nxn.ctypes.data,
                             cptr, m2ptr, int(fix_tu))
 
+    def set_fd_inter(self, fd_pred, fd_ref, fd_mvx, fd_mvy) -> None:
+        """Bind inter fast-RD decision maps (encoder/fast_inter.py):
+        per-unit pred flag, L0 ref idx and quarter-pel MV."""
+        import numpy as np
+        fd_pred = np.ascontiguousarray(fd_pred, np.int8)
+        fd_ref = np.ascontiguousarray(fd_ref, np.int8)
+        fd_mvx = np.ascontiguousarray(fd_mvx, np.int16)
+        fd_mvy = np.ascontiguousarray(fd_mvy, np.int16)
+        self._fdi_keep = (fd_pred, fd_ref, fd_mvx, fd_mvy)
+        self.lib.enc_set_fd_inter(self.handle, fd_pred.ctypes.data,
+                                  fd_ref.ctypes.data, fd_mvx.ctypes.data,
+                                  fd_mvy.ctypes.data)
+
     def get_go_frac(self) -> int:
         return int(self.lib.enc_get_go_frac(self.handle))
 
@@ -60,6 +73,14 @@ class NativeCuEncoder:
         self.lib.enc_get_slice_ctx(self.handle, ctx.ctypes.data,
                                    ctypes.byref(frac))
         return ctx, int(frac.value)
+
+    def set_slice_ctx(self, ctx, frac: int) -> None:
+        """Load the RD chain start state ([0][CI_CURR_BEST]) — the hook
+        the WPP fast path uses to apply the per-substream context rules
+        (TEncSlice.cpp:846-884) around native per-CTU compression."""
+        ctx = np.ascontiguousarray(ctx, np.uint8)
+        self.lib.enc_set_slice_ctx(self.handle, ctx.ctypes.data,
+                                   ctypes.c_uint64(frac))
 
     def encode_ctu_real(self, ctu_addr: int, eng, bs) -> None:
         """Run the real-CABAC final pass for one CTU, sharing the

@@ -25,7 +25,7 @@ from ..cabac.bitcount import CounterEncoder
 from ..cabac.engine import BinEncoder
 from ..common import rom
 from ..decoder.frame import FrameModel
-from ..params import I_SLICE, SliceHeader
+from ..params import I_SLICE, P_SLICE, SliceHeader
 from .cu_encoder import CI_CURR_BEST, CuEncoder
 from .rdcost import RdCost
 from .sbac_writer import SbacWriter
@@ -527,18 +527,56 @@ class PictureCompressor:
                 base, _ = cu.snap[0][CI_CURR_BEST]
                 self.dep_mem = [base.copy(), base.copy()]
 
-        # native all-intra fast path (single plain slice, no WPP/tiles/
-        # dep-slices/rate-control): the whole CTU loop incl. the counter
-        # re-encode runs in C (native/codec_core.cpp enc_compress_ctu)
+        # native fast path: the whole CTU loop incl. the counter
+        # re-encode runs in C (native/codec_core.cpp enc_compress_ctu).
+        # plain: one slice, no substreams.  wpp: WaveFrontSynchro
+        # substreams — the per-substream context rules
+        # (TEncSlice.cpp:846-947) run in Python around the native
+        # per-CTU calls via the enc_set/get_slice_ctx hooks.
         n_tiles = (self.tiles.n_cols * self.tiles.n_rows
                    if self.tiles is not None else 1)
-        if (self.nsub == 1 and n_tiles == 1
-                and not self.allow_dep and self.rc is None
-                and self.cfg.slice_mode != 2
-                and self.cfg.dependent_slice_mode != 2
-                and start == 0 and bounding >= f.num_ctus * parts):
+        base_ok = (n_tiles == 1
+                   and not self.allow_dep and self.rc is None
+                   and self.cfg.slice_mode != 2
+                   and self.cfg.dependent_slice_mode != 2
+                   and start == 0 and bounding >= f.num_ctus * parts)
+        wpp_native = (base_ok and self.nsub > 1
+                      and self.cfg.wavefront_synchro)
+        if base_ok and (self.nsub == 1 or wpp_native):
             from .native_enc import make_native_encoder
             nat = make_native_encoder(cu)
+            if nat is not None and self.cfg.fast_rd \
+                    and sh.slice_type == P_SLICE:
+                # fast-RD for P slices: device-batched motion search +
+                # intra decisions; the native CTU loop applies the maps
+                # with real merge RD and AMVP (encoder/fast_inter.py)
+                from ..ops import transforms as tops
+                from .fast_intra import chroma_bits2, mode_bits3
+                from .fast_inter import collect_frame_p, dispatch_frame_p
+                bits3 = mode_bits3(sh, cu.pps, self._init_ctx)
+                cbits2 = chroma_bits2(self._init_ctx,
+                                      cu.rd.chroma_distortion_weight)
+                qp_cb = tops.qp_scaled(
+                    sh.slice_qp, False, cu.sps.qp_bd_offset_c,
+                    cu.pps.chroma_cb_qp_offset + sh.slice_qp_delta_cb)
+                qp_cr = tops.qp_scaled(
+                    sh.slice_qp, False, cu.sps.qp_bd_offset_c,
+                    cu.pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr)
+                refs = [(p.rec_y, p.rec_cb, p.rec_cr)
+                        for p in cu.inter.lists[0]]
+                fd = collect_frame_p(dispatch_frame_p(
+                    cu.org_y, cu.org_cb, cu.org_cr, refs,
+                    f.width, f.height,
+                    sh.slice_qp + cu.sps.qp_bd_offset_y, qp_cb, qp_cr,
+                    cu.rd.lambda_, cu.rd.sqrt_lambda,
+                    cu.rd.lambda_motion_sad / 65536.0, bits3, cbits2,
+                    f.max_depth - cu.sps.add_cu_depth,
+                    cu.sps.quadtree_tu_log2_min_size,
+                    self.cfg.search_range, f.ctu_size,
+                    cu.sps.bit_increment,
+                    (1 << cu.sps.internal_bit_depth) - 1))
+                nat.set_fd(fd[0], fd[1], fd[2], fd[3], fd[4], True)
+                nat.set_fd_inter(fd[5], fd[6], fd[7], fd[8])
             if nat is not None and self.cfg.fast_rd \
                     and sh.slice_type == I_SLICE:
                 # fast-RD mode: device-batched open-loop decisions replace
@@ -571,7 +609,7 @@ class PictureCompressor:
                 nat.set_fd(fd[0], fd[1], fd[2],
                            fd[3] if dev_chroma else None,
                            fd[4] if top2 else None, fix_tu)
-            if nat is not None:
+            if nat is not None and not wpp_native:
                 for enc in range(f.num_ctus):
                     ctu = int(f.ctu_order[enc])
                     self._mark_ctu(ctu, sh, slice_idx)
@@ -582,6 +620,29 @@ class PictureCompressor:
                 # resetEntropy does not clear m_fracBits)
                 cu.go_on.frac_bits = nat.get_go_frac()
                 cu._native = nat      # reused by the final entropy pass
+                return
+            if nat is not None and wpp_native:
+                ctus_w_ = f.ctus_w
+                for enc in range(f.num_ctus):
+                    ctu = int(f.ctu_order[enc])
+                    self._mark_ctu(ctu, sh, slice_idx)
+                    col = ctu % ctus_w_
+                    sub = self._substream_of(ctu)
+                    # WPP row-start ctx inherit (TEncSlice.cpp:846-884)
+                    if col == 0 and self._tr_sync_ok(ctu, sh):
+                        sctx, sfrac = self.sub_best[sub]
+                        self.sub_best[sub] = (self.buffer_ctx[0].copy(),
+                                              sfrac)
+                    nat.set_slice_ctx(*self.sub_best[sub])
+                    self.pic_total_bits += nat.compress_ctu(ctu)
+                    self.sub_best[sub] = nat.get_slice_ctx()
+                    # store 2nd-LCU-of-row contexts (TEncSlice.cpp:938-947)
+                    if col == 1:
+                        self.buffer_ctx[0][:] = self.sub_best[sub][0]
+                cu.snap[0][CI_CURR_BEST] = nat.get_slice_ctx()
+                cu.go_on.frac_bits = nat.get_go_frac()
+                cu._native = nat
+                sh.next_slice = True           # TEncSlice tail (nsub > 1)
                 return
 
         tile_col = 0

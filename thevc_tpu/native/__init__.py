@@ -359,6 +359,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int32]
+        lib.enc_set_fd_inter.restype = None
+        lib.enc_set_fd_inter.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.enc_set_slice_ctx.restype = None
         lib.enc_set_slice_ctx.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]

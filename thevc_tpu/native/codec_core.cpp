@@ -5329,6 +5329,12 @@ struct EncState {
   const int8_t* fd_chroma;   // chosen chroma dir (or 36 = DM); may be NULL
   const int8_t* fd_mode2;    // runner-up luma mode for closed-loop
                              // re-ranking; may be NULL
+  // inter decision maps (P slices): per 4x4 unit — pred flag
+  // (0 intra / 1 inter), L0 ref idx, quarter-pel MV; may be NULL
+  const int8_t* fd_pred;
+  const int8_t* fd_ref;
+  const int16_t* fd_mvx;
+  const int16_t* fd_mvy;
   int fd_fix_tu;             // 1 = TU split fixed at the CU (no RQT RD)
   int fd_on;
   // ---- inter-slice state (valid when has_inter != 0) ----
@@ -10527,6 +10533,44 @@ static void es_check_rd_inter(EncState* S, int abs_part, int depth,
   es_best_update(S, abs_part, depth, bits, dist, cost, best, have_best);
 }
 
+// fast-RD: apply a forced uni-L0 2Nx2N motion decision from the device
+// maps.  AMVP runs against the REAL neighbors (es_estimate_mvp_amvp) and
+// xCheckBestMVP picks the cheaper predictor for the given MV, so the
+// emitted mvd/mvp_idx are exactly what the standard requires; only the
+// SEARCH was replaced (TEncSearch.cpp:4120 xMotionEstimation).
+static void es_check_rd_inter_forced(EncState* S, int abs_part, int depth,
+                                     int ref, int mvx, int mvy,
+                                     RegionSnap* best, int* have_best) {
+  FrameArrays* fa = &S->fa;
+  int ux, uy;
+  es_unit_xy(S, abs_part, &ux, &uy);
+  int px = ux * 4, py = uy * 4;
+  int size = fa->ctu_size >> depth;
+  int nri = S->sp.num_ref_idx0;
+  if (ref < 0 || ref >= nri) ref = 0;
+  es_reset_inter_region(S, abs_part, depth, SZ_2Nx2N);
+  es_clip_mv(S, px, py, &mvx, &mvy);
+  int16_t cands[AMVP_MAX][2];
+  int64_t dbp;
+  int mvp_idx = es_estimate_mvp_amvp(S, px, py, size, SZ_2Nx2N, 0, 0, ref,
+                                     cands, &dbp);
+  int16_t mv_pred[2] = {cands[mvp_idx][0], cands[mvp_idx][1]};
+  int bits = 0;
+  int64_t cost = 0;
+  es_check_best_mvp(S, cands, mvx, mvy, mv_pred, &mvp_idx, &bits, &cost);
+  int un = size / 4;
+  set_pu_u8(fa, fa->merge_flag, ux, uy, un, un, 0);
+  set_pu_i8(fa, fa->inter_dir, ux, uy, un, un, 1);
+  es_set_pu_motion(S, px, py, size, size, 0, ref, mvx, mvy,
+                   mvx - mv_pred[0], mvy - mv_pred[1], mvp_idx);
+  es_set_pu_motion(S, px, py, size, size, 1, -1, 0, 0, 0, 0, -1);
+  es_motion_compensation(S, px, py, size, -1);
+  int64_t rbits, rdist;
+  double rcost;
+  es_encode_res_calc_rd(S, abs_part, depth, 0, &rbits, &rdist, &rcost);
+  es_best_update(S, abs_part, depth, rbits, rdist, rcost, best, have_best);
+}
+
 // deriveTestModeAMP + the AMP check sequence (AMP_ENC_SPEEDUP, AMP_MRG)
 static void es_check_amp(EncState* S, int abs_part, int depth,
                          RegionSnap* best, int* have_best, int parent_part,
@@ -10680,11 +10724,27 @@ static void es_compress_cu(EncState* S, int abs_part, int depth,
   if (inside && (!S->fd_on || fd_leaf)) {
     int qp = S->ep.unit_qp >= 0 ? S->ep.unit_qp : S->ep.slice_qp;
     if (S->fd_on) {
-      PROF_BEGIN(21);
-      es_check_intra(S, abs_part, depth,
-                     fd_nxn_here ? SZ_NxN : SZ_2Nx2N, qp, best,
-                     &have_best);
-      PROF_END(21);
+      int64_t u_off = (int64_t)uy * fa->uw + ux;
+      int want_inter = S->has_inter && S->fd_pred && S->fd_pred[u_off];
+      if (want_inter) {
+        // inter CU: the REAL closed-loop merge/skip RD over all
+        // candidates competes with the device's forced-MV AMVP
+        // candidate — static content recovers full skip savings
+        PROF_BEGIN(19);
+        es_check_rd_merge_2nx2n(S, abs_part, depth, best, &have_best);
+        PROF_END(19);
+        PROF_BEGIN(18);
+        es_check_rd_inter_forced(S, abs_part, depth, S->fd_ref[u_off],
+                                 S->fd_mvx[u_off], S->fd_mvy[u_off],
+                                 best, &have_best);
+        PROF_END(18);
+      } else {
+        PROF_BEGIN(21);
+        es_check_intra(S, abs_part, depth,
+                       fd_nxn_here ? SZ_NxN : SZ_2Nx2N, qp, best,
+                       &have_best);
+        PROF_END(21);
+      }
       eb_reset_bits(&S->go);
       we_split_flag(S, &S->go, abs_part, depth);
       best->bits += eb_bits(&S->go);
@@ -10882,6 +10942,18 @@ void enc_set_fd(void* handle, const int8_t* depth_map,
   S->fd_mode2 = mode2_map;
   S->fd_fix_tu = fix_tu;
   S->fd_on = depth_map != NULL && mode_map != NULL && nxn_map != NULL;
+}
+
+// bind the inter fast-RD maps (per 4x4 unit): pred flag, L0 ref idx,
+// quarter-pel MV components; pass nulls to clear
+void enc_set_fd_inter(void* handle, const int8_t* pred_map,
+                      const int8_t* ref_map, const int16_t* mvx_map,
+                      const int16_t* mvy_map) {
+  EncState* S = (EncState*)handle;
+  S->fd_pred = pred_map;
+  S->fd_ref = ref_map;
+  S->fd_mvx = mvx_map;
+  S->fd_mvy = mvy_map;
 }
 
 void enc_destroy(void* handle) {

@@ -25,8 +25,11 @@ import numpy as np
 from .interp import (CHROMA_FILTER, IF_FILTER_PREC, IF_INTERNAL_OFFS,
                      IF_INTERNAL_PREC, LUMA_FILTER)
 
-_LUMA = jnp.asarray(LUMA_FILTER, jnp.int32)
-_CHROMA = jnp.asarray(CHROMA_FILTER, jnp.int32)
+# kept as NUMPY at module scope: a module-level jnp.asarray would become
+# a leaked tracer constant if this module is first imported inside a
+# traced function (jit caches the import-time array)
+_LUMA = np.asarray(LUMA_FILTER, np.int32)
+_CHROMA = np.asarray(CHROMA_FILTER, np.int32)
 
 
 def _copy_batch(src, bd, is_last):
@@ -84,7 +87,7 @@ def mc_batch(windows: jnp.ndarray, frac_x: jnp.ndarray, frac_y: jnp.ndarray,
     Returns [N, out_h, out_w] int16 — pixel domain when not bi, else the
     14-bit internal domain.
     """
-    filt = _LUMA if luma else _CHROMA
+    filt = jnp.asarray(_LUMA if luma else _CHROMA, jnp.int32)
     n_taps = 8 if luma else 4
     is_last = not bi
     if case == "copy":
