@@ -167,38 +167,30 @@ def test_device_decode_10bit_digest_exact(oracle, tmp_path):
     assert out.read_bytes() == ref_rec.read_bytes()
 
 
-def test_device_encoder_satd_sweep_byte_exact(oracle, tmp_path,
-                                              monkeypatch):
-    """Encoder device candidate sweep (THEVC_DEVICE_ENC=1): the 35-mode
-    intra SATD sweep runs as jx.intra_sweep_satd device launches feeding
-    the host RD walk — the bitstream must stay byte-exact vs HM
-    (decision-equality, TEncSearch.cpp:2530-2545)."""
-    import subprocess
-    from tests.conftest import ORACLE_BIN, REPO
-    from thevc_tpu.apps.encoder import main as encoder_main
-    monkeypatch.setenv("THEVC_NATIVE", "0")   # route the Python RD walk
-    monkeypatch.setenv("THEVC_DEVICE_ENC", "1")
-    clip = TESTDATA / "clip_96x80.yuv"
-    if not clip.exists():
-        subprocess.run(
-            ["python", str(REPO / "tools" / "make_test_clip.py"), str(clip),
-             "--width", "96", "--height", "80", "--frames", "2"],
-            check=True)
-    ref_bin = TESTDATA / "dev_sweep_ref.bin"
-    if not ref_bin.exists():
-        subprocess.run(
-            [str(ORACLE_BIN / "TAppEncoder"),
-             "-c", "/root/reference/cfg/encoder_intra_main.cfg",
-             "-i", str(clip), "-wdt", "96", "-hgt", "80",
-             "-f", "2", "-fr", "30", "-b", str(ref_bin),
-             "-o", "/dev/null", "--SEIpictureDigest=1"],
-            check=True, capture_output=True)
-    out = tmp_path / "sweep.bin"
-    encoder_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
-                  "-i", str(clip), "-wdt", "96", "-hgt", "80",
-                  "-f", "2", "-fr", "30", "-b", str(out),
-                  "-o", "/dev/null", "--SEIpictureDigest=1"])
-    assert out.read_bytes() == ref_bin.read_bytes()
+def test_fastrd_unified_matches_per_mode_form(monkeypatch):
+    """The decision pass has two formulations: the accelerator "unified"
+    all-modes gather and the CPU per-mode narrow kernels.  Both must
+    produce IDENTICAL decision maps — this is the CI gate that the
+    production TPU form computes the same decisions the CPU tests
+    validate end-to-end."""
+    import numpy as np
+    from thevc_tpu.encoder import fast_intra as fi
+
+    rng = np.random.RandomState(5)
+    y = rng.randint(0, 255, (80, 96)).astype(np.int16)
+    yy, xx = np.mgrid[0:80, 0:96]
+    y = ((y // 4 + xx * 2 + yy) % 255).astype(np.int16)
+    cb = rng.randint(0, 255, (40, 48)).astype(np.int16)
+    cr = rng.randint(0, 255, (40, 48)).astype(np.int16)
+    args = (y, cb, cr, 96, 80, 32, 30, 30, 57.0, 7.55,
+            (1.0, 2.0, 5.5), (0.5, 3.5, 1.1), 4, 2, 64, 0, 255)
+    maps_cpu = fi.decide_frame(*args)
+    monkeypatch.setenv("THEVC_FASTRD_UNIFIED", "1")
+    fi._frame_pass_cache.clear()
+    maps_uni = fi.decide_frame(*args)
+    fi._frame_pass_cache.clear()
+    for a, b in zip(maps_cpu, maps_uni):
+        assert np.array_equal(a, b)
 
 
 def test_device_decode_inter_digest_exact(oracle, tmp_path):

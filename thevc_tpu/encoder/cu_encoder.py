@@ -76,8 +76,6 @@ class CuEncoder:
         self.bit_depth = sps.internal_bit_depth
         self.bit_inc = sps.bit_increment
         self.max_val = (1 << self.bit_depth) - 1
-        from ..ops.device import device_enc_enabled
-        self.device_sweep = device_enc_enabled()
         # active quantization matrices (TEncGOP.cpp:255-275 activation)
         self.scaling = getattr(sps, "enc_scaling", None) \
             if sps.scaling_list_enabled_flag else None
@@ -845,12 +843,7 @@ class CuEncoder:
                     else line_raw)
             preds_all[mode] = intra_ops.predict(line, size, 4, mode, True,
                                                 self.max_val)
-        if self.device_sweep:
-            from ..ops import jx
-            sads = np.asarray(jx.intra_sweep_satd(org.astype(np.int32),
-                                                  preds_all, self.bit_inc))
-        else:
-            sads = calc_had_batched(org, preds_all, self.bit_inc)
+        sads = calc_had_batched(org, preds_all, self.bit_inc)
         for mode in range(35):
             mode_bits = self._mode_bits_intra(part, mode, depth, init_tr_depth)
             cost = float(sads[mode]) + float(mode_bits) * self.rd.sqrt_lambda

@@ -15,6 +15,27 @@ import os
 _cache: dict = {}
 _probe_cache: dict = {}   # survives reset_cache(): tunnel health is per-process
 
+# transfer/launch accounting for the device path (bench reports these
+# per frame so the host<->device ceiling is auditable; VERDICT r03 #3/#7)
+STATS = {"launches": 0, "h2d_bytes": 0, "d2h_bytes": 0}
+
+
+def stat_launch(h2d_bytes: int = 0) -> None:
+    STATS["launches"] += 1
+    STATS["h2d_bytes"] += int(h2d_bytes)
+
+
+def stat_d2h(nbytes: int) -> None:
+    STATS["d2h_bytes"] += int(nbytes)
+
+
+def stats_reset() -> dict:
+    """Return the counters so far and zero them."""
+    out = dict(STATS)
+    for k in STATS:
+        STATS[k] = 0
+    return out
+
 
 def backend_probe(timeout: float = 180.0) -> str:
     """jax.default_backend(), probed in a SUBPROCESS with a hard timeout.
@@ -104,19 +125,6 @@ def pallas_enabled() -> bool:
     if "pallas_auto" not in _cache:
         _cache["pallas_auto"] = effective_platform() == "tpu"
     return _cache["pallas_auto"]
-
-
-def device_enc_enabled() -> bool:
-    """Encoder candidate-sweep offload (THEVC_DEVICE_ENC=1): the 35-mode
-    intra SATD sweep runs on device.  Not auto-enabled: HM-exact RD walks
-    CUs sequentially (each PU's reference samples come from already-
-    reconstructed neighbors), so the sweep batches only within one PU —
-    correctness-gated here, but the per-PU launch latency of a remote
-    chip dominates; byte-exactness is proven by the CPU-mesh CI test."""
-    if os.environ.get("THEVC_DEVICE_ENC", "") == "1":
-        _enable_compile_cache()
-        return True
-    return False
 
 
 def reset_cache() -> None:
