@@ -273,6 +273,11 @@ def filter_picture_device(f: FrameModel, sh: SliceHeader, sps: Sps,
         band_pos = np.zeros((3, nctu), np.int32)
         offsets = np.zeros((3, nctu, 4), np.int32)
 
+    from ..ops.device import stat_d2h, stat_launch
+    stat_launch(rec_y.nbytes + rec_cb.nbytes + rec_cr.nbytes
+                + sum(a.nbytes for a in dbk_ver) + sum(
+                    a.nbytes for a in dbk_hor)
+                + types.nbytes + band_pos.nbytes + offsets.nbytes)
     y, cb, cr = jf.filter_picture(
         rec_y, rec_cb, rec_cr, dbk_ver, dbk_hor,
         types, band_pos, offsets,
@@ -281,9 +286,11 @@ def filter_picture_device(f: FrameModel, sh: SliceHeader, sps: Sps,
         ctu_size=f.ctu_size, ctus_w=f.ctus_w, ctus_h=f.ctus_h,
         do_deblock=do_deblock, do_sao=do_sao,
         do_sao_chroma=do_sao_chroma)
-    return (np.asarray(y).astype(rec_y.dtype),
-            np.asarray(cb).astype(rec_cb.dtype),
-            np.asarray(cr).astype(rec_cr.dtype))
+    out = (np.asarray(y).astype(rec_y.dtype),
+           np.asarray(cb).astype(rec_cb.dtype),
+           np.asarray(cr).astype(rec_cr.dtype))
+    stat_d2h(sum(a.nbytes for a in out))
+    return out
 
 
 def sao_frame(f: FrameModel, sh: SliceHeader, sps: Sps,

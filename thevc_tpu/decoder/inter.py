@@ -182,9 +182,12 @@ class InterPredictor:
             wins = np.stack([it[0] for it in items]).astype(np.int16)
             fxs = np.asarray([it[1] for it in items], np.int32)
             fys = np.asarray([it[2] for it in items], np.int32)
+            from ..ops.device import stat_d2h, stat_launch
+            stat_launch(wins.nbytes + fxs.nbytes + fys.nbytes)
             out = np.asarray(jx_mc.mc_batch(wins, fxs, fys, case=case,
                                             luma=luma, bd=self.bd, bi=bi,
                                             out_h=h, out_w=w))
+            stat_d2h(out.nbytes)
             for blk, (_w, _fx, _fy, okey) in zip(out, items):
                 results[okey] = blk
 

@@ -293,6 +293,8 @@ def _launch_residuals(f: FrameModel, sps: Sps, groups: dict) -> dict:
                 blocks, qps = pad_b, pad_q
             # launch only — all size classes run asynchronously and are
             # synchronized once below (one host<->device round trip)
+            from ..ops.device import stat_launch
+            stat_launch(blocks.nbytes + qps.nbytes)
             pending.append(
                 (jx.residual_pipeline(blocks, qps, use_dst, bit_inc), keys))
         else:
@@ -308,6 +310,8 @@ def _launch_residuals(f: FrameModel, sps: Sps, groups: dict) -> dict:
             pass
     for dev, keys in pending:
         resi = np.asarray(dev)
+        from ..ops.device import stat_d2h
+        stat_d2h(resi.nbytes)
         for i, k in enumerate(keys):
             store[k] = resi[i]
     return store
@@ -759,6 +763,8 @@ def _device_residual_store(f: FrameModel, sps: Sps, pps: Pps, runs):
             pad_q = np.zeros(cap, np.int32)
             pad_q[:n] = qps
             blocks, qps = pad_b, pad_q
+        from ..ops.device import stat_launch
+        stat_launch(blocks.nbytes + qps.nbytes)
         dev = jx.residual_pipeline(blocks, qps, use_dst, bit_inc)
         launches.append((comp, size, dev, n, bxs, bys))
         total += n * size * size
@@ -772,6 +778,8 @@ def _device_residual_store(f: FrameModel, sps: Sps, pps: Pps, runs):
     for comp, size, dev, n, bxs, bys in launches:
         sz = size * size
         resi = np.asarray(dev)[:n]
+        from ..ops.device import stat_d2h
+        stat_d2h(resi.nbytes)
         buf[off:off + n * sz] = resi.reshape(-1)
         div = 4 if comp == 0 else 2
         comp_maps[comp][bys // div, bxs // div] = \
