@@ -327,6 +327,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.get_prof.restype = None
         lib.get_prof.argtypes = [ctypes.c_void_p]
+        lib.frame_sse.restype = ctypes.c_double
+        lib.frame_sse.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
         lib.sao_apply_plane.restype = None
         lib.sao_apply_plane.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,

@@ -3861,6 +3861,27 @@ static uint64_t g_prof[32];
 extern "C" void get_prof(uint64_t* out) {
   for (int i = 0; i < 32; i++) { out[i] = g_prof[i]; g_prof[i] = 0; }
 }
+
+// whole-plane SSE between two int16 planes (xCalculateAddPSNR's sum of
+// squared differences, TEncGOP.cpp:1601-1640).  int32 products summed in
+// int64: exact for 14-bit samples.  The stride arguments let the caller
+// exclude source padding without copying.
+extern "C" double frame_sse(const int16_t* a, int64_t stride_a,
+                            const int16_t* b, int64_t stride_b,
+                            int64_t h, int64_t w) {
+  int64_t total = 0;
+  for (int64_t y = 0; y < h; y++) {
+    const int16_t* pa = a + y * stride_a;
+    const int16_t* pb = b + y * stride_b;
+    int64_t row = 0;
+    for (int64_t x = 0; x < w; x++) {
+      int32_t d = (int32_t)pa[x] - pb[x];
+      row += d * d;
+    }
+    total += row;
+  }
+  return (double)total;
+}
 enum { ECI_CURR_BEST = 0, ECI_NEXT_BEST, ECI_TEMP_BEST, ECI_QT_TRAFO_TEST,
        ECI_QT_TRAFO_ROOT, ECI_NUM };
 
