@@ -108,6 +108,27 @@ def test_fast_rd_ldp_conformant_and_roundtrips(oracle, tmp_path):
         (tmp_path / "hm_rec.yuv").read_bytes()
 
 
+def test_fast_rd_wpp_conformant_and_roundtrips(oracle, test_clip, tmp_path):
+    """Fast-RD composed with WaveFrontSynchro=1: the decision maps bind to
+    the WPP-unfenced native path (slice_encoder wpp_native), substreams +
+    entry points stay spec-valid — the HM decoder verifies every digest
+    and our decoder round-trips the reconstruction (VERDICT r03 #5)."""
+    my_bin = tmp_path / "fastwpp.bin"
+    _encode(test_clip, my_bin, 416, 240, 2, 32, fast=1,
+            extra=("--WaveFrontSynchro=1",))
+
+    r = subprocess.run(
+        [str(ORACLE_BIN / "TAppDecoder"), "-b", str(my_bin),
+         "-o", str(tmp_path / "hm_rec.yuv")],
+        capture_output=True, text=True, check=True)
+    oks = re.findall(r"\((OK|\*\*ERR\*\*)\)", r.stdout)
+    assert len(oks) == 2 and all(o == "OK" for o in oks), r.stdout
+
+    decoder_main(["-b", str(my_bin), "-o", str(tmp_path / "my_rec.yuv")])
+    assert (tmp_path / "my_rec.yuv").read_bytes() == \
+        (tmp_path / "hm_rec.yuv").read_bytes()
+
+
 def test_fast_rd_default_off(oracle, small_clip, tmp_path):
     """FastRD defaults to 0: the stream stays byte-identical to the exact
     path (which the rest of the suite pins byte-exact to HM)."""

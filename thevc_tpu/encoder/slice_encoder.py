@@ -562,7 +562,7 @@ class PictureCompressor:
                 qp_cr = tops.qp_scaled(
                     sh.slice_qp, False, cu.sps.qp_bd_offset_c,
                     cu.pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr)
-                refs = [(p.rec_y, p.rec_cb, p.rec_cr)
+                refs = [(p.poc, p.rec_y, p.rec_cb, p.rec_cr)
                         for p in cu.inter.lists[0]]
                 fd = collect_frame_p(dispatch_frame_p(
                     cu.org_y, cu.org_cb, cu.org_cr, refs,
