@@ -5350,12 +5350,17 @@ struct EncState {
   const int8_t* fd_chroma;   // chosen chroma dir (or 36 = DM); may be NULL
   const int8_t* fd_mode2;    // runner-up luma mode for closed-loop
                              // re-ranking; may be NULL
-  // inter decision maps (P slices): per 4x4 unit — pred flag
-  // (0 intra / 1 inter), L0 ref idx, quarter-pel MV; may be NULL
+  // inter decision maps (P/B slices): per 4x4 unit — pred flag
+  // (0 intra / 1 inter), L0 ref idx, quarter-pel MV; may be NULL.
+  // B slices add inter_dir (1/2/3) and the L1 ref/MV planes.
   const int8_t* fd_pred;
   const int8_t* fd_ref;
   const int16_t* fd_mvx;
   const int16_t* fd_mvy;
+  const int8_t* fd_dir;      // NULL = uni-L0 everywhere (P slices)
+  const int8_t* fd_ref1;
+  const int16_t* fd_mvx1;
+  const int16_t* fd_mvy1;
   int fd_fix_tu;             // 1 = TU split fixed at the CU (no RQT RD)
   int fd_on;
   // ---- inter-slice state (valid when has_inter != 0) ----
@@ -10560,31 +10565,51 @@ static void es_check_rd_inter(EncState* S, int abs_part, int depth,
 // emitted mvd/mvp_idx are exactly what the standard requires; only the
 // SEARCH was replaced (TEncSearch.cpp:4120 xMotionEstimation).
 static void es_check_rd_inter_forced(EncState* S, int abs_part, int depth,
-                                     int ref, int mvx, int mvy,
+                                     int dir, int ref0, int mvx0, int mvy0,
+                                     int ref1, int mvx1, int mvy1,
                                      RegionSnap* best, int* have_best) {
   FrameArrays* fa = &S->fa;
   int ux, uy;
   es_unit_xy(S, abs_part, &ux, &uy);
   int px = ux * 4, py = uy * 4;
   int size = fa->ctu_size >> depth;
-  int nri = S->sp.num_ref_idx0;
-  if (ref < 0 || ref >= nri) ref = 0;
+  if (dir < 1 || dir > 3 || (!S->me.is_b && dir != 1)) dir = 1;
+  int ref[2] = {ref0, ref1};
+  int mvx[2] = {mvx0, mvx1};
+  int mvy[2] = {mvy0, mvy1};
   es_reset_inter_region(S, abs_part, depth, SZ_2Nx2N);
-  es_clip_mv(S, px, py, &mvx, &mvy);
-  int16_t cands[AMVP_MAX][2];
-  int64_t dbp;
-  int mvp_idx = es_estimate_mvp_amvp(S, px, py, size, SZ_2Nx2N, 0, 0, ref,
-                                     cands, &dbp);
-  int16_t mv_pred[2] = {cands[mvp_idx][0], cands[mvp_idx][1]};
-  int bits = 0;
-  int64_t cost = 0;
-  es_check_best_mvp(S, cands, mvx, mvy, mv_pred, &mvp_idx, &bits, &cost);
   int un = size / 4;
   set_pu_u8(fa, fa->merge_flag, ux, uy, un, un, 0);
-  set_pu_i8(fa, fa->inter_dir, ux, uy, un, un, 1);
-  es_set_pu_motion(S, px, py, size, size, 0, ref, mvx, mvy,
-                   mvx - mv_pred[0], mvy - mv_pred[1], mvp_idx);
-  es_set_pu_motion(S, px, py, size, size, 1, -1, 0, 0, 0, 0, -1);
+  set_pu_i8(fa, fa->inter_dir, ux, uy, un, un, (int8_t)dir);
+  for (int lst = 0; lst < 2; lst++) {
+    if (!(dir & (1 << lst))) {
+      es_set_pu_motion(S, px, py, size, size, lst, -1, 0, 0, 0, 0, -1);
+      continue;
+    }
+    int nri = lst == 0 ? S->sp.num_ref_idx0 : S->sp.num_ref_idx1;
+    int r = ref[lst];
+    if (r < 0 || r >= nri) r = 0;
+    es_clip_mv(S, px, py, &mvx[lst], &mvy[lst]);
+    int16_t cands[AMVP_MAX][2];
+    int64_t dbp;
+    int mvp_idx = es_estimate_mvp_amvp(S, px, py, size, SZ_2Nx2N, 0, lst,
+                                       r, cands, &dbp);
+    int16_t mv_pred[2] = {cands[mvp_idx][0], cands[mvp_idx][1]};
+    if (S->me.mvd_l1_zero && lst == 1 && dir == 3) {
+      // mvd_l1_zero_flag: the L1 mvd of a BI PU is not coded — the MV
+      // MUST equal the predictor (TEncSearch.cpp:3450, 7.4.7.1)
+      mvx[lst] = mv_pred[0];
+      mvy[lst] = mv_pred[1];
+    } else {
+      int bits = 0;
+      int64_t cost = 0;
+      es_check_best_mvp(S, cands, mvx[lst], mvy[lst], mv_pred, &mvp_idx,
+                        &bits, &cost);   // updates mv_pred/mvp_idx in place
+    }
+    es_set_pu_motion(S, px, py, size, size, lst, r, mvx[lst], mvy[lst],
+                     mvx[lst] - mv_pred[0], mvy[lst] - mv_pred[1],
+                     mvp_idx);
+  }
   es_motion_compensation(S, px, py, size, -1);
   int64_t rbits, rdist;
   double rcost;
@@ -10755,9 +10780,14 @@ static void es_compress_cu(EncState* S, int abs_part, int depth,
         es_check_rd_merge_2nx2n(S, abs_part, depth, best, &have_best);
         PROF_END(19);
         PROF_BEGIN(18);
-        es_check_rd_inter_forced(S, abs_part, depth, S->fd_ref[u_off],
-                                 S->fd_mvx[u_off], S->fd_mvy[u_off],
-                                 best, &have_best);
+        int fdir = S->fd_dir ? S->fd_dir[u_off] : 1;
+        es_check_rd_inter_forced(
+            S, abs_part, depth, fdir, S->fd_ref[u_off],
+            S->fd_mvx[u_off], S->fd_mvy[u_off],
+            S->fd_ref1 ? S->fd_ref1[u_off] : 0,
+            S->fd_mvx1 ? S->fd_mvx1[u_off] : 0,
+            S->fd_mvy1 ? S->fd_mvy1[u_off] : 0,
+            best, &have_best);
         PROF_END(18);
       } else {
         PROF_BEGIN(21);
