@@ -129,6 +129,31 @@ def test_fast_rd_wpp_conformant_and_roundtrips(oracle, test_clip, tmp_path):
         (tmp_path / "hm_rec.yuv").read_bytes()
 
 
+def test_fast_rd_ra_conformant_and_roundtrips(oracle, tmp_path):
+    """Fast-RD for B slices (random access): per-list device motion
+    search + a bi-prediction stage on the uni winners (one vmapped
+    search over the stacked lists), forced dir/ref/MV apply with real
+    merge RD.  HM must verify every digest; our decoder round-trips."""
+    from tests.conftest import ensure_clip
+    ensure_clip("clip_96x80_9f.yuv", 96, 80, 9)
+    my_bin = tmp_path / "fastb.bin"
+    encoder_main(["-c", "/root/reference/cfg/encoder_randomaccess_main.cfg",
+                  "-i", "testdata/clip_96x80_9f.yuv", "-b", str(my_bin),
+                  "-wdt", "96", "-hgt", "80", "-f", "9", "-fr", "30",
+                  "-q", "32", "--FastRD=1", "--SEIpictureDigest=1"])
+
+    r = subprocess.run(
+        [str(ORACLE_BIN / "TAppDecoder"), "-b", str(my_bin),
+         "-o", str(tmp_path / "hm_rec.yuv")],
+        capture_output=True, text=True, check=True)
+    oks = re.findall(r"\((OK|\*\*ERR\*\*)\)", r.stdout)
+    assert len(oks) == 9 and all(o == "OK" for o in oks), r.stdout
+
+    decoder_main(["-b", str(my_bin), "-o", str(tmp_path / "my_rec.yuv")])
+    assert (tmp_path / "my_rec.yuv").read_bytes() == \
+        (tmp_path / "hm_rec.yuv").read_bytes()
+
+
 def test_fast_rd_default_off(oracle, small_clip, tmp_path):
     """FastRD defaults to 0: the stream stays byte-identical to the exact
     path (which the rest of the suite pins byte-exact to HM)."""

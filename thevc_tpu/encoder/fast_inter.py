@@ -366,6 +366,101 @@ def _inter_size_pass(org_full, org_cb, org_cr, refs_y, refs_cb, refs_cr,
             mv_qy.reshape(nby, nbx), ref.reshape(nby, nbx))
 
 
+def _pred_at_14bit(refs_y, refs_cb, refs_cr, ref, mv_qx, mv_qy, by, bx,
+                   cby, cbx, s, pad_full, pad_c, bd):
+    """Luma + chroma predictions for one MV/ref per block in the 14-bit
+    internal domain (bi=True), for the bi-prediction average."""
+    import jax.numpy as jnp
+    from ..ops.jx_mc import mc_batch
+
+    ix = mv_qx >> 2
+    iy = mv_qy >> 2
+    fx = (mv_qx & 3).astype(jnp.int32)
+    fy = (mv_qy & 3).astype(jnp.int32)
+    wy0 = by + iy + (pad_full - 3)
+    wx0 = bx + ix + (pad_full - 3)
+    wl = _gather_windows(refs_y, ref, wy0, wx0, s + 7).astype(jnp.int16)
+    pl = mc_batch(wl, fx, fy, case="2d", luma=True, bd=bd, bi=True,
+                  out_h=s, out_w=s)
+    cs = s // 2
+    cix = mv_qx >> 3
+    ciy = mv_qy >> 3
+    cfx = (mv_qx & 7).astype(jnp.int32)
+    cfy = (mv_qy & 7).astype(jnp.int32)
+    cy0 = cby + ciy + (pad_c - 1)
+    cx0 = cbx + cix + (pad_c - 1)
+    wb = _gather_windows(refs_cb, ref, cy0, cx0, cs + 4).astype(jnp.int16)
+    wr = _gather_windows(refs_cr, ref, cy0, cx0, cs + 4).astype(jnp.int16)
+    pcb = mc_batch(wb, cfx, cfy, case="2d", luma=False, bd=bd, bi=True,
+                   out_h=cs, out_w=cs)
+    pcr = mc_batch(wr, cfx, cfy, case="2d", luma=False, bd=bd, bi=True,
+                   out_h=cs, out_w=cs)
+    return pl, pcb, pcr
+
+
+def _bi_size_pass(org_full, org_cb, org_cr, ry2, rcb2, rcr2, uni2, s,
+                  nby, nbx, pad_full, pad_c, qp_scaled, qp_cb, qp_cr,
+                  lam, cw, sqrt_lam, bit_inc, max_val):
+    """Bi-prediction RD for one size class: average the two lists' uni
+    winners' predictions (TComYuv::addAvg domain) and transform/quant
+    the residual, mirroring the bi-pred stage of xMotionEstimation
+    (TEncSearch.cpp:3419-3520 with the iteration count collapsed to the
+    uni winners).  ry2/rcb2/rcr2: [2, R, H, W] stacked ref lists; uni2:
+    (rd, mvx, mvy, ref) each with a leading list axis of 2.  The
+    per-list prediction is vmapped over that axis so the MC graph is
+    instantiated once.  Returns rd [nby, nbx] float32."""
+    import jax
+    import jax.numpy as jnp
+    from .fast_intra import _tq_rd
+    from ..ops.jx_mc import bi_avg_batch
+
+    nb = nby * nbx
+    bd = 8 + bit_inc
+    ys = (np.arange(nby, dtype=np.int32) * s)[:, None]
+    xs = (np.arange(nbx, dtype=np.int32) * s)[None, :]
+    by = jnp.asarray(np.broadcast_to(ys, (nby, nbx)).reshape(-1))
+    bx = jnp.asarray(np.broadcast_to(xs, (nby, nbx)).reshape(-1))
+    cby, cbx = by // 2, bx // 2
+
+    org = org_full[:nby * s, :nbx * s]
+    org_b = (org.reshape(nby, s, nbx, s).transpose(0, 2, 1, 3)
+             .reshape(nb, s, s).astype(jnp.int32))
+
+    def cblocks(p):
+        cs = s // 2
+        o = p[:nby * cs, :nbx * cs]
+        return (o.reshape(nby, cs, nbx, cs).transpose(0, 2, 1, 3)
+                .reshape(nb, cs, cs).astype(jnp.int32))
+
+    mvx2 = uni2[1].reshape(2, -1)
+    mvy2 = uni2[2].reshape(2, -1)
+    ref2 = uni2[3].reshape(2, -1)
+    pl2, pcb2, pcr2 = jax.vmap(
+        lambda ry, rcb, rcr, ref, mx, my: _pred_at_14bit(
+            ry, rcb, rcr, ref, mx, my, by, bx, cby, cbx, s, pad_full,
+            pad_c, bd))(ry2, rcb2, rcr2, ref2, mvx2, mvy2)
+    mvbits = (_golomb_bits(mvx2) + _golomb_bits(mvy2) + 2
+              + ref2).astype(jnp.float32).sum(axis=0)
+
+    cs = s // 2
+    pl = bi_avg_batch(pl2[0], pl2[1], bd).astype(jnp.int32)
+    pcb = bi_avg_batch(pcb2[0], pcb2[1], bd).astype(jnp.int32)
+    pcr = bi_avg_batch(pcr2[0], pcr2[1], bd).astype(jnp.int32)
+
+    qpv = jnp.full((nb,), 1, jnp.int32)
+    d_y, b_y = _tq_rd(org_b, pl, s, qpv * qp_scaled, bit_inc, max_val,
+                      is_intra=False)
+    tqc = -32 if cs == 32 else cs
+    d_cb, b_cb = _tq_rd(cblocks(org_cb), pcb, tqc, qpv * qp_cb, bit_inc,
+                        max_val, is_intra=False)
+    d_cr, b_cr = _tq_rd(cblocks(org_cr), pcr, tqc, qpv * qp_cr, bit_inc,
+                        max_val, is_intra=False)
+    rd = (d_y.astype(jnp.float32)
+          + cw * (d_cb + d_cr).astype(jnp.float32)
+          + lam * (b_y + b_cb + b_cr + mvbits + 5.0))
+    return rd.reshape(nby, nbx)
+
+
 # ---------------------------------------------------------------------------
 # whole-frame decision pass for P slices
 # ---------------------------------------------------------------------------
@@ -375,22 +470,29 @@ PAD_C = 44
 
 
 def _frame_body_p(py, pcb, pcr, refs_y, refs_cb, refs_cr, iscal, fscal,
-                  wp, hp, statics, max_sig, min_tr_log2, unified):
-    """The whole P-slice decision problem in one launch: intra size
-    classes + chroma (fast_intra), inter motion search per size class,
-    combined quadtree DP, unit-map expansion -> packed int8
-    [11, hp//4, wp//4].
+                  wp, hp, statics, max_sig, min_tr_log2, unified,
+                  refs1_y=None, refs1_cb=None, refs1_cr=None):
+    """The whole P/B-slice decision problem in one launch: intra size
+    classes + chroma (fast_intra), inter motion search per size class
+    (per reference list for B, plus a bi-prediction stage on the uni
+    winners), combined quadtree DP, unit-map expansion -> packed int8
+    [11 (P) or 17 (B), hp//4, wp//4].
 
     refs_* arrive as TUPLES of per-picture planes (stacked on device):
     recon planes are uploaded once per picture and cached device-side,
-    so each P frame ships only the source + the one new reference."""
+    so each P/B frame ships only the source + the one new reference."""
     import jax.numpy as jnp
     from .fast_intra import SIZES, _chroma_pass_impl, _dp_expand, \
         _size_pass_impl
 
+    is_b = refs1_y is not None
     refs_y = jnp.stack(refs_y)
     refs_cb = jnp.stack(refs_cb)
     refs_cr = jnp.stack(refs_cr)
+    if is_b:
+        refs1_y = jnp.stack(refs1_y)
+        refs1_cb = jnp.stack(refs1_cb)
+        refs1_cr = jnp.stack(refs1_cr)
 
     (width, height, bit_inc, max_val, ctu_size, search_range) = statics
     qp_scaled, qp_cb, qp_cr = iscal[0], iscal[1], iscal[2]
@@ -432,24 +534,57 @@ def _frame_body_p(py, pcb, pcr, refs_y, refs_cb, refs_cr, iscal, fscal,
     rng_q = search_range // 4
     org_q = _avgpool(org_full, 4)
     hq, wq = hp // 4, wp // 4
-    # quarter-res padded refs: pool the +-search_range band of the padded
-    # full-res refs so every coarse offset is a slice
-    band = refs_y[:, PAD_FULL - 4 * rng_q: PAD_FULL + hp + 4 * rng_q,
-                  PAD_FULL - 4 * rng_q: PAD_FULL + wp + 4 * rng_q]
-    r_count = band.shape[0]
-    refs_q = jnp.stack([_avgpool(band[r], 4) for r in range(r_count)])
 
-    n_act = iscal[3]
-    coarse = _coarse_fields(org_q, refs_q, rng_q, hq, wq, sqrt_lam_me,
-                            ctu_size, n_act)
+    def uni_leaves(ry, rcb, rcr, n_act):
+        # quarter-res padded refs: pool the +-search_range band of the
+        # padded full-res refs so every coarse offset is a slice
+        band = ry[:, PAD_FULL - 4 * rng_q: PAD_FULL + hp + 4 * rng_q,
+                  PAD_FULL - 4 * rng_q: PAD_FULL + wp + 4 * rng_q]
+        r_count = band.shape[0]
+        refs_q = jnp.stack([_avgpool(band[r], 4) for r in range(r_count)])
+        coarse = _coarse_fields(org_q, refs_q, rng_q, hq, wq, sqrt_lam_me,
+                                ctu_size, n_act)
+        out = {}
+        for s in INTER_SIZES:
+            if s > ctu_size:
+                continue
+            out[s] = _inter_size_pass(
+                org_full, org_cb_full, org_cr_full, ry, rcb, rcr,
+                s, hp // s, wp // s, coarse[s], PAD_FULL, PAD_C, qp_scaled,
+                qp_cb, qp_cr, lam, sqrt_lam_me, cw, bit_inc, max_val)
+        return out
+
+    if not is_b:
+        uni0 = uni_leaves(refs_y, refs_cb, refs_cr, iscal[3])
+        return _dp_expand(res, cres, cres8_nxn, width, height, lam,
+                          max_sig, min_tr_log2, ctu_size, wp, hp,
+                          inter=uni0)
+
+    # B slices: stack the two lists [2, R, H, W] and vmap ONE search
+    # over the list axis — the compiled graph contains the uni pass
+    # once, not twice (compile time is the binding constraint on the
+    # 1-core bench host)
+    import jax
+    ry2 = jnp.stack([refs_y, refs1_y.astype(jnp.int32)])
+    rcb2 = jnp.stack([refs_cb, refs1_cb])
+    rcr2 = jnp.stack([refs_cr, refs1_cr])
+    n2 = jnp.stack([iscal[3], iscal[4]])
+    both = jax.vmap(uni_leaves)(ry2, rcb2, rcr2, n2)
+
     inter = {}
-    for s in INTER_SIZES:
-        if s > ctu_size:
-            continue
-        inter[s] = _inter_size_pass(
-            org_full, org_cb_full, org_cr_full, refs_y, refs_cb, refs_cr,
-            s, hp // s, wp // s, coarse[s], PAD_FULL, PAD_C, qp_scaled,
-            qp_cb, qp_cr, lam, sqrt_lam_me, cw, bit_inc, max_val)
+    for s in both:
+        rd_bi = _bi_size_pass(
+            org_full, org_cb_full, org_cr_full, ry2, rcb2, rcr2,
+            both[s], s, hp // s, wp // s, PAD_FULL, PAD_C,
+            qp_scaled, qp_cb, qp_cr, lam, cw, sqrt_lam_me, bit_inc,
+            max_val)
+        rd0, mvx0, mvy0, ref0 = (a[0] for a in both[s])
+        rd1, mvx1, mvy1, ref1 = (a[1] for a in both[s])
+        # dir = argmin{L0, L1, BI} (TEncSearch.cpp:3660-3760 selection)
+        rd = jnp.minimum(jnp.minimum(rd0, rd1), rd_bi)
+        direc = jnp.where(rd == rd_bi, jnp.int32(3),
+                          jnp.where(rd == rd0, jnp.int32(1), jnp.int32(2)))
+        inter[s] = (rd, mvx0, mvy0, ref0, direc, mvx1, mvy1, ref1)
 
     return _dp_expand(res, cres, cres8_nxn, width, height, lam,
                       max_sig, min_tr_log2, ctu_size, wp, hp, inter=inter)
@@ -503,11 +638,12 @@ def dispatch_frame_p(org_y, org_cb, org_cr, ref_pics, width: int,
                      sqrt_lambda_me: float, bits3: tuple, cbits2: tuple,
                      max_sig: int, min_tr_log2: int, search_range: int,
                      ctu_size: int = 64, bit_inc: int = 0,
-                     max_val: int = 255):
-    """Start the P-slice decision pass: upload + dispatch (async).
+                     max_val: int = 255, ref_pics_l1=None):
+    """Start the P/B-slice decision pass: upload + dispatch (async).
 
-    ref_pics: list of (rec_y, rec_cb, rec_cr) numpy planes of the L0
-    references in list order.  Returns a token for collect_frame_p.
+    ref_pics: list of (poc, rec_y, rec_cb, rec_cr) planes of the L0
+    references in list order; ref_pics_l1 likewise for a B slice (None
+    for P).  Returns a token for collect_frame_p / collect_frame_b.
     """
     import jax
     from .fast_intra import _decision_device, _frame_pass_lock  # noqa: F401
@@ -526,12 +662,20 @@ def dispatch_frame_p(org_y, org_cb, org_cr, ref_pics, width: int,
 
     # fixed ref-stack depth: a growing L0 (frames 1..4 of a stream) must
     # not recompile — padded slots repeat the last ref and are masked in
-    # the coarse search by the traced active count
+    # the coarse search by the traced active count.  B slices pad both
+    # lists to a COMMON depth so the body can stack them [2, R, H, W]
+    # and vmap one search over the list axis.
     n_act = len(ref_pics)
-    pics = list(ref_pics) + [ref_pics[-1]] * (max(4, n_act) - n_act)
+    is_b = ref_pics_l1 is not None
+    n_act1 = len(ref_pics_l1) if is_b else 0
+    r_depth = max(4, n_act, n_act1)
+    pics = list(ref_pics) + [ref_pics[-1]] * (r_depth - n_act)
+    pics1 = (list(ref_pics_l1)
+             + [ref_pics_l1[-1]] * (r_depth - n_act1)) if is_b else []
 
     statics = (width, height, bit_inc, max_val, ctu_size, search_range)
-    iscal_np = np.asarray([qp_scaled, qp_cb, qp_cr, n_act], np.int32)
+    iscal_np = np.asarray([qp_scaled, qp_cb, qp_cr, n_act, n_act1],
+                          np.int32)
     fscal_np = np.asarray(
         [lambda_, sqrt_lambda, bits3[0], bits3[1], bits3[2],
          cbits2[0], cbits2[1], cbits2[2], sqrt_lambda_me], np.float32)
@@ -541,13 +685,21 @@ def dispatch_frame_p(org_y, org_cb, org_cr, ref_pics, width: int,
     import jax.numpy as jnp
     ship = np.int16 if (not unified or max_val > 255) else np.uint8
     put_dev = dev if unified else None
-    # refs: (poc, y, cb, cr) tuples -> per-plane cached device arrays
-    ry = tuple(_cached_ref(p[1], p[0], hp, wp, PAD_FULL, ship, put_dev)
-               for p in pics)
-    rcb = tuple(_cached_ref(p[2], p[0], hp // 2, wp // 2, PAD_C, ship,
-                            put_dev) for p in pics)
-    rcr = tuple(_cached_ref(p[3], p[0], hp // 2, wp // 2, PAD_C, ship,
-                            put_dev) for p in pics)
+
+    def ref_stacks(ps):
+        # refs: (poc, y, cb, cr) tuples -> per-plane cached device arrays
+        y = tuple(_cached_ref(p[1], p[0], hp, wp, PAD_FULL, ship, put_dev)
+                  for p in ps)
+        cb = tuple(_cached_ref(p[2], p[0], hp // 2, wp // 2, PAD_C, ship,
+                               put_dev) for p in ps)
+        cr = tuple(_cached_ref(p[3], p[0], hp // 2, wp // 2, PAD_C, ship,
+                               put_dev) for p in ps)
+        return y, cb, cr
+
+    ry, rcb, rcr = ref_stacks(pics)
+    kw = {}
+    if is_b:
+        kw["refs1_y"], kw["refs1_cb"], kw["refs1_cr"] = ref_stacks(pics1)
     if not unified:
         arrs = [jnp.asarray(a) for a in
                 (ppad.astype(np.int32), cbp.astype(np.int32),
@@ -559,7 +711,7 @@ def dispatch_frame_p(org_y, org_cb, org_cr, ref_pics, width: int,
         arrs = srcs[:3] + [ry, rcb, rcr] + srcs[3:]
 
     key = (ppad.shape, len(pics), ship, statics, max_sig, min_tr_log2,
-           unified)
+           unified, is_b, len(pics1))
     global _lock_p
     if _lock_p is None:
         import threading
@@ -575,7 +727,7 @@ def dispatch_frame_p(org_y, org_cb, org_cr, ref_pics, width: int,
                 _frame_body_p, wp=wp, hp=hp, statics=statics,
                 max_sig=max_sig, min_tr_log2=min_tr_log2, unified=unified))
             _frame_pass_cache_p[key] = fn
-    out = fn(*arrs)
+    out = fn(*arrs, **kw)
     return (out, wp, hp)
 
 
@@ -594,3 +746,24 @@ def collect_frame_p(token):
            | (mvy_hi.astype(np.int16) << 8))
     return (fd_depth, fd_mode, np.ascontiguousarray(fd_nxn, np.uint8),
             fd_chroma, fd_mode2, fd_pred, fd_ref, mvx, mvy)
+
+
+def collect_frame_b(token):
+    """Finish a dispatched B decision pass: one packed fetch -> maps.
+
+    Returns collect_frame_p's nine maps plus (fd_dir, fd_ref1, fd_mvx1,
+    fd_mvy1)."""
+    out, wp, hp = token
+    packed = np.asarray(out)
+    (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2, fd_pred, fd_ref,
+     mvx_lo, mvx_hi, mvy_lo, mvy_hi,
+     fd_dir, fd_ref1, m1x_lo, m1x_hi, m1y_lo, m1y_hi) = packed
+
+    def mv16(lo, hi):
+        return (lo.astype(np.uint8).astype(np.int16)
+                | (hi.astype(np.int16) << 8))
+
+    return (fd_depth, fd_mode, np.ascontiguousarray(fd_nxn, np.uint8),
+            fd_chroma, fd_mode2, fd_pred, fd_ref,
+            mv16(mvx_lo, mvx_hi), mv16(mvy_lo, mvy_hi),
+            fd_dir, fd_ref1, mv16(m1x_lo, m1x_hi), mv16(m1y_lo, m1y_hi))

@@ -610,8 +610,10 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
     res[s] = (mode, dist, bits, mode2) luma per block; cres[s] =
     (cdir, ccost) for s >= 8; cres8_nxn = the NxN-variant chroma decision
     at s=8.  inter (P slices): {s: (rd, mvx, mvy, ref)} — the leaf then
-    takes min(intra, inter) and the maps gain pred/ref/MV planes.
-    Returns stacked int8 maps [5 or 11, hp//4, wp//4].
+    takes min(intra, inter) and the maps gain pred/ref/MV planes.  B
+    slices pass 8-tuples {s: (rd, mvx0, mvy0, ref0, dir, mvx1, mvy1,
+    ref1)} and the maps additionally gain dir + L1 ref/MV planes.
+    Returns stacked int8 maps [5, 11 or 17, hp//4, wp//4].
     """
     import jax.numpy as jnp
 
@@ -675,11 +677,18 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
     fd_nxn = jnp.zeros((uh, uw), jnp.int8)
     fd_chroma = jnp.full((uh, uw), DM_CHROMA_IDX, jnp.int8)
     fd_mode2 = jnp.full((uh, uw), DC_IDX, jnp.int8)
+    is_b = inter is not None and \
+        len(next(iter(inter.values()))) == 8
     if inter is not None:
         fd_pred = jnp.zeros((uh, uw), jnp.int8)
         fd_ref = jnp.zeros((uh, uw), jnp.int8)
         fd_mvx = jnp.zeros((uh, uw), jnp.int32)
         fd_mvy = jnp.zeros((uh, uw), jnp.int32)
+    if is_b:
+        fd_dir = jnp.ones((uh, uw), jnp.int8)
+        fd_ref1 = jnp.zeros((uh, uw), jnp.int8)
+        fd_mvx1 = jnp.zeros((uh, uw), jnp.int32)
+        fd_mvy1 = jnp.zeros((uh, uw), jnp.int32)
 
     top = min(ctu_size, max(SIZES))
     open_ = jnp.ones((hp // top, wp // top), bool)
@@ -707,6 +716,13 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
                                fd_ref)
             fd_mvx = jnp.where(im, up(inter[s][1], un), fd_mvx)
             fd_mvy = jnp.where(im, up(inter[s][2], un), fd_mvy)
+            if is_b:
+                fd_dir = jnp.where(
+                    im, up(inter[s][4].astype(jnp.int8), un), fd_dir)
+                fd_ref1 = jnp.where(
+                    im, up(inter[s][7].astype(jnp.int8), un), fd_ref1)
+                fd_mvx1 = jnp.where(im, up(inter[s][5], un), fd_mvx1)
+                fd_mvy1 = jnp.where(im, up(inter[s][6], un), fd_mvy1)
         if s == 8:
             # split at 8 means an NxN-PU 8x8 CU, not a CU split: per-4x4
             # modes come from the 4x4 pass (already at unit granularity)
@@ -722,15 +738,18 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
         s //= 2
         depth += 1
 
+    def mv_planes(mx, my):
+        mx16, my16 = mx.astype(jnp.int16), my.astype(jnp.int16)
+        return [(mx16 & 0xFF).astype(jnp.int8),
+                (mx16 >> 8).astype(jnp.int8),
+                (my16 & 0xFF).astype(jnp.int8),
+                (my16 >> 8).astype(jnp.int8)]
+
     planes = [fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2]
     if inter is not None:
-        mvx16 = fd_mvx.astype(jnp.int16)
-        mvy16 = fd_mvy.astype(jnp.int16)
-        planes += [fd_pred, fd_ref,
-                   (mvx16 & 0xFF).astype(jnp.int8),
-                   (mvx16 >> 8).astype(jnp.int8),
-                   (mvy16 & 0xFF).astype(jnp.int8),
-                   (mvy16 >> 8).astype(jnp.int8)]
+        planes += [fd_pred, fd_ref] + mv_planes(fd_mvx, fd_mvy)
+    if is_b:
+        planes += [fd_dir, fd_ref1] + mv_planes(fd_mvx1, fd_mvy1)
     return jnp.stack(planes)
 
 

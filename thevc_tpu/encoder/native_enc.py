@@ -51,18 +51,26 @@ class NativeCuEncoder:
                             fd_mode.ctypes.data, fd_nxn.ctypes.data,
                             cptr, m2ptr, int(fix_tu))
 
-    def set_fd_inter(self, fd_pred, fd_ref, fd_mvx, fd_mvy) -> None:
+    def set_fd_inter(self, fd_pred, fd_ref, fd_mvx, fd_mvy, fd_dir=None,
+                     fd_ref1=None, fd_mvx1=None, fd_mvy1=None) -> None:
         """Bind inter fast-RD decision maps (encoder/fast_inter.py):
-        per-unit pred flag, L0 ref idx and quarter-pel MV."""
+        per-unit pred flag, L0 ref idx and quarter-pel MV; B slices also
+        bind inter_dir and the L1 ref/MV planes."""
         import numpy as np
         fd_pred = np.ascontiguousarray(fd_pred, np.int8)
         fd_ref = np.ascontiguousarray(fd_ref, np.int8)
         fd_mvx = np.ascontiguousarray(fd_mvx, np.int16)
         fd_mvy = np.ascontiguousarray(fd_mvy, np.int16)
-        self._fdi_keep = (fd_pred, fd_ref, fd_mvx, fd_mvy)
-        self.lib.enc_set_fd_inter(self.handle, fd_pred.ctypes.data,
-                                  fd_ref.ctypes.data, fd_mvx.ctypes.data,
-                                  fd_mvy.ctypes.data)
+        extras = []
+        for a, dt in ((fd_dir, np.int8), (fd_ref1, np.int8),
+                      (fd_mvx1, np.int16), (fd_mvy1, np.int16)):
+            extras.append(None if a is None
+                          else np.ascontiguousarray(a, dt))
+        self._fdi_keep = (fd_pred, fd_ref, fd_mvx, fd_mvy, *extras)
+        self.lib.enc_set_fd_inter(
+            self.handle, fd_pred.ctypes.data, fd_ref.ctypes.data,
+            fd_mvx.ctypes.data, fd_mvy.ctypes.data,
+            *(None if a is None else a.ctypes.data for a in extras))
 
     def get_go_frac(self) -> int:
         return int(self.lib.enc_get_go_frac(self.handle))

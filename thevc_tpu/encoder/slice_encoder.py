@@ -546,13 +546,15 @@ class PictureCompressor:
             from .native_enc import make_native_encoder
             nat = make_native_encoder(cu)
             if nat is not None and self.cfg.fast_rd \
-                    and sh.slice_type == P_SLICE:
-                # fast-RD for P slices: device-batched motion search +
-                # intra decisions; the native CTU loop applies the maps
-                # with real merge RD and AMVP (encoder/fast_inter.py)
+                    and sh.slice_type != I_SLICE:
+                # fast-RD for P/B slices: device-batched motion search
+                # (per list + bi stage for B) + intra decisions; the
+                # native CTU loop applies the maps with real merge RD
+                # and AMVP (encoder/fast_inter.py)
                 from ..ops import transforms as tops
                 from .fast_intra import chroma_bits2, mode_bits3
-                from .fast_inter import collect_frame_p, dispatch_frame_p
+                from .fast_inter import (collect_frame_b, collect_frame_p,
+                                         dispatch_frame_p)
                 bits3 = mode_bits3(sh, cu.pps, self._init_ctx)
                 cbits2 = chroma_bits2(self._init_ctx,
                                       cu.rd.chroma_distortion_weight)
@@ -564,7 +566,10 @@ class PictureCompressor:
                     cu.pps.chroma_cr_qp_offset + sh.slice_qp_delta_cr)
                 refs = [(p.poc, p.rec_y, p.rec_cb, p.rec_cr)
                         for p in cu.inter.lists[0]]
-                fd = collect_frame_p(dispatch_frame_p(
+                is_b = sh.slice_type != P_SLICE
+                refs1 = [(p.poc, p.rec_y, p.rec_cb, p.rec_cr)
+                         for p in cu.inter.lists[1]] if is_b else None
+                tok = dispatch_frame_p(
                     cu.org_y, cu.org_cb, cu.org_cr, refs,
                     f.width, f.height,
                     sh.slice_qp + cu.sps.qp_bd_offset_y, qp_cb, qp_cr,
@@ -574,9 +579,12 @@ class PictureCompressor:
                     cu.sps.quadtree_tu_log2_min_size,
                     self.cfg.search_range, f.ctu_size,
                     cu.sps.bit_increment,
-                    (1 << cu.sps.internal_bit_depth) - 1))
+                    (1 << cu.sps.internal_bit_depth) - 1,
+                    ref_pics_l1=refs1)
+                fd = collect_frame_b(tok) if is_b else collect_frame_p(tok)
                 nat.set_fd(fd[0], fd[1], fd[2], fd[3], fd[4], True)
-                nat.set_fd_inter(fd[5], fd[6], fd[7], fd[8])
+                nat.set_fd_inter(fd[5], fd[6], fd[7], fd[8],
+                                 *(fd[9:13] if is_b else ()))
             if nat is not None and self.cfg.fast_rd \
                     and sh.slice_type == I_SLICE:
                 # fast-RD mode: device-batched open-loop decisions replace

@@ -366,7 +366,8 @@ def get_lib():
         lib.enc_set_fd_inter.restype = None
         lib.enc_set_fd_inter.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.enc_set_slice_ctx.restype = None
         lib.enc_set_slice_ctx.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]

@@ -10996,15 +10996,22 @@ void enc_set_fd(void* handle, const int8_t* depth_map,
 }
 
 // bind the inter fast-RD maps (per 4x4 unit): pred flag, L0 ref idx,
-// quarter-pel MV components; pass nulls to clear
+// quarter-pel MV components; pass nulls to clear.  B slices also bind
+// inter_dir (1/2/3) and the L1 ref/MV planes (all-null for P).
 void enc_set_fd_inter(void* handle, const int8_t* pred_map,
                       const int8_t* ref_map, const int16_t* mvx_map,
-                      const int16_t* mvy_map) {
+                      const int16_t* mvy_map, const int8_t* dir_map,
+                      const int8_t* ref1_map, const int16_t* mvx1_map,
+                      const int16_t* mvy1_map) {
   EncState* S = (EncState*)handle;
   S->fd_pred = pred_map;
   S->fd_ref = ref_map;
   S->fd_mvx = mvx_map;
   S->fd_mvy = mvy_map;
+  S->fd_dir = dir_map;
+  S->fd_ref1 = ref1_map;
+  S->fd_mvx1 = mvx1_map;
+  S->fd_mvy1 = mvy1_map;
 }
 
 void enc_destroy(void* handle) {
