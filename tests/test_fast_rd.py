@@ -154,6 +154,27 @@ def test_fast_rd_ra_conformant_and_roundtrips(oracle, tmp_path):
         (tmp_path / "hm_rec.yuv").read_bytes()
 
 
+@pytest.mark.parametrize("fast", [0, 1])
+def test_wpp_threaded_compress_byte_identical(oracle, test_clip, tmp_path,
+                                              fast, monkeypatch):
+    """THEVC_ENC_THREADS>1 row-parallelizes the WPP compress pass
+    (slice_encoder._compress_wpp_threaded): worker threads advance CTU
+    rows under the wavefront stagger with per-row native encoders over
+    shared frame arrays.  The schedule preserves every dependency of the
+    sequential loop, so streams must be byte-identical at any thread
+    count — on the exact path (which other tests pin byte-exact to HM
+    under WPP) and the fast-RD path alike (VERDICT r03 item #5)."""
+    outs = {}
+    for t in (1, 2, 4):
+        monkeypatch.setenv("THEVC_ENC_THREADS", str(t))
+        out = tmp_path / f"wpp_t{t}.bin"
+        _encode(test_clip, out, 416, 240, 2, 32, fast=fast,
+                extra=("--WaveFrontSynchro=1",))
+        outs[t] = out.read_bytes()
+    assert outs[2] == outs[1]
+    assert outs[4] == outs[1]
+
+
 def test_fast_rd_default_off(oracle, small_clip, tmp_path):
     """FastRD defaults to 0: the stream stays byte-identical to the exact
     path (which the rest of the suite pins byte-exact to HM)."""

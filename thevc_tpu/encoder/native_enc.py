@@ -47,6 +47,9 @@ class NativeCuEncoder:
             fd_mode2 = np.ascontiguousarray(fd_mode2, np.int8)
             m2ptr = fd_mode2.ctypes.data
         self._fd_keep = (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2)
+        # replayable args so a WPP worker clone can bind the same maps
+        self._fd_args = (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2,
+                         fix_tu)
         self.lib.enc_set_fd(self.handle, fd_depth.ctypes.data,
                             fd_mode.ctypes.data, fd_nxn.ctypes.data,
                             cptr, m2ptr, int(fix_tu))
@@ -67,6 +70,7 @@ class NativeCuEncoder:
             extras.append(None if a is None
                           else np.ascontiguousarray(a, dt))
         self._fdi_keep = (fd_pred, fd_ref, fd_mvx, fd_mvy, *extras)
+        self._fdi_args = self._fdi_keep
         self.lib.enc_set_fd_inter(
             self.handle, fd_pred.ctypes.data, fd_ref.ctypes.data,
             fd_mvx.ctypes.data, fd_mvy.ctypes.data,

@@ -487,6 +487,111 @@ class PictureCompressor:
         encCABACTableIdx when set (TEncSlice.cpp:891-903)."""
         return enc_init_type(sh, self.cu.pps)
 
+    # -- threaded WPP compress (THEVC_ENC_THREADS > 1) -------------------
+    def _compress_wpp_threaded(self, sh, slice_idx: int, nat,
+                               nthreads: int) -> bool:
+        """Row-parallel WPP compression: worker threads claim CTU rows and
+        advance under the standard wavefront stagger (row r may compress
+        column c once row r-1 has finished column c+1 — the same
+        dependency HM's WPP frame threads use).  Each worker drives its
+        own native EncState bound to the SHARED frame arrays; the
+        per-substream CABAC chain lives entirely inside one row, and the
+        row-start context inherit (TEncSlice.cpp:846-884) waits on the
+        row above's 2nd-CTU snapshot.  The schedule preserves every data
+        and context dependency of the sequential loop, so the output is
+        byte-identical at any thread count (asserted by
+        tests/test_fast_rd.py).  ctypes releases the GIL around
+        enc_compress_ctu, so rows genuinely overlap on multicore hosts.
+        Returns False to fall back to the sequential loop."""
+        import threading
+        from .native_enc import make_native_encoder
+
+        cu, f = self.cu, self.f
+        ctus_w = f.ctus_w
+        n_rows = f.num_ctus // ctus_w
+        if n_rows * ctus_w != f.num_ctus or self.nsub != n_rows:
+            return False
+        # worker encoders share frame arrays/recon; clone decision maps
+        nats = [nat]
+        for _ in range(min(nthreads, n_rows) - 1):
+            n2 = make_native_encoder(cu)
+            if n2 is None:
+                return False
+            if getattr(nat, "_fd_args", None) is not None:
+                n2.set_fd(*nat._fd_args)
+            if getattr(nat, "_fdi_args", None) is not None:
+                n2.set_fd_inter(*nat._fdi_args)
+            nats.append(n2)
+
+        for enc in range(f.num_ctus):
+            self._mark_ctu(int(f.ctu_order[enc]), sh, slice_idx)
+
+        init = self._init_ctx
+        progress = [0] * n_rows        # columns completed per row
+        after2 = [None] * n_rows       # ctx snapshot after column 1
+        results = {}                   # row -> (bits, (ctx, frac), go)
+        errors = []
+        cond = threading.Condition()
+        state = {"next_row": 0}
+
+        def worker(wnat):
+            try:
+                while True:
+                    with cond:
+                        r = state["next_row"]
+                        if r >= n_rows:
+                            return
+                        state["next_row"] = r + 1
+                    first = r * ctus_w
+                    if self._tr_sync_ok(first, sh):
+                        with cond:
+                            while after2[r - 1] is None and not errors:
+                                cond.wait()
+                            if errors:
+                                return
+                            start_ctx = after2[r - 1].copy()
+                    else:
+                        start_ctx = init.copy()
+                    wnat.set_slice_ctx(start_ctx, 0)
+                    bits = 0
+                    for c in range(ctus_w):
+                        if r > 0:
+                            need = min(c + 2, ctus_w)
+                            with cond:
+                                while progress[r - 1] < need and not errors:
+                                    cond.wait()
+                                if errors:
+                                    return
+                        bits += wnat.compress_ctu(r * ctus_w + c)
+                        with cond:
+                            progress[r] = c + 1
+                            if c == 1:
+                                after2[r] = wnat.get_slice_ctx()[0]
+                            cond.notify_all()
+                    with cond:
+                        results[r] = (bits, wnat.get_slice_ctx(),
+                                      wnat.get_go_frac())
+            except BaseException as e:    # noqa: BLE001
+                with cond:
+                    errors.append(e)
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=worker, args=(n,))
+                   for n in nats]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        self.pic_total_bits += sum(results[r][0] for r in range(n_rows))
+        _, last_chain, go_frac = results[n_rows - 1]
+        cu.snap[0][CI_CURR_BEST] = last_chain
+        cu.go_on.frac_bits = go_frac
+        cu._native = nat
+        sh.next_slice = True               # TEncSlice tail (nsub > 1)
+        return True
+
     # -- compress pass --------------------------------------------------
     def compress_slice(self, sh, start: int, bounding: int,
                        slice_idx: int) -> None:
@@ -630,6 +735,12 @@ class PictureCompressor:
                 cu._native = nat      # reused by the final entropy pass
                 return
             if nat is not None and wpp_native:
+                import os as _os
+                nthreads = int(_os.environ.get("THEVC_ENC_THREADS", "1"))
+                if nthreads > 1 and f.num_ctus > f.ctus_w \
+                        and self._compress_wpp_threaded(
+                            sh, slice_idx, nat, nthreads):
+                    return
                 ctus_w_ = f.ctus_w
                 for enc in range(f.num_ctus):
                     ctu = int(f.ctu_order[enc])
