@@ -121,6 +121,7 @@ def main():
     try:
         extra.update(_bench_fastrd_encode(clip, len(stream)))
         extra.update(_bench_fastrd_ldp())
+        extra.update(_bench_fastrd_ra())
         extra.update(_bench_fastrd_quality())
     finally:
         os.environ["THEVC_DEVICE"] = "0"
@@ -235,6 +236,50 @@ def _bench_fastrd_ldp() -> dict:
         res["fastrd_ldp_bits_overhead_pct"] = round(
             (len(stream) / os.path.getsize(exact) - 1) * 100, 2)
     return res
+
+
+def _bench_fastrd_ra() -> dict:
+    """1080p random-access (hierarchical-B) fast-RD encode: per-list
+    device motion search + bi-prediction stage (encoder/fast_inter.py)
+    with the native forced-dir/ref/MV apply.  Conformance gate: the HM
+    decoder verifies every embedded digest."""
+    frames = 9
+    clip = os.path.join(TESTDATA, f"bench_1080p_{frames}f.yuv")
+    if not os.path.exists(clip):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "make_test_clip.py"),
+                        clip, "--width", "1920", "--height", "1080",
+                        "--frames", str(frames)], check=True,
+                       capture_output=True)
+    from thevc_tpu.utils.cfg import parse_args
+    from thevc_tpu.encoder.top import Encoder
+
+    argv = ["-c", "/root/reference/cfg/encoder_randomaccess_main.cfg",
+            "-i", clip, "-wdt", "1920", "-hgt", "1080",
+            "-f", str(frames), "-fr", "30", "-b", "/dev/null",
+            "-o", "/dev/null", "--SEIpictureDigest=1", "--FastRD=1"]
+
+    def _pass():
+        cfg = parse_args(argv)
+        enc = Encoder(cfg)
+        enc.verbose = False
+        t0 = time.time()
+        s = enc.encode(None)
+        return s, time.time() - t0
+
+    _pass()                      # warm compiles (persistent-cached)
+    stream, dt = _pass()         # one timed pass (9 frames; B compile
+    #                              is already the expensive part)
+    out_bin = os.path.join(TESTDATA, "bench_fastrd_ra_out.bin")
+    with open(out_bin, "wb") as fh:
+        fh.write(stream)
+    dec = subprocess.run([ORACLE_DEC, "-b", out_bin, "-o", "/dev/null"],
+                         capture_output=True, text=True)
+    n_ok = dec.stdout.count("(OK)")
+    assert dec.returncode == 0 and n_ok == frames and \
+        "***ERROR***" not in dec.stdout, \
+        "HM decoder digest check failed on the fast-RD RA stream"
+    return {"encode_fps_fastrd_ra_1080p": round(frames / dt, 4)}
 
 
 def _bd_rate(rb, pb, rf, pf) -> float:

@@ -476,7 +476,7 @@ def _frame_body_p(py, pcb, pcr, refs_y, refs_cb, refs_cr, iscal, fscal,
     classes + chroma (fast_intra), inter motion search per size class
     (per reference list for B, plus a bi-prediction stage on the uni
     winners), combined quadtree DP, unit-map expansion -> packed int8
-    [11 (P) or 17 (B), hp//4, wp//4].
+    [12 (P) or 18 (B), hp//4, wp//4].
 
     refs_* arrive as TUPLES of per-picture planes (stacked on device):
     recon planes are uploaded once per picture and cached device-side,
@@ -734,29 +734,30 @@ def dispatch_frame_p(org_y, org_cb, org_cr, ref_pics, width: int,
 def collect_frame_p(token):
     """Finish a dispatched P decision pass: one packed fetch -> maps.
 
-    Returns (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2, fd_pred,
-    fd_ref, fd_mvx, fd_mvy) — MVs int16 quarter-pel per 4x4 unit."""
+    Returns (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2, fd_mode3,
+    fd_pred, fd_ref, fd_mvx, fd_mvy) — MVs int16 quarter-pel per 4x4
+    unit."""
     out, wp, hp = token
     packed = np.asarray(out)
-    (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2, fd_pred, fd_ref,
-     mvx_lo, mvx_hi, mvy_lo, mvy_hi) = packed
+    (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2, fd_mode3, fd_pred,
+     fd_ref, mvx_lo, mvx_hi, mvy_lo, mvy_hi) = packed
     mvx = (mvx_lo.astype(np.uint8).astype(np.int16)
            | (mvx_hi.astype(np.int16) << 8))
     mvy = (mvy_lo.astype(np.uint8).astype(np.int16)
            | (mvy_hi.astype(np.int16) << 8))
     return (fd_depth, fd_mode, np.ascontiguousarray(fd_nxn, np.uint8),
-            fd_chroma, fd_mode2, fd_pred, fd_ref, mvx, mvy)
+            fd_chroma, fd_mode2, fd_mode3, fd_pred, fd_ref, mvx, mvy)
 
 
 def collect_frame_b(token):
     """Finish a dispatched B decision pass: one packed fetch -> maps.
 
-    Returns collect_frame_p's nine maps plus (fd_dir, fd_ref1, fd_mvx1,
+    Returns collect_frame_p's ten maps plus (fd_dir, fd_ref1, fd_mvx1,
     fd_mvy1)."""
     out, wp, hp = token
     packed = np.asarray(out)
-    (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2, fd_pred, fd_ref,
-     mvx_lo, mvx_hi, mvy_lo, mvy_hi,
+    (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2, fd_mode3, fd_pred,
+     fd_ref, mvx_lo, mvx_hi, mvy_lo, mvy_hi,
      fd_dir, fd_ref1, m1x_lo, m1x_hi, m1y_lo, m1y_hi) = packed
 
     def mv16(lo, hi):
@@ -764,6 +765,6 @@ def collect_frame_b(token):
                 | (hi.astype(np.int16) << 8))
 
     return (fd_depth, fd_mode, np.ascontiguousarray(fd_nxn, np.uint8),
-            fd_chroma, fd_mode2, fd_pred, fd_ref,
+            fd_chroma, fd_mode2, fd_mode3, fd_pred, fd_ref,
             mv16(mvx_lo, mvx_hi), mv16(mvy_lo, mvy_hi),
             fd_dir, fd_ref1, mv16(m1x_lo, m1x_hi), mv16(m1y_lo, m1y_hi))

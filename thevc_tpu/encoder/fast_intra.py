@@ -502,14 +502,19 @@ def _size_pass_impl(ppad, size, nby, nbx, qp_scaled, sqrt_lam_bits3,
     dist = jnp.take_along_axis(dist_k, sel[:, None], axis=1)[:, 0]
     bits = jnp.take_along_axis(cbits_k + mbits_k, sel[:, None],
                                axis=1)[:, 0]
-    # runner-up mode: the apply pass re-evaluates {best, second} against
-    # real reconstructed neighbors and real CABAC bits (the open-loop
-    # ranking between close candidates is the main decision-quality gap)
+    # runner-up modes: the apply pass re-evaluates {best, second, third}
+    # plus the real MPMs against real reconstructed neighbors and real
+    # CABAC bits (the open-loop ranking between close candidates is the
+    # main decision-quality gap)
     rd_masked = rd_k.at[jnp.arange(nb), sel].set(jnp.inf)
     sel2 = jnp.argmin(rd_masked, axis=1)
     mode2 = jnp.take_along_axis(topk, sel2[:, None], axis=1)[:, 0]
+    rd_masked = rd_masked.at[jnp.arange(nb), sel2].set(jnp.inf)
+    sel3 = jnp.argmin(rd_masked, axis=1)
+    mode3 = jnp.take_along_axis(topk, sel3[:, None], axis=1)[:, 0]
     return (best.reshape(nby, nbx), dist.reshape(nby, nbx),
-            bits.reshape(nby, nbx), mode2.reshape(nby, nbx))
+            bits.reshape(nby, nbx), mode2.reshape(nby, nbx),
+            mode3.reshape(nby, nbx))
 
 
 def _chroma_pass_impl(cbpad, crpad, size, nby, nbx, luma_best, dm,
@@ -607,13 +612,13 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
     """Bottom-up quadtree DP + per-4x4-unit map expansion, in jnp (runs
     inside the device launch; the packed maps are the only fetch).
 
-    res[s] = (mode, dist, bits, mode2) luma per block; cres[s] =
+    res[s] = (mode, dist, bits, mode2, mode3) luma per block; cres[s] =
     (cdir, ccost) for s >= 8; cres8_nxn = the NxN-variant chroma decision
     at s=8.  inter (P slices): {s: (rd, mvx, mvy, ref)} — the leaf then
     takes min(intra, inter) and the maps gain pred/ref/MV planes.  B
     slices pass 8-tuples {s: (rd, mvx0, mvy0, ref0, dir, mvx1, mvy1,
     ref1)} and the maps additionally gain dir + L1 ref/MV planes.
-    Returns stacked int8 maps [5, 11 or 17, hp//4, wp//4].
+    Returns stacked int8 maps [6, 12 or 18, hp//4, wp//4].
     """
     import jax.numpy as jnp
 
@@ -626,7 +631,7 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
     for s in SIZES:
         if s > ctu_size:
             continue
-        mode, dist, bits, _mode2 = res[s]
+        mode, dist, bits = res[s][0], res[s][1], res[s][2]
         leaf = (dist.astype(jnp.float32)
                 + lamf * (bits + jnp.float32(_CU_BITS)))
         if s >= 8:
@@ -677,6 +682,7 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
     fd_nxn = jnp.zeros((uh, uw), jnp.int8)
     fd_chroma = jnp.full((uh, uw), DM_CHROMA_IDX, jnp.int8)
     fd_mode2 = jnp.full((uh, uw), DC_IDX, jnp.int8)
+    fd_mode3 = jnp.full((uh, uw), DC_IDX, jnp.int8)
     is_b = inter is not None and \
         len(next(iter(inter.values()))) == 8
     if inter is not None:
@@ -696,6 +702,7 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
     depth = 0
     mode4 = res[4][0].astype(jnp.int8)
     mode4b = res[4][3].astype(jnp.int8)
+    mode4c = res[4][4].astype(jnp.int8)
     while s >= 8:
         can_descend = (s > min_cu) or (s == 8 and 8 > (1 << min_tr_log2))
         split_here = (open_ & choice[s]) if can_descend \
@@ -707,6 +714,8 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
         fd_mode = jnp.where(lm, up(res[s][0].astype(jnp.int8), un), fd_mode)
         fd_mode2 = jnp.where(lm, up(res[s][3].astype(jnp.int8), un),
                              fd_mode2)
+        fd_mode3 = jnp.where(lm, up(res[s][4].astype(jnp.int8), un),
+                             fd_mode3)
         fd_chroma = jnp.where(lm, up(cres[s][0].astype(jnp.int8), un),
                               fd_chroma)
         if inter is not None and s in inter:
@@ -731,6 +740,7 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
             fd_nxn = jnp.where(nm, jnp.int8(1), fd_nxn)
             fd_mode = jnp.where(nm, mode4, fd_mode)
             fd_mode2 = jnp.where(nm, mode4b, fd_mode2)
+            fd_mode3 = jnp.where(nm, mode4c, fd_mode3)
             fd_chroma = jnp.where(nm, up(cres8_nxn[0].astype(jnp.int8), 2),
                                   fd_chroma)
             break
@@ -745,7 +755,7 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
                 (my16 & 0xFF).astype(jnp.int8),
                 (my16 >> 8).astype(jnp.int8)]
 
-    planes = [fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2]
+    planes = [fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2, fd_mode3]
     if inter is not None:
         planes += [fd_pred, fd_ref] + mv_planes(fd_mvx, fd_mvy)
     if is_b:
@@ -926,9 +936,9 @@ def collect_frame(token):
     """Finish a dispatched decision pass: one packed fetch -> unit maps."""
     out, wp, hp = token
     packed = np.asarray(out)
-    fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2 = packed
+    fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2, fd_mode3 = packed
     return (fd_depth, fd_mode, np.ascontiguousarray(fd_nxn, np.uint8),
-            fd_chroma, fd_mode2)
+            fd_chroma, fd_mode2, fd_mode3)
 
 
 def decide_frame(org_y, org_cb, org_cr, width: int, height: int,

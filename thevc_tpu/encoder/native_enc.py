@@ -29,30 +29,35 @@ class NativeCuEncoder:
         return int(self.lib.enc_compress_ctu(self.handle, ctu_addr))
 
     def set_fd(self, fd_depth, fd_mode, fd_nxn, fd_chroma=None,
-               fd_mode2=None, fix_tu: bool = True) -> None:
+               fd_mode2=None, fd_mode3=None, fix_tu: bool = True) -> None:
         """Bind fast-RD decision maps (encoder/fast_intra.py) — the CTU
         loop then applies them instead of running the full search.
         fd_chroma fixes the chroma mode too (None keeps the 5-mode RD);
-        fd_mode2 adds the runner-up mode for closed-loop re-ranking;
-        fix_tu pins the TU tree at the CU size (no RQT split RD)."""
+        fd_mode2/fd_mode3 add runner-up modes for closed-loop
+        re-ranking; fix_tu pins the TU tree at the CU size (no RQT
+        split RD)."""
         import numpy as np
         fd_depth = np.ascontiguousarray(fd_depth, np.int8)
         fd_mode = np.ascontiguousarray(fd_mode, np.int8)
         fd_nxn = np.ascontiguousarray(fd_nxn, np.uint8)
-        cptr = m2ptr = 0
+        cptr = m2ptr = m3ptr = 0
         if fd_chroma is not None:
             fd_chroma = np.ascontiguousarray(fd_chroma, np.int8)
             cptr = fd_chroma.ctypes.data
         if fd_mode2 is not None:
             fd_mode2 = np.ascontiguousarray(fd_mode2, np.int8)
             m2ptr = fd_mode2.ctypes.data
-        self._fd_keep = (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2)
+        if fd_mode3 is not None:
+            fd_mode3 = np.ascontiguousarray(fd_mode3, np.int8)
+            m3ptr = fd_mode3.ctypes.data
+        self._fd_keep = (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2,
+                         fd_mode3)
         # replayable args so a WPP worker clone can bind the same maps
         self._fd_args = (fd_depth, fd_mode, fd_nxn, fd_chroma, fd_mode2,
-                         fix_tu)
+                         fd_mode3, fix_tu)
         self.lib.enc_set_fd(self.handle, fd_depth.ctypes.data,
                             fd_mode.ctypes.data, fd_nxn.ctypes.data,
-                            cptr, m2ptr, int(fix_tu))
+                            cptr, m2ptr, m3ptr, int(fix_tu))
 
     def set_fd_inter(self, fd_pred, fd_ref, fd_mvx, fd_mvy, fd_dir=None,
                      fd_ref1=None, fd_mvx1=None, fd_mvy1=None) -> None:

@@ -687,9 +687,9 @@ class PictureCompressor:
                     (1 << cu.sps.internal_bit_depth) - 1,
                     ref_pics_l1=refs1)
                 fd = collect_frame_b(tok) if is_b else collect_frame_p(tok)
-                nat.set_fd(fd[0], fd[1], fd[2], fd[3], fd[4], True)
-                nat.set_fd_inter(fd[5], fd[6], fd[7], fd[8],
-                                 *(fd[9:13] if is_b else ()))
+                nat.set_fd(fd[0], fd[1], fd[2], fd[3], fd[4], fd[5], True)
+                nat.set_fd_inter(fd[6], fd[7], fd[8], fd[9],
+                                 *(fd[10:14] if is_b else ()))
             if nat is not None and self.cfg.fast_rd \
                     and sh.slice_type == I_SLICE:
                 # fast-RD mode: device-batched open-loop decisions replace
@@ -721,7 +721,9 @@ class PictureCompressor:
                 top2 = _os.environ.get("THEVC_FASTRD_TOP2", "1") != "0"
                 nat.set_fd(fd[0], fd[1], fd[2],
                            fd[3] if dev_chroma else None,
-                           fd[4] if top2 else None, fix_tu)
+                           fd[4] if top2 else None,
+                           fd[5] if top2 and len(fd) > 5 else None,
+                           fix_tu)
             if nat is not None and not wpp_native:
                 for enc in range(f.num_ctus):
                     ctu = int(f.ctu_order[enc])

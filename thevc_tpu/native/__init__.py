@@ -362,7 +362,7 @@ def get_lib():
         lib.enc_set_fd.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int32]
+            ctypes.c_void_p, ctypes.c_int32]
         lib.enc_set_fd_inter.restype = None
         lib.enc_set_fd_inter.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,

@@ -5348,8 +5348,8 @@ struct EncState {
   const int8_t* fd_mode;
   const uint8_t* fd_nxn;
   const int8_t* fd_chroma;   // chosen chroma dir (or 36 = DM); may be NULL
-  const int8_t* fd_mode2;    // runner-up luma mode for closed-loop
-                             // re-ranking; may be NULL
+  const int8_t* fd_mode2;    // runner-up luma modes for closed-loop
+  const int8_t* fd_mode3;    // re-ranking; may be NULL
   // inter decision maps (P/B slices): per 4x4 unit — pred flag
   // (0 intra / 1 inter), L0 ref idx, quarter-pel MV; may be NULL.
   // B slices add inter_dir (1/2/3) and the L1 ref/MV planes.
@@ -6945,6 +6945,32 @@ static int64_t es_search_luma_pu(EncState* S, int part, int depth,
     if (S->fd_mode2) {
       int m2 = S->fd_mode2[(int64_t)uy * fa->uw + ux];
       if (m2 >= 0 && m2 <= 34 && m2 != m1) rd_list[rd_n++] = m2;
+      if (S->fd_mode3) {
+        int m3 = S->fd_mode3[(int64_t)uy * fa->uw + ux];
+        if (m3 >= 0 && m3 <= 34 && m3 != m1 && m3 != rd_list[rd_n - 1])
+          rd_list[rd_n++] = m3;
+      }
+      // the device pass models MPMs open-loop (neighbors' SATD-best
+      // modes); the REAL predictors from the applied neighbor modes
+      // often differ and are 3-4 bits cheaper to code — re-rank them
+      // too, mirroring the FAST_UDI_USE_MPM augmentation below.  This
+      // is where most of the open-loop mode-decision bit loss goes.
+      int left_dir = DC_IDX, above_dir = DC_IDX;
+      if (left_avail(fa, ux, uy) &&
+          U(fa->pred_mode, ux - 1, uy) == MODE_INTRA)
+        left_dir = U(fa->luma_dir, ux - 1, uy);
+      if (above_avail(fa, ux, uy, 1) &&
+          U(fa->pred_mode, ux, uy - 1) == MODE_INTRA)
+        above_dir = U(fa->luma_dir, ux, uy - 1);
+      int preds[3];
+      intra_mpm(fa, ux, uy, preds);
+      int num_cand = left_dir == above_dir ? 1 : 2;
+      for (int j = 0; j < num_cand; j++) {
+        int found = 0;
+        for (int i = 0; i < rd_n; i++)
+          if (rd_list[i] == preds[j]) found = 1;
+        if (!found) rd_list[rd_n++] = preds[j];
+      }
     }
   } else {
   int32_t line_raw[4 * 64 + 8], line_filt[4 * 64 + 8];
@@ -10984,13 +11010,14 @@ void enc_set_inter(void* handle, const SliceParams* sp,
 void enc_set_fd(void* handle, const int8_t* depth_map,
                 const int8_t* mode_map, const uint8_t* nxn_map,
                 const int8_t* chroma_map, const int8_t* mode2_map,
-                int fix_tu) {
+                const int8_t* mode3_map, int fix_tu) {
   EncState* S = (EncState*)handle;
   S->fd_depth = depth_map;
   S->fd_mode = mode_map;
   S->fd_nxn = nxn_map;
   S->fd_chroma = chroma_map;
   S->fd_mode2 = mode2_map;
+  S->fd_mode3 = mode3_map;
   S->fd_fix_tu = fix_tu;
   S->fd_on = depth_map != NULL && mode_map != NULL && nxn_map != NULL;
 }
