@@ -227,19 +227,18 @@ def _build_edge_maps(f: FrameModel, sh: SliceHeader, direction: int,
     return flags, bs, qp_p, qp_q, no_p, no_q
 
 
-def filter_picture_device(f: FrameModel, sh: SliceHeader, sps: Sps,
-                          pps: Pps, rec_y, rec_cb, rec_cr, ref_poc=None):
-    """Whole in-loop filter stage (deblock + SAO, all planes) as ONE
-    device launch (ops.jx_filters.filter_picture).  Host builds the edge
-    maps and per-CTU SAO parameters (a few KB); the pixel math runs on
-    the TPU.  Returns the filtered planes (same dtypes as the inputs)."""
-    from ..ops import jx_filters as jf
+def _picture_filter_inputs(f: FrameModel, sh: SliceHeader, sps: Sps,
+                           pps: Pps, ref_poc=None):
+    """Host-built device-filter inputs for one picture: edge maps + SAO
+    parameter tables (a few KB) and the static launch key.  Returns
+    (statics, dbk_ver, dbk_hor, types, band_pos, offsets) or None when
+    both filters are off for this picture."""
     bd = sps.internal_bit_depth
     do_deblock = not sh.loop_filter_disable
     do_sao = bool(sps.use_sao and sh.sao_enabled)
     do_sao_chroma = do_sao and bool(sh.sao_enabled_chroma)
     if not do_deblock and not do_sao:
-        return rec_y, rec_cb, rec_cr
+        return None
     f.sps_pcm_nofilter = sps.use_pcm and sps.pcm_filter_disable_flag
 
     def _shrink(maps):
@@ -273,6 +272,26 @@ def filter_picture_device(f: FrameModel, sh: SliceHeader, sps: Sps,
         band_pos = np.zeros((3, nctu), np.int32)
         offsets = np.zeros((3, nctu, 4), np.int32)
 
+    statics = dict(beta_offset=sh.loop_filter_beta_offset,
+                   tc_offset=sh.loop_filter_tc_offset, bit_depth=bd,
+                   ctu_size=f.ctu_size, ctus_w=f.ctus_w, ctus_h=f.ctus_h,
+                   do_deblock=do_deblock, do_sao=do_sao,
+                   do_sao_chroma=do_sao_chroma)
+    return statics, dbk_ver, dbk_hor, types, band_pos, offsets
+
+
+def filter_picture_device(f: FrameModel, sh: SliceHeader, sps: Sps,
+                          pps: Pps, rec_y, rec_cb, rec_cr, ref_poc=None):
+    """Whole in-loop filter stage (deblock + SAO, all planes) as ONE
+    device launch (ops.jx_filters.filter_picture).  Host builds the edge
+    maps and per-CTU SAO parameters (a few KB); the pixel math runs on
+    the TPU.  Returns the filtered planes (same dtypes as the inputs)."""
+    from ..ops import jx_filters as jf
+    inputs = _picture_filter_inputs(f, sh, sps, pps, ref_poc)
+    if inputs is None:
+        return rec_y, rec_cb, rec_cr
+    statics, dbk_ver, dbk_hor, types, band_pos, offsets = inputs
+
     from ..ops.device import stat_d2h, stat_launch
     stat_launch(rec_y.nbytes + rec_cb.nbytes + rec_cr.nbytes
                 + sum(a.nbytes for a in dbk_ver) + sum(
@@ -280,16 +299,67 @@ def filter_picture_device(f: FrameModel, sh: SliceHeader, sps: Sps,
                 + types.nbytes + band_pos.nbytes + offsets.nbytes)
     y, cb, cr = jf.filter_picture(
         rec_y, rec_cb, rec_cr, dbk_ver, dbk_hor,
-        types, band_pos, offsets,
-        beta_offset=sh.loop_filter_beta_offset,
-        tc_offset=sh.loop_filter_tc_offset, bit_depth=bd,
-        ctu_size=f.ctu_size, ctus_w=f.ctus_w, ctus_h=f.ctus_h,
-        do_deblock=do_deblock, do_sao=do_sao,
-        do_sao_chroma=do_sao_chroma)
+        types, band_pos, offsets, **statics)
     out = (np.asarray(y).astype(rec_y.dtype),
            np.asarray(cb).astype(rec_cb.dtype),
            np.asarray(cr).astype(rec_cr.dtype))
     stat_d2h(sum(a.nbytes for a in out))
+    return out
+
+
+def filter_pictures_device(entries):
+    """The in-loop filter stage for MANY pictures as ONE device launch
+    (ops.jx_filters.filter_pictures — multi-frame launch batching over a
+    tunneled chip).  entries: [(f, sh, sps, pps, rec_y, rec_cb, rec_cr,
+    ref_poc)].  8-bit pictures travel as uint8 both directions (lossless:
+    values are clipped to [0, 255]); returns [(y, cb, cr)] int16.
+
+    Pictures whose static filter key differs (mixed configs) fall back to
+    per-picture launches — the math is identical either way."""
+    from ..ops import jx_filters as jf
+    from ..ops.device import stat_d2h, stat_launch
+
+    if len(entries) == 1:
+        f, sh, sps, pps, ry, rcb, rcr, rp = entries[0]
+        return [filter_picture_device(f, sh, sps, pps, ry, rcb, rcr, rp)]
+
+    inputs = [_picture_filter_inputs(f, sh, sps, pps, rp)
+              for (f, sh, sps, pps, _ry, _rcb, _rcr, rp) in entries]
+    keys = set()
+    for inp in inputs:
+        keys.add(None if inp is None
+                 else tuple(sorted(inp[0].items())))
+    if len(keys) != 1 or None in keys:
+        return [filter_picture_device(f, sh, sps, pps, ry, rcb, rcr, rp)
+                for (f, sh, sps, pps, ry, rcb, rcr, rp) in entries]
+
+    statics = inputs[0][0]
+    u8 = statics["bit_depth"] == 8
+    dt = np.uint8 if u8 else np.int16
+    recs_y = np.stack([e[4] for e in entries]).astype(dt)
+    recs_cb = np.stack([e[5] for e in entries]).astype(dt)
+    recs_cr = np.stack([e[6] for e in entries]).astype(dt)
+    dbk_ver = tuple(np.stack([inp[1][i] for inp in inputs])
+                    for i in range(6))
+    dbk_hor = tuple(np.stack([inp[2][i] for inp in inputs])
+                    for i in range(6))
+    types = np.stack([inp[3] for inp in inputs])
+    band_pos = np.stack([inp[4] for inp in inputs])
+    offsets = np.stack([inp[5] for inp in inputs])
+
+    stat_launch(recs_y.nbytes + recs_cb.nbytes + recs_cr.nbytes
+                + sum(a.nbytes for a in dbk_ver)
+                + sum(a.nbytes for a in dbk_hor)
+                + types.nbytes + band_pos.nbytes + offsets.nbytes)
+    y, cb, cr = jf.filter_pictures(
+        recs_y, recs_cb, recs_cr, dbk_ver, dbk_hor,
+        types, band_pos, offsets, out_u8=u8, **statics)
+    y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
+    stat_d2h(y.nbytes + cb.nbytes + cr.nbytes)
+    out = []
+    for i, (_f, _sh, _sps, _pps, ry, rcb, rcr, _rp) in enumerate(entries):
+        out.append((y[i].astype(ry.dtype), cb[i].astype(rcb.dtype),
+                    cr[i].astype(rcr.dtype)))
     return out
 
 

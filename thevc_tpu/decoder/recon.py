@@ -654,7 +654,12 @@ def _native_picture(f: FrameModel, sps: Sps, pps: Pps, runs,
 
     resi_store = None
     if device:
-        resi_store = _device_residual_store(f, sps, pps, runs)
+        # the multi-picture decode pipeline pre-attaches a store computed
+        # by ONE batched launch per TU size class across many pictures
+        # (batched_residual_stores); per-picture launches are the fallback
+        resi_store = getattr(f, "_resi_store", None)
+        if resi_store is None:
+            resi_store = _device_residual_store(f, sps, pps, runs)
         if resi_store is None:
             return False
 
@@ -786,6 +791,92 @@ def _device_residual_store(f: FrameModel, sps: Sps, pps: Pps, runs):
             off + np.arange(n, dtype=np.int64) * sz
         off += n * sz
     return buf, comp_maps
+
+
+def batched_residual_stores(items) -> None:
+    """Stage-1 residuals for MANY pictures in ONE launch per TU size
+    class (multi-frame launch batching: all-intra pictures are mutually
+    independent, so their TU batches concatenate — the ~30 ms tunnel RTT
+    per launch is paid once per stream batch instead of once per frame).
+
+    items: [(f, sps, pps, runs)].  Attaches f._resi_store = (buf int32,
+    per-comp offset maps) to every picture whose TUs vector-collect; the
+    rest fall back to the per-picture path (_device_residual_store).
+    Mirrors TDecGop::decompressSlice's per-picture residual pass — the
+    batching is pure schedule, the math is byte-identical."""
+    from ..ops import jx
+    from ..ops.device import stat_d2h, stat_launch
+
+    per_pic = []        # (f, groups) for batchable pictures
+    bit_inc = None
+    for f, sps, pps, runs in items:
+        g: dict = {}
+        if _collect_residuals_vec(f, sps, pps, runs, g):
+            if bit_inc is None:
+                bit_inc = sps.bit_increment
+            if sps.bit_increment == bit_inc:
+                per_pic.append((f, g))
+    if not per_pic:
+        return
+
+    merged: dict = {}   # class -> [(pic_i, bxs, bys, blocks, qps)]
+    for pi, (f, g) in enumerate(per_pic):
+        for key, chunks in g.items():
+            bxs = np.concatenate([c[0] for c in chunks])
+            bys = np.concatenate([c[1] for c in chunks])
+            blocks = np.concatenate([c[2] for c in chunks])
+            qps = np.concatenate([c[3] for c in chunks]).astype(np.int32)
+            merged.setdefault(key, []).append((pi, bxs, bys, blocks, qps))
+
+    launches = []
+    for (comp, size, use_dst), lst in merged.items():
+        blocks = np.clip(np.concatenate([e[3] for e in lst]),
+                         -32768, 32767).astype(np.int16)
+        qps = np.concatenate([e[4] for e in lst])
+        n = len(blocks)
+        cap = 64
+        while cap < n:
+            cap *= 4
+        if cap != n:
+            pad_b = np.zeros((cap, size, size), np.int16)
+            pad_b[:n] = blocks
+            pad_q = np.zeros(cap, np.int32)
+            pad_q[:n] = qps
+            blocks, qps = pad_b, pad_q
+        stat_launch(blocks.nbytes + qps.nbytes)
+        dev = jx.residual_pipeline(blocks, qps, use_dst, bit_inc)
+        launches.append((comp, size, dev, lst, n))
+    for _comp, _size, dev, _lst, _n in launches:
+        try:
+            dev.copy_to_host_async()       # overlap all D2H transfers
+        except AttributeError:
+            pass
+
+    pic_parts: list = [[] for _ in per_pic]
+    for comp, size, dev, lst, n in launches:
+        resi = np.asarray(dev)[:n]
+        stat_d2h(resi.nbytes)
+        off = 0
+        for (pi, bxs, bys, _blocks, _qps) in lst:
+            k = len(bxs)
+            pic_parts[pi].append((comp, size, resi[off:off + k], bxs, bys))
+            off += k
+
+    for pi, (f, _g) in enumerate(per_pic):
+        uh, uw = f.depth.shape
+        comp_maps = [np.full((uh, uw), -1, np.int32) for _ in range(3)]
+        total = sum(r.size for _c, _s, r, _bx, _by in pic_parts[pi])
+        buf = np.empty(max(total, 1), np.int32)
+        off = 0
+        for comp, size, resi, bxs, bys in pic_parts[pi]:
+            sz = size * size
+            k = len(bxs)
+            buf[off:off + k * sz] = resi.reshape(-1)
+            div = 4 if comp == 0 else 2
+            comp_maps[comp][bys // div, bxs // div] = \
+                off + np.arange(k, dtype=np.int64) * sz
+            off += k * sz
+        f._resi_store = (buf, comp_maps)
 
 
 _BASES = None

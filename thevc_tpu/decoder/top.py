@@ -96,6 +96,10 @@ class Decoder:
         self.prev_rap_is_bla = False
         self._skip_poc: Optional[int] = None   # picture being skipped
         self._warned_ra = False
+        # multi-picture device pipeline: when set, _finish_picture defers
+        # recon/filter/digest and parks the parsed picture context here
+        self.defer_finish = False
+        self.deferred: List[_PicCtx] = []
 
     def decode_stream(self, data: bytes):
         """Decode a whole Annex-B stream, returning pictures in POC order."""
@@ -110,9 +114,14 @@ class Decoder:
                 if p.output]
 
     def _parallel_all_intra(self, units):
-        """Picture-parallel decode for IDR-only streams: every access unit
-        is self-contained, so pictures decode concurrently (the native
-        parse/recon releases the GIL).  Returns None when not applicable."""
+        """Picture-parallel decode for all-intra streams: when EVERY slice
+        is an I slice, access units are mutually independent (no picture
+        references any other for prediction), so pictures decode
+        concurrently (the native parse/recon releases the GIL) — and on
+        the device path as multi-frame batched launches.  A serial
+        slice-header scan proves eligibility and records each AU's POC so
+        per-AU worker decoders derive the same POCs as the serial walk.
+        Returns None when not applicable."""
         import os
         if self.max_temporal_layer >= 0 or self.skip_frames:
             return None
@@ -132,8 +141,10 @@ class Decoder:
         cur_has_slice = False
         for u in units:
             if nal_mod.is_slice_nal(u.nal_type):
-                if u.nal_type != nal_mod.NAL_UNIT_CODED_SLICE_IDR:
-                    return None
+                if u.nal_type in (nal_mod.NAL_UNIT_CODED_SLICE_TFD,
+                                  nal_mod.NAL_UNIT_CODED_SLICE_BLA,
+                                  nal_mod.NAL_UNIT_CODED_SLICE_BLANT):
+                    return None    # leading-skip semantics: keep serial
                 # first_slice_in_pic_flag is the first RBSP bit
                 if cur_has_slice and u.rbsp and (u.rbsp[0] & 0x80):
                     aus.append(cur)
@@ -155,23 +166,159 @@ class Decoder:
         if len(aus) <= 1:
             return None
 
+        # eligibility scan: parse every slice header serially (cheap —
+        # a few bytes of bit parsing per slice, no CABAC) and require I
+        # slices throughout; record each AU's first-slice POC to seed the
+        # per-AU decoders' POC-msb derivation
+        probe = Decoder()
+        for u in param_units:
+            probe.decode_nal(u)
+        if not probe.sps_map:
+            return None
+        # callers read activated parameter sets off this decoder (bit
+        # depth, cropping) — mirror what the serial walk would have left
+        self.vps_map.update(probe.vps_map)
+        self.sps_map.update(probe.sps_map)
+        self.pps_map.update(probe.pps_map)
+        prev_poc = 0
+        prev_sh = None
+        au_poc: list = []
+        try:
+            for au in aus:
+                first = True
+                for u in au:
+                    if not nal_mod.is_slice_nal(u.nal_type):
+                        continue
+                    bs = InputBitstream(u.rbsp)
+                    sh, _sps, _pps = headers.parse_slice_header(
+                        bs, u.nal_type, u.temporal_id, probe.sps_map,
+                        probe.pps_map, prev_poc, prev_slice=prev_sh)
+                    if not sh.is_intra:
+                        return None
+                    if first:
+                        au_poc.append(sh.poc)
+                        first = False
+                    prev_poc = sh.poc
+                    prev_sh = sh
+        except Exception:
+            return None
+
         from concurrent.futures import ThreadPoolExecutor
 
-        def job(au):
+        if device_enabled():
+            out = self._batched_all_intra(param_units, aus, au_poc)
+            if out is not None:
+                return out
+
+        def job(arg):
+            au, poc0 = arg
             d = Decoder()
+            d.poc_random_access = -(1 << 30)   # all-intra: nothing to skip
             for u in param_units:
                 d.decode_nal(u)
+            d.prev_poc = poc0
             for u in au:
                 d.decode_nal(u)
             d.flush()
             return d.pictures
 
         with ThreadPoolExecutor(max_workers=min(workers, 16)) as ex:
-            results = list(ex.map(job, aus))
+            results = list(ex.map(job, zip(aus, au_poc)))
         for pics in results:
             self.pictures.extend(pics)
         return [p for p in sorted(self.pictures, key=lambda p: p.poc)
                 if p.output]
+
+    def _batched_all_intra(self, param_units, aus, au_poc):
+        """Multi-frame device decode for all-intra streams: parse N access
+        units (host CABAC, threaded), then run stage-1 residuals as ONE
+        launch per TU size class across the whole batch and the in-loop
+        filters as ONE launch for the batch — the tunnel round-trip is
+        paid per batch, not per frame (SURVEY §2e frame-level pipelining).
+        Returns the picture list, or None to fall back (scaling lists or
+        other per-picture device-path exclusions)."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        probe = Decoder()
+        for u in param_units:
+            probe.decode_nal(u)
+        if not probe.sps_map or any(s.scaling_list_enabled_flag
+                                    for s in probe.sps_map.values()):
+            return None
+
+        batch = max(1, int(os.environ.get("THEVC_DECODE_BATCH", "8")))
+        workers = max(2, min(os.cpu_count() or 1, 8))
+
+        def parse_job(arg):
+            au, poc0 = arg
+            d = Decoder()
+            d.defer_finish = True
+            d.poc_random_access = -(1 << 30)   # all-intra: nothing to skip
+            for u in param_units:
+                d.decode_nal(u)
+            d.prev_poc = poc0
+            for u in au:
+                d.decode_nal(u)
+            d.flush()
+            return d.deferred[0] if d.deferred else None
+
+        pairs = list(zip(aus, au_poc))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for lo in range(0, len(pairs), batch):
+                ctxs = [c for c in ex.map(parse_job, pairs[lo:lo + batch])
+                        if c is not None]
+                if ctxs:
+                    self._finish_ctx_batch(ctxs, ex)
+        return [p for p in sorted(self.pictures, key=lambda p: p.poc)
+                if p.output]
+
+    def _finish_ctx_batch(self, ctxs, ex) -> None:
+        """Reconstruct + filter + digest a batch of parsed pictures with
+        batched device launches (the batched analogue of
+        _finish_picture's recon/filter/digest tail)."""
+        from .recon import batched_residual_stores
+        from .filters import filter_pictures_device
+
+        items = []
+        for cur in ctxs:
+            runs = [(r.sh, r.inter_pred, r.cu_start, r.cu_end)
+                    for r in cur.slices]
+            items.append((cur.f, cur.sps, cur.pps, runs))
+        batched_residual_stores(items)
+
+        def recon_job(arg):
+            cur, (f, sps, pps, runs) = arg
+            w = sps.pic_width_in_luma_samples
+            h = sps.pic_height_in_luma_samples
+            rec_y = np.zeros((h, w), np.int16)
+            rec_cb = np.zeros((h // 2, w // 2), np.int16)
+            rec_cr = np.zeros((h // 2, w // 2), np.int16)
+            reconstruct_picture(f, sps, pps, runs, rec_y, rec_cb, rec_cr,
+                                scaling=self._active_scaling(sps, pps))
+            if hasattr(f, "_resi_store"):
+                del f._resi_store
+            return rec_y, rec_cb, rec_cr
+        recs = list(ex.map(recon_job, zip(ctxs, items)))
+
+        entries = [(cur.f, cur.slices[0].sh, cur.sps, cur.pps,
+                    ry, rcb, rcr, None)
+                   for cur, (ry, rcb, rcr) in zip(ctxs, recs)]
+        outs = filter_pictures_device(entries)
+
+        def digest_job(arg):
+            cur, (ry, rcb, rcr) = arg
+            sh0 = cur.slices[0].sh
+            frame = YuvFrame(ry, rcb, rcr)
+            pic = DecodedPicture(sh0.poc, frame)
+            pic.output = sh0.pic_output_flag
+            for sei in cur.sei:
+                if sei.get("type") == "picture_digest":
+                    got = calc_digest(sei["method"], frame.planes(),
+                                      cur.sps.internal_bit_depth)
+                    pic.digest_ok = got == list(sei["digest"])
+            return pic
+        self.pictures.extend(ex.map(digest_job, zip(ctxs, outs)))
 
     def flush(self) -> None:
         """Finish the picture in flight (end of stream)."""
@@ -414,6 +561,10 @@ class Decoder:
     def _finish_picture(self) -> None:
         """Reconstruct, filter, and store the accumulated picture
         (TDecTop::executeDeblockAndAlf / TDecGop::filterPicture)."""
+        if self.defer_finish:
+            self.deferred.append(self.cur)
+            self.cur = None
+            return
         cur, self.cur = self.cur, None
         f, sps, pps = cur.f, cur.sps, cur.pps
         sh0 = cur.slices[0].sh

@@ -270,23 +270,13 @@ def _sao_plane(src, sao_type, band_pos, offsets,
 # Fused per-picture filter pipeline
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("beta_offset", "tc_offset", "bit_depth",
-                                   "ctu_size", "ctus_w", "ctus_h",
-                                   "do_deblock", "do_sao", "do_sao_chroma"))
-def filter_picture(rec_y, rec_cb, rec_cr,
-                   dbk_ver, dbk_hor,
-                   sao_types, sao_band_pos, sao_offsets,
-                   beta_offset=0, tc_offset=0, bit_depth=8,
-                   ctu_size=64, ctus_w=1, ctus_h=1,
-                   do_deblock=True, do_sao=False, do_sao_chroma=False):
-    """The decoder's whole in-loop filter stage as one device launch.
-
-    dbk_ver/dbk_hor: tuples (flags u8, bs u8, qp_p i8, qp_q i8,
-    no_p u8, no_q u8) per 4x4 unit, one per direction (host-built edge
-    maps — TComLoopFilter xDeblockCU equivalents).
-    sao_types/sao_band_pos: per-component [3, nctu]; sao_offsets:
-    [3, nctu, 4] (pre-shifted).  Returns filtered (y, cb, cr) int32.
-    """
+def _filter_core(rec_y, rec_cb, rec_cr,
+                 dbk_ver, dbk_hor,
+                 sao_types, sao_band_pos, sao_offsets,
+                 beta_offset, tc_offset, bit_depth,
+                 ctu_size, ctus_w, ctus_h,
+                 do_deblock, do_sao, do_sao_chroma):
+    """One picture's deblock VER + HOR + SAO, all planes, int32 math."""
     y = rec_y.astype(jnp.int32)
     cb = rec_cb.astype(jnp.int32)
     cr = rec_cr.astype(jnp.int32)
@@ -313,7 +303,63 @@ def filter_picture(rec_y, rec_cb, rec_cr,
             cr = _sao_plane(cr, sao_types[2], sao_band_pos[2],
                             sao_offsets[2], ctu_size // 2, ctus_w, ctus_h,
                             bit_depth)
-    # pixel values fit int16 (clipped to [0, 2^bd-1]); halves the
-    # device->host transfer on tunneled chips
+    return y, cb, cr
+
+
+@partial(jax.jit, static_argnames=("beta_offset", "tc_offset", "bit_depth",
+                                   "ctu_size", "ctus_w", "ctus_h",
+                                   "do_deblock", "do_sao", "do_sao_chroma"))
+def filter_picture(rec_y, rec_cb, rec_cr,
+                   dbk_ver, dbk_hor,
+                   sao_types, sao_band_pos, sao_offsets,
+                   beta_offset=0, tc_offset=0, bit_depth=8,
+                   ctu_size=64, ctus_w=1, ctus_h=1,
+                   do_deblock=True, do_sao=False, do_sao_chroma=False):
+    """The decoder's whole in-loop filter stage as one device launch.
+
+    dbk_ver/dbk_hor: tuples (flags u8, bs u8, qp_p i8, qp_q i8,
+    no_p u8, no_q u8) per 4x4 unit, one per direction (host-built edge
+    maps — TComLoopFilter xDeblockCU equivalents).
+    sao_types/sao_band_pos: per-component [3, nctu]; sao_offsets:
+    [3, nctu, 4] (pre-shifted).  Returns filtered (y, cb, cr).
+
+    Pixel values fit int16 (clipped to [0, 2^bd-1]); the narrow output
+    dtype halves the device->host transfer on tunneled chips.
+    """
+    y, cb, cr = _filter_core(rec_y, rec_cb, rec_cr, dbk_ver, dbk_hor,
+                             sao_types, sao_band_pos, sao_offsets,
+                             beta_offset, tc_offset, bit_depth,
+                             ctu_size, ctus_w, ctus_h,
+                             do_deblock, do_sao, do_sao_chroma)
     return (y.astype(jnp.int16), cb.astype(jnp.int16),
             cr.astype(jnp.int16))
+
+
+@partial(jax.jit, static_argnames=("beta_offset", "tc_offset", "bit_depth",
+                                   "ctu_size", "ctus_w", "ctus_h",
+                                   "do_deblock", "do_sao", "do_sao_chroma",
+                                   "out_u8"))
+def filter_pictures(rec_y, rec_cb, rec_cr,
+                    dbk_ver, dbk_hor,
+                    sao_types, sao_band_pos, sao_offsets,
+                    beta_offset=0, tc_offset=0, bit_depth=8,
+                    ctu_size=64, ctus_w=1, ctus_h=1,
+                    do_deblock=True, do_sao=False, do_sao_chroma=False,
+                    out_u8=False):
+    """The in-loop filter stage for a BATCH of pictures as ONE device
+    launch (multi-frame launch batching over a tunneled chip: one RTT
+    for N frames).  Every array gains a leading [N] picture axis; the
+    per-picture math is _filter_core vmapped, so it is bit-identical to
+    filter_picture.  out_u8 returns uint8 planes (lossless for 8-bit
+    streams; halves the D2H transfer again)."""
+
+    def one(ry, rcb, rcr, dv, dh, st, sbp, so):
+        return _filter_core(ry, rcb, rcr, dv, dh, st, sbp, so,
+                            beta_offset, tc_offset, bit_depth,
+                            ctu_size, ctus_w, ctus_h,
+                            do_deblock, do_sao, do_sao_chroma)
+
+    y, cb, cr = jax.vmap(one)(rec_y, rec_cb, rec_cr, dbk_ver, dbk_hor,
+                              sao_types, sao_band_pos, sao_offsets)
+    dt = jnp.uint8 if out_u8 else jnp.int16
+    return y.astype(dt), cb.astype(dt), cr.astype(dt)
