@@ -277,3 +277,44 @@ def test_unknown_option_warns_and_is_kept(capsys):
     err = capsys.readouterr().err
     assert "Unknown option: `NoSuchOptionXyz' (value:`7')" in err
     assert cfg.extras["NoSuchOptionXyz"] == "7"
+
+
+def test_help_prints_option_table(capsys):
+    """TAppEncCfg.cpp:168,344: argc==1 or --help prints doHelp's option
+    table (program_options_lite.cpp:141) instead of crashing."""
+    from thevc_tpu.utils.cfg import parse_args
+
+    with pytest.raises(SystemExit) as e:
+        parse_args(["--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "--InputFile" in out and "--QP" in out
+    assert "(-cbqpofs)" in out and "(-tbr)" in out
+
+    with pytest.raises(SystemExit) as e:  # argc==1 -> usage, exit 1
+        parse_args([])
+    assert e.value.code == 1
+
+
+def test_hm_short_aliases_bind():
+    """TAppEncCfg.cpp:234,238: the comma-declared short aliases
+    (-cbqpofs, -crqpofs, -aqps, -tbr, -dqd, -dqr) bind to the same
+    attributes as their long forms."""
+    from thevc_tpu.utils.cfg import parse_args
+
+    cfg = parse_args(["-cbqpofs", "2", "-crqpofs", "3", "-aqps", "1",
+                      "-tbr", "100000", "-dqd", "1", "-dqr", "1"])
+    assert (cfg.cb_qp_offset, cfg.cr_qp_offset) == (2, 3)
+    assert cfg.use_adapt_qp_select == 1
+    assert cfg.target_bitrate == 100000
+    assert (cfg.max_cu_dqp_depth, cfg.delta_qp_rd) == (1, 1)
+
+
+def test_trailing_flag_without_value_errors_cleanly():
+    """program_options_lite scanArgv: an option at end-of-argv with no
+    value must report `expects an argument`, not IndexError."""
+    from thevc_tpu.utils.cfg import parse_args
+
+    with pytest.raises(SystemExit) as e:
+        parse_args(["--QP"])
+    assert "expects an argument" in str(e.value)

@@ -108,14 +108,17 @@ _OPTIONS = {
     "HadamardME": ("use_had_me", int),
     "ASR": ("use_asr", int),
     "QP": ("qp", float), "q": ("qp", float),
-    "DeltaQpRD": ("delta_qp_rd", int),
+    "DeltaQpRD": ("delta_qp_rd", int), "dqr": ("delta_qp_rd", int),
     "MaxDeltaQP": ("max_delta_qp", int), "d": ("max_delta_qp", int),
     "MaxCuDQPDepth": ("max_cu_dqp_depth", int),
-    "CbQpOffset": ("cb_qp_offset", int),
-    "CrQpOffset": ("cr_qp_offset", int),
+    "dqd": ("max_cu_dqp_depth", int),
+    "CbQpOffset": ("cb_qp_offset", int), "cbqpofs": ("cb_qp_offset", int),
+    "CrQpOffset": ("cr_qp_offset", int), "crqpofs": ("cr_qp_offset", int),
     "AdaptiveQpSelection": ("use_adapt_qp_select", int),
-    "AdaptiveQP": ("use_adaptive_qp", int),
+    "aqps": ("use_adapt_qp_select", int),
+    "AdaptiveQP": ("use_adaptive_qp", int), "aq": ("use_adaptive_qp", int),
     "MaxQPAdaptationRange": ("qp_adaptation_range", int),
+    "aqr": ("qp_adaptation_range", int),
     "dQPFile": ("dqp_file", str), "m": ("dqp_file", str),
     "RDOQ": ("use_rdoq", int),
     # extension beyond the HM surface: device-decided fast RD mode
@@ -173,7 +176,7 @@ _OPTIONS = {
     "CFM": ("use_cbf_fast_mode", int),
     "ESD": ("use_early_skip_detection", int),
     "RateCtrl": ("use_rate_ctrl", int),
-    "TargetBitrate": ("target_bitrate", int),
+    "TargetBitrate": ("target_bitrate", int), "tbr": ("target_bitrate", int),
     "NumLCUInUnit": ("num_lcu_in_unit", int),
     "TransquantBypassEnableFlag": ("transquant_bypass_enable_flag", int),
     "CUTransquantBypassFlagValue": ("cu_transquant_bypass_flag_value", int),
@@ -392,15 +395,54 @@ def parse_cfg_file(path: str, cfg: Optional[EncoderCfg] = None) -> EncoderCfg:
     return cfg
 
 
+def print_help(file=None) -> None:
+    """Option table like program_options_lite doHelp
+    (program_options_lite.cpp:141): long name, short alias, default."""
+    import sys
+    file = file or sys.stdout
+    defaults = EncoderCfg()
+    # group aliases (opt names of length <= 5 that share an attribute with
+    # a long name) under their long form, like HM's `--Long,-short` rows
+    longs: Dict[str, List[str]] = {}
+    shorts: Dict[str, List[str]] = {}
+    for name, (attr, _) in _OPTIONS.items():
+        (shorts if name.islower() else longs).setdefault(attr, []).append(name)
+    print("Options:", file=file)
+    print("  -c <file>%sread options from a config file (repeatable)"
+          % (" " * 27), file=file)
+    print("  --help%sprint this usage text" % (" " * 30), file=file)
+    for name, (attr, _) in sorted(_OPTIONS.items()):
+        if name.islower():
+            continue                      # short alias: shown with the long
+        alias = ",".join("-" + s for s in shorts.get(attr, []))
+        left = "  --%s%s" % (name, (" (%s)" % alias) if alias else "")
+        dflt = getattr(defaults, attr, "")
+        print("%-38s[%s]" % (left, dflt), file=file)
+    print("  --LambdaModifier0..7 (-LM0..-LM7)     [1.0]", file=file)
+    print("  --Frame1..N: <GOP entry>              []", file=file)
+
+
 def parse_args(argv: List[str]) -> EncoderCfg:
     """Command line compatible with TAppEncoder: -c cfg, --Key=value,
-    and the short aliases (-i, -b, -o, -wdt, -hgt, -f, -fr, -q, ...)."""
+    the short aliases (-i, -b, -o, -wdt, -hgt, -f, -fr, -q, ...), and
+    --help / no-args usage printing (TAppEncCfg.cpp:168,344 doHelp)."""
+    import sys
+    if not argv or "--help" in argv:
+        print_help()
+        raise SystemExit(0 if argv else 1)
+
+    def value_after(i: int, arg: str) -> str:
+        if i + 1 >= len(argv):
+            # program_options_lite scanArgv: option expects an argument
+            raise SystemExit("Option `%s' expects an argument" % arg)
+        return argv[i + 1]
+
     cfg = EncoderCfg()
     i = 0
     while i < len(argv):
         arg = argv[i]
         if arg == "-c":
-            parse_cfg_file(argv[i + 1], cfg)
+            parse_cfg_file(value_after(i, arg), cfg)
             i += 2
             continue
         if arg.startswith("--"):
@@ -408,14 +450,14 @@ def parse_args(argv: List[str]) -> EncoderCfg:
             if "=" in body:
                 key, value = body.split("=", 1)
             else:
-                key, value = body, argv[i + 1]
+                key, value = body, value_after(i, arg)
                 i += 1
             cfg.apply(key, value)
             i += 1
             continue
         if arg.startswith("-"):
             key = arg[1:]
-            cfg.apply(key, argv[i + 1])
+            cfg.apply(key, value_after(i, arg))
             i += 2
             continue
         raise ValueError(f"unhandled argument: {arg}")
