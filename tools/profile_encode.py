@@ -27,6 +27,7 @@ os.environ.setdefault("THEVC_DEVICE", "0")
 os.environ.setdefault("THEVC_DEVICE_ENC", "0")
 
 frames = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+fastrd = "--fastrd" in sys.argv
 clip = os.path.join(REPO, "testdata", "bench_1080p_4f.yuv")
 if not os.path.exists(clip):
     clip = os.path.join(REPO, "testdata", "bench_1080p.yuv")
@@ -47,7 +48,7 @@ enc_main([
     "-i", clip, "-wdt", "1920", "-hgt", "1080",
     "-f", str(frames), "-fr", "30", "-b", out,
     "-o", "/dev/null", "--SEIpictureDigest=1",
-])
+] + (["--FastRD=1"] if fastrd else []))
 dt = time.time() - t0
 dc = time.process_time() - c0
 
