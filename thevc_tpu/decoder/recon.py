@@ -261,6 +261,29 @@ def _collect_residuals(f: FrameModel, sps: Sps, pps: Pps, runs) -> dict:
     return _launch_residuals(f, sps, groups)
 
 
+def _pack_cgs(blocks: np.ndarray, size: int, n_padded: int):
+    """CG-pack a dense TU batch for the tunnel: only the coded (nonzero)
+    4x4 coefficient groups ship, as (vals [M, 16] int16, idx [M] int32 =
+    tu*ncg + cg_position).  M is padded to a power-of-two bucket; padded
+    rows point at the device-side dummy slot n_padded * ncg."""
+    n = len(blocks)
+    ncg1 = size // 4
+    g = blocks.reshape(n, ncg1, 4, ncg1, 4)
+    ti, cy, cx = np.nonzero((g != 0).any(axis=(2, 4)))
+    vals = np.ascontiguousarray(
+        g.transpose(0, 1, 3, 2, 4)[ti, cy, cx]).reshape(-1, 16)
+    idx = ((ti * ncg1 + cy) * ncg1 + cx).astype(np.int32)
+    m = len(idx)
+    cap = 256
+    while cap < m:
+        cap *= 2
+    pv = np.zeros((cap, 16), np.int16)
+    pv[:m] = vals
+    pi = np.full(cap, n_padded * ncg1 * ncg1, np.int32)
+    pi[:m] = idx
+    return pv, pi
+
+
 def _launch_residuals(f: FrameModel, sps: Sps, groups: dict) -> dict:
     """Run the gathered TU batches through dequant+IDCT — on device as
     async jx.residual_pipeline launches (one sync for the whole picture),
@@ -286,17 +309,27 @@ def _launch_residuals(f: FrameModel, sps: Sps, groups: dict) -> dict:
             while cap < n:
                 cap *= 4
             if cap != n:
-                pad_b = np.zeros((cap, size, size), blocks.dtype)
-                pad_b[:n] = blocks
                 pad_q = np.zeros(cap, np.int32)
                 pad_q[:n] = qps
-                blocks, qps = pad_b, pad_q
+                qps = pad_q
             # launch only — all size classes run asynchronously and are
             # synchronized once below (one host<->device round trip)
             from ..ops.device import stat_launch
-            stat_launch(blocks.nbytes + qps.nbytes)
-            pending.append(
-                (jx.residual_pipeline(blocks, qps, use_dst, bit_inc), keys))
+            if size >= 8:
+                # ship only coded CGs (H2D is the decode bottleneck on a
+                # tunneled chip); 4x4 TUs stay dense (1 CG each)
+                vals, idx = _pack_cgs(blocks, size, cap)
+                stat_launch(vals.nbytes + idx.nbytes + qps.nbytes)
+                dev = jx.residual_pipeline_packed(vals, idx, qps, size,
+                                                  use_dst, bit_inc)
+            else:
+                if cap != n:
+                    pad_b = np.zeros((cap, size, size), blocks.dtype)
+                    pad_b[:n] = blocks
+                    blocks = pad_b
+                stat_launch(blocks.nbytes + qps.nbytes)
+                dev = jx.residual_pipeline(blocks, qps, use_dst, bit_inc)
+            pending.append((dev, keys))
         else:
             # same batched formulation through the numpy kernels
             deq = tops.dequant(blocks, qps, bit_inc)
@@ -838,13 +871,22 @@ def batched_residual_stores(items) -> None:
         while cap < n:
             cap *= 4
         if cap != n:
-            pad_b = np.zeros((cap, size, size), np.int16)
-            pad_b[:n] = blocks
             pad_q = np.zeros(cap, np.int32)
             pad_q[:n] = qps
-            blocks, qps = pad_b, pad_q
-        stat_launch(blocks.nbytes + qps.nbytes)
-        dev = jx.residual_pipeline(blocks, qps, use_dst, bit_inc)
+            qps = pad_q
+        if size >= 8:
+            # CG-packed upload: only coded 4x4 groups cross the tunnel
+            vals, idx = _pack_cgs(blocks, size, cap)
+            stat_launch(vals.nbytes + idx.nbytes + qps.nbytes)
+            dev = jx.residual_pipeline_packed(vals, idx, qps, size,
+                                              use_dst, bit_inc)
+        else:
+            if cap != n:
+                pad_b = np.zeros((cap, size, size), np.int16)
+                pad_b[:n] = blocks
+                blocks = pad_b
+            stat_launch(blocks.nbytes + qps.nbytes)
+            dev = jx.residual_pipeline(blocks, qps, use_dst, bit_inc)
         launches.append((comp, size, dev, lst, n))
     for _comp, _size, dev, _lst, _n in launches:
         try:

@@ -45,6 +45,7 @@ class DecodedPicture:
     frame: YuvFrame
     output: bool = True
     digest_ok: Optional[bool] = None
+    model: Optional[object] = None     # FrameModel when keep_models is set
 
 
 class _SliceRun:
@@ -91,6 +92,9 @@ class Decoder:
         self.max_temporal_layer = max_temporal_layer
         # random-access / broken-link state (TDecTop.cpp:55-58)
         self.skip_frames = skip_frames
+        # keep each picture's FrameModel on the DecodedPicture (serial
+        # path only) for decision-map introspection by tools/
+        self.keep_models = False
         self.poc_random_access = _MAX_INT
         self.poc_cra = 0
         self.prev_rap_is_bla = False
@@ -609,6 +613,8 @@ class Decoder:
         frame = YuvFrame(rec_y, rec_cb, rec_cr)
         pic = DecodedPicture(sh0.poc, frame)
         pic.output = sh0.pic_output_flag
+        if self.keep_models:
+            pic.model = f          # decision-map introspection (tools/)
 
         # digest verification (TDecGop::filterPicture)
         for sei in cur.sei:

@@ -43,6 +43,12 @@ from .fast_intra import _satd_d, _tq_rd
 MARGIN = 12          # per-block window margin: 3 int refine + 4 taps + slack
 INTER_SIZES = (8, 16, 32, 64)
 
+# intra-CU penalty (whole bits) in inter slices: pred_mode + part-size
+# signaling plus the open-loop optimism of org-neighbor intra prediction
+# (tunable for calibration sweeps; baked into the compiled graph)
+import os as _os
+_INTRA_PEN_BITS = float(_os.environ.get("THEVC_FASTRD_INTRA_PEN", "8.0"))
+
 
 def _avgpool(x, k: int):
     h, w = x.shape
@@ -63,22 +69,26 @@ def _golomb_bits(v):
     return 2 * ln - 1
 
 
+def _shift_grid(a, dy, dx):
+    """Neighbor-value grid: out[i, j] = a[i - dy, j - dx], zero-filled at
+    the frame edge (so (0,1) reads the LEFT neighbor, (1,0) the ABOVE)."""
+    import jax.numpy as jnp
+    p = jnp.pad(a, ((max(dy, 0), max(-dy, 0)),
+                    (max(dx, 0), max(-dx, 0))))
+    h, w = a.shape
+    return p[max(-dy, 0):max(-dy, 0) + h, max(-dx, 0):max(-dx, 0) + w]
+
+
 def _mv_pred_median(mvx, mvy):
     """Neighborhood-median MV predictor over a block grid (open-loop
     stand-in for AMVP/merge): median of left, above, above-right."""
     import jax.numpy as jnp
 
-    def shift(a, dy, dx):
-        p = jnp.pad(a, ((max(dy, 0), max(-dy, 0)),
-                        (max(dx, 0), max(-dx, 0))))
-        h, w = a.shape
-        return p[max(-dy, 0):max(-dy, 0) + h, max(-dx, 0):max(-dx, 0) + w]
-
     outs = []
     for a in (mvx, mvy):
-        l = shift(a, 0, 1)
-        u = shift(a, 1, 0)
-        ur = shift(a, 1, -1)
+        l = _shift_grid(a, 0, 1)
+        u = _shift_grid(a, 1, 0)
+        ur = _shift_grid(a, 1, -1)
         med = jnp.maximum(jnp.minimum(jnp.maximum(l, u), ur),
                           jnp.minimum(l, u))
         outs.append(med)
@@ -256,40 +266,41 @@ def _inter_size_pass(org_full, org_cb, org_cr, refs_y, refs_cb, refs_cr,
     y0 = by + int_my + (pad_full - MARGIN)
     x0 = bx + int_mx + (pad_full - MARGIN)
     W = _gather_windows(refs_y, ref, y0, x0, win).astype(jnp.int16)
-    zero = jnp.zeros((nb,), jnp.int32)
 
     # ---- quarter-pel refinement: the full 7x7 sub-pel window -----------
     # (xPatternSearchFracDIF walks half then quarter rings; the dense
-    # window is a superset decided by the same SATD metric)
+    # window is a superset decided by the same SATD metric.)  The 7 fx
+    # phases of one fy row run as ONE mc_batch launch (per-PU phase
+    # vectors) — 7 traced MC calls per size class instead of 49, which
+    # cuts the P-graph trace+compile time severalfold; frac-0 phases ride
+    # the identity tap row, so the whole row is a uniform "2d" batch.
+    qdxs = list(range(-3, 4))
     best_cost = None
     best_q = None
     for qdy in range(-3, 4):
-        for qdx in range(-3, 4):
-            iy, fy = _qsplit(qdy)
+        iy, fy = _qsplit(qdy)
+        wy = MARGIN + iy - 3
+        subs = []
+        fxs = []
+        for qdx in qdxs:
             ix, fx = _qsplit(qdx)
-            wy = MARGIN + iy - 3
             wx = MARGIN + ix - 3
-            sub = W[:, wy: wy + s + 7, wx: wx + s + 7]
-            if fx == 0 and fy == 0:
-                pred = sub[:, 3:3 + s, 3:3 + s].astype(jnp.int32)
-            elif fy == 0:
-                pred = mc_batch(sub[:, 3:3 + s, :], zero + fx, zero,
-                                case="hor", luma=True, bd=bd, bi=False,
-                                out_h=s, out_w=s).astype(jnp.int32)
-            elif fx == 0:
-                pred = mc_batch(sub[:, :, 3:3 + s], zero, zero + fy,
-                                case="ver", luma=True, bd=bd, bi=False,
-                                out_h=s, out_w=s).astype(jnp.int32)
-            else:
-                pred = mc_batch(sub, zero + fx, zero + fy,
-                                case="2d", luma=True, bd=bd, bi=False,
-                                out_h=s, out_w=s).astype(jnp.int32)
-            satd = _satd_d(org_b - pred, s, bit_inc)
+            subs.append(W[:, wy: wy + s + 7, wx: wx + s + 7])
+            fxs.append(fx)
+        big = jnp.concatenate(subs, axis=0)
+        fxv = jnp.concatenate(
+            [jnp.full((nb,), f, jnp.int32) for f in fxs])
+        fyv = jnp.full((7 * nb,), fy, jnp.int32)
+        pred = mc_batch(big, fxv, fyv, case="2d", luma=True, bd=bd,
+                        bi=False, out_h=s, out_w=s).astype(jnp.int32)
+        satd7 = _satd_d(jnp.tile(org_b, (7, 1, 1)) - pred, s,
+                        bit_inc).reshape(7, nb)
+        for k, qdx in enumerate(qdxs):
             mvqx = int_mx * 4 + qdx
             mvqy = int_my * 4 + qdy
             bits = (_golomb_bits(mvqx - pred_x)
                     + _golomb_bits(mvqy - pred_y) + 2)
-            cost = (satd.astype(jnp.float32)
+            cost = (satd7[k].astype(jnp.float32)
                     + sqrt_lam * bits.astype(jnp.float32))
             code = (qdy + 3) * 7 + (qdx + 3)
             if best_cost is None:
@@ -303,18 +314,19 @@ def _inter_size_pass(org_full, org_cb, org_cr, refs_y, refs_cb, refs_cr,
     mv_qy = int_my * 4 + best_q // 7 - 3
 
     # ---- RD estimate at the winner --------------------------------------
-    def pred_luma_at(mvq_x, mvq_y):
+    def pred_luma_at(mvq_x, mvq_y, refv, byv=by, bxv=bx):
         ix = mvq_x >> 2
         iy = mvq_y >> 2
         fx = (mvq_x & 3).astype(jnp.int32)
         fy = (mvq_y & 3).astype(jnp.int32)
-        yy0 = by + iy + (pad_full - 3)
-        xx0 = bx + ix + (pad_full - 3)
-        Wp = _gather_windows(refs_y, ref, yy0, xx0, s + 7).astype(jnp.int16)
+        yy0 = byv + iy + (pad_full - 3)
+        xx0 = bxv + ix + (pad_full - 3)
+        Wp = _gather_windows(refs_y, refv, yy0, xx0,
+                             s + 7).astype(jnp.int16)
         return mc_batch(Wp, fx, fy, case="2d", luma=True, bd=bd, bi=False,
                         out_h=s, out_w=s).astype(jnp.int32)
 
-    pred_l = pred_luma_at(mv_qx, mv_qy)
+    pred_l = pred_luma_at(mv_qx, mv_qy, ref)
     qpv = jnp.full((nb,), 1, jnp.int32) * qp_scaled
     d_y, b_y = _tq_rd(org_b, pred_l, s, qpv, bit_inc, max_val,
                       is_intra=False)
@@ -328,39 +340,92 @@ def _inter_size_pass(org_full, org_cb, org_cr, refs_y, refs_cb, refs_cr,
         return (o.reshape(nby, cs, nbx, cs).transpose(0, 2, 1, 3)
                 .reshape(nb, cs, cs).astype(jnp.int32))
 
-    def chroma_rd(refs_c, org_c, qp_c):
-        ix = mv_qx >> 3
-        iy = mv_qy >> 3
-        fx = (mv_qx & 7).astype(jnp.int32)
-        fy = (mv_qy & 7).astype(jnp.int32)
+    def pred_chroma_at(refs_c, mvq_x, mvq_y, refv):
+        ix = mvq_x >> 3
+        iy = mvq_y >> 3
+        fx = (mvq_x & 7).astype(jnp.int32)
+        fy = (mvq_y & 7).astype(jnp.int32)
         yy0 = cby + iy + (pad_c - 1)
         xx0 = cbx + ix + (pad_c - 1)
-        Wc = _gather_windows(refs_c, ref, yy0, xx0,
+        Wc = _gather_windows(refs_c, refv, yy0, xx0,
                              cs + 4).astype(jnp.int16)
-        predc = mc_batch(Wc, fx, fy, case="2d", luma=False, bd=bd,
-                         bi=False, out_h=cs, out_w=cs).astype(jnp.int32)
+        return mc_batch(Wc, fx, fy, case="2d", luma=False, bd=bd,
+                        bi=False, out_h=cs, out_w=cs).astype(jnp.int32)
+
+    org_cb_b = cblocks(org_cb)
+    org_cr_b = cblocks(org_cr)
+
+    def chroma_rd(refs_c, org_c, qp_c):
+        predc = pred_chroma_at(refs_c, mv_qx, mv_qy, ref)
         qpcv = jnp.full((nb,), 1, jnp.int32) * qp_c
         return _tq_rd(org_c, predc, -32 if cs == 32 else cs, qpcv,
                       bit_inc, max_val, is_intra=False)
 
-    d_cb, b_cb = chroma_rd(refs_cb, cblocks(org_cb), qp_cb)
-    d_cr, b_cr = chroma_rd(refs_cr, cblocks(org_cr), qp_cr)
+    d_cb, b_cb = chroma_rd(refs_cb, org_cb_b, qp_cb)
+    d_cr, b_cr = chroma_rd(refs_cr, org_cr_b, qp_cr)
 
-    mv_bits = (_golomb_bits(mv_qx - pred_x) + _golomb_bits(mv_qy - pred_y)
+    # AMVP-proxy mvd pricing: the real predictors are the coded
+    # neighbors' MVs (TComDataCU.cpp:2022 fillMvpCand); open-loop proxy =
+    # the refined winner field's left/above neighbors, best-of-two
+    # (xCheckBestMVP picks the cheaper predictor)
+    gx = mv_qx.reshape(nby, nbx)
+    gy = mv_qy.reshape(nby, nbx)
+    nl = (_shift_grid(gx, 0, 1).reshape(-1),
+          _shift_grid(gy, 0, 1).reshape(-1))
+    na = (_shift_grid(gx, 1, 0).reshape(-1),
+          _shift_grid(gy, 1, 0).reshape(-1))
+    bits_l = _golomb_bits(mv_qx - nl[0]) + _golomb_bits(mv_qy - nl[1])
+    bits_a = _golomb_bits(mv_qx - na[0]) + _golomb_bits(mv_qy - na[1])
+    mv_bits = (jnp.minimum(bits_l, bits_a)
                + 2 + ref.astype(jnp.int32) + 4)
     rd = (d_y.astype(jnp.float32)
           + cw * (d_cb + d_cr).astype(jnp.float32)
           + lam * (b_y + b_cb + b_cr + mv_bits.astype(jnp.float32)))
 
-    # ---- skip/merge model: median-MV prediction, no residual -----------
-    pred_s = pred_luma_at(pred_x, pred_y)
-    d_s = ((org_b - pred_s) ** 2).sum(axis=(1, 2)) >> (2 * bit_inc)
-    skip_rd = d_s.astype(jnp.float32) + lam * 2.0
+    # ---- merge/skip model: neighbor-candidate geometry ------------------
+    # Open-loop analog of getInterMergeCandidates (TComDataCU.cpp:2758):
+    # the spatial left/above winners and the zero-MV candidate compete on
+    # real no-residual distortion (luma SSE per candidate, chroma added
+    # for the winner); priced at skip_flag + merge_idx bits.  The native
+    # apply re-ranks against the REAL candidate list afterwards, so this
+    # only steers depth/pred — but it must not misprice big static CUs.
+    rg = ref.reshape(nby, nbx)
+    cands = [
+        (nl[0], nl[1], _shift_grid(rg, 0, 1).reshape(-1)),
+        (na[0], na[1], _shift_grid(rg, 1, 0).reshape(-1)),
+        (jnp.zeros_like(ref), jnp.zeros_like(ref), jnp.zeros_like(ref)),
+    ]
+    ps3 = pred_luma_at(
+        jnp.concatenate([c[0] for c in cands]),
+        jnp.concatenate([c[1] for c in cands]),
+        jnp.concatenate([c[2] for c in cands]),
+        jnp.tile(by, 3), jnp.tile(bx, 3))
+    d3 = (((jnp.tile(org_b, (3, 1, 1)) - ps3) ** 2).sum(axis=(1, 2))
+          >> (2 * bit_inc)).reshape(3, nb)
+    m_cost = None
+    m_idx = None
+    for i in range(3):
+        c_i = d3[i].astype(jnp.float32) + lam * jnp.float32(2.0 + i)
+        if m_cost is None:
+            m_cost, m_idx = c_i, jnp.zeros_like(ref)
+        else:
+            take = c_i < m_cost
+            m_cost = jnp.where(take, c_i, m_cost)
+            m_idx = jnp.where(take, i, m_idx)
+    sel = [jnp.where(m_idx == 2, c2,
+                     jnp.where(m_idx == 1, c1, c0))
+           for c0, c1, c2 in zip(*cands)]
+    s_mx, s_my, s_ref = sel
+    d_scb = ((org_cb_b - pred_chroma_at(refs_cb, s_mx, s_my, s_ref)) ** 2
+             ).sum(axis=(1, 2)) >> (2 * bit_inc)
+    d_scr = ((org_cr_b - pred_chroma_at(refs_cr, s_mx, s_my, s_ref)) ** 2
+             ).sum(axis=(1, 2)) >> (2 * bit_inc)
+    skip_rd = m_cost + cw * (d_scb + d_scr).astype(jnp.float32)
     use_skip = skip_rd < rd
     rd = jnp.minimum(rd, skip_rd)
-    mv_qx = jnp.where(use_skip, pred_x, mv_qx)
-    mv_qy = jnp.where(use_skip, pred_y, mv_qy)
-    ref = jnp.where(use_skip, 0, ref)
+    mv_qx = jnp.where(use_skip, s_mx, mv_qx)
+    mv_qy = jnp.where(use_skip, s_my, mv_qy)
+    ref = jnp.where(use_skip, s_ref, ref)
 
     return (rd.reshape(nby, nbx), mv_qx.reshape(nby, nbx),
             mv_qy.reshape(nby, nbx), ref.reshape(nby, nbx))
@@ -558,7 +623,7 @@ def _frame_body_p(py, pcb, pcr, refs_y, refs_cb, refs_cr, iscal, fscal,
         uni0 = uni_leaves(refs_y, refs_cb, refs_cr, iscal[3])
         return _dp_expand(res, cres, cres8_nxn, width, height, lam,
                           max_sig, min_tr_log2, ctu_size, wp, hp,
-                          inter=uni0)
+                          inter=uni0, intra_pen=_INTRA_PEN_BITS)
 
     # B slices: stack the two lists [2, R, H, W] and vmap ONE search
     # over the list axis — the compiled graph contains the uni pass
@@ -587,7 +652,8 @@ def _frame_body_p(py, pcb, pcr, refs_y, refs_cb, refs_cr, iscal, fscal,
         inter[s] = (rd, mvx0, mvy0, ref0, direc, mvx1, mvy1, ref1)
 
     return _dp_expand(res, cres, cres8_nxn, width, height, lam,
-                      max_sig, min_tr_log2, ctu_size, wp, hp, inter=inter)
+                      max_sig, min_tr_log2, ctu_size, wp, hp, inter=inter,
+                      intra_pen=_INTRA_PEN_BITS)
 
 
 _frame_pass_cache_p = {}

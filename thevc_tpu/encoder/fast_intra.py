@@ -608,7 +608,8 @@ _NXN_BITS = 3.0
 
 
 def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
-               min_tr_log2, ctu_size, wp, hp, inter=None):
+               min_tr_log2, ctu_size, wp, hp, inter=None,
+               intra_pen: float = 0.0):
     """Bottom-up quadtree DP + per-4x4-unit map expansion, in jnp (runs
     inside the device launch; the packed maps are the only fetch).
 
@@ -636,6 +637,12 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
                 + lamf * (bits + jnp.float32(_CU_BITS)))
         if s >= 8:
             leaf = leaf + cres[s][1]
+        if inter is not None and s >= 8:
+            # intra CU in an inter slice: pred_mode/part-size signaling
+            # plus the open-loop optimism of org-neighbor prediction
+            # (the real encode predicts from recon) — without this the
+            # DP picks intra for units the exact path codes as skip
+            leaf = leaf + lamf * jnp.float32(intra_pen)
         if inter is not None and s in inter:
             ileaf = inter[s][0] + lamf * jnp.float32(3.0)
             pred_inter[s] = ileaf < leaf
@@ -657,6 +664,8 @@ def _dp_expand(res, cres, cres8_nxn, width, height, lam, max_sig,
                     + child[1::2, 0::2] + child[1::2, 1::2])
             # NxN partition (not a CU split): add its chroma cost
             split = csum + cres8_nxn[1] + lamf * jnp.float32(_NXN_BITS)
+            if inter is not None:
+                split = split + lamf * jnp.float32(intra_pen)
             can = 8 > (1 << min_tr_log2) and 4 >= min_cu
         else:
             child = cost[s // 2]

@@ -19,6 +19,7 @@
 #include <cstring>
 #include <cmath>
 #include <cfloat>
+#include <cstdlib>
 
 extern "C" {
 
@@ -5363,6 +5364,8 @@ struct EncState {
   const int16_t* fd_mvy1;
   int fd_fix_tu;             // 1 = TU split fixed at the CU (no RQT RD)
   int fd_on;
+  int fd_rescue_maxd;        // closed-loop merge rescue at split nodes
+                             // with depth <= this (-1 = off)
   // ---- inter-slice state (valid when has_inter != 0) ----
   int has_inter;
   SliceParams sp;                // merge/AMVP environment (ref POCs, col)
@@ -10875,6 +10878,26 @@ static void es_compress_cu(EncState* S, int abs_part, int depth,
     S->total_cost = best->cost;
   }
 
+  // fast-RD closed-loop rescue: at a split node of the forced quadtree
+  // in an inter slice, the REAL merge/skip RD at THIS level competes
+  // with the forced subtree via the normal leaf-vs-split comparison
+  // below.  The open-loop DP over-splits static regions (its skip model
+  // sees org-vs-recon noise); the exact path codes them as one big skip
+  // (xCheckRDCostMerge2Nx2N before the split recursion, TEncCu.cpp:550).
+  if (S->fd_on && inside && S->has_inter && depth <= S->fd_rescue_maxd &&
+      depth < max_sig) {
+    PROF_BEGIN(19);
+    es_check_rd_merge_2nx2n(S, abs_part, depth, best, &have_best);
+    PROF_END(19);
+    eb_reset_bits(&S->go);
+    we_split_flag(S, &S->go, abs_part, depth);
+    best->bits += eb_bits(&S->go);
+    best->cost = es_rd_cost(S, best->bits, best->dist);
+    S->total_bits = best->bits;
+    S->total_dist = best->dist;
+    S->total_cost = best->cost;
+  }
+
   // parent partition size for AMP_ENC_SPEEDUP: captured from the best
   // before children overwrite the frame region
   int sub_parent;
@@ -10958,6 +10981,8 @@ void* enc_create(const FrameArrays* fa, const EncParams* ep,
     }
   S->presel_part = -1;
   S->presel_size = -1;
+  const char* rsc = getenv("THEVC_FASTRD_RESCUE");
+  S->fd_rescue_maxd = rsc ? atoi(rsc) : 1;
   S->snap_ctx = new uint8_t[(int64_t)S->depths * ECI_NUM * S->num_ctx];
   S->snap_frac = new uint64_t[S->depths * ECI_NUM];
   for (int d = 0; d < S->depths; d++)

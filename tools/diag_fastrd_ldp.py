@@ -37,23 +37,29 @@ def enc(fast):
 
 
 def stats(stream):
-    pics = Decoder().decode_stream(stream)
+    dec = Decoder()
+    dec.keep_models = True
+    pics = dec.decode_stream(stream)
     assert all(p.digest_ok for p in pics)
     rows = []
-    for p in pics:
-        f = p.frame
-        # per-4x4-unit arrays
-        depth = np.asarray(f.depth)
-        pred = np.asarray(f.pred_mode)      # 0 inter / 1 intra (MODE_*)
-        skip = np.asarray(f.skip)
-        merge = np.asarray(f.merge_flag) if hasattr(f, "merge_flag") else None
+    for p in sorted(pics, key=lambda q: q.poc):
+        f = p.model
+        if f is None:
+            continue
+        uw, uh = (W + 63) // 64 * 16, (H + 63) // 64 * 16
+        val = np.zeros((uh, uw), bool)
+        val[:H // 4, :W // 4] = True
+        depth = np.asarray(f.depth)[val]
+        pred = np.asarray(f.pred_mode)[val]   # 1 = MODE_INTRA
+        skip = np.asarray(f.skip)[val]
+        merge = np.asarray(f.merge_flag)[val]
         rows.append(dict(
             poc=p.poc,
-            depth_hist=np.bincount(depth.ravel(), minlength=4)[:4],
+            depth_hist=np.bincount(np.maximum(depth.ravel(), 0),
+                                   minlength=4)[:4],
             intra_pct=100.0 * (pred.ravel() == 1).mean(),
             skip_pct=100.0 * (skip.ravel() != 0).mean(),
-            merge_pct=(100.0 * (merge.ravel() != 0).mean()
-                       if merge is not None else -1),
+            merge_pct=100.0 * (merge.ravel() != 0).mean(),
         ))
     return rows
 
