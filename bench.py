@@ -159,11 +159,14 @@ def _bench_fastrd_encode(clip: str, exact_bytes: int) -> dict:
         return s, time.time() - t0
 
     _pass()                       # warm: jit compiles (persistent-cached)
+    from thevc_tpu.encoder import fast_apply
     dt = None
     stream = b""
     for _ in range(2):            # best-of-2 (host frequency drift)
+        fast_apply.stats_reset()
         stream, d = _pass()
         dt = d if dt is None else min(dt, d)
+    st = fast_apply.stats_reset()
 
     out_bin = os.path.join(TESTDATA, "bench_fastrd_out.bin")
     with open(out_bin, "wb") as fh:
@@ -182,14 +185,29 @@ def _bench_fastrd_encode(clip: str, exact_bytes: int) -> dict:
     h2d = ((hp + 1 + pad) * (wp + 1 + pad)          # luma, uint8
            + 2 * (hp // 2 + 65) * (wp // 2 + 65))   # chroma
     d2h = 6 * (hp // 4) * (wp // 4)                 # packed decision maps
-    return {
+    out = {
         "encode_fps_fastrd_1080p": round(FRAMES / dt, 4),
         "fastrd_bits_overhead_pct":
             round((len(stream) / exact_bytes - 1) * 100, 2),
-        "fastrd_launches_per_frame": 1,
+        "fastrd_launches_per_frame": 1 + (1 if st["frames"] else 0),
         "fastrd_h2d_bytes_per_frame": h2d,
         "fastrd_d2h_bytes_per_frame": d2h,
     }
+    if st["frames"]:
+        # device-apply stage wall profile (VERDICT r04 item #1: prove the
+        # host's remaining share is entropy coding).  Stage walls are
+        # summed across the worker threads, so they can exceed the
+        # elapsed wall when frames overlap; the RATIO is the signal.
+        n = st["frames"]
+        for k in ("sched", "launch", "fetch", "fill", "counter", "cabac"):
+            out[f"fastrd_stage_{k}_ms"] = round(1000.0 * st[k] / n, 1)
+        host_ms = (st["fill"] + st["counter"] + st["cabac"]) * 1000 / n
+        dev_ms = (st["launch"] + st["fetch"]) * 1000 / n
+        entropy_ms = (st["counter"] + st["cabac"]) * 1000 / n
+        out["fastrd_host_entropy_share_pct"] = round(
+            100.0 * entropy_ms / max(host_ms, 1e-9), 1)
+        out["fastrd_devapply_frames"] = n
+    return out
 
 
 def _bench_fastrd_ldp() -> dict:
@@ -297,30 +315,45 @@ def _bd_rate(rb, pb, rf, pf) -> float:
     return float((10.0 ** avg - 1) * 100)
 
 
-def _bench_fastrd_quality() -> dict:
-    """Fast-RD decision quality vs the HM-exact path: BD-rate over a QP
-    sweep {22,27,32,37} on two clips (VERDICT r03 item #4 — a single-QP
-    overhead number hides the rate-distortion tradeoff)."""
+def _bd_encode(cfg_file, clip, w, h, frames, qp, fast):
+    """One quality-sweep encode -> (bits, mean Y PSNR)."""
     import re
-    from thevc_tpu.apps.encoder import main as enc_main
     import io
     import contextlib
+    from thevc_tpu.apps.encoder import main as enc_main
 
-    def encode(clip, w, h, qp, fast):
-        out = os.path.join("/tmp", f"bdr_{os.path.basename(clip)}"
-                           f"_{qp}_{int(fast)}.bin")
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            enc_main(["-c", "/root/reference/cfg/encoder_intra_main.cfg",
-                      "-i", clip, "-wdt", str(w), "-hgt", str(h),
-                      "-f", "2", "-fr", "30", "-q", str(qp), "-b", out,
-                      "-o", "/dev/null", "--SEIpictureDigest=1",
-                      f"--FastRD={int(fast)}"])
-        txt = buf.getvalue()
-        psnr = [float(m) for m in
-                re.findall(r"\[Y ([\d.]+) dB", txt)]
-        return os.path.getsize(out) * 8, sum(psnr) / len(psnr)
+    out = os.path.join("/tmp", f"bdr_{os.path.basename(cfg_file)}"
+                       f"_{os.path.basename(clip)}_{qp}_{int(fast)}.bin")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        enc_main(["-c", f"/root/reference/cfg/{cfg_file}",
+                  "-i", clip, "-wdt", str(w), "-hgt", str(h),
+                  "-f", str(frames), "-fr", "30", "-q", str(qp), "-b", out,
+                  "-o", "/dev/null", "--SEIpictureDigest=1",
+                  f"--FastRD={int(fast)}"])
+    txt = buf.getvalue()
+    psnr = [float(m) for m in re.findall(r"\[Y ([\d.]+) dB", txt)]
+    return os.path.getsize(out) * 8, sum(psnr) / len(psnr)
 
+
+def _bd_sweep(cfg_file, clip, w, h, frames):
+    """BD-rate of FastRD=1 vs the byte-exact path over QP {22,27,32,37}."""
+    rb, pb, rf, pf = [], [], [], []
+    for qp in (22, 27, 32, 37):
+        b, p = _bd_encode(cfg_file, clip, w, h, frames, qp, False)
+        rb.append(b)
+        pb.append(p)
+        b, p = _bd_encode(cfg_file, clip, w, h, frames, qp, True)
+        rf.append(b)
+        pf.append(p)
+    return round(_bd_rate(rb, pb, rf, pf), 2)
+
+
+def _bench_fastrd_quality() -> dict:
+    """Fast-RD decision quality vs the HM-exact path: BD-rate over a QP
+    sweep {22,27,32,37} — intra on two clips plus a moving-content clip,
+    and LDP + RA on the moving-content clip (VERDICT r04 item #2: quality
+    fields for all three configs, with motion content not just noise)."""
     clips = []
     c1 = os.path.join(TESTDATA, "clip_416x240.yuv")
     if not os.path.exists(c1):
@@ -337,19 +370,24 @@ def _bench_fastrd_quality() -> dict:
                         "--frames", "4", "--seed", "11"],
                        check=True, capture_output=True)
     clips.append((c2, 352, 288))
+    cm = os.path.join(TESTDATA, "clip_motion_416x240.yuv")
+    if not os.path.exists(cm):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "make_test_clip.py"),
+                        cm, "--width", "416", "--height", "240",
+                        "--frames", "12", "--style", "motion"],
+                       check=True, capture_output=True)
 
     out = {}
     for ci, (clip, w, h) in enumerate(clips):
-        rb, pb, rf, pf = [], [], [], []
-        for qp in (22, 27, 32, 37):
-            b, p = encode(clip, w, h, qp, False)
-            rb.append(b)
-            pb.append(p)
-            b, p = encode(clip, w, h, qp, True)
-            rf.append(b)
-            pf.append(p)
-        out[f"fastrd_bd_rate_pct_clip{ci}"] = round(
-            _bd_rate(rb, pb, rf, pf), 2)
+        out[f"fastrd_bd_rate_pct_clip{ci}"] = _bd_sweep(
+            "encoder_intra_main.cfg", clip, w, h, 2)
+    out["fastrd_bd_rate_pct_motion"] = _bd_sweep(
+        "encoder_intra_main.cfg", cm, 416, 240, 3)
+    out["fastrd_ldp_bd_rate_pct"] = _bd_sweep(
+        "encoder_lowdelay_P_main.cfg", cm, 416, 240, 5)
+    out["fastrd_ra_bd_rate_pct"] = _bd_sweep(
+        "encoder_randomaccess_main.cfg", cm, 416, 240, 9)
     return out
 
 

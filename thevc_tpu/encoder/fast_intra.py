@@ -84,9 +84,12 @@ def _angular_plan(size: int, mode: int):
         for k in range(-1, ext, -1):
             inv_sum += inv_angle
             side_idx.append(inv_sum >> 8)
-        side_idx.reverse()                   # refmain[ext..-1]
+        side_idx.reverse()                   # refmain[ext+1..-1]
         n_main = size + 1                    # refmain[0..size]
-        off = -ext
+        # the list holds refMain[ext+1..size] (refMain[ext] is never
+        # read: the shallowest delta is one full step), so refMain[m]
+        # sits at index m - ext - 1
+        off = -ext - 1
     else:
         side_idx = []
         n_main = 2 * size + 1

@@ -81,6 +81,19 @@ class NativeCuEncoder:
             fd_mvx.ctypes.data, fd_mvy.ctypes.data,
             *(None if a is None else a.ctypes.data for a in extras))
 
+    def fill_from_fd(self) -> None:
+        """Populate the frame syntax arrays for the fixed fast-RD tree
+        from the (device-computed) coefficient planes — the host half of
+        the device-apply path (no per-CU math)."""
+        r = int(self.lib.enc_fill_from_fd(self.handle))
+        assert r == 0, "enc_fill_from_fd called without fd maps bound"
+
+    def encode_ctu_counter(self, ctu_addr: int) -> int:
+        """Counter-only entropy pass over already-filled arrays: advances
+        the slice RD context chain like the compress-pass tail re-encode
+        and returns the CTU's whole-bit count."""
+        return int(self.lib.enc_encode_ctu_counter(self.handle, ctu_addr))
+
     def get_go_frac(self) -> int:
         return int(self.lib.enc_get_go_frac(self.handle))
 

@@ -724,6 +724,28 @@ class PictureCompressor:
                            fd[4] if top2 else None,
                            fd[5] if top2 and len(fd) > 5 else None,
                            fix_tu)
+            dev_applied = False
+            if (nat is not None and not wpp_native and self.cfg.fast_rd
+                    and sh.slice_type == I_SLICE):
+                # device-resident apply: prediction/transform/quant/recon
+                # run as ONE wavefront launch (encoder/fast_apply.py);
+                # the host walks the fixed tree with the bit counter only
+                from . import fast_apply
+                if fast_apply.enabled():
+                    dev_applied = fast_apply.device_apply_frame(
+                        cu, fd, qp_cb, qp_cr, nat)
+            if dev_applied:
+                import time as _time
+                _t0 = _time.time()
+                for enc in range(f.num_ctus):
+                    ctu = int(f.ctu_order[enc])
+                    self._mark_ctu(ctu, sh, slice_idx)
+                    self.pic_total_bits += nat.encode_ctu_counter(ctu)
+                fast_apply.stage_stats["counter"] += _time.time() - _t0
+                cu.snap[0][CI_CURR_BEST] = nat.get_slice_ctx()
+                cu.go_on.frac_bits = nat.get_go_frac()
+                cu._native = nat
+                return
             if nat is not None and not wpp_native:
                 for enc in range(f.num_ctus):
                     ctu = int(f.ctu_order[enc])
@@ -872,6 +894,17 @@ class PictureCompressor:
     def encode_slice(self, sh, sao_write=None):
         """TEncSlice::encodeSlice over the dependent-slice range.  Returns
         (substream OutputBitstreams, tile_locations) for this segment."""
+        if getattr(self.cu, "_dev_applied", False):
+            import time as _time
+            from . import fast_apply as _fa
+            _t0 = _time.time()
+            try:
+                return self._encode_slice_impl(sh, sao_write)
+            finally:
+                _fa.stage_stats["cabac"] += _time.time() - _t0
+        return self._encode_slice_impl(sh, sao_write)
+
+    def _encode_slice_impl(self, sh, sao_write=None):
         cu, f = self.cu, self.f
         cu.sh = sh          # finishCU's slice-end checks read the segment
         parts = self.parts

@@ -11066,6 +11066,349 @@ void enc_set_fd_inter(void* handle, const int8_t* pred_map,
   S->fd_mvy1 = mvy1_map;
 }
 
+// ---------------------------------------------------------------------------
+// fast-RD device apply (VERDICT r04 item #1): wavefront schedule builder,
+// frame-array fill for a fixed decision tree, and the counter-only entropy
+// pass.  With these three, the per-frame math (prediction / transform /
+// quant / recon) runs as ONE device launch (encoder/fast_apply.py) and the
+// host does entropy coding only.
+// ---------------------------------------------------------------------------
+
+struct FdSched {
+  int32_t *x, *y, *lo, *hi, *wave;
+  int8_t *cls, *mode, *scan;
+  int64_t n, cap;
+  int32_t *lvl_l, *lvl_c;  // per-unit (wave of owner TU) + 1; 0 = uncoded
+  uint8_t *cod_l, *cod_c;  // per-unit coded flags (luma / chroma grids)
+  const int8_t *fd_depth, *fd_mode, *fd_chroma;
+  const uint8_t* fd_nxn;
+  int32_t uw, uh, width, height;
+  int max_sig, min_tr_log2, max_wave, bad;
+};
+
+// es_scan_idx for a fixed intra decision (no frame arrays needed)
+static int fd_scan_idx(int size, int dir_mode, int is_luma) {
+  int ctx_idx;
+  switch (size) {
+    case 2: ctx_idx = 6; break;
+    case 4: ctx_idx = 5; break;
+    case 8: ctx_idx = 4; break;
+    case 16: ctx_idx = 3; break;
+    case 32: ctx_idx = 2; break;
+    case 64: ctx_idx = 1; break;
+    default: ctx_idx = 0; break;
+  }
+  int lo_c = is_luma ? 3 : 4, hi_c = is_luma ? 6 : 7;
+  if (ctx_idx > lo_c && ctx_idx < hi_c) {
+    int dv = dir_mode - VER_IDX; if (dv < 0) dv = -dv;
+    int dh = dir_mode - HOR_IDX; if (dh < 0) dh = -dh;
+    if (dv < 5) return 1;
+    if (dh < 5) return 2;
+  }
+  return 3;
+}
+
+// one TU in decode order: availability clamp [lo, hi] in reference-line
+// sample indices (fillReferenceSamples substitution == clamp when the
+// available units are contiguous), earliest wave (1 + max wave of every
+// unit the clamped line reads), record emit, own-region marking.
+static void fd_emit_tu(FdSched* F, int x, int y, int size, int unit,
+                       int mode, int cls, int is_luma, int trd) {
+  int gx = x / unit, gy = y / unit;
+  int nu = size / unit;
+  int uw = F->uw, uh = F->uh;
+  int32_t* lvl = is_luma ? F->lvl_l : F->lvl_c;
+  uint8_t* cod = is_luma ? F->cod_l : F->cod_c;
+  int lo_u = -1, hi_u = -2, contig = 1, seen_gap = 0, maxw = 0;
+  for (int u = 0; u <= 4 * nu; u++) {
+    int nx, ny;
+    if (u < 2 * nu) { nx = gx - 1; ny = gy + (2 * nu - 1 - u); }
+    else if (u == 2 * nu) { nx = gx - 1; ny = gy - 1; }
+    else { nx = gx + (u - 2 * nu - 1); ny = gy - 1; }
+    // in-picture test is the same on both grids: luma unit nx covers
+    // sample 4*nx, chroma unit nx covers chroma sample 2*nx = luma 4*nx
+    int ok = nx >= 0 && ny >= 0 && nx < uw && ny < uh &&
+             nx * 4 < F->width && ny * 4 < F->height && cod[(int64_t)ny * uw + nx];
+    if (ok) {
+      if (lo_u < 0) lo_u = u;
+      else if (seen_gap) contig = 0;
+      hi_u = u;
+      int w = lvl[(int64_t)ny * uw + nx];
+      if (w > maxw) maxw = w;
+    } else if (lo_u >= 0) {
+      seen_gap = 1;
+    }
+  }
+  if (!contig) F->bad = 1;
+  int lo, hi;
+  if (lo_u < 0) { lo = 1; hi = 0; }            // nothing available: DC fill
+  else { lo = lo_u * unit; hi = (hi_u + 1) * unit - 1; }
+  if (F->n < F->cap) {
+    int64_t i = F->n;
+    F->x[i] = x; F->y[i] = y; F->lo[i] = lo; F->hi[i] = hi;
+    F->wave[i] = maxw;
+    F->cls[i] = (int8_t)cls;
+    F->mode[i] = (int8_t)mode;
+    // low 2 bits: scan index (1 hor-ish / 2 ver-ish / 3 diag);
+    // bit 2: the TU's cbf-context transform depth (0 or 1)
+    F->scan[i] = (int8_t)(fd_scan_idx(size, mode, is_luma) | (trd << 2));
+  }
+  F->n++;
+  if (maxw > F->max_wave) F->max_wave = maxw;
+  for (int j = 0; j < nu; j++)
+    for (int k = 0; k < nu; k++) {
+      int64_t o = (int64_t)(gy + j) * uw + gx + k;
+      cod[o] = 1;
+      lvl[o] = maxw + 1;
+    }
+}
+
+// decode-order TU enumeration over the fixed fast-RD quadtree: mirrors
+// es_compress_cu's fd_leaf rule and decode_transform's TU push order
+// (luma before its chroma; the 4x4-leaf chroma rides with part 0)
+static void fd_sched_cu(FdSched* F, int px, int py, int size, int depth) {
+  if (px >= F->width || py >= F->height) return;
+  int inside = px + size <= F->width && py + size <= F->height;
+  int64_t uoff = (int64_t)(py / 4) * F->uw + px / 4;
+  int fd_leaf = 0;
+  if (inside) {
+    int fd = F->fd_depth[uoff];
+    fd_leaf = fd <= depth || depth >= F->max_sig;
+  }
+  if (!fd_leaf) {
+    int h = size / 2;
+    fd_sched_cu(F, px, py, h, depth + 1);
+    fd_sched_cu(F, px + h, py, h, depth + 1);
+    fd_sched_cu(F, px, py + h, h, depth + 1);
+    fd_sched_cu(F, px + h, py + h, h, depth + 1);
+    return;
+  }
+  int nxn = 0;
+  if (depth == F->max_sig && size > (1 << F->min_tr_log2))
+    nxn = F->fd_nxn[uoff] != 0;
+  int mode0 = F->fd_mode[uoff];
+  int cstored = F->fd_chroma ? F->fd_chroma[uoff] : DM_CHROMA_IDX;
+  int cmode = cstored == DM_CHROMA_IDX ? mode0 : cstored;
+  if (size == 64) {
+    // forced luma split to 32 (max TU); chroma follows at 16 per quadrant
+    for (int i = 0; i < 4; i++) {
+      int sx = px + (i & 1) * 32, sy = py + (i >> 1) * 32;
+      fd_emit_tu(F, sx, sy, 32, 4, mode0, 3, 1, 1);
+      fd_emit_tu(F, sx / 2, sy / 2, 16, 2, cmode, 6, 0, 1);
+    }
+  } else if (nxn) {
+    int m1 = F->fd_mode[uoff + 1];
+    int m2 = F->fd_mode[uoff + F->uw];
+    int m3 = F->fd_mode[uoff + F->uw + 1];
+    fd_emit_tu(F, px, py, 4, 4, mode0, 0, 1, 1);
+    fd_emit_tu(F, px / 2, py / 2, 4, 2, cmode, 4, 0, 0);
+    fd_emit_tu(F, px + 4, py, 4, 4, m1, 0, 1, 1);
+    fd_emit_tu(F, px, py + 4, 4, 4, m2, 0, 1, 1);
+    fd_emit_tu(F, px + 4, py + 4, 4, 4, m3, 0, 1, 1);
+  } else {
+    int cls = size == 4 ? 0 : size == 8 ? 1 : size == 16 ? 2 : 3;
+    fd_emit_tu(F, px, py, size, 4, mode0, cls, 1, 0);
+    if (size == 8)
+      fd_emit_tu(F, px / 2, py / 2, 4, 2, cmode, 4, 0, 0);
+    else
+      fd_emit_tu(F, px / 2, py / 2, size / 2, 2, cmode,
+                 size == 16 ? 5 : 6, 0, 0);
+  }
+}
+
+// Build the wavefront schedule for one frame's fixed intra decision maps.
+// Returns the TU record count, writing n_waves to *out_n_waves; returns
+// -1 when a TU's availability is non-contiguous (caller must fall back
+// to the host apply) or -2 when cap is too small.
+int64_t enc_fd_schedule(int32_t uw, int32_t uh, int32_t width,
+                        int32_t height, int32_t ctu_size, int32_t ctus_w,
+                        int32_t ctus_h, int32_t max_sig,
+                        int32_t min_tr_log2, const int8_t* fd_depth,
+                        const uint8_t* fd_nxn, const int8_t* fd_mode,
+                        const int8_t* fd_chroma, int32_t* out_x,
+                        int32_t* out_y, int32_t* out_lo, int32_t* out_hi,
+                        int32_t* out_wave, int8_t* out_cls,
+                        int8_t* out_mode, int8_t* out_scan, int64_t cap,
+                        int32_t* out_n_waves) {
+  FdSched F;
+  memset(&F, 0, sizeof(F));
+  F.x = out_x; F.y = out_y; F.lo = out_lo; F.hi = out_hi; F.wave = out_wave;
+  F.cls = out_cls; F.mode = out_mode; F.scan = out_scan;
+  F.cap = cap;
+  F.fd_depth = fd_depth; F.fd_nxn = fd_nxn; F.fd_mode = fd_mode;
+  F.fd_chroma = fd_chroma;
+  F.uw = uw; F.uh = uh; F.width = width; F.height = height;
+  F.max_sig = max_sig; F.min_tr_log2 = min_tr_log2;
+  int64_t cells = (int64_t)uw * uh;
+  F.lvl_l = new int32_t[cells]();
+  F.lvl_c = new int32_t[cells]();
+  F.cod_l = new uint8_t[cells]();
+  F.cod_c = new uint8_t[cells]();
+  for (int cy = 0; cy < ctus_h; cy++)
+    for (int cx = 0; cx < ctus_w; cx++)
+      fd_sched_cu(&F, cx * ctu_size, cy * ctu_size, ctu_size, 0);
+  delete[] F.lvl_l; delete[] F.lvl_c; delete[] F.cod_l; delete[] F.cod_c;
+  *out_n_waves = F.max_wave + 1;
+  if (F.bad) return -1;
+  if (F.n > cap) return -2;
+  return F.n;
+}
+
+static inline int fd_tu_cbf(const int32_t* plane, int64_t stride, int x,
+                            int y, int size) {
+  for (int j = 0; j < size; j++) {
+    const int32_t* r = plane + (int64_t)(y + j) * stride + x;
+    for (int i = 0; i < size; i++)
+      if (r[i]) return 1;
+  }
+  return 0;
+}
+
+// fill the frame syntax arrays for the fixed fast-RD tree from the
+// device-computed coefficient planes (cbf conventions mirror the decoder's
+// decode_transform: per-depth cbf bitmask, children OR'd into parent bits)
+static void fd_fill_cu(EncState* S, int px, int py, int size, int depth) {
+  FrameArrays* fa = &S->fa;
+  int ux = px / 4, uy = py / 4;
+  int units = fa->upr >> depth;
+  if (px >= fa->width || py >= fa->height) {
+    if (px < fa->uw * 4 && py < fa->uh * 4) {
+      set_region<int8_t>(fa, fa->depth, ux, uy, units, (int8_t)depth);
+      set_region<int8_t>(fa, fa->pred_mode, ux, uy, units, MODE_NONE);
+    }
+    return;
+  }
+  int inside = px + size <= fa->width && py + size <= fa->height;
+  int64_t uoff = (int64_t)uy * fa->uw + ux;
+  int max_sig = fa->max_depth - S->ep.add_cu_depth;
+  int fd_leaf = 0;
+  if (inside) {
+    int fd = S->fd_depth[uoff];
+    fd_leaf = fd <= depth || depth >= max_sig;
+  }
+  if (!fd_leaf) {
+    int h = size / 2;
+    fd_fill_cu(S, px, py, h, depth + 1);
+    fd_fill_cu(S, px + h, py, h, depth + 1);
+    fd_fill_cu(S, px, py + h, h, depth + 1);
+    fd_fill_cu(S, px + h, py + h, h, depth + 1);
+    return;
+  }
+  int nxn = 0;
+  if (depth == max_sig && size > (1 << S->ep.min_tr_log2))
+    nxn = S->fd_nxn[uoff] != 0;
+  int qp = S->ep.unit_qp >= 0 ? S->ep.unit_qp : S->ep.slice_qp;
+  set_region<uint8_t>(fa, fa->skip, ux, uy, units, 0);
+  set_region<int8_t>(fa, fa->part_size, ux, uy, units,
+                     (int8_t)(nxn ? SZ_NxN : SZ_2Nx2N));
+  set_region<int8_t>(fa, fa->pred_mode, ux, uy, units, MODE_INTRA);
+  set_region<int8_t>(fa, fa->depth, ux, uy, units, (int8_t)depth);
+  set_region<int8_t>(fa, fa->qp, ux, uy, units, (int8_t)qp);
+  set_region<uint8_t>(fa, fa->ipcm, ux, uy, units, 0);
+  set_region<uint8_t>(fa, fa->tq_bypass, ux, uy, units,
+                      (uint8_t)(S->ep.tq_bypass_enable
+                                    ? S->ep.cu_tq_bypass_value : 0));
+  set_region<int8_t>(fa, fa->tr_idx, ux, uy, units,
+                     (int8_t)((size == 64 || nxn) ? 1 : 0));
+  for (int c = 0; c < 3; c++)
+    set_region<uint8_t>(fa, fa->ts_flag + (int64_t)c * fa->uh * fa->uw,
+                        ux, uy, units, 0);
+  int cstored = S->fd_chroma ? S->fd_chroma[uoff] : DM_CHROMA_IDX;
+  set_region<int8_t>(fa, fa->chroma_dir, ux, uy, units, (int8_t)cstored);
+  int64_t y_base = 0 * (int64_t)fa->uh * fa->uw;
+  int64_t u_base = 1 * (int64_t)fa->uh * fa->uw;
+  int64_t v_base = 2 * (int64_t)fa->uh * fa->uw;
+  int64_t ls = (int64_t)fa->uw * 4, cs = (int64_t)fa->uw * 2;
+  if (size == 64) {
+    set_region<int8_t>(fa, fa->luma_dir, ux, uy, units,
+                       (int8_t)S->fd_mode[uoff]);
+    int ory = 0, oru = 0, orv = 0;
+    for (int i = 0; i < 4; i++) {
+      int sx = px + (i & 1) * 32, sy = py + (i >> 1) * 32;
+      int sux = sx / 4, suy = sy / 4;
+      int cy_ = fd_tu_cbf(fa->coeff_y, ls, sx, sy, 32);
+      int cu_ = fd_tu_cbf(fa->coeff_cb, cs, sx / 2, sy / 2, 16);
+      int cv_ = fd_tu_cbf(fa->coeff_cr, cs, sx / 2, sy / 2, 16);
+      set_region<uint8_t>(fa, fa->cbf + y_base, sux, suy, units / 2,
+                          (uint8_t)(cy_ << 1));
+      set_region<uint8_t>(fa, fa->cbf + u_base, sux, suy, units / 2,
+                          (uint8_t)(cu_ << 1));
+      set_region<uint8_t>(fa, fa->cbf + v_base, sux, suy, units / 2,
+                          (uint8_t)(cv_ << 1));
+      ory |= cy_; oru |= cu_; orv |= cv_;
+    }
+    for (int j = 0; j < units; j++)
+      for (int k = 0; k < units; k++) {
+        int64_t o = (int64_t)(uy + j) * fa->uw + ux + k;
+        fa->cbf[y_base + o] |= (uint8_t)ory;
+        fa->cbf[u_base + o] |= (uint8_t)oru;
+        fa->cbf[v_base + o] |= (uint8_t)orv;
+      }
+  } else if (nxn) {
+    int ory = 0;
+    for (int i = 0; i < 4; i++) {
+      int sx = px + (i & 1) * 4, sy = py + (i >> 1) * 4;
+      int64_t o = (int64_t)(sy / 4) * fa->uw + sx / 4;
+      fa->luma_dir[o] = S->fd_mode[o];
+      int cy_ = fd_tu_cbf(fa->coeff_y, ls, sx, sy, 4);
+      fa->cbf[y_base + o] = (uint8_t)(cy_ << 1);
+      ory |= cy_;
+    }
+    int cu_ = fd_tu_cbf(fa->coeff_cb, cs, px / 2, py / 2, 4);
+    int cv_ = fd_tu_cbf(fa->coeff_cr, cs, px / 2, py / 2, 4);
+    for (int j = 0; j < units; j++)
+      for (int k = 0; k < units; k++) {
+        int64_t o = (int64_t)(uy + j) * fa->uw + ux + k;
+        fa->cbf[y_base + o] |= (uint8_t)ory;
+        // chroma at the 4x4 leaf depth copies the parent bit down
+        // (decode_transform's log2_tr == 2 else-branch)
+        fa->cbf[u_base + o] = (uint8_t)(cu_ ? 3 : 0);
+        fa->cbf[v_base + o] = (uint8_t)(cv_ ? 3 : 0);
+      }
+  } else {
+    set_region<int8_t>(fa, fa->luma_dir, ux, uy, units,
+                       (int8_t)S->fd_mode[uoff]);
+    int cy_ = fd_tu_cbf(fa->coeff_y, ls, px, py, size);
+    int csz = size == 8 ? 4 : size / 2;
+    int cu_ = fd_tu_cbf(fa->coeff_cb, cs, px / 2, py / 2, csz);
+    int cv_ = fd_tu_cbf(fa->coeff_cr, cs, px / 2, py / 2, csz);
+    set_region<uint8_t>(fa, fa->cbf + y_base, ux, uy, units, (uint8_t)cy_);
+    set_region<uint8_t>(fa, fa->cbf + u_base, ux, uy, units, (uint8_t)cu_);
+    set_region<uint8_t>(fa, fa->cbf + v_base, ux, uy, units, (uint8_t)cv_);
+  }
+}
+
+int32_t enc_fill_from_fd(void* handle) {
+  EncState* S = (EncState*)handle;
+  if (!S->fd_on) return -1;
+  FrameArrays* fa = &S->fa;
+  for (int cy = 0; cy < fa->ctus_h; cy++)
+    for (int cx = 0; cx < fa->ctus_w; cx++)
+      fd_fill_cu(S, cx * fa->ctu_size, cy * fa->ctu_size, fa->ctu_size, 0);
+  return 0;
+}
+
+// counter-only entropy pass for one CTU over already-filled frame arrays:
+// advances the slice RD context chain exactly like the compress-pass tail
+// re-encode (compress_slice), returning the whole-bit count
+int64_t enc_encode_ctu_counter(void* handle, int32_t ctu_addr) {
+  EncState* S = (EncState*)handle;
+  S->ctu_addr = ctu_addr;
+  EncBin eng;
+  memset(&eng, 0, sizeof(eng));
+  uint8_t ctx_buf[512];
+  memcpy(ctx_buf, es_snap_ctx(S, 0, ECI_CURR_BEST), S->num_ctx);
+  eng.mode = 0;
+  eng.ctx = ctx_buf;
+  eng.frac_bits = S->snap_frac[ECI_CURR_BEST];
+  S->fin = &eng;
+  uint64_t f0 = eng.frac_bits;
+  es_encode_cu_final(S, 0, 0);
+  memcpy(es_snap_ctx(S, 0, ECI_CURR_BEST), ctx_buf, S->num_ctx);
+  S->snap_frac[ECI_CURR_BEST] = eng.frac_bits;
+  return (int64_t)((eng.frac_bits - f0) >> 15);
+}
+
 void enc_destroy(void* handle) {
   EncState* S = (EncState*)handle;
   delete[] S->presel_pred;
