@@ -74,7 +74,7 @@ def build_schedule(fd_depth, fd_mode, fd_nxn, fd_chroma, width, height,
     import ctypes
     from .. import native
     lib = native.get_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "enc_fd_schedule"):
         return None
     uh, uw = fd_depth.shape
     ctus_w = (uw * 4) // ctu_size
@@ -312,14 +312,23 @@ def est_bits_pack(init_ctx: np.ndarray, size: int, luma: bool):
         return t
     from .sbac_writer import build_est_bits
     eb = build_est_bits(init_ctx, size, luma)
+    sig = np.asarray(eb.sig_bits, np.int32)
+    lastx = np.asarray(eb.last_x_bits, np.int64)
+    lasty = np.asarray(eb.last_y_bits, np.int64)
+    sigmap, _rgt, _low, glx, gly, gep = _rdoq_tables(size, luma)
+    # per-(scan, pattern, position) sig-flag bits and per-(scan,
+    # position) last-position rates, combined host-side so the device
+    # reads them with masked selects instead of serialized gathers
+    sig0p = sig[sigmap, 0].astype(np.float32)         # [3, 4, P]
+    sig1p = sig[sigmap, 1].astype(np.float32)
+    rlv = (lastx[glx] + lasty[gly] + gep).astype(np.float32)   # [3, P]
     t = dict(
-        sig=np.asarray(eb.sig_bits, np.int32),
+        sig=sig,
         one=np.asarray(eb.greater_one_bits, np.int32),
         abs_=np.asarray(eb.level_abs_bits, np.int32),
         cg=np.asarray(eb.sig_cg_bits, np.int32),
-        lastx=np.asarray(eb.last_x_bits, np.int32),
-        lasty=np.asarray(eb.last_y_bits, np.int32),
         cbp=np.asarray(eb.block_cbp_bits, np.int32),
+        sig0p=sig0p, sig1p=sig1p, rlv=rlv,
     )
     _est_bits_cache[key] = t
     return t
@@ -334,8 +343,25 @@ def _bitlen(x):
     return out
 
 
+def _take_small(tab, idx, k: int):
+    """tab[idx] for a tiny table (k entries) as a masked select-sum —
+    TPU gathers with per-element indices serialize; k fused vector ops
+    don't."""
+    import jax.numpy as jnp
+    out = jnp.zeros(idx.shape, tab.dtype)
+    for i in range(k):
+        out = jnp.where(idx == i, tab[i], out)
+    return out
+
+
+def _perm_rows(x, perm):
+    """x[:, perm] with a STATIC permutation (fast shuffle, not a dynamic
+    gather)."""
+    return x[:, perm]
+
+
 def _rdoq_batch(co, lam, qp, size: int, scan_sel, trd, luma: bool, ebt,
-                bit_inc: int):
+                bit_inc: int, static_scan=None):
     """Vectorized RDOQ over a TU batch — xRateDistOptQuant
     (TComTrQuant.cpp:1719) with the sequential per-coefficient context
     chain (c1/c2/goRice/ctxSet) replaced by closed-form proxies computed
@@ -344,9 +370,11 @@ def _rdoq_batch(co, lam, qp, size: int, scan_sel, trd, luma: bool, ebt,
     reference cost model exactly.
 
     co [N,s,s] int32 signed coefficients; scan_sel [N] in {0,1,2};
-    trd [N] cbf-ctx transform depth.  Returns (levels [N,s,s] signed,
-    delta_u [N,s,s] for the SBH pass).
-    """
+    trd [N] cbf-ctx transform depth.  static_scan: when every TU of the
+    class uses one scan (diag for sizes >= 16), all permutations become
+    static shuffles and table reads become masked selects — TPU gathers
+    with per-element indices serialize and dominate the wave loop
+    otherwise.  Returns (levels [N,s,s] signed, delta_u [N,s,s])."""
     import jax.numpy as jnp
 
     f32 = jnp.float32
@@ -356,10 +384,8 @@ def _rdoq_batch(co, lam, qp, size: int, scan_sel, trd, luma: bool, ebt,
     log2 = size.bit_length() - 1
     BIG = f32(3e38)
 
-    sigmap, rgt, low, glx, gly, gep = (jnp.asarray(a) for a in
-                                       _rdoq_tables(size, luma))
-    scan_t = jnp.asarray(_scan_tables(size))
-    pos = scan_t[scan_sel]                          # [N, P] raster pos
+    sigmap_np, rgt_np, low_np, glx, gly, gep = _rdoq_tables(size, luma)
+    scan_np = _scan_tables(size)
 
     per = qp // 6
     rem = qp % 6
@@ -372,8 +398,13 @@ def _rdoq_batch(co, lam, qp, size: int, scan_sel, trd, luma: bool, ebt,
     lam = lam.astype(f32)
 
     flat = co.reshape(nb, p)
-    a_s = jnp.abs(jnp.take_along_axis(flat, pos, axis=1))
-    sgn = jnp.where(jnp.take_along_axis(flat, pos, axis=1) < 0, -1, 1)
+    if static_scan is not None:
+        sflat = _perm_rows(flat, scan_np[static_scan])
+    else:
+        pos = jnp.asarray(scan_np)[scan_sel]        # [N, P] raster pos
+        sflat = jnp.take_along_axis(flat, pos, axis=1)
+    a_s = jnp.abs(sflat)
+    sgn = jnp.where(sflat < 0, -1, 1)
     ld = a_s * uiQ
     half = jnp.int32(1) << (qbits - 1)
     maxab = (ld + half) >> qbits
@@ -416,21 +447,46 @@ def _rdoq_batch(co, lam, qp, size: int, scan_sel, trd, luma: bool, ebt,
     cg_has = ge1.reshape(nb, ncg, 16).any(axis=2)
     cg_has_pad = jnp.concatenate(
         [cg_has, jnp.zeros((nb, 1), bool)], axis=1)
-    r_sig = jnp.take_along_axis(cg_has_pad, rgt[scan_sel], axis=1)
-    l_sig = jnp.take_along_axis(cg_has_pad, low[scan_sel], axis=1)
+    if static_scan is not None:
+        r_sig = _perm_rows(cg_has_pad, rgt_np[static_scan])
+        l_sig = _perm_rows(cg_has_pad, low_np[static_scan])
+    else:
+        rgt = jnp.asarray(rgt_np)
+        low = jnp.asarray(low_np)
+        r_sig = jnp.take_along_axis(cg_has_pad, rgt[scan_sel], axis=1)
+        l_sig = jnp.take_along_axis(cg_has_pad, low[scan_sel], axis=1)
     patt = r_sig.astype(jnp.int32) + 2 * l_sig.astype(jnp.int32)
     patt_p = jnp.repeat(patt, 16, axis=1)                     # [N, P]
-    sig_ctx = sigmap[scan_sel[:, None], patt_p, p_idx]
-    sig0 = ebt["sig"][sig_ctx, 0].astype(f32)
-    sig1 = ebt["sig"][sig_ctx, 1].astype(f32)
+    # sig-flag bits per (pattern, position) — precomputed vectors shipped
+    # in ebt (sig0p/sig1p [3, 4, P]); masked select instead of gather
+    sig0 = jnp.zeros((nb, p), f32)
+    sig1 = jnp.zeros((nb, p), f32)
+    for pat in range(4):
+        msk = patt_p == pat
+        if static_scan is not None:
+            v0 = ebt["sig0p"][static_scan, pat]
+            v1 = ebt["sig1p"][static_scan, pat]
+            sig0 = jnp.where(msk, v0[None, :], sig0)
+            sig1 = jnp.where(msk, v1[None, :], sig1)
+        else:
+            v0 = ebt["sig0p"][scan_sel[:, None],
+                              jnp.full_like(scan_sel, pat)[:, None],
+                              p_idx]
+            v1 = ebt["sig1p"][scan_sel[:, None],
+                              jnp.full_like(scan_sel, pat)[:, None],
+                              p_idx]
+            sig0 = jnp.where(msk, v0, sig0)
+            sig1 = jnp.where(msk, v1, sig1)
 
     # ---- level decision (xGetCodedLevel + xGetICRateCost) ----
     base_level = jnp.where(c1_idx < 8, 2 + (c2_idx < 1).astype(jnp.int32),
                            1)
-    one0 = ebt["one"][ctx_one, 0].astype(f32)
-    one1 = ebt["one"][ctx_one, 1].astype(f32)
-    abs0 = ebt["abs_"][ctx_abs, 0].astype(f32)
-    abs1 = ebt["abs_"][ctx_abs, 1].astype(f32)
+    n_one = 16 if luma else 8
+    n_abs = 4 if luma else 2
+    one0 = _take_small(ebt["one"][:, 0].astype(f32), ctx_one, n_one)
+    one1 = _take_small(ebt["one"][:, 1].astype(f32), ctx_one, n_one)
+    abs0 = _take_small(ebt["abs_"][:, 0].astype(f32), ctx_abs, n_abs)
+    abs1 = _take_small(ebt["abs_"][:, 1].astype(f32), ctx_abs, n_abs)
 
     def ic_rate(lv):
         sym = lv - base_level
@@ -500,11 +556,15 @@ def _rdoq_batch(co, lam, qp, size: int, scan_sel, trd, luma: bool, ebt,
 
     # sigCG context from decided-neighbor proxy
     dec_pad = jnp.concatenate([dec_sig, jnp.zeros((nb, 1), bool)], axis=1)
-    cg_r = jnp.take_along_axis(dec_pad, rgt[scan_sel], axis=1)
-    cg_l = jnp.take_along_axis(dec_pad, low[scan_sel], axis=1)
-    cg_ctx = (cg_r | cg_l).astype(jnp.int32)
-    cg0b = ebt["cg"][cg_ctx, 0].astype(f32)
-    cg1b = ebt["cg"][cg_ctx, 1].astype(f32)
+    if static_scan is not None:
+        cg_r = _perm_rows(dec_pad, rgt_np[static_scan])
+        cg_l = _perm_rows(dec_pad, low_np[static_scan])
+    else:
+        cg_r = jnp.take_along_axis(dec_pad, rgt[scan_sel], axis=1)
+        cg_l = jnp.take_along_axis(dec_pad, low[scan_sel], axis=1)
+    cg_ctx = cg_r | cg_l
+    cg0b = jnp.where(cg_ctx, ebt["cg"][1, 0], ebt["cg"][0, 0]).astype(f32)
+    cg1b = jnp.where(cg_ctx, ebt["cg"][1, 1], ebt["cg"][0, 1]).astype(f32)
 
     zero_cost = lam * cg0b + unc_nz - coded_ld - sum_sig_adj
     zeroed = eligible & (zero_cost < lam * cg1b)
@@ -527,8 +587,8 @@ def _rdoq_batch(co, lam, qp, size: int, scan_sel, trd, luma: bool, ebt,
         cbf_ctx = jnp.where(trd == 0, 1, 0)
     else:
         cbf_ctx = 5 + trd
-    cbf0 = ebt["cbp"][cbf_ctx, 0].astype(f32)
-    cbf1 = ebt["cbp"][cbf_ctx, 1].astype(f32)
+    cbf0 = _take_small(ebt["cbp"][:, 0].astype(f32), cbf_ctx, 10)
+    cbf1 = _take_small(ebt["cbp"][:, 1].astype(f32), cbf_ctx, 10)
     base_final = (cost_coeff.sum(axis=1)
                   - jnp.where(adj, sig_pos0, 0.0).sum(axis=1)
                   + cost_cg_sig.sum(axis=1) + lam * cbf1)
@@ -541,9 +601,10 @@ def _rdoq_batch(co, lam, qp, size: int, scan_sel, trd, luma: bool, ebt,
     suf_d = (jnp.cumsum(d[:, ::-1], axis=1)[:, ::-1] - d)
     sufD_cg = jnp.cumsum(cost_cg_sig[:, ::-1], axis=1)[:, ::-1]  # incl
     sufD_p = jnp.repeat(sufD_cg, 16, axis=1)
-    rate_last = (ebt["lastx"][glx[scan_sel, :]]
-                 + ebt["lasty"][gly[scan_sel, :]]
-                 + gep[scan_sel, :]).astype(f32)
+    if static_scan is not None:
+        rate_last = ebt["rlv"][static_scan][None, :]
+    else:
+        rate_last = ebt["rlv"][scan_sel, :]
     total = (base_final[:, None] - sufD_p - suf_d
              + lam * rate_last - cost_sig)
     gt1_pos = jnp.max(jnp.where(lvl > 1, p_idx, 0), axis=1)
@@ -558,19 +619,26 @@ def _rdoq_batch(co, lam, qp, size: int, scan_sel, trd, luma: bool, ebt,
 
     du = jnp.where(in_coded, (ld - (lvl << qbits)) >> (qbits - 8), 0)
 
-    out = jnp.zeros((nb, p), jnp.int32)
-    out = out.at[jnp.arange(nb)[:, None], pos].set(lvl * sgn)
-    duo = jnp.zeros((nb, p), jnp.int32)
-    duo = duo.at[jnp.arange(nb)[:, None], pos].set(du)
+    if static_scan is not None:
+        inv = np.empty(p, np.int64)
+        inv[scan_np[static_scan]] = np.arange(p)
+        out = _perm_rows(lvl * sgn, inv)
+        duo = _perm_rows(du, inv)
+    else:
+        out = jnp.zeros((nb, p), jnp.int32)
+        out = out.at[jnp.arange(nb)[:, None], pos].set(lvl * sgn)
+        duo = jnp.zeros((nb, p), jnp.int32)
+        duo = duo.at[jnp.arange(nb)[:, None], pos].set(du)
     return out.reshape(nb, size, size), duo.reshape(nb, size, size)
 
 
-def _sbh_batch(levels, src, du, scan_sel, size: int):
+def _sbh_batch(levels, src, du, scan_sel, size: int, static_scan=None):
     """Vectorized signBitHidingHDQ (mirror of codec_core.cpp sbh_hdq_c /
     TComTrQuant.cpp:977) over a TU batch.
 
     levels/src/du [N, s, s] raster; scan_sel [N] in {0,1,2} selecting the
-    scan table.  Returns adjusted levels.
+    scan table (static_scan: one static scan for the whole class).
+    Returns adjusted levels.
     """
     import jax.numpy as jnp
 
@@ -580,11 +648,17 @@ def _sbh_batch(levels, src, du, scan_sel, size: int):
     nb = levels.shape[0]
     p = size * size
     ncg = p // 16
-    scan_t = jnp.asarray(_scan_tables(size))          # [3, p]
-    pos = scan_t[scan_sel]                            # [N, p]
-    lv = jnp.take_along_axis(levels.reshape(nb, p), pos, axis=1)
-    sr = jnp.take_along_axis(src.reshape(nb, p), pos, axis=1)
-    dd = jnp.take_along_axis(du.reshape(nb, p), pos, axis=1)
+    scan_np = _scan_tables(size)                      # [3, p]
+    if static_scan is not None:
+        perm = scan_np[static_scan]
+        lv = _perm_rows(levels.reshape(nb, p), perm)
+        sr = _perm_rows(src.reshape(nb, p), perm)
+        dd = _perm_rows(du.reshape(nb, p), perm)
+    else:
+        pos = jnp.asarray(scan_np)[scan_sel]          # [N, p]
+        lv = jnp.take_along_axis(levels.reshape(nb, p), pos, axis=1)
+        sr = jnp.take_along_axis(src.reshape(nb, p), pos, axis=1)
+        dd = jnp.take_along_axis(du.reshape(nb, p), pos, axis=1)
     lv = lv.reshape(nb, ncg, 16)
     sr = sr.reshape(nb, ncg, 16)
     dd = dd.reshape(nb, ncg, 16).astype(jnp.int32)
@@ -631,19 +705,26 @@ def _sbh_batch(levels, src, du, scan_sel, size: int):
     sel_chg = jnp.where((sel_q == 32767) | (sel_q == -32768), -1, sel_chg)
     delta = jnp.where(sel_src >= 0, sel_chg, -sel_chg)
     delta = jnp.where(need, delta, 0)
-    lv = lv + (jnp.zeros_like(lv).at[
-        jnp.arange(nb)[:, None], g_idx[None, :], sel].add(delta))
+    lv = lv + jnp.where(n_idx[None, None] == sel[..., None], delta[..., None],
+                        0)
 
-    out = jnp.zeros((nb, p), levels.dtype)
-    out = out.at[jnp.arange(nb)[:, None], pos].set(lv.reshape(nb, p))
+    if static_scan is not None:
+        inv = np.empty(p, np.int64)
+        inv[scan_np[static_scan]] = np.arange(p)
+        out = _perm_rows(lv.reshape(nb, p), inv)
+    else:
+        out = jnp.zeros((nb, p), levels.dtype)
+        out = out.at[jnp.arange(nb)[:, None], pos].set(lv.reshape(nb, p))
     return out.reshape(nb, size, size)
 
 
-def _class_step(state, org, flat_dev, off, w, ci, cap, qp, lam, ebt,
+def _class_step(state, org_wins, flat_dev, off, w, ci, cap, qp, lam, ebt,
                 bit_inc, max_val, sign_hide, use_rdoq):
     """One wave step for one size class: gather refs from the evolving
     recon plane, predict, transform + RDOQ (or quant) + SBH,
-    reconstruct, scatter."""
+    reconstruct, scatter recon; levels land in a flat per-record output
+    (contiguous dynamic_update_slice — the frame-layout assembly happens
+    on the host)."""
     import jax
     import jax.numpy as jnp
     from ..ops import jx
@@ -652,7 +733,11 @@ def _class_step(state, org, flat_dev, off, w, ci, cap, qp, lam, ebt,
     s = size
     unit = 4 if luma else 2
     L = 4 * s + unit
-    rec, coeff = state
+    # one static scan per class for sizes >= 16 (diag, index 2): all
+    # permutations become static shuffles (dynamic per-element gathers
+    # serialize on TPU and dominate the wave loop otherwise)
+    static_scan = 2 if s >= 16 else None
+    rec, out_lv = state
     xs, ys, lo, hi, mode, scan = flat_dev
     start = jax.lax.dynamic_slice(off, (w,), (1,))[0]
     x0 = jax.lax.dynamic_slice(xs, (start,), (cap,))
@@ -661,6 +746,8 @@ def _class_step(state, org, flat_dev, off, w, ci, cap, qp, lam, ebt,
     hi_ = jax.lax.dynamic_slice(hi, (start,), (cap,))
     md = jax.lax.dynamic_slice(mode, (start,), (cap,))
     sc = jax.lax.dynamic_slice(scan, (start,), (cap,))
+    owin = jax.lax.dynamic_slice(
+        org_wins, (start, 0, 0), (cap, s, s)).astype(jnp.int32)
 
     # reference line gather with the substitution clamp
     i = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -681,32 +768,31 @@ def _class_step(state, org, flat_dev, off, w, ci, cap, qp, lam, ebt,
 
     pred = _predict_batch(ra, rl, s, luma, md, max_val)
 
-    dy = jnp.arange(s, dtype=jnp.int32)
-    oyy = y0[:, None, None] + dy[None, :, None]
-    oxx = x0[:, None, None] + dy[None, None, :]
-    owin = org[oyy, oxx].astype(jnp.int32)
-
     resi = owin - pred
     co = jx.forward_transform(resi, use_dst, bit_inc)
     qp_vec = jnp.full((cap,), qp, jnp.int32)
     scan_sel = jnp.clip((sc & 3) - 1, 0, 2)
     if use_rdoq:
         levels, du = _rdoq_batch(co, lam, qp, s, scan_sel, sc >> 2,
-                                 luma, ebt, bit_inc)
+                                 luma, ebt, bit_inc, static_scan)
     else:
         levels, du = jx.quant(co, qp_vec, True, bit_inc)
     if sign_hide:
-        levels = _sbh_batch(levels, co, du, scan_sel, s)
+        levels = _sbh_batch(levels, co, du, scan_sel, s, static_scan)
     deq = jx.dequant(levels, qp_vec, bit_inc)
     rres = jx.inverse_transform(deq, use_dst, bit_inc)
     recb = jnp.clip(pred + rres, 0, max_val)
 
+    dy = jnp.arange(s, dtype=jnp.int32)
+    oyy = y0[:, None, None] + dy[None, :, None]
+    oxx = x0[:, None, None] + dy[None, None, :]
     rec = rec.at[oyy + 1, oxx + 1].set(recb.astype(rec.dtype))
-    coeff = coeff.at[oyy, oxx].set(levels.astype(coeff.dtype))
-    return rec, coeff
+    out_lv = jax.lax.dynamic_update_slice(
+        out_lv, levels.astype(out_lv.dtype), (start, 0, 0))
+    return rec, out_lv
 
 
-def _apply_body(org_y, org_cb, org_cr, flats, offs, n_waves, qps, lams,
+def _apply_body(org_wins, org_wins_cr, flats, offs, n_waves, qps, lams,
                 ebts, statics):
     import jax
     import jax.numpy as jnp
@@ -719,38 +805,57 @@ def _apply_body(org_y, org_cb, org_cr, flats, offs, n_waves, qps, lams,
     rec_y = jnp.zeros((hp + 1 + GUARD, wp + 1 + GUARD), i16)
     rec_cb = jnp.zeros((hp // 2 + 1 + GUARD, wp // 2 + 1 + GUARD), i16)
     rec_cr = jnp.zeros_like(rec_cb)
-    co_y = jnp.zeros((hp + GUARD, wp + GUARD), i16)
-    co_cb = jnp.zeros((hp // 2 + GUARD, wp // 2 + GUARD), i16)
-    co_cr = jnp.zeros_like(co_cb)
+    # flat per-record level outputs (org_wins layout; the host assembles
+    # the frame-shaped coefficient planes from these)
+    lvs = [jnp.zeros(org_wins[ci].shape, i16) for ci in range(len(CLS))]
+    lvs_cr = [jnp.zeros(org_wins_cr[ci].shape, i16)
+              if org_wins_cr[ci] is not None else None
+              for ci in range(len(CLS))]
 
     def body(w, carry):
-        rec_y, co_y, rec_cb, co_cb, rec_cr, co_cr = carry
+        rec_y, rec_cb, rec_cr, lvs, lvs_cr = carry
+        lvs = list(lvs)
+        lvs_cr = list(lvs_cr)
         for ci in range(len(CLS)):
             size, luma, _ = CLS[ci]
-            if luma:
-                rec_y, co_y = _class_step(
-                    (rec_y, co_y), org_y, flats[ci], offs[ci], w, ci,
-                    caps[ci], qp_y, lam_y, ebts[ci], bit_inc, max_val,
-                    sign_hide, use_rdoq)
-            else:
-                rec_cb, co_cb = _class_step(
-                    (rec_cb, co_cb), org_cb, flats[ci], offs[ci], w, ci,
-                    caps[ci], qp_cb, lam_c, ebts[ci], bit_inc, max_val,
-                    sign_hide, use_rdoq)
-                rec_cr, co_cr = _class_step(
-                    (rec_cr, co_cr), org_cr, flats[ci], offs[ci], w, ci,
-                    caps[ci], qp_cr, lam_c, ebts[ci], bit_inc, max_val,
-                    sign_hide, use_rdoq)
-        return rec_y, co_y, rec_cb, co_cb, rec_cr, co_cr
+            cnt = offs[ci][w + 1] - offs[ci][w]
 
-    carry = (rec_y, co_y, rec_cb, co_cb, rec_cr, co_cr)
+            if luma:
+                def run(ops, ci=ci):
+                    rec_y, lv = ops
+                    return _class_step(
+                        (rec_y, lv), org_wins[ci], flats[ci], offs[ci],
+                        w, ci, caps[ci], qp_y, lam_y, ebts[ci], bit_inc,
+                        max_val, sign_hide, use_rdoq)
+
+                rec_y, lvs[ci] = jax.lax.cond(
+                    cnt > 0, run, lambda o: o, (rec_y, lvs[ci]))
+            else:
+                def run_c(ops, ci=ci):
+                    rec_cb, rec_cr, lv, lvc = ops
+                    rec_cb, lv = _class_step(
+                        (rec_cb, lv), org_wins[ci], flats[ci], offs[ci],
+                        w, ci, caps[ci], qp_cb, lam_c, ebts[ci], bit_inc,
+                        max_val, sign_hide, use_rdoq)
+                    rec_cr, lvc = _class_step(
+                        (rec_cr, lvc), org_wins_cr[ci], flats[ci],
+                        offs[ci], w, ci, caps[ci], qp_cr, lam_c,
+                        ebts[ci], bit_inc, max_val, sign_hide, use_rdoq)
+                    return rec_cb, rec_cr, lv, lvc
+
+                rec_cb, rec_cr, lvs[ci], lvs_cr[ci] = jax.lax.cond(
+                    cnt > 0, run_c, lambda o: o,
+                    (rec_cb, rec_cr, lvs[ci], lvs_cr[ci]))
+        return rec_y, rec_cb, rec_cr, tuple(lvs), tuple(lvs_cr)
+
+    carry = (rec_y, rec_cb, rec_cr, tuple(lvs),
+             tuple(v for v in lvs_cr))
     carry = jax.lax.fori_loop(0, n_waves, body, carry)
-    rec_y, co_y, rec_cb, co_cb, rec_cr, co_cr = carry
-    return (rec_y[1:1 + hp, 1:1 + wp], co_y[:hp, :wp],
+    rec_y, rec_cb, rec_cr, lvs, lvs_cr = carry
+    return (rec_y[1:1 + hp, 1:1 + wp],
             rec_cb[1:1 + hp // 2, 1:1 + wp // 2],
-            co_cb[:hp // 2, :wp // 2],
             rec_cr[1:1 + hp // 2, 1:1 + wp // 2],
-            co_cr[:hp // 2, :wp // 2])
+            lvs, lvs_cr)
 
 
 _apply_cache = {}
@@ -780,16 +885,29 @@ def run_device_apply(org_y, org_cb, org_cr, sched: Schedule, width, height,
     wp = -(-width // ctu_size) * ctu_size
     hp = -(-height // ctu_size) * ctu_size
 
-    def pad_plane(p, ph, pw):
-        out = np.zeros((ph + GUARD, pw + GUARD), np.int16)
-        out[:p.shape[0], :p.shape[1]] = p
+    oy = np.asarray(org_y, np.int16)
+    ocb = np.asarray(org_cb, np.int16)
+    ocr = np.asarray(org_cr, np.int16)
+
+    # per-record source windows, extracted host-side (the source is
+    # static, so the in-loop read becomes a CONTIGUOUS dynamic_slice
+    # instead of a serializing 2-D gather)
+    def windows(plane, ci):
+        s = CLS[ci][0]
+        xs, ys = sched.flat[ci][0], sched.flat[ci][1]
+        n_c = sched.counts[ci]
+        out = np.zeros((len(xs), s, s), np.int16)
+        if n_c:
+            dy = np.arange(s)
+            out[:n_c] = plane[ys[:n_c, None, None] + dy[None, :, None],
+                              xs[:n_c, None, None] + dy[None, None, :]]
         return out
 
-    oy = pad_plane(np.asarray(org_y, np.int16), hp, wp)
-    ocb = pad_plane(np.asarray(org_cb, np.int16), hp // 2, wp // 2)
-    ocr = pad_plane(np.asarray(org_cr, np.int16), hp // 2, wp // 2)
-
     put = partial(jax.device_put, device=device)
+    org_wins = tuple(put(windows(oy if CLS[ci][1] else ocb, ci))
+                     for ci in range(len(CLS)))
+    org_wins_cr = tuple(None if CLS[ci][1] else put(windows(ocr, ci))
+                        for ci in range(len(CLS)))
     flats = tuple(tuple(put(a) for a in f) for f in sched.flat)
     offs = tuple(put(o) for o in sched.offs)
     qps = put(np.asarray([qp_y, qp_cb, qp_cr], np.int32))
@@ -805,15 +923,39 @@ def run_device_apply(org_y, org_cb, org_cr, sched: Schedule, width, height,
     statics = (hp, wp, int(bit_inc), int(max_val), bool(sign_hide),
                bool(use_rdoq), tuple(sched.caps))
     fn = _apply_fn(statics)
-    out = fn(put(oy), put(ocb), put(ocr), flats, offs,
+    out = fn(org_wins, org_wins_cr, flats, offs,
              jnp.int32(sched.n_waves), qps, lams, ebts)
     return out
 
 
 def collect_device_apply(token):
-    """Block on a dispatched apply and return numpy planes:
-    (rec_y, coeff_y, rec_cb, coeff_cb, rec_cr, coeff_cr)."""
-    return tuple(np.asarray(t) for t in token)
+    """Block on a dispatched apply: returns (rec_y, rec_cb, rec_cr,
+    per-class level stacks, per-class cr level stacks) as numpy."""
+    rec_y, rec_cb, rec_cr, lvs, lvs_cr = token
+    return (np.asarray(rec_y), np.asarray(rec_cb), np.asarray(rec_cr),
+            tuple(np.asarray(v) for v in lvs),
+            tuple(None if v is None else np.asarray(v) for v in lvs_cr))
+
+
+def assemble_coeff_planes(sched: Schedule, lvs, lvs_cr, f) -> None:
+    """Scatter the flat per-record level stacks into the frame-shaped
+    coefficient planes (vectorized numpy; record coords are the wave-
+    sorted schedule order)."""
+    for ci in range(len(CLS)):
+        s, luma, _ = CLS[ci]
+        n_c = sched.counts[ci]
+        if not n_c:
+            continue
+        xs = sched.flat[ci][0][:n_c]
+        ys = sched.flat[ci][1][:n_c]
+        dy = np.arange(s)
+        yy = ys[:, None, None] + dy[None, :, None]
+        xx = xs[:, None, None] + dy[None, None, :]
+        if luma:
+            f.coeff_y[yy, xx] = lvs[ci][:n_c]
+        else:
+            f.coeff_cb[yy, xx] = lvs[ci][:n_c]
+            f.coeff_cr[yy, xx] = lvs_cr[ci][:n_c]
 
 
 # wall-clock per stage, accumulated across frames (bench reads + resets;
@@ -858,15 +1000,13 @@ def device_apply_frame(cu, fd, qp_cb_scaled, qp_cr_scaled, nat) -> bool:
         bool(cu.pps.sign_hide_flag), use_rdoq=use_rdoq,
         lam_y=cu.lambda_luma, lam_c=cu.lambda_chroma, init_ctx=init_ctx)
     t2 = time.time()
-    rec_y, co_y, rec_cb, co_cb, rec_cr, co_cr = collect_device_apply(token)
+    rec_y, rec_cb, rec_cr, lvs, lvs_cr = collect_device_apply(token)
     t3 = time.time()
     h, w = f.height, f.width
     cu.rec_y[:h, :w] = rec_y[:h, :w]
     cu.rec_cb[:h // 2, :w // 2] = rec_cb[:h // 2, :w // 2]
     cu.rec_cr[:h // 2, :w // 2] = rec_cr[:h // 2, :w // 2]
-    f.coeff_y[:co_y.shape[0], :co_y.shape[1]] = co_y
-    f.coeff_cb[:co_cb.shape[0], :co_cb.shape[1]] = co_cb
-    f.coeff_cr[:co_cr.shape[0], :co_cr.shape[1]] = co_cr
+    assemble_coeff_planes(sched, lvs, lvs_cr, f)
     nat.fill_from_fd()
     t4 = time.time()
     stage_stats["sched"] += t1 - t0

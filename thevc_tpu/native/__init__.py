@@ -384,20 +384,27 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p]
-        lib.enc_fd_schedule.restype = ctypes.c_int64
-        lib.enc_fd_schedule.argtypes = [
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
-        lib.enc_fill_from_fd.restype = ctypes.c_int32
-        lib.enc_fill_from_fd.argtypes = [ctypes.c_void_p]
-        lib.enc_encode_ctu_counter.restype = ctypes.c_int64
-        lib.enc_encode_ctu_counter.argtypes = [
-            ctypes.c_void_p, ctypes.c_int32]
+        try:
+            # fast-RD device-apply entry points — absent from older .so
+            # builds (e.g. an A/B-bench variant pinned via mtime); the
+            # device apply falls back to the host path when missing
+            lib.enc_fd_schedule.restype = ctypes.c_int64
+            lib.enc_fd_schedule.argtypes = [
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.enc_fill_from_fd.restype = ctypes.c_int32
+            lib.enc_fill_from_fd.argtypes = [ctypes.c_void_p]
+            lib.enc_encode_ctu_counter.restype = ctypes.c_int64
+            lib.enc_encode_ctu_counter.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32]
+        except AttributeError:
+            pass
         lib.parse_slice_data.restype = ctypes.c_int
         lib.parse_slice_data.argtypes = [
             ctypes.POINTER(FrameArrays), ctypes.POINTER(SliceParams),
