@@ -26,17 +26,24 @@ How the sequential intra dependency becomes a device program:
      reference lines straight out of the evolving recon planes, predicts
      (planar / DC+filter / all-33-angular via the static gather plans of
      fast_intra._unified_plan, edge filters included — integer-exact
-     mirror of TComPrediction.cpp:190,689,1010), transforms, quantizes
-     (TComTrQuant.cpp:1102) with sign-bit hiding (signBitHidingHDQ,
+     mirror of TComPrediction.cpp:190,689,1010), transforms, then
+     quantizes with the in-launch RDOQ (_rdoq_batch) or plain quant
+     (TComTrQuant.cpp:1102), applies sign-bit hiding (signBitHidingHDQ,
      TComTrQuant.cpp:977 — bit-exact vectorized mirror), reconstructs,
-     and scatters recon + levels back into frame-shaped planes.
-  3. One fetch returns the recon planes and int16 coefficient planes;
-     the host fills the syntax arrays (enc_fill_from_fd), runs the
-     counter pass for CABAC contexts, SAO RDO and the real entropy pass.
+     scatters recon into the planes and levels into flat per-record
+     stacks.  Source windows are pre-extracted and every table read is
+     a static shuffle or masked select — per-element dynamic gathers
+     serialize on the TPU and would dominate the loop; classes with no
+     records in a wave are skipped via lax.cond.
+  3. One fetch returns the recon planes (uint8 for 8-bit content) and
+     the per-record level stacks; the host assembles the coefficient
+     planes (one vectorized numpy scatter), fills the syntax arrays
+     (enc_fill_from_fd), runs the counter pass for CABAC contexts, SAO
+     RDO and the real entropy pass.
 
 With RDOQ off this path is BYTE-IDENTICAL to the host fast-RD apply
-(tests/test_fast_rd.py); with RDOQ on it trades the host RDOQ for plain
-quant+SBH inside the launch (rate cost measured in bench extra).
+(tests/test_fast_apply.py); with RDOQ on it swaps the host RDOQ for the
+in-launch frozen-context RDOQ (rate cost measured in bench extra).
 """
 
 from __future__ import annotations
@@ -852,9 +859,11 @@ def _apply_body(org_wins, org_wins_cr, flats, offs, n_waves, qps, lams,
              tuple(v for v in lvs_cr))
     carry = jax.lax.fori_loop(0, n_waves, body, carry)
     rec_y, rec_cb, rec_cr, lvs, lvs_cr = carry
-    return (rec_y[1:1 + hp, 1:1 + wp],
-            rec_cb[1:1 + hp // 2, 1:1 + wp // 2],
-            rec_cr[1:1 + hp // 2, 1:1 + wp // 2],
+    # 8-bit content rides the tunnel as uint8 (halves the recon fetch)
+    rt = jnp.uint8 if max_val <= 255 else i16
+    return (rec_y[1:1 + hp, 1:1 + wp].astype(rt),
+            rec_cb[1:1 + hp // 2, 1:1 + wp // 2].astype(rt),
+            rec_cr[1:1 + hp // 2, 1:1 + wp // 2].astype(rt),
             lvs, lvs_cr)
 
 

@@ -640,12 +640,18 @@ class PictureCompressor:
         # per-CTU calls via the enc_set/get_slice_ctx hooks.
         n_tiles = (self.tiles.n_cols * self.tiles.n_rows
                    if self.tiles is not None else 1)
+        # rate control rides the fast path in fast-RD mode: the frame
+        # QP (TEncSlice.cpp:248-251) steers the decision pass, per-LCU
+        # stats feed the models from the counter pass, and the unit-level
+        # QP refinement is skipped (frame-level RC only — the open-loop
+        # decisions are not re-costed per LCU)
+        rc_ok = self.rc is None or self.cfg.fast_rd
         base_ok = (n_tiles == 1
-                   and not self.allow_dep and self.rc is None
+                   and not self.allow_dep and rc_ok
                    and self.cfg.slice_mode != 2
                    and self.cfg.dependent_slice_mode != 2
                    and start == 0 and bounding >= f.num_ctus * parts)
-        wpp_native = (base_ok and self.nsub > 1
+        wpp_native = (base_ok and self.nsub > 1 and self.rc is None
                       and self.cfg.wavefront_synchro)
         if base_ok and (self.nsub == 1 or wpp_native):
             from .native_enc import make_native_encoder
@@ -734,13 +740,27 @@ class PictureCompressor:
                 if fast_apply.enabled():
                     dev_applied = fast_apply.device_apply_frame(
                         cu, fd, qp_cb, qp_cr, nat)
+            def _rc_ctu(ctu, bits):
+                """Frame-level RC feedback in fast-RD mode: per-LCU
+                distortion/bit stats keep the URQ/MAD models current
+                (update_lcu_data/update_unit_status) while the unit QP
+                stays at the frame QP."""
+                if self.rc is None:
+                    return
+                self.rc.update_lcu_data(
+                    cu.org_y, cu.rec_y, (ctu % f.ctus_w) * f.ctu_size,
+                    (ctu // f.ctus_w) * f.ctu_size, bits, sh.slice_qp)
+                self.rc.update_unit_status()
+
             if dev_applied:
                 import time as _time
                 _t0 = _time.time()
                 for enc in range(f.num_ctus):
                     ctu = int(f.ctu_order[enc])
                     self._mark_ctu(ctu, sh, slice_idx)
-                    self.pic_total_bits += nat.encode_ctu_counter(ctu)
+                    bits = nat.encode_ctu_counter(ctu)
+                    self.pic_total_bits += bits
+                    _rc_ctu(ctu, bits)
                 fast_apply.stage_stats["counter"] += _time.time() - _t0
                 cu.snap[0][CI_CURR_BEST] = nat.get_slice_ctx()
                 cu.go_on.frac_bits = nat.get_go_frac()
@@ -750,7 +770,9 @@ class PictureCompressor:
                 for enc in range(f.num_ctus):
                     ctu = int(f.ctu_order[enc])
                     self._mark_ctu(ctu, sh, slice_idx)
-                    self.pic_total_bits += nat.compress_ctu(ctu)
+                    bits = nat.compress_ctu(ctu)
+                    self.pic_total_bits += bits
+                    _rc_ctu(ctu, bits)
                 cu.snap[0][CI_CURR_BEST] = nat.get_slice_ctx()
                 # the SAO RDO coder keeps the GoOn counter's fractional-bit
                 # residue from the end of compressSlice (startSaoEnc

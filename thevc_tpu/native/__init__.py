@@ -290,6 +290,17 @@ def get_lib():
     if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
         if not _build():
             return None
+    elif os.environ.get("THEVC_NATIVE_NOCHECK", "") != "1":
+        # stale-binary guard: a copied .so can carry a fresh mtime while
+        # missing entry points of the current source — verify a recent
+        # symbol and rebuild.  tools/ab_bench.py pins variant binaries
+        # deliberately and sets THEVC_NATIVE_NOCHECK=1.
+        try:
+            probe = ctypes.CDLL(str(_SO))
+            probe.enc_fd_schedule
+        except (OSError, AttributeError):
+            if not _build():
+                return None
     try:
         lib = ctypes.CDLL(str(_SO))
         lib.parse_coeff_nxn.restype = ctypes.c_int

@@ -43,7 +43,8 @@ print("CPUS %%.3f WALL %%.3f" %% (time.process_time() - c0, time.time() - t0))
 def run_one(so):
     shutil.copy(so, SO)
     os.utime(SO)      # keep mtime >= src so the loader won't rebuild
-    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+               THEVC_NATIVE_NOCHECK="1")
     out = subprocess.run([sys.executable, "-c", CODE], env=env,
                          capture_output=True, text=True, timeout=900)
     for ln in out.stdout.splitlines():
