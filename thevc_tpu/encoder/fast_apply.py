@@ -682,8 +682,8 @@ def _sbh_batch(levels, src, du, scan_sel, size: int, static_scan=None):
     csum = jnp.sum(jnp.where((n_idx[None, None] >= first_nz[..., None])
                              & (n_idx[None, None] <= last_nz[..., None]),
                              lv, 0), axis=2)
-    lv_first = jnp.take_along_axis(
-        lv, jnp.minimum(first_nz, 15)[..., None], axis=2)[..., 0]
+    fsel = jnp.minimum(first_nz, 15)[..., None] == n_idx[None, None]
+    lv_first = jnp.sum(jnp.where(fsel, lv, 0), axis=2)
     signbit = jnp.where(lv_first > 0, 0, 1)
     need = (last_nz - first_nz >= 4) & (signbit != (csum & 1))
 
@@ -706,9 +706,10 @@ def _sbh_batch(levels, src, du, scan_sel, size: int, static_scan=None):
     # compare, keeping the LARGEST n among equal costs
     key = cost * 16 + (15 - n_idx[None, None])
     sel = jnp.argmin(key, axis=2)                     # [N, ncg]
-    sel_chg = jnp.take_along_axis(chg, sel[..., None], axis=2)[..., 0]
-    sel_q = jnp.take_along_axis(q, sel[..., None], axis=2)[..., 0]
-    sel_src = jnp.take_along_axis(sr, sel[..., None], axis=2)[..., 0]
+    ssel = sel[..., None] == n_idx[None, None]
+    sel_chg = jnp.sum(jnp.where(ssel, chg, 0), axis=2)
+    sel_q = jnp.sum(jnp.where(ssel, q, 0), axis=2)
+    sel_src = jnp.sum(jnp.where(ssel, sr, 0), axis=2)
     sel_chg = jnp.where((sel_q == 32767) | (sel_q == -32768), -1, sel_chg)
     delta = jnp.where(sel_src >= 0, sel_chg, -sel_chg)
     delta = jnp.where(need, delta, 0)
@@ -756,18 +757,29 @@ def _class_step(state, org_wins, flat_dev, off, w, ci, cap, qp, lam, ebt,
     owin = jax.lax.dynamic_slice(
         org_wins, (start, 0, 0), (cap, s, s)).astype(jnp.int32)
 
-    # reference line gather with the substitution clamp
+    # reference line via two WINDOWED gathers (vmapped dynamic_slice
+    # lowers to slice-gathers, not per-element gathers): the left+corner
+    # column and the top row, raw; HM's unavailable-sample substitution
+    # over a contiguous range is then just boundary replication —
+    # samples below lo take line[lo], above hi take line[hi]
+    colw = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(rec, (y, x), (2 * s + 1, 1))
+    )(y0, x0)[:, :, 0].astype(jnp.int32)          # [N, 2s+1] corner+left
+    topw = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(rec, (y, x), (1, 2 * s))
+    )(y0, x0 + 1)[:, 0, :].astype(jnp.int32)      # [N, 2s] top row
+    corner0 = colw[:, 0:1]
+    left_desc = colw[:, 1:][:, ::-1]              # line[0..2s-1]
+    line = jnp.concatenate(
+        [left_desc, jnp.repeat(corner0, unit, axis=1), topw], axis=1)
     i = jnp.arange(L, dtype=jnp.int32)[None, :]
-    icl = jnp.clip(i, lo_[:, None], hi_[:, None])
-    yy = jnp.where(icl < 2 * s, y0[:, None] + 2 * s - 1 - icl,
-                   y0[:, None] - 1)
-    xx = jnp.where(icl < 2 * s, x0[:, None] - 1,
-                   jnp.where(icl < 2 * s + unit, x0[:, None] - 1,
-                             x0[:, None] + icl - 2 * s - unit))
+    v_lo = jnp.take_along_axis(line, lo_[:, None], axis=1)
+    v_hi = jnp.take_along_axis(line, hi_[:, None], axis=1)
+    line = jnp.where(i < lo_[:, None], v_lo, line)
+    line = jnp.where(i > hi_[:, None], v_hi, line)
     dc_fill = 1 << (7 + bit_inc)
     none_avail = (lo_ > hi_)[:, None]
-    line = jnp.where(none_avail, dc_fill,
-                     rec[yy + 1, xx + 1].astype(jnp.int32))
+    line = jnp.where(none_avail, dc_fill, line)
     corner = line[:, 2 * s][:, None]
     ra = jnp.concatenate([corner, line[:, 2 * s + unit:]], axis=1)
     rl = jnp.concatenate([corner, line[:, 2 * s - 1::-1][:, :2 * s]],
@@ -790,10 +802,14 @@ def _class_step(state, org_wins, flat_dev, off, w, ci, cap, qp, lam, ebt,
     rres = jx.inverse_transform(deq, use_dst, bit_inc)
     recb = jnp.clip(pred + rres, 0, max_val)
 
-    dy = jnp.arange(s, dtype=jnp.int32)
-    oyy = y0[:, None, None] + dy[None, :, None]
-    oxx = x0[:, None, None] + dy[None, None, :]
-    rec = rec.at[oyy + 1, oxx + 1].set(recb.astype(rec.dtype))
+    # windowed scatter (block copies, not per-element scatter): TU
+    # regions are disjoint by construction
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1))
+    idx = jnp.stack([y0 + 1, x0 + 1], axis=1)
+    rec = jax.lax.scatter(rec, idx, recb.astype(rec.dtype), dn,
+                          indices_are_sorted=False, unique_indices=False)
     out_lv = jax.lax.dynamic_update_slice(
         out_lv, levels.astype(out_lv.dtype), (start, 0, 0))
     return rec, out_lv
@@ -1028,11 +1044,16 @@ def device_apply_frame(cu, fd, qp_cb_scaled, qp_cr_scaled, nat) -> bool:
 
 
 def enabled() -> bool:
-    """Device apply policy: on by default when an accelerator carries the
-    decision pass; "force" runs it on CPU-jax too (tests/benchmarks);
-    "0" disables (host native apply)."""
+    """Device apply policy.  Off by default: the wavefront loop runs
+    ~500 sequential device steps per 1080p frame, and at the measured
+    ~1-4 ms/step XLA floor (per-stage numbers in bench extra) the host
+    native apply is currently faster on a single tunneled chip — the
+    device apply is the architecture for hosts where the chip outruns
+    the CPU, and the bench exercises it explicitly.
+    "1" enables on the accelerator; "force" runs it on CPU-jax too
+    (tests)."""
     from ..ops.device import device_enabled
-    v = os.environ.get("THEVC_FASTRD_DEVAPPLY", "1")
+    v = os.environ.get("THEVC_FASTRD_DEVAPPLY", "0")
     if v == "0":
         return False
     if v == "force":

@@ -276,22 +276,22 @@ def _satd(org, pred, size: int, bit_inc: int):
 
 def _satd_d(d, size: int, bit_inc: int):
     import jax.numpy as jnp
-    from ..ops.jx import _H4, _H8
+    from ..ops.jx import _H4, _H8, _exact_dot
 
     n = d.shape[0]
     if size % 8 == 0:
         h = jnp.asarray(_H8, jnp.int32)
         blocks = (d.reshape(n, size // 8, 8, size // 8, 8)
                   .transpose(0, 1, 3, 2, 4).reshape(n, -1, 8, 8))
-        hm = jnp.einsum("ij,nbjk,kl->nbil", h, blocks, h,
-                        preferred_element_type=jnp.int32)
+        t1 = _exact_dot("ij,nbjk->nbik", h, blocks, 1, 1 << 11, 8)
+        hm = _exact_dot("kl,nbik->nbil", h, t1, 1, 1 << 14, 8)
         sads = (jnp.sum(jnp.abs(hm), axis=(2, 3)) + 2) >> 2
     else:
         h = jnp.asarray(_H4, jnp.int32)
         blocks = (d.reshape(n, size // 4, 4, size // 4, 4)
                   .transpose(0, 1, 3, 2, 4).reshape(n, -1, 4, 4))
-        hm = jnp.einsum("ij,nbjk,kl->nbil", h, blocks, h,
-                        preferred_element_type=jnp.int32)
+        t1 = _exact_dot("ij,nbjk->nbik", h, blocks, 1, 1 << 11, 4)
+        hm = _exact_dot("kl,nbik->nbil", h, t1, 1, 1 << 13, 4)
         sads = (jnp.sum(jnp.abs(hm), axis=(2, 3)) + 1) >> 1
     return sads.sum(axis=1) >> bit_inc
 

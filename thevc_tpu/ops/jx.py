@@ -29,6 +29,35 @@ def _basis(size: int, use_dst: bool) -> jnp.ndarray:
     return jnp.asarray(t, jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Exact integer matmul on the MXU.  TPU has no native int32 dot — XLA
+# EMULATES integer matmuls at ~0.1 GB/s (measured), two orders of
+# magnitude under the chip.  float32 dots with HIGHEST precision are
+# exact for integer operands as long as every product/partial sum stays
+# under 2^24, so integer transforms run as one (or, via a hi/lo split of
+# the data operand, two) MXU matmuls with bit-identical results.
+# ---------------------------------------------------------------------------
+
+def _exact_dot(spec: str, t: jnp.ndarray, x: jnp.ndarray, t_max: int,
+               x_max: int, acc_n: int) -> jnp.ndarray:
+    """einsum(spec, t, x) over integer operands, computed exactly on the
+    MXU.  t: small constant matrix (|t| <= t_max); x: data (|x| < x_max);
+    acc_n: number of accumulated terms."""
+    tf = t.astype(jnp.float32)
+    if t_max * x_max * acc_n < (1 << 24):
+        y = jnp.einsum(spec, tf, x.astype(jnp.float32),
+                       precision="highest")
+        return y.astype(jnp.int32)
+    # split the data operand: x = hi*256 + lo, lo in [0, 256)
+    lo = jnp.bitwise_and(x, 255)
+    hi = (x - lo) >> 8
+    ylo = jnp.einsum(spec, tf, lo.astype(jnp.float32),
+                     precision="highest").astype(jnp.int32)
+    yhi = jnp.einsum(spec, tf, hi.astype(jnp.float32),
+                     precision="highest").astype(jnp.int32)
+    return (yhi << 8) + ylo
+
+
 @partial(jax.jit, static_argnames=("use_dst", "bit_increment"))
 def forward_transform(block: jnp.ndarray, use_dst: bool = False,
                       bit_increment: int = 0) -> jnp.ndarray:
@@ -39,10 +68,10 @@ def forward_transform(block: jnp.ndarray, use_dst: bool = False,
     shift2 = log2 + 6
     t = _basis(size, use_dst)
     x = block.astype(jnp.int32)
-    tmp = (jnp.einsum("kn,bjn->bkj", t, x,
-                      preferred_element_type=jnp.int32) + (1 << (shift1 - 1))) >> shift1
-    out = (jnp.einsum("kn,bjn->bkj", t, tmp,
-                      preferred_element_type=jnp.int32) + (1 << (shift2 - 1))) >> shift2
+    tmp = (_exact_dot("kn,bjn->bkj", t, x, 91, 1 << 11, size)
+           + (1 << (shift1 - 1))) >> shift1
+    out = (_exact_dot("kn,bjn->bkj", t, tmp, 91, 1 << 16, size)
+           + (1 << (shift2 - 1))) >> shift2
     return out
 
 
@@ -55,11 +84,11 @@ def inverse_transform(coeff: jnp.ndarray, use_dst: bool = False,
     shift2 = SHIFT_INV_2ND - bit_increment
     t = _basis(size, use_dst)
     s = coeff.astype(jnp.int32)
-    tmp = (jnp.einsum("nk,bnj->bjk", t, s,
-                      preferred_element_type=jnp.int32) + (1 << (shift1 - 1))) >> shift1
+    tmp = (_exact_dot("nk,bnj->bjk", t, s, 91, 1 << 15, size)
+           + (1 << (shift1 - 1))) >> shift1
     tmp = jnp.clip(tmp, -32768, 32767)
-    out = (jnp.einsum("nk,bnj->bjk", t, tmp,
-                      preferred_element_type=jnp.int32) + (1 << (shift2 - 1))) >> shift2
+    out = (_exact_dot("nk,bnj->bjk", t, tmp, 91, 1 << 15, size)
+           + (1 << (shift2 - 1))) >> shift2
     return jnp.clip(out, -32768, 32767)
 
 
@@ -231,15 +260,15 @@ def _intra_sweep_satd_xla(org: jnp.ndarray, preds: jnp.ndarray,
         hmat = jnp.asarray(_H8, jnp.int32)
         blocks = (d.reshape(m, h // 8, 8, w // 8, 8)
                   .transpose(0, 1, 3, 2, 4).reshape(m, -1, 8, 8))
-        hm = jnp.einsum("ij,mbjk,kl->mbil", hmat, blocks, hmat,
-                        preferred_element_type=jnp.int32)
+        t1 = _exact_dot("ij,mbjk->mbik", hmat, blocks, 1, 1 << 11, 8)
+        hm = _exact_dot("kl,mbik->mbil", hmat, t1, 1, 1 << 14, 8)
         sads = (jnp.sum(jnp.abs(hm), axis=(2, 3)) + 2) >> 2
     else:
         hmat = jnp.asarray(_H4, jnp.int32)
         blocks = (d.reshape(m, h // 4, 4, w // 4, 4)
                   .transpose(0, 1, 3, 2, 4).reshape(m, -1, 4, 4))
-        hm = jnp.einsum("ij,mbjk,kl->mbil", hmat, blocks, hmat,
-                        preferred_element_type=jnp.int32)
+        t1 = _exact_dot("ij,mbjk->mbik", hmat, blocks, 1, 1 << 11, 4)
+        hm = _exact_dot("kl,mbik->mbil", hmat, t1, 1, 1 << 13, 4)
         sads = (jnp.sum(jnp.abs(hm), axis=(2, 3)) + 1) >> 1
     return sads.sum(axis=1) >> bit_increment
 
@@ -252,6 +281,7 @@ def batched_satd4(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     h = jnp.asarray(_H4, jnp.int32)
     d = a.astype(jnp.int32) - b.astype(jnp.int32)
-    m = jnp.einsum("ij,bjk,kl->bil", h, d, h, preferred_element_type=jnp.int32)
+    t1 = _exact_dot("ij,bjk->bik", h, d, 1, 1 << 11, 4)
+    m = _exact_dot("kl,bik->bil", h, t1, 1, 1 << 13, 4)
     sad = jnp.sum(jnp.abs(m), axis=(-2, -1))
     return (sad + 1) >> 1  # HM normalization ((sad+1)>>1), TComRdCost.cpp:1773

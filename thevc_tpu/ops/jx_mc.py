@@ -56,17 +56,16 @@ def _filter_1d_batch(src, coeff, vertical, bd, is_first, is_last,
         offset = (-IF_INTERNAL_OFFS << shift) if is_first else 0
 
     s = src.astype(jnp.int32)
+    # multiply + tree-sum on the VPU: an integer einsum would lower to an
+    # emulated int dot on TPU (no native int32 MXU path — measured two
+    # orders of magnitude slow)
     if vertical:
-        # windows [N, taps, out_h, out_w] contracted against coeff
         win = jnp.stack([s[:, k:k + out_h, :out_w] for k in range(n_taps)],
                         axis=1)
-        acc = jnp.einsum("nkhw,nk->nhw", win, coeff,
-                         preferred_element_type=jnp.int32)
     else:
         win = jnp.stack([s[:, :out_h, k:k + out_w] for k in range(n_taps)],
                         axis=1)
-        acc = jnp.einsum("nkhw,nk->nhw", win, coeff,
-                         preferred_element_type=jnp.int32)
+    acc = (win * coeff[:, :, None, None]).sum(axis=1)
     val = (acc + offset) >> shift
     if is_last:
         val = jnp.clip(val, 0, (1 << bd) - 1)

@@ -214,8 +214,18 @@ def residual_pipeline_planar(qcoeff: jnp.ndarray, qp: jnp.ndarray,
     if nc != n:
         xp = jnp.pad(xp, ((0, 0), (0, nc - n)))
         scale = jnp.pad(scale, (0, nc - n))
+    out = _residual_call(xp, scale.reshape(1, nc), t, s, dq_shift, sh2,
+                         interpret)
+    return out[:, :n].T.reshape(n, s, s)
 
-    out = pl.pallas_call(
+
+def _residual_call(xp, scale_row, t, s, dq_shift, sh2, interpret=False):
+    """Run the fused dequant+IDCT kernel on ALREADY-PLANAR input
+    [s*s, NC] int16 (NC a multiple of the class's lane chunk) with the
+    per-TU scale row [1, NC]; returns planar int16 output."""
+    cols = _chunk_cols(s)
+    nc = xp.shape[1]
+    return pl.pallas_call(
         _kernel(s, cols, dq_shift, sh2),
         out_shape=jax.ShapeDtypeStruct((s * s, nc), jnp.int16),
         grid=(nc // cols,),
@@ -234,5 +244,27 @@ def residual_pipeline_planar(qcoeff: jnp.ndarray, qp: jnp.ndarray,
             pltpu.VMEM((s * s, cols), jnp.int32),
         ],
         interpret=interpret,
-    )(jnp.asarray(t.reshape(s * s, 1)), xp, scale.reshape(1, nc))
-    return out[:, :n].T.reshape(n, s, s)
+    )(jnp.asarray(t.reshape(s * s, 1)), xp, scale_row)
+
+
+@partial(jax.jit, static_argnames=("size", "use_dst", "bit_increment",
+                                   "interpret"))
+def residual_planar_in(xp: jnp.ndarray, qp: jnp.ndarray, size: int,
+                       use_dst: bool = False, bit_increment: int = 0,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Planar-native residual core: input [s*s, N] int16 (TU batch on
+    lanes), scaled-QP [N] -> planar int16 residual.  This is the
+    speed-of-light form — a [N, s, s] input first pays a ~16-32x
+    tile-padding repack (minor axis s << the 128-lane tile), which is
+    exactly what a planar producer avoids."""
+    s = size
+    log2 = s.bit_length() - 1
+    transform_shift = MAX_TR_DYNAMIC_RANGE - (8 + bit_increment) - log2
+    dq_shift = QUANT_IQUANT_SHIFT - QUANT_SHIFT - transform_shift
+    sh2 = SHIFT_INV_2ND - bit_increment
+    t = np.asarray(DST4 if (use_dst and s == 4) else DCT_MATRICES[s],
+                   np.int32)
+    scales = jnp.asarray(INV_QUANT_SCALES, jnp.int32)
+    scale = (scales[qp % 6] << (qp // 6)).astype(jnp.int32)
+    return _residual_call(xp, scale.reshape(1, -1), t, s, dq_shift, sh2,
+                          interpret)
