@@ -613,14 +613,24 @@ def bench_decode(stream: bytes) -> dict:
             dev = jax.devices()[0]
             out["decode_device_backend"] = dev.platform
             # measured host->device bandwidth: the device-path ceiling on
-            # tunneled chips (coefficients + planes must cross per frame)
+            # tunneled chips (coefficients + planes must cross per frame).
+            # block_until_ready does NOT wait on remote backends, so the
+            # probe forces a tiny FETCH per put and differences two
+            # payload sizes to cancel the fixed tunnel round trip.
             import numpy as np
-            x = np.zeros(4 * 1024 * 1024 // 4, np.int32)
-            jax.device_put(x, dev).block_until_ready()
-            t0 = time.time()
-            for _ in range(3):
-                jax.device_put(x, dev).block_until_ready()
-            out["h2d_mbps"] = round(12 / (time.time() - t0), 1)
+
+            def rt(mb):
+                x = np.zeros(mb * 1024 * 1024 // 4, np.int32)
+                t0 = time.time()
+                y = jax.device_put(x, dev)
+                _ = np.asarray(y[:1])
+                return time.time() - t0
+
+            rt(1)
+            t_small = min(rt(1) for _ in range(2))
+            t_big = min(rt(9) for _ in range(2))
+            out["h2d_mbps"] = round(8 / max(1e-6, t_big - t_small), 1)
+            out["h2d_rtt_ms"] = round(t_small * 1000, 1)
         except Exception:
             pass
         out["decode_fps_device"] = run("1")

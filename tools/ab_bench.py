@@ -45,6 +45,9 @@ def run_one(so):
     os.utime(SO)      # keep mtime >= src so the loader won't rebuild
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
                THEVC_NATIVE_NOCHECK="1")
+    # the axon sitecustomize dials the TPU relay at interpreter start
+    # when this is set; a wedged tunnel then hangs even CPU-only runs
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     out = subprocess.run([sys.executable, "-c", CODE], env=env,
                          capture_output=True, text=True, timeout=900)
     for ln in out.stdout.splitlines():
